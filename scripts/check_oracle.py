@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local dev harness: mimic the driver's correctness gate.
+
+Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`. For each
+query output parquet under <outDir>, executes the matching oracle SQL
+from oracle_sql.json in DuckDB against the same testdata tables and
+compares: column names (sorted), row count, and exact values.
+
+Dev tooling only — the shipped Scala library does not depend on this.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <outDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            want = con.execute(sql).fetchdf()
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != "
+                  f"{list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        # exact, order-sensitive compare (mirror of the hash check)
+        bad = []
+        for c in want.columns:
+            wc, gc = want[c], got[c]
+            if wc.dtype != gc.dtype:
+                try:
+                    gc = gc.astype(wc.dtype)
+                except Exception:  # noqa: BLE001
+                    bad.append((c, "dtype", str(wc.dtype), str(gc.dtype)))
+                    continue
+            neq = ~((wc == gc) | (wc.isna() & gc.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                bad.append((c, f"row {i}", repr(wc[i]), repr(gc[i])))
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched col(s): {bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(got)} rows")
+    print(f"{'PASS' if n_fail == 0 else 'FAIL'}: "
+          f"{len(oracles) - n_fail}/{len(oracles)} queries match")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

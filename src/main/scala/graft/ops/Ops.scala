@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+/** Core relational operator library.
+  *
+  * Each function re-expresses one operator of the reference pipeline
+  * (see SURVEY.md §2; reference = Blackbeard23/python-nyc-taxi-data-pipeline
+  * at /root/reference) as a composable, Catalyst-friendly Spark op. All
+  * ops are declarative DataFrame transformations — no collect(), no
+  * driver-side loops — so Catalyst gets predicate pushdown, column
+  * pruning, partial aggregation and AQE for free at any scale.
+  */
+object Ops {
+
+  /** Decimal type used to make money aggregations bit-deterministic.
+    *
+    * Summing IEEE doubles is order-dependent; with 32+ shuffle partitions
+    * the result differs run-to-run in the low bits, which breaks both
+    * hash-exact oracle comparison and reproducibility at 100 TB. Casting
+    * to decimal first makes the sum exact and order-independent (the PG
+    * reference sums NUMERIC — src/sql/gold_aggregate_layer.sql:7 — which
+    * has the same exactness property).
+    */
+  val MoneyDec: DecimalType = DecimalType(28, 10)
+
+  /** Exact, order-independent SUM of a double column, rounded to 2dp,
+    * returned as double. Mirrors PG `SUM(numeric)` + `ROUND(…, 2)`
+    * (reference src/sql/gold_aggregate_layer.sql:7-8). */
+  def sumMoney(c: Column): Column =
+    round(sum(c.cast(MoneyDec)).cast("double"), 2)
+
+  /** Exact, order-independent AVG of a double column, rounded to 2dp.
+    * Computed as exact-decimal-sum / non-null-count so the only FP ops
+    * (one divide, one round) are order-independent. Mirrors PG
+    * `ROUND(AVG(x), 2)` (reference src/sql/gold_aggregate_layer.sql:8). */
+  def avgMoney(c: Column): Column =
+    round(sum(c.cast(MoneyDec)).cast("double") / count(c), 2)
+
+  /** Watermark + window split (reference
+    * src/sql/bronze_incremental_load.sql:30-62, SURVEY §2.2 P2/P3).
+    *
+    * One logical scan, two complementary filters: rows strictly after the
+    * high-water-mark that fall inside [winStart, winEnd) go to the first
+    * frame (bronze append); rows after the watermark but outside the
+    * window go to the second (quarantine). Catalyst pushes both predicate
+    * sets to the parquet scan; at scale the two branches prune to
+    * disjoint partition/row-group sets instead of double-scanning.
+    *
+    * All three bounds are inclusive/exclusive exactly as the reference:
+    * `ts > lowWater AND ts >= winStart AND ts < winEnd`.
+    */
+  def windowSplit(df: DataFrame, tsCol: String, lowWater: Column,
+                  winStart: Column, winEnd: Column): (DataFrame, DataFrame) = {
+    val newRows  = col(tsCol) > lowWater
+    val inWindow = col(tsCol) >= winStart && col(tsCol) < winEnd
+    (df.filter(newRows && inWindow), df.filter(newRows && !inWindow))
+  }
+
+  /** Insert-if-absent, i.e. PG `ON CONFLICT (keys) DO NOTHING`
+    * (reference src/sql/bronze_incremental_load.sql:61-62 with the
+    * 7-column composite PK of src/db_setup.py:129-137; SURVEY §2.3 J3).
+    *
+    * Returns the subset of `newRows` whose key tuple does not already
+    * exist in `existing` — a left-anti join, the one join type the
+    * reference uses without writing JOIN. `existing` is typically small
+    * relative to `newRows` (a bounded quarantine table): hint broadcast
+    * when it fits; otherwise Catalyst/AQE picks shuffled hash. At 100 TB
+    * keep `existing` partitioned by the same time key as `newRows` so
+    * the anti-join touches one partition (SURVEY §7.5 risk 3).
+    */
+  def insertIfAbsent(newRows: DataFrame, existing: DataFrame,
+                     keys: Seq[String], broadcastExisting: Boolean = false): DataFrame = {
+    val ex = existing.select(keys.map(col): _*).distinct()
+    newRows.join(if (broadcastExisting) broadcast(ex) else ex, keys, "left_anti")
+  }
+
+  /** Keyed dedup keeping the first row per key under `order` — the
+    * ROW_NUMBER() OVER (PARTITION BY … ORDER BY …) = 1 pattern
+    * (reference src/sql/silver_full_refresh_transformation.sql:40-49,72;
+    * SURVEY §2.5 W1). Use when the survivor must be deterministic.
+    * When the partition key is the whole row, prefer
+    * [[dedupExact]] — no sort, no skew. */
+  def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Full-row dedup — semantically what the reference's all-19-column
+    * ROW_NUMBER partition reduces to (SURVEY §2.5 W1: partition key =
+    * whole row makes ORDER BY vacuous). A hash aggregate, not a window:
+    * one shuffle, partial map-side dedup, no global sort. */
+  def dedupExact(df: DataFrame): DataFrame = df.distinct()
+
+  /** Derived minute-duration column (reference
+    * src/sql/silver_full_refresh_transformation.sql:54, SURVEY §2.7 F5):
+    * `EXTRACT(EPOCH FROM (end - start)) / 60` cast to int. Pinned to
+    * floor semantics (documented divergence: PG casts with round-half-even;
+    * we floor, and the oracle SQL floors too — SURVEY §7.2). */
+  def minuteDuration(end: Column, start: Column): Column =
+    floor((unix_timestamp(end) - unix_timestamp(start)) / 60.0).cast(IntegerType)
+
+  /** CASE-chain decode of an id column to names, unmapped → NULL
+    * (reference src/sql/silver_full_refresh_transformation.sql:4-9,
+    * SURVEY §2.7 F6). Constant-folds into codegen — no join, no UDF. */
+  def decodeByMap(c: Column, mapping: Seq[(Any, String)]): Column =
+    mapping.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(c === lit(k), lit(v)).otherwise(acc)
+    }
+
+  /** Full English month name of a timestamp (reference
+    * `TO_CHAR(ts,'Month')`, src/sql/gold_aggregate_layer.sql:17;
+    * SURVEY §2.7 F4 — we use unpadded semantics, 'FMMonth'). */
+  def monthName(c: Column): Column = date_format(c, "MMMM")
+
+  /** Text-string → numeric → int cast chain (reference
+    * src/sql/silver_full_refresh_transformation.sql:57, SURVEY §2.7 F7):
+    * handles values like "1.0". Floor-pinned like [[minuteDuration]]. */
+  def castTextToInt(c: Column): Column =
+    floor(c.cast("double")).cast(IntegerType)
+}

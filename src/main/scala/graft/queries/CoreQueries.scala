@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Ops
+
+/** One driver-checkable query: a Spark implementation over the
+  * /root/testdata tables plus (when SQL-expressible) a DuckDB oracle
+  * producing the identical result — same column names, same
+  * deterministic row order, same (bit-exact where possible) values.
+  */
+final case class Q(name: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+object Q {
+  /** Load one driver testdata table.
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. We read nanos as long
+    * (legacy.parquet.nanosAsLong) and truncate to microsecond
+    * TimestampType — the same truncation DuckDB applies when it coerces
+    * TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle comparisons
+    * see identical values. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Timestamp literal parsed in the session time zone (UTC), matching
+    * DuckDB's naive `TIMESTAMP '…'` literal. Avoids
+    * java.sql.Timestamp.valueOf, which uses the JVM default zone. */
+  def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** Oracle-side exact SUM of a double column rounded to 2dp — the SQL
+    * twin of [[graft.ops.Ops.sumMoney]]. */
+  def sqlSum(c: String): String =
+    s"ROUND(CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE), 2)"
+
+  /** Oracle-side exact AVG — the SQL twin of [[graft.ops.Ops.avgMoney]]. */
+  def sqlAvg(c: String): String =
+    s"ROUND(CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / COUNT($c), 2)"
+}
+
+/** Core relational queries: every operator in SURVEY.md §2 expressed
+  * over the driver's TPC-H-ish testdata tables, with a DuckDB oracle.
+  * Query keys embed the SURVEY §2 operator ids (S*, P*, J*, A*, W*,
+  * O*, F*) they cover, so the inventory can be checked line by line.
+  */
+object CoreQueries {
+  import Q._
+
+  // Watermark/window constants for the `events` table (all sfs span
+  // 2024-01-01 .. 2024-01-31): high-water-mark mid-month, window
+  // [Jan 1, Jan 20) so both the in-window and quarantine branches are
+  // non-empty. Mirrors reference src/sql/bronze_incremental_load.sql:17-24.
+  private val LLD      = "2024-01-10 12:00:00"
+  private val WIN_LO   = "2024-01-01 00:00:00"
+  private val WIN_HI   = "2024-01-20 00:00:00"
+  private val TS_DEF   = "2024-01-01 00:00:00"
+
+  val all: Seq[Q] = Seq(
+
+    // S1 + P1: parquet scan with projection + pushed filter
+    // (reference src/incremental_ingestion.py:30; bronze select lists).
+    Q("s1_scan_projection",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("2001-01-01 00:00:00"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+              FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // P2: watermark + window filter (bronze_incremental_load.sql:42-43).
+    Q("p2_window_filter_in",
+      (s, dir) => {
+        val (in, _) = Ops.windowSplit(t(s, dir, "events"), "ts",
+          ts(LLD), ts(WIN_LO), ts(WIN_HI))
+        in.select("event_id", "ts", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type, value FROM events
+               WHERE ts > TIMESTAMP '$LLD'
+                 AND ts >= TIMESTAMP '$WIN_LO' AND ts < TIMESTAMP '$WIN_HI'
+               ORDER BY event_id""")),
+
+    // P3: complement filter — quarantine routing
+    // (bronze_incremental_load.sql:58-60).
+    Q("p3_window_filter_out",
+      (s, dir) => {
+        val (_, out) = Ops.windowSplit(t(s, dir, "events"), "ts",
+          ts(LLD), ts(WIN_LO), ts(WIN_HI))
+        out.select("event_id", "ts", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type, value FROM events
+               WHERE ts > TIMESTAMP '$LLD'
+                 AND NOT (ts >= TIMESTAMP '$WIN_LO' AND ts < TIMESTAMP '$WIN_HI')
+               ORDER BY event_id""")),
+
+    // A1 + A2 + F1: scalar MAX watermark with COALESCE default
+    // (bronze_incremental_load.sql:18-20, 64-65).
+    Q("a1_watermark_coalesce_max",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts") > ts(LLD) &&
+                col("ts") >= ts(WIN_LO) && col("ts") < ts(WIN_HI))
+        .agg(coalesce(max(col("ts")), ts(TS_DEF)).as("watermark")),
+      Some(s"""SELECT COALESCE(MAX(ts), TIMESTAMP '$TS_DEF') AS watermark
+               FROM events
+               WHERE ts > TIMESTAMP '$LLD'
+                 AND ts >= TIMESTAMP '$WIN_LO' AND ts < TIMESTAMP '$WIN_HI'""")),
+
+    // A3: DISTINCT dim-source (silver_full_refresh_transformation.sql:10).
+    Q("a3_distinct_dim",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment")).distinct()
+        .orderBy("segment"),
+      Some("""SELECT DISTINCT c_mktsegment AS segment FROM customer
+              ORDER BY segment""")),
+
+    // S6 + J1: inline VALUES dim broadcast-joined to an aggregate
+    // (silver_full_refresh_transformation.sql:14-31).
+    Q("s6_inline_values_dim",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(("A", "Accepted"), ("N", "InFlight"), ("R", "Returned"))
+          .toDF("flag", "flag_name")
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+          .join(broadcast(dim), col("l_returnflag") === col("flag"), "left")
+          .select("l_returnflag", "flag_name", "n_rows")
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, flag_name, n_rows
+              FROM (SELECT l_returnflag, COUNT(*) AS n_rows
+                    FROM lineitem GROUP BY l_returnflag) g
+              LEFT JOIN (VALUES ('A','Accepted'),('N','InFlight'),('R','Returned'))
+                        AS d(flag, flag_name) ON g.l_returnflag = d.flag
+              ORDER BY l_returnflag""")),
+
+    // J1 + A4 + F9 + O1: fact × broadcast dim, group-agg, round, sort —
+    // the gold.vendor_metrics shape (gold_aggregate_layer.sql:3-12).
+    Q("j1_dim_join_agg",
+      (s, dir) => t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+              col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("total_orders"),
+             Ops.sumMoney(col("o_totalprice")).as("total_revenue"),
+             Ops.avgMoney(col("o_totalprice")).as("avg_price"))
+        .orderBy(desc("total_revenue"), asc("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS total_orders,
+                      ${sqlSum("o_totalprice")} AS total_revenue,
+                      ${sqlAvg("o_totalprice")} AS avg_price
+               FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment
+               ORDER BY total_revenue DESC, c_mktsegment NULLS FIRST""")),
+
+    // A5 + F2 + F4: group by computed month-name key — the
+    // gold.monthly_metrics shape (gold_aggregate_layer.sql:15-23).
+    Q("a5_monthly_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(Ops.monthName(col("o_orderdate")).as("month_name"))
+        .agg(count(lit(1)).as("total_orders"),
+             Ops.avgMoney(col("o_totalprice")).as("avg_price"))
+        .orderBy(desc("total_orders"), asc("month_name")),
+      Some(s"""SELECT strftime(o_orderdate, '%B') AS month_name,
+                      COUNT(*) AS total_orders,
+                      ${sqlAvg("o_totalprice")} AS avg_price
+               FROM orders GROUP BY 1
+               ORDER BY total_orders DESC, month_name""")),
+
+    // A6: multi-key group metrics — the gold.payment_metrics shape
+    // (gold_aggregate_layer.sql:29-38).
+    Q("a6_group_metrics",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+             Ops.sumMoney(col("l_quantity")).as("sum_qty"),
+             Ops.avgMoney(col("l_extendedprice")).as("avg_price"),
+             Ops.avgMoney(col("l_discount")).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+                      ${sqlSum("l_quantity")} AS sum_qty,
+                      ${sqlAvg("l_extendedprice")} AS avg_price,
+                      ${sqlAvg("l_discount")} AS avg_disc
+               FROM lineitem GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    // W1: keyed ROW_NUMBER dedup, deterministic survivor
+    // (silver_full_refresh_transformation.sql:40-49,72).
+    Q("w1_dedup_rownum",
+      (s, dir) => Ops.dedupFirst(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_suppkey"),
+          // full tie-break chain: the survivor must be deterministic
+          // even though (l_orderkey, l_suppkey, l_linenumber) can repeat
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")))
+        .select("l_orderkey", "l_suppkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_suppkey, l_linenumber, l_quantity
+              FROM (SELECT l_orderkey, l_suppkey, l_linenumber, l_quantity,
+                           ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_suppkey
+                                              ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+                    FROM lineitem) t
+              WHERE rn = 1 ORDER BY l_orderkey, l_suppkey""")),
+
+    // W1 (whole-row form): full-row dedup as hash aggregate — what the
+    // reference's partition-by-all-19-columns window reduces to.
+    Q("w1_dedup_exact",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        // (l_orderkey, l_linenumber) is not unique in the synthetic
+        // data, so order by every column for a deterministic result.
+        Ops.dedupExact(li).orderBy(li.columns.map(col).toIndexedSeq: _*)
+      },
+      Some("""SELECT DISTINCT * FROM lineitem
+              ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                       l_quantity, l_extendedprice, l_discount, l_tax,
+                       l_returnflag, l_linestatus, l_shipdate""")),
+
+    // J3: insert-if-absent / ON CONFLICT DO NOTHING as left-anti join
+    // (bronze_incremental_load.sql:61-62).
+    Q("j3_insert_if_absent",
+      (s, dir) => {
+        val existing = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey"))
+        Ops.insertIfAbsent(t(s, dir, "lineitem"), existing,
+            Seq("l_orderkey"), broadcastExisting = true)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey
+                                  AND o.o_orderstatus = 'F')
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // F5: derived minute-duration over a join
+    // (silver_full_refresh_transformation.sql:54).
+    Q("f5_minute_duration",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "orders").select("o_orderkey", "o_orderdate")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+                Ops.minuteDuration(col("l_shipdate"), col("o_orderdate"))
+                  .as("minute_duration"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(FLOOR((date_diff('second', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+                               - date_diff('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate))
+                               / 60.0) AS INTEGER) AS minute_duration
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // F6 + A7: CASE decode with unmapped → NULL, NULL kept as group key
+    // (silver_full_refresh_transformation.sql:4-9; gold join NULL groups).
+    Q("f6_case_decode_nullgroup",
+      (s, dir) => t(s, dir, "orders")
+        .select(Ops.decodeByMap(col("o_orderpriority"),
+          Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium"))
+          .as("priority_class"))
+        .groupBy("priority_class").agg(count(lit(1)).as("n"))
+        .orderBy(asc("priority_class")),
+      Some("""SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                          WHEN o_orderpriority = '2-HIGH' THEN 'high'
+                          WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                     END AS priority_class, COUNT(*) AS n
+              FROM orders GROUP BY 1
+              ORDER BY priority_class NULLS FIRST""")),
+
+    // F7 + F8: text → numeric → int cast chain, fed by JSON extraction
+    // (silver_full_refresh_transformation.sql:57,61).
+    Q("f7_cast_chain",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+                Ops.castTextToInt(get_json_object(col("props"), "$.k")).as("k_int"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                          AS INTEGER) AS k_int
+              FROM events ORDER BY event_id""")),
+
+    // O1-O3 + top-k: global sort + limit → TakeOrderedAndProject
+    // (gold_aggregate_layer.sql:12,23,38).
+    Q("o1_topk",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // P5 + A2: partition-scoped MAX within the month window
+    // (bronze_incremental_load.sql:64-65).
+    Q("p5_partition_max",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts") >= ts(WIN_LO) && col("ts") < ts("2024-02-01 00:00:00"))
+        .groupBy("event_type")
+        .agg(max(col("value")).as("max_value"), count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, MAX(value) AS max_value, COUNT(*) AS n_events
+               FROM events
+               WHERE ts >= TIMESTAMP '$WIN_LO' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+               GROUP BY event_type ORDER BY event_type"""))
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops
+
+/** Unit tests per SURVEY §2 operator over tiny in-memory frames
+  * (SURVEY §5 test plan item 1). */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowSplit partitions the >lld set disjointly (P2/P3)") {
+    val df = Seq(
+      ("before", ts("2024-01-05 00:00:00")),
+      ("in", ts("2024-01-15 00:00:00")),
+      ("in2", ts("2024-01-19 23:59:59")),
+      ("after", ts("2024-02-02 00:00:00"))
+    ).toDF("tag", "ts")
+    val (in, out) = Ops.windowSplit(df, "ts",
+      lit("2024-01-10 00:00:00").cast("timestamp"),
+      lit("2024-01-01 00:00:00").cast("timestamp"),
+      lit("2024-01-20 00:00:00").cast("timestamp"))
+    assert(in.select("tag").as[String].collect().sorted.toSeq == Seq("in", "in2"))
+    assert(out.select("tag").as[String].collect().toSeq == Seq("after"))
+    // completeness: in ∪ out == all rows newer than the watermark
+    val all = df.filter($"ts" > lit("2024-01-10 00:00:00").cast("timestamp"))
+    assert(in.count() + out.count() == all.count())
+  }
+
+  test("insertIfAbsent keeps only new keys (J3 / ON CONFLICT DO NOTHING)") {
+    val existing = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val incoming = Seq((2, "dup"), (3, "new"), (3, "new2")).toDF("k", "v")
+    val out = Ops.insertIfAbsent(incoming, existing, Seq("k"))
+    assert(out.select("k").as[Int].collect().toSet == Set(3))
+  }
+
+  test("dedupFirst keeps deterministic survivor (W1 row_number)") {
+    val df = Seq((1, 2, "b"), (1, 1, "a"), (2, 5, "c")).toDF("k", "ord", "v")
+    val out = Ops.dedupFirst(df, Seq("k"), Seq($"ord"))
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(out == Seq("a", "c"))
+  }
+
+  test("dedupExact drops exact duplicate rows (W1 whole-row)") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    assert(Ops.dedupExact(df).count() == 2)
+  }
+
+  test("minuteDuration floors epoch-second difference (F5)") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:45")),
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 09:45:00")) // negative
+    ).toDF("start", "end")
+    val out = df.select(Ops.minuteDuration($"end", $"start").as("m"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(30, -15))
+  }
+
+  test("decodeByMap maps known ids, NULL for unmapped (F6)") {
+    val df = Seq(1, 2, 42).toDF("id")
+    val out = df.select(Ops.decodeByMap($"id", Seq(1 -> "one", 2 -> "two"))
+      .as("name")).as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("one"), Some("two"), None))
+  }
+
+  test("castTextToInt handles float-ish text and NULL (F7)") {
+    val df = Seq("1", "1.0", "99", null).toDF("s")
+    val out = df.select(Ops.castTextToInt($"s").as("i"))
+      .as[Option[Int]].collect().toSeq
+    assert(out == Seq(Some(1), Some(1), Some(99), None))
+  }
+
+  test("sumMoney is exact and order-independent (F9 at scale)") {
+    // doubles chosen so naive FP summation order matters
+    val vals = Seq.fill(1000)(0.1) ++ Seq(1e9, -1e9)
+    val df = vals.toDF("x").repartition(7)
+    val got = df.agg(Ops.sumMoney($"x").as("s")).as[Double].first()
+    assert(got == 100.0)
+  }
+
+  test("monthName gives full English month (F4, unpadded)") {
+    val df = Seq(ts("2024-05-15 00:00:00")).toDF("t")
+    assert(df.select(Ops.monthName($"t")).as[String].first() == "May")
+  }
+}
