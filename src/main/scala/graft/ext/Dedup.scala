@@ -1,0 +1,220 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for training-data pipelines
+  * (extension beyond the reference — SURVEY §7.4): exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Every variant is expressed as
+  * DataFrame transformations whose shuffles are keyed on
+  * fingerprints/buckets — never an unblocked O(n²) cross join — which
+  * is what makes them viable at 100 TB:
+  *
+  *  - exact:     1 hash-aggregate shuffle on the md5 fingerprint
+  *  - MinHash:   per-row signature (no shuffle) → explode bands →
+  *               1 shuffle on (band, band-hash) buckets → pairs only
+  *               within buckets, then exact-Jaccard verification
+  *  - SimHash:   per-row 64-bit signature → pigeonhole block join on
+  *               16-bit chunks (hamming ≤ 3 ⇒ some chunk equal)
+  *  - n-gram Jaccard: token-explode + equi-join on token, so the
+  *               shuffle is keyed by token, not by document pair
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest-id row per content fingerprint.
+    * Equivalent semantics to the reference's full-row ROW_NUMBER dedup
+    * (SURVEY W1) but keyed on md5(normalized text) so only the key —
+    * not the document body — shuffles. */
+  def exactByFingerprint(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__fp")
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** Number of minhash permutations / LSH bands. 64 hashes × 16 bands
+    * of 4 rows ≈ detects Jaccard ≳ 0.5 with high recall. */
+  val NumHashes = 64
+  val NumBands = 16
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** Mersenne prime 2^31-1: universal-hash modulus; products of two
+    * 31-bit values stay inside a Long. */
+  private val P = 2147483647L
+
+  /** Deterministic (a, b) parameters for the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod P, from a fixed LCG — same signature
+    * bits on every run and every executor. */
+  private val hashParams: Seq[(Long, Long)] = {
+    var s = 0x5DEECE66DL
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33) % (P - 1) + 1 }
+    Seq.fill(NumHashes)((next(), next()))
+  }
+
+  /** Word n-gram shingles (default 3) of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** 64-slot MinHash signature of a shingle array: base-hash every
+    * shingle into [0, 2^31) with xxhash64, then take the min under
+    * each universal-hash permutation. Pure per-row expression work. */
+  def minhashSignature(shingleCol: Column): Column = {
+    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    array(hashParams.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs, verified by exact
+    * Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, jaccard ≥ threshold, deterministically ordered.
+    *
+    * Plan shape: signature per row → explode 16 bands → shuffle on
+    * (band index, band hash) → self-join inside buckets only →
+    * distinct candidate pairs → verify. The only O(pairs) work happens
+    * on hash-bucket collisions, which is the LSH guarantee. */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(array((0 until NumBands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)))
+      }: _*)).as(Seq("band", "bhash")))
+
+    val l = banded.select(col("band"), col("bhash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bhash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+
+    l.join(r, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard", graft.ops.Ops.roundDet(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token set: sign of the per-bit sum of
+    * token hashes. Per-row expression only. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(array_distinct(TextAnalysis.tokens(text)),
+      t => xxhash64(t))
+    (0 until 64).map { i =>
+      // bit i of the signature: do more token-hashes have bit i set
+      // than not? (aggregate: +1 if set, -1 if clear; >0 → bit set)
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxDist.
+    * Pigeonhole blocking: split the 64-bit signature into maxDist+1
+    * chunks; any pair within distance maxDist agrees on at least one
+    * chunk (d flipped bits cannot touch all d+1 chunks), so the join
+    * is keyed on (chunk index, chunk value) — no cross join, and
+    * recall is exact by construction. Smaller chunks (higher maxDist)
+    * collide more, trading candidate volume for distance. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val numChunks = maxDist + 1
+    val chunkBits = (64 + numChunks - 1) / numChunks
+    val sig = docs.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sig"))
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until numChunks).map { c =>
+        val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(mask)
+      }: _*)).as(Seq("chunk", "cval")))
+
+    val l = chunked.select(col("chunk"), col("cval"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("cval"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+
+    l.join(r, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Exact n-gram (word-shingle) Jaccard similarity pairs within a
+    * blocking column, via token-explode + equi-join on the shingle —
+    * the shuffle is keyed by (block, shingle), never by document pair,
+    * so skew is bounded by shingle frequency (salt hot shingles at
+    * extreme scale). Returns (id_a, id_b, jaccard ≥ threshold). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                        blockCol: String = "lang",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+    val l = sh.select(col("blk"), col("shingle"), col("id").as("id_a"))
+    val r = sh.select(col("blk"), col("shingle"), col("id").as("id_b"))
+    val inter = l.join(r, Seq("blk", "shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard", graft.ops.Ops.roundDet(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs within a blocking column
+    * (label/cluster): brute force inside blocks only. For unblocked
+    * corpora, run [[Similarity.ivfAssign]] first and block on the
+    * centroid id. */
+  def embeddingNearDups(embs: DataFrame, threshold: Double,
+                        blockCol: String = "label",
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
+    val v = embs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val l = v.select(col("blk"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = v.select(col("blk"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.ops.Ops.roundDet(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+}

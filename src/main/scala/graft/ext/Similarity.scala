@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (extension beyond the reference — SURVEY §7.4).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, O(|queries|·|corpus|).
+  *    The correctness baseline; right answer when the query set is
+  *    small (broadcast) even over a huge corpus.
+  *  - [[ivfTopK]]: IVF-style bucketed search — assign the corpus to
+  *    centroids once (one shuffle, reusable), probe only the nearest
+  *    nprobe buckets per query. This is the 100 TB path: per-query
+  *    work drops from |corpus| to |corpus|·nprobe/ncentroids.
+  *
+  * All arithmetic is double, evaluated left-to-right by the aggregate
+  * HOF in array index order — deterministic, so brute-force results
+  * oracle-compare bit-exactly.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (index-ordered fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact cosine top-k: for every query vector, the k corpus
+    * neighbors with highest cosine (self excluded), rank-numbered.
+    * Queries are broadcast; the corpus is never collected. Ties break
+    * deterministically toward the lower neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cosine", graft.ops.Ops.roundDet(cosine(col("qvec"), col("nvec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  /** Deterministic IVF centroid set: every strideth corpus vector.
+    * (A k-means refinement would drop in here; centroid choice only
+    * affects recall, not the mechanism.) */
+  def centroids(corpus: DataFrame, stride: Int,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame =
+    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+
+  /** Assign every corpus vector to its nearest centroid (by cosine).
+    * One broadcast join + window; the result is reusable across
+    * queries — persist it bucketed by cid at scale. */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val v = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val w = Window.partitionBy(col("nid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    v.join(broadcast(cents))
+      .withColumn("ccos", cosine(col("nvec"), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select("nid", "nvec", "cid")
+  }
+
+  /** IVF top-k: probe the nprobe centroids nearest to each query and
+    * brute-force only inside those buckets. Approximate — recall
+    * depends on stride/nprobe — but every step is a keyed join. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              stride: Int = 20, nprobe: Int = 4,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    val cents = centroids(corpus, stride, vecCol, idCol)
+    val assigned = ivfAssign(corpus, cents, vecCol, idCol)
+
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cid").asc)
+    val probed = q.join(broadcast(cents))
+      .withColumn("qcos", cosine(col("qvec"), col("cvec")))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= nprobe)
+      .select("qid", "qvec", "cid")
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    probed.join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", graft.ops.Ops.roundDet(cosine(col("qvec"), col("nvec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+      .orderBy("qid", "rank")
+  }
+}

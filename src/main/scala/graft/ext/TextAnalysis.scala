@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (extension beyond the reference — SURVEY §7.4): token counting,
+  * quality scoring, language identification, fingerprinting. All are
+  * per-row column expressions built from codegen'd built-ins (split /
+  * regexp / higher-order array functions) — no UDFs, no shuffles, so
+  * they stream through a parquet scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, and single
+    * punctuation marks — the pre-tokenization split most BPE vocabs
+    * (GPT-2 style) apply before merges. A cheap, deterministic proxy
+    * for LLM token budgeting over 100 TB of text. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  /** Stopword hits: number of tokens present in `stopwords`. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Document quality score in [0,1], rounded to 4dp: rewards
+    * mid-length documents, low punctuation density and a sane
+    * stopword ratio — the standard cheap quality gate applied before
+    * expensive dedup/training-set filtering. Deterministic double arithmetic
+    * (single fixed expression tree), so it oracle-compares exactly. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val punctScore = greatest(lit(1.0) - punctRatio * lit(10.0), lit(0.0))
+    val swRatio = stopwordCount(text, EnglishStopwords).cast("double") / greatest(nTok, lit(1.0))
+    val swScore = least(swRatio * lit(5.0), lit(1.0))
+    graft.ops.Ops.roundDet(
+      lenScore * lit(0.4) + punctScore * lit(0.3) + swScore * lit(0.3), 4)
+  }
+
+  /** Language marker words for the n-gram-heuristic language id. The
+    * test corpus is synthetic English-ish text, so markers matter less
+    * than the mechanism: count marker hits per language, pick the
+    * argmax with a deterministic tie-break (higher score wins; ties
+    * break toward the earlier entry in this list). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "ne"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni"))
+
+  /** Heuristic language id: argmax of marker-hit counts, "und"
+    * (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, markers) =>
+      lang -> stopwordCount(text, markers)
+    }
+    // fold right-to-left so earlier languages win ties via strict >
+    val (bestLang, _) = scored.reverse.foldLeft(
+        (lit("und"), lit(0).cast("int"))) {
+      case ((accLang, accScore), (lang, score)) =>
+        (when(score > accScore, lit(lang)).otherwise(accLang),
+         when(score > accScore, score).otherwise(accScore))
+    }
+    bestLang
+  }
+
+  /** Content fingerprint: md5 of the lowercased, whitespace-collapsed
+    * text. Stable across engines (md5 is standard), so it doubles as
+    * the exact-dedup key — see [[Dedup.exactByFingerprint]]. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -27,18 +27,32 @@ object Ops {
     */
   val MoneyDec: DecimalType = DecimalType(28, 10)
 
+  /** Deterministic cross-engine rounding: floor(x·10^scale + 0.5) /
+    * 10^scale, pure IEEE-double ops only, so any engine evaluating the
+    * same double input produces the same bits. Built-in `round`
+    * implementations differ on exact ties (Spark routes through
+    * BigDecimal's exact expansion; DuckDB rounds the scaled double),
+    * which breaks hash-exact oracle comparison roughly once per few
+    * thousand "nice fraction" values. Ties round toward +∞ (half-up
+    * for positives — matching PG ROUND where the reference uses it,
+    * gold_aggregate_layer.sql:8). */
+  def roundDet(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
   /** Exact, order-independent SUM of a double column, rounded to 2dp,
     * returned as double. Mirrors PG `SUM(numeric)` + `ROUND(…, 2)`
     * (reference src/sql/gold_aggregate_layer.sql:7-8). */
   def sumMoney(c: Column): Column =
-    round(sum(c.cast(MoneyDec)).cast("double"), 2)
+    roundDet(sum(c.cast(MoneyDec)).cast("double"), 2)
 
   /** Exact, order-independent AVG of a double column, rounded to 2dp.
     * Computed as exact-decimal-sum / non-null-count so the only FP ops
     * (one divide, one round) are order-independent. Mirrors PG
     * `ROUND(AVG(x), 2)` (reference src/sql/gold_aggregate_layer.sql:8). */
   def avgMoney(c: Column): Column =
-    round(sum(c.cast(MoneyDec)).cast("double") / count(c), 2)
+    roundDet(sum(c.cast(MoneyDec)).cast("double") / count(c), 2)
 
   /** Watermark + window split (reference
     * src/sql/bronze_incremental_load.sql:30-62, SURVEY §2.2 P2/P3).

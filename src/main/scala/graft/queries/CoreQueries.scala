@@ -35,14 +35,22 @@ object Q {
     * java.sql.Timestamp.valueOf, which uses the JVM default zone. */
   def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** Oracle-side twin of [[graft.ops.Ops.roundDet]]: deterministic
+    * rounding from pure double ops (see the scaladoc there for why
+    * built-in ROUND diverges between engines on ties). */
+  def sqlRoundDet(x: String, scale: Int): String = {
+    val p = math.pow(10, scale)
+    s"FLOOR(($x) * $p + 0.5) / $p"
+  }
+
   /** Oracle-side exact SUM of a double column rounded to 2dp — the SQL
     * twin of [[graft.ops.Ops.sumMoney]]. */
   def sqlSum(c: String): String =
-    s"ROUND(CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE), 2)"
+    sqlRoundDet(s"CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE)", 2)
 
   /** Oracle-side exact AVG — the SQL twin of [[graft.ops.Ops.avgMoney]]. */
   def sqlAvg(c: String): String =
-    s"ROUND(CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / COUNT($c), 2)"
+    sqlRoundDet(s"CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / COUNT($c)", 2)
 }
 
 /** Core relational queries: every operator in SURVEY.md §2 expressed

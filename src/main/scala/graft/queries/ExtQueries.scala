@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingOps
+
+/** Training-data extension queries (SURVEY §7.4): text analysis,
+  * dedup family, similarity search, multimodal plumbing, streaming.
+  * SQL-expressible ops carry a DuckDB oracle; the hash-family ops
+  * (MinHash/SimHash/IVF) are engine-specific and get the driver's
+  * rows-only check.
+  */
+object ExtQueries {
+  import Q._
+
+  val all: Seq[Q] = Seq(
+
+    // ---- text analysis ------------------------------------------------
+
+    Q("t1_text_stats",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(string_split_regex(text, '\s+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish,
+                     len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                     length(text) AS n_chars_calc
+              FROM documents ORDER BY doc_id""")),
+
+    Q("t2_text_quality",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                     ${sqlRoundDet("""LEAST(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE)/50.0, 1.0)*0.4
+                         + GREATEST(1.0 - (CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+                                           / CAST(GREATEST(length(text),1) AS DOUBLE))*10.0, 0.0)*0.3
+                         + LEAST((CAST(len(list_filter(string_split_regex(text,'\s+'),
+                                    x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+                                  / GREATEST(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE),1.0))*5.0, 1.0)*0.3""", 4)} AS quality
+              FROM documents ORDER BY doc_id""")),
+
+    Q("t3_text_langid",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some("""WITH sc AS (
+                SELECT doc_id,
+                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['the','a','and','of','to','is'], x))) AS s_en,
+                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['el','la','los','que','es','y'], x))) AS s_es,
+                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['le','la','les','est','et','ne'], x))) AS s_fr,
+                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['de','shi','bu','le','wo','ni'], x))) AS s_zh
+                FROM documents)
+              SELECT doc_id,
+                CASE WHEN GREATEST(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+                     WHEN s_en = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                     WHEN s_de = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+                     WHEN s_es = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                     WHEN s_fr = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                     ELSE 'zh' END AS lang_pred
+              FROM sc ORDER BY doc_id""")),
+
+    Q("t4_text_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- dedup family -------------------------------------------------
+
+    Q("d1_dedup_exact",
+      (s, dir) => Dedup.exactByFingerprint(t(s, dir, "documents"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                      ORDER BY doc_id) AS rn
+                    FROM documents) d
+              WHERE rn = 1 ORDER BY doc_id""")),
+
+    // engine-specific hash families: rows-only driver check
+    Q("d2_dedup_minhash",
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), 0.4), None),
+
+    Q("d3_dedup_simhash",
+      (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 3), None),
+
+    Q("d4_dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        threshold = 0.4),
+      Some(s"""WITH toks AS (
+                SELECT doc_id, lang, string_split_regex(text, '\\s+') AS tk
+                FROM documents),
+              sh AS (
+                SELECT doc_id, lang,
+                       unnest(list_distinct(list_transform(
+                         range(0, GREATEST(len(tk)-3, 0)+1),
+                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
+                FROM toks),
+              sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+              SELECT id_a, id_b,
+                     ${sqlRoundDet("CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)", 4)} AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE)
+                    / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+              ORDER BY id_a, id_b""")),
+
+    // threshold 0.3 ≈ p99 of within-label cosine in the synthetic
+    // embeddings — high enough to be selective, low enough that the
+    // rows-only check sees output (real corpora would use ~0.95)
+    Q("d5_dedup_embedding_cos",
+      (s, dir) => Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+        threshold = 0.3), None),
+
+    // ---- similarity search -------------------------------------------
+
+    Q("x1_sim_bruteforce_topk",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+                         FROM embeddings WHERE vec_id < 20),
+                   c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec
+                         FROM embeddings),
+                   p AS (SELECT qid, nid,
+                           ${sqlRoundDet("""list_dot_product(qvec, nvec)
+                                 / (sqrt(list_dot_product(qvec, qvec))
+                                    * sqrt(list_dot_product(nvec, nvec)))""", 4)} AS cosine
+                         FROM q, c WHERE qid <> nid),
+                   r AS (SELECT qid, nid, cosine,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                                              ORDER BY cosine DESC, nid) AS rank
+                         FROM p)
+              SELECT qid, rank, nid, cosine FROM r WHERE rank <= 5
+              ORDER BY qid, rank""")),
+
+    Q("x2_sim_ivf_topk",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 20), k = 5)
+      }, None),
+
+    // ---- multimodal plumbing -----------------------------------------
+
+    Q("m1_multimodal_meta",
+      (s, dir) => Multimodal.withByteLen(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .select("doc_id", "media_type", "byte_len")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INTEGER)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS media_type,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+              FROM documents ORDER BY doc_id""")),
+
+    Q("m2_multimodal_decode",
+      (s, dir) => Multimodal.decode(s,
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .select("doc_id", "media_type", "byte_len", "width", "height", "n_frames")
+        .orderBy("doc_id"),
+      None), // FakeCodec dims are engine-specific: rows-only check
+
+    // ---- streaming ----------------------------------------------------
+
+    Q("st1_stream_tumbling",
+      (s, dir) => StreamingOps.tumblingEventCounts(s, dir),
+      Some(s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                      event_type, COUNT(*) AS n_events,
+                      ${sqlSum("value")} AS sum_value
+               FROM events GROUP BY 1, 2
+               ORDER BY window_start, event_type"""))
+  )
+}

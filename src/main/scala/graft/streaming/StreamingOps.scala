@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.ops.Ops
+
+/** Structured Streaming surface (extension — the reference is strictly
+  * batch, SURVEY §2.8; its incremental month loop maps naturally onto
+  * a file-source stream with Trigger.AvailableNow, and its watermark
+  * column onto withWatermark).
+  */
+object StreamingOps {
+
+  /** events.parquet schema for the streaming reader: parquet stores
+    * ts as TIMESTAMP(NANOS) which Spark reads as long under
+    * nanosAsLong (see graft.queries.Q.t). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window aggregation over the events table, executed as a
+    * genuine streaming query: file source → event-time watermark →
+    * window(ts) grouped aggregate → in-memory sink, driven to
+    * completion with AvailableNow (the batch-parity trigger). Returns
+    * the finished result, identical to the equivalent batch GROUP BY
+    * date_trunc — which is exactly what the DuckDB oracle checks.
+    *
+    * Complete output mode: every window is emitted at end-of-stream
+    * (append mode would withhold windows newer than the watermark
+    * horizon, which can never close on a finite replay).
+    */
+  def tumblingEventCounts(spark: SparkSession, sfDir: String,
+                          windowDuration: String = "1 day"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_stream_tumbling"
+
+    // the file stream source requires a directory: point it at the sf
+    // dir and glob-filter down to the events table
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           Ops.sumMoney(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sinkName).orderBy("window_start", "event_type")
+  }
+}

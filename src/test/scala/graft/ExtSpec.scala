@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavioral tests for the extension operators that have no SQL
+  * oracle (hash families, IVF, codec stub): plant known near-dups /
+  * neighbors and check they're found. */
+class ExtSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    // near-dup of 0: one word changed
+    (1L, "the quick brown fox jumps over the lazy cat near the old river bank today"),
+    (2L, "completely different text about spark catalyst optimizer rules and physical plans"),
+    // exact dup of 2 up to case/whitespace
+    (3L, "Completely  DIFFERENT text about spark catalyst optimizer rules and physical plans"),
+    (4L, "unrelated short document")
+  ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("fingerprint dedup collapses case/whitespace variants") {
+    val out = Dedup.exactByFingerprint(docs)
+    assert(out.count() == 4)
+    assert(out.filter($"doc_id" === 3L).count() == 0) // 2 survives, 3 dropped
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("simhash blocks find low-hamming pairs") {
+    // simhash needs long docs for stable bits: 60 tokens, one changed.
+    // One word in 60 flips only the bits whose vote margin is ~0, so
+    // the planted pair lands well inside hamming distance 7.
+    val words = (0 until 60).map(i => s"w${i * 31 % 97}")
+    val longDocs = Seq(
+      (0L, words.mkString(" ")),
+      (1L, words.updated(30, "changed").mkString(" ")),
+      (2L, (0 until 60).map(i => s"z${i * 17 % 89}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(longDocs, maxDist = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("ngram jaccard scores the near-dup pair high") {
+    val out = Dedup.ngramJaccardPairs(docs, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    val p01 = out.find(r => r._1 == 0L && r._2 == 1L)
+    assert(p01.isDefined && p01.get._3 > 0.5)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val d = Seq("the cat and the dog is here", "der hund und die katze ist nicht da")
+      .toDF("text")
+    val got = d.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de"))
+  }
+
+  test("brute-force topk: nearest neighbor of a vector is its copy") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)), // near-copy of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), k = 1)
+      .select("nid").as[Long].head()
+    assert(top == 1L)
+  }
+
+  test("ivf topk with full probing matches brute force") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(vecs, queries, k = 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    // stride 10 → 4 centroids; nprobe 4 probes all buckets → exact
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 3, stride = 10, nprobe = 4)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("embedding near-dup pairs within blocks") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.999f, 0.01f), 1),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(1.0f, 0.0f), 2) // same vec as 0 but other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDups(vecs, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // 3 blocked away from 0
+  }
+
+  test("multimodal decode is partition-parallel and deterministic") {
+    val media = Multimodal.mediaFromDocuments(
+      docs.withColumn("source", lit("s")).withColumn("n_chars", length($"text")))
+    val d1 = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
+    val d2 = Multimodal.decode(spark, media.repartition(3)).collect().sortBy(_.doc_id)
+    assert(d1.map(r => (r.doc_id, r.width, r.height, r.n_frames)).toSeq ==
+           d2.map(r => (r.doc_id, r.width, r.height, r.n_frames)).toSeq)
+    assert(d1.forall(r => r.byte_len > 0 && r.width > 0))
+    val frames = Multimodal.sampleFrames(Multimodal.decode(spark, media), stride = 10)
+    assert(frames.count() > 0)
+  }
+}
