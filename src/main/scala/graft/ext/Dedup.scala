@@ -52,7 +52,7 @@ object Dedup {
   /** Deterministic (a, b) parameters for the universal hash family
     * h_i(x) = (a_i·x + b_i) mod P, from a fixed LCG — same signature
     * bits on every run and every executor. */
-  private val hashParams: Seq[(Long, Long)] = {
+  val hashParams: Seq[(Long, Long)] = {
     var s = 0x5DEECE66DL
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33) % (P - 1) + 1 }
     Seq.fill(NumHashes)((next(), next()))
@@ -68,43 +68,51 @@ object Dedup {
 
   /** 64-slot MinHash signature of a shingle array: base-hash every
     * shingle into [0, 2^31) with xxhash64, then take the min under
-    * each universal-hash permutation. Pure per-row expression work. */
-  def minhashSignature(shingleCol: Column): Column = {
-    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    array(hashParams.map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }: _*)
-  }
+    * each universal-hash permutation — computed in one pass by the
+    * custom [[graft.functions.MinHashSignature]] expression (the
+    * equivalent HOF formulation re-walks the array 64×, interpreted:
+    * ~20× slower at bench scale). */
+  def minhashSignature(shingleCol: Column): Column =
+    graft.functions.GraftFunctions.minhash_sig(shingleCol, hashParams)
 
   /** MinHash+LSH near-duplicate candidate pairs, verified by exact
     * Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard ≥ threshold, deterministically ordered.
     *
-    * Plan shape: signature per row → explode 16 bands → shuffle on
-    * (band index, band hash) → self-join inside buckets only →
-    * distinct candidate pairs → verify. The only O(pairs) work happens
-    * on hash-bucket collisions, which is the LSH guarantee. */
+    * Plan shape: one fused signature+banding expression per row
+    * ([[graft.functions.MinHashBands]]) → explode the 16 band hashes →
+    * self-join on (band, hash) carrying ONLY (band, hash, id) through
+    * the shuffle → distinct id pairs → re-attach shingle sets for the
+    * (tiny) candidate set and verify exact Jaccard. The only O(pairs)
+    * work happens on hash-bucket collisions (the LSH guarantee), and
+    * the wide shingle arrays never enter the bucket shuffle. */
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
+    val banded = docs.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions
+        .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams, NumBands)
+        .as(Seq("band", "bhash")))
 
-    val banded = withSig.select(col("id"), col("sh"),
-      posexplode(array((0 until NumBands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)))
-      }: _*)).as(Seq("band", "bhash")))
-
-    val l = banded.select(col("band"), col("bhash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bhash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-
-    l.join(r, Seq("band", "bhash"))
+    val cands = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bhash"), col("id").as("id_b")),
+            Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+
+    // verification cost stays proportional to the candidate set, not
+    // the corpus: compute shingles only for docs that appear in a
+    // candidate pair (broadcast semi-join), then broadcast those to
+    // the pair join
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = docs.select(col(idCol).as("id"), col(textCol))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"), shingles(col(textCol)).as("sh"))
+
+    cands
+      .join(broadcast(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(broadcast(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jaccard", graft.ops.Ops.roundDet(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
@@ -113,22 +121,17 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fused signature + LSH banding — see [[graft.functions.MinHashBands]]. */
+  def minhashBands(shingleCol: Column): Column =
+    graft.functions.GraftFunctions.minhash_bands(shingleCol, hashParams, NumBands)
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token set: sign of the per-bit sum of
-    * token hashes. Per-row expression only. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(array_distinct(TextAnalysis.tokens(text)),
-      t => xxhash64(t))
-    (0 until 64).map { i =>
-      // bit i of the signature: do more token-hashes have bit i set
-      // than not? (aggregate: +1 if set, -1 if clear; >0 → bit set)
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * token hashes — the one-pass [[graft.functions.SimHash64]]
+    * expression. Per-row work only, no shuffle. */
+  def simhash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(TextAnalysis.tokens(text))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxDist.
     * Pigeonhole blocking: split the 64-bit signature into maxDist+1
@@ -176,7 +179,8 @@ object Dedup {
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+        graft.functions.GraftFunctions
+          .ngram_explode(TextAnalysis.tokens(col(textCol)), n).as(Seq("shingle")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     val l = sh.select(col("blk"), col("shingle"), col("id").as("id_a"))

@@ -1,0 +1,372 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Generator, UnaryExpression, UserDefinedExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot paths the built-in
+  * functions can't express efficiently (SURVEY §7.3 kept the door
+  * open; the profiler pointed here). Preference order per the project
+  * brief: built-ins → custom Expression → custom plan node. These two
+  * stay at level (b):
+  *
+  *  - [[CosineSimilarity]]: fused one-pass dot/norm/norm with
+  *    whole-stage codegen. The HOF formulation
+  *    (aggregate ∘ zip_with ×3) materializes three intermediate
+  *    arrays per row and is interpreted.
+  *  - [[MinHashSignature]]: one pass over the shingle array updating
+  *    all K min-accumulators in a primitive long[] — the HOF
+  *    formulation re-walks the array K times through boxed lambdas.
+  *
+  * Both are bit-compatible with their HOF equivalents (identical
+  * operation order), so oracle comparisons are unaffected.
+  */
+
+/** cosine(a, b) over two array<double> columns, fused single pass,
+  * codegen'd. Null if either input or any element is null. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      ab += xi * yi; aa += xi * xi; bb += yi * yi
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+        }
+        ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** K-slot MinHash signature of an array<string> shingle column in one
+  * pass: base = pmod(xxhash64(s), P) (identical bits to the built-in
+  * `xxhash64` — same XXH64 kernel, same seed 42), then
+  * min_i((a_i·base + b_i) mod P) for the fixed universal-hash family
+  * `params`. Output array<long> of length K. */
+case class MinHashSignature(child: Expression, params: Seq[(Long, Long)])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback
+    with UserDefinedExpression {
+
+  // UserDefinedExpression keeps optimizer rules that clone expression
+  // trees (e.g. InferFiltersFromGenerate re-evaluating the generator
+  // child inside a Filter) from duplicating this expensive expression.
+  override def name: String = "minhash_sig"
+
+  /** Mersenne prime 2^31-1 — see graft.ext.Dedup. */
+  private val P = 2147483647L
+  private val as: Array[Long] = params.map(_._1).toArray
+  private val bs: Array[Long] = params.map(_._2).toArray
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      // pmod into [0, P)
+      val base = { val m = h % P; if (m < 0) m + P else m }
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * base + bs(i)) % P // operands < P < 2^31: no overflow
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** LSH band hashes of a shingle array in one pass: the K-slot MinHash
+  * signature (identical to [[MinHashSignature]]) folded into
+  * `numBands` band hashes (XXH64-chained over each band's slots).
+  *
+  * Fusing banding into the expression matters for the plan, not just
+  * constant factors: banding as 16 separate `slice(sig, …)` column
+  * expressions invites Catalyst's projection collapse to inline the
+  * signature — and its shingle input — 16× into the Generate node,
+  * which profiled ~100× slower than one fused evaluation. */
+case class MinHashBands(child: Expression, params: Seq[(Long, Long)],
+                        numBands: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback
+    with UserDefinedExpression {
+
+  override def name: String = "minhash_bands" // see MinHashSignature.name
+
+  private val P = 2147483647L
+  private val as: Array[Long] = params.map(_._1).toArray
+  private val bs: Array[Long] = params.map(_._2).toArray
+  private val rowsPerBand = params.length / numBands
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val base = { val m = h % P; if (m < 0) m + P else m }
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * base + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = 42L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(mins(b * rowsPerBand + r), h)
+        r += 1
+      }
+      bands(b) = h
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** Imperative word-shingling shared by the fused expressions below.
+  * Bit-compatible with the HOF formulation in graft.ext.Dedup.shingles
+  * (same index bounds, same concat_ws null-skipping via
+  * UTF8String.concatWs), minus the array materialization. */
+private[functions] object Shingler {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Visit every word n-gram of `tokens` (duplicates included). */
+  def foreach(tokens: ArrayData, n: Int)(f: UTF8String => Unit): Unit = {
+    val nTok = tokens.numElements()
+    val count = math.max(nTok - n, 0) + 1
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < count) {
+      var j = 0
+      while (j < n) {
+        val idx = i + j
+        parts(j) = if (idx < nTok) tokens.getUTF8String(idx) else null
+        j += 1
+      }
+      f(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+  }
+}
+
+/** Generator fusing tokenize-array → shingle → MinHash signature →
+  * LSH banding → explode into (band, bhash) rows, one imperative pass
+  * per row. Child is the token array (ONE subtree: evaluating the
+  * split once per row — the declarative shingle expression duplicates
+  * the split into every element_at of the transform lambda, which
+  * interpreted eval re-executes ~3× per shingle). Being a custom
+  * Generator (not ExplodeBase) also keeps InferFiltersFromGenerate
+  * from synthesizing a `size(…) > 0` filter that would re-evaluate
+  * the expensive child below the Generate node. Duplicate shingles
+  * need no dedup here: duplicates cannot change a min. */
+case class MinHashExplode(child: Expression, params: Seq[(Long, Long)],
+                          numBands: Int, shingleSize: Int = 3)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  private val P = 2147483647L
+  private val as: Array[Long] = params.map(_._1).toArray
+  private val bs: Array[Long] = params.map(_._2).toArray
+  private val rowsPerBand = params.length / numBands
+
+  override def elementSchema: StructType = new StructType()
+    .add("band", IntegerType, nullable = false)
+    .add("bhash", LongType, nullable = false)
+
+  override def checkInputDataTypes() =
+    ExpectsInputTypes.checkInputDataTypes(children, Seq(ArrayType(StringType)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val tokens = child.eval(input)
+    if (tokens == null) return Nil
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    Shingler.foreach(tokens.asInstanceOf[ArrayData], shingleSize) { s =>
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val base = { val m = h % P; if (m < 0) m + P else m }
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * base + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    (0 until numBands).map { b =>
+      var h = 42L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(mins(b * rowsPerBand + r), h)
+        r += 1
+      }
+      InternalRow(b, h)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExplode =
+    copy(child = newChild)
+}
+
+/** Generator fusing shingling + distinct + explode: emits each
+  * distinct word n-gram of the token-array child as one row. Same
+  * output set as `explode(array_distinct(<shingle transform>))` with
+  * one split-evaluation per row instead of ~3 per shingle. */
+case class NGramExplode(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = new StructType()
+    .add("shingle", StringType, nullable = false)
+
+  override def checkInputDataTypes() =
+    ExpectsInputTypes.checkInputDataTypes(children, Seq(ArrayType(StringType)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val tokens = child.eval(input)
+    if (tokens == null) return Nil
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    Shingler.foreach(tokens.asInstanceOf[ArrayData], n)(s => seen.add(s))
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](seen.size)
+    seen.forEach(s => out += InternalRow(s))
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramExplode =
+    copy(child = newChild)
+}
+
+/** One-pass 64-bit SimHash of a token array: distinct tokens hashed
+  * with the XXH64 kernel (seed 42, matching built-in xxhash64), per-bit
+  * ±1 votes, sign → bit. Bit-identical to the HOF formulation in
+  * graft.ext.Dedup.simhash (64 interpreted aggregate-folds), ~60×
+  * less work per row. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback
+    with UserDefinedExpression {
+
+  override def name: String = "simhash64"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (seen.add(s)) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < 64) {
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-API and SQL-registry surface for the custom expressions. */
+object GraftFunctions {
+
+  import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  def minhash_sig(shingles: Column, params: Seq[(Long, Long)]): Column =
+    column(MinHashSignature(expression(shingles), params))
+
+  def minhash_bands(shingles: Column, params: Seq[(Long, Long)],
+                    numBands: Int): Column =
+    column(MinHashBands(expression(shingles), params, numBands))
+
+  def minhash_explode(tokens: Column, params: Seq[(Long, Long)],
+                      numBands: Int): Column =
+    column(MinHashExplode(expression(tokens), params, numBands))
+
+  def ngram_explode(tokens: Column, n: Int): Column =
+    column(NGramExplode(expression(tokens), n))
+
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens)))
+
+  /** Register the expressions for SQL use (`SELECT cosine_sim(a, b)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+  }
+}
