@@ -183,6 +183,67 @@ object ExtQueries {
         .orderBy("doc_id"),
       None), // FakeCodec dims are engine-specific: rows-only check
 
+    // ---- sessionization ----------------------------------------------
+
+    // batch formulation: lag + running-sum analytic windows (coverage
+    // beyond the reference's single ROW_NUMBER window: frames, lag)
+    Q("w2_sessionize",
+      (s, dir) => graft.ext.Sessions.sessionize(t(s, dir, "events"), gapMinutes = 30),
+      Some(s"""WITH l AS (
+                 SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM events),
+               s AS (
+                 SELECT user_id, ts, value,
+                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                 FROM l)
+               SELECT user_id, session_id, MIN(ts) AS session_start,
+                      MAX(ts) AS session_end, COUNT(*) AS n_events,
+                      ${sqlSum("value")} AS sum_value
+               FROM s GROUP BY user_id, session_id
+               ORDER BY user_id, session_id""")),
+
+    // streaming twin: flatMapGroupsWithState over a replayed stream.
+    // A session is emitted when a later event closes it or when the
+    // final watermark (max ts - 1 min, ms precision) passes its
+    // end + gap event-time timeout; only sessions still open within
+    // 31 min of stream end stay in state unemitted. The oracle
+    // replicates exactly that rule on the batch result.
+    Q("st2_sessionize_stream",
+      (s, dir) => graft.streaming.StatefulSessions.replayEvents(s, dir, 30)
+        // state accumulates doubles in ts order; the oracle's SUM order
+        // is engine-chosen — round both to 2dp for comparison
+        .withColumn("sum_value",
+          graft.ops.Ops.roundDet(col("sum_value"), 2))
+        .orderBy("user_id", "session_id"),
+      Some(s"""WITH l AS (
+                 SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM events),
+               s AS (
+                 SELECT user_id, ts, value,
+                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                 FROM l),
+               g AS (
+                 SELECT user_id, session_id, MIN(ts) AS session_start,
+                        MAX(ts) AS session_end, COUNT(*) AS n_events,
+                        SUM(value) AS sum_value_raw
+                 FROM s GROUP BY user_id, session_id)
+               SELECT user_id, session_id, session_start, session_end,
+                      n_events, ${sqlRoundDet("sum_value_raw", 2)} AS sum_value
+               FROM g
+               WHERE session_id < (SELECT MAX(g2.session_id) FROM g g2
+                                   WHERE g2.user_id = g.user_id)
+                  OR (SELECT epoch_ms(MAX(ts)) FROM events)
+                     - epoch_ms(session_end) > 1860000
+               ORDER BY user_id, session_id""")),
+
     // ---- streaming ----------------------------------------------------
 
     Q("st1_stream_tumbling",

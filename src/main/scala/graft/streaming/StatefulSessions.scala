@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** One event entering the sessionizer. */
+final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** One closed (or final) session leaving it. */
+final case class UserSession(user_id: Long, session_id: Long,
+                             session_start: Timestamp, session_end: Timestamp,
+                             n_events: Long, sum_value: Double)
+
+/** Open-session state carried between micro-batches. Timestamps in
+  * MICROseconds (java.sql.Timestamp.getTime would truncate to ms and
+  * break bit-parity with the batch sessionizer). */
+final case class SessionState(sessionId: Long, start: Long, end: Long,
+                              n: Long, sum: Double)
+
+/** Custom streaming state: gap-based sessionization with
+  * `flatMapGroupsWithState` — the KeyValueGroupedDataset stateful API
+  * the reference has no analog for (SURVEY §2.8: streaming is an
+  * extension). Sessions close when the inactivity gap exceeds
+  * `gapMinutes`; closed sessions are emitted as they close, and the
+  * still-open session is emitted at event-time timeout.
+  *
+  * StatefulSessionsSpec asserts this produces exactly the same
+  * sessions as the batch formulation (graft.ext.Sessions) when the
+  * stream is replayed to completion — the batch/streaming parity that
+  * makes the operator trustworthy in both modes.
+  */
+object StatefulSessions {
+
+  def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int)
+      : Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, it, state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // end of stream (watermark passed): flush the open session
+            val out = state.getOption.toList.flatten.map(toSession(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => micros(e.ts))
+            var open = state.getOption.toList.flatten.headOption
+            var nextId = open.map(_.sessionId + 1).getOrElse(0L)
+            val closed = List.newBuilder[UserSession]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              open match {
+                case Some(s) if t - s.end <= gapUs =>
+                  open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += toSession(userId, s)
+                  open = Some(SessionState(nextId, t, t, 1L, e.value))
+                  nextId += 1
+                case None =>
+                  open = Some(SessionState(nextId, t, t, 1L, e.value))
+                  nextId += 1
+              }
+            }
+            open.foreach { s =>
+              state.update(List(s))
+              // time out (and flush) once the watermark passes the gap
+              // (timeout API is ms-based)
+              state.setTimeoutTimestamp(s.end / 1000 + gapMinutes * 60000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  private def micros(t: Timestamp): Long =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+
+  private def fromMicros(us: Long): Timestamp =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(us)
+
+  private def toSession(userId: Long, s: SessionState): UserSession =
+    UserSession(userId, s.sessionId, fromMicros(s.start),
+      fromMicros(s.end), s.n, s.sum)
+
+  /** Run the sessionizer over the events table as a replayed stream,
+    * to completion, returning the collected sessions. */
+  def replayEvents(spark: SparkSession, sfDir: String, gapMinutes: Int)
+      : DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_sessions_sink"
+
+    val events = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType))))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 minute")
+      .select("user_id", "ts", "value")
+      .as[SessionEvent]
+
+    val q = sessionizeStream(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sinkName)
+  }
+}

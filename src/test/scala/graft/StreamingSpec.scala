@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sessions
+import graft.streaming.{StatefulSessions, StreamingBronzeIngest}
+import graft.taxi.TaxiFixtures
+
+/** Streaming surface tests: batch/stream parity for the stateful
+  * sessionizer, and the foreachBatch bronze ingest producing the same
+  * warehouse state as the batch path. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stateful sessionizer == batch sessionizer on replayed events") {
+    val events = graft.queries.Q.t(spark, sf001, "events")
+    val batch = Sessions.sessionize(events, gapMinutes = 30)
+    // a session is emitted when a later event closes it, or when the
+    // final watermark (max ts - 1 min, ms precision) passes its
+    // end + gap timeout; only sessions ending within 31 min of the
+    // stream's end stay open and unemitted
+    val maxTsMs = events.agg(max($"ts")).first().getTimestamp(0).getTime
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_id").as("last_id"))
+    val expected = batch.join(lastPerUser, "user_id")
+      .filter($"session_id" < $"last_id" ||
+        lit(maxTsMs) - unix_millis($"session_end") > lit(31 * 60000L))
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+
+    val streamed = StatefulSessions.replayEvents(spark, sf001, 30)
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming bronze ingest == batch bronze ingest") {
+    val whStream = Files.createTempDirectory("graft_whs_").toString
+    val whBatch = Files.createTempDirectory("graft_whb_").toString
+    val staging = Files.createTempDirectory("graft_staging_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+
+    val batch1 = TaxiFixtures.monthBatch(spark, 2024, 1, rows = 500)
+    batch1.write.mode("overwrite").parquet(staging)
+
+    new StreamingBronzeIngest(spark, whStream).ingestAvailable(staging, ckpt)
+    new Pipeline(spark, whBatch).bronzeLayer.ingest(batch1)
+
+    val streamBronze = spark.read.parquet(s"$whStream/bronze/yellow_taxi_raw")
+    val batchBronze = spark.read.parquet(s"$whBatch/bronze/yellow_taxi_raw")
+    assert(streamBronze.count() == batchBronze.count())
+    assert(streamBronze.exceptAll(batchBronze).isEmpty)
+
+    // ledger row written through the stream too
+    val meta = new graft.meta.MetaStore(spark, whStream)
+    assert(meta.ledger.filter(col("status") === "success").count() >= 1)
+  }
+}
