@@ -132,6 +132,27 @@ object Ops {
     * SURVEY §2.7 F4 — we use unpadded semantics, 'FMMonth'). */
   def monthName(c: Column): Column = date_format(c, "MMMM")
 
+  /** Skew-safe two-phase aggregation: pre-aggregate on (keys, salt)
+    * — the salt spreads one hot key over `buckets` reducers — then
+    * combine partials on the true keys. Same result as a direct
+    * groupBy (decimal sums are exact, counts associative), but the
+    * first shuffle has no partition larger than 1/buckets of the hot
+    * key. This is the manual fallback for skew that AQE's runtime
+    * skew-join splitting doesn't cover (single-stage aggregations).
+    * The salt is a deterministic hash of the value column, keeping
+    * results reproducible run-to-run. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     buckets: Int = 16): DataFrame = {
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(buckets)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol).cast(MoneyDec)).as("__psum"),
+           count(lit(1)).as("__pcnt"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(roundDet(sum(col("__psum")).cast("double"), 2).as(s"sum_$valueCol"),
+           sum(col("__pcnt")).as("n_rows"))
+  }
+
   /** Text-string → numeric → int cast chain (reference
     * src/sql/silver_full_refresh_transformation.sql:57, SURVEY §2.7 F7):
     * handles values like "1.0". Floor-pinned like [[minuteDuration]]. */

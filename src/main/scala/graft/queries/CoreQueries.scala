@@ -302,6 +302,59 @@ object CoreQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // Split completeness as a set operation: the union of the window
+    // split's two branches is exactly the >watermark set (the closest
+    // thing the reference has to a set op, SURVEY §2.6).
+    Q("p6_union_split",
+      (s, dir) => {
+        val (in, out) = Ops.windowSplit(t(s, dir, "events"), "ts",
+          ts(LLD), ts(WIN_LO), ts(WIN_HI))
+        in.unionByName(out)
+          .select("event_id", "ts", "event_type")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, ts, event_type FROM events
+               WHERE ts > TIMESTAMP '$LLD' ORDER BY event_id""")),
+
+    // Exact COUNT(DISTINCT) — the scale-out form of the reference's
+    // DISTINCT dim build (A3); approx_count_distinct is the 100 TB
+    // variant (engine-specific sketch, so no oracle for it).
+    Q("a8_count_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+                     COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ROLLUP: hierarchical subtotals (beyond the reference — standard
+    // OLAP surface; Catalyst expands to a single Expand + aggregate).
+    Q("a9_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+             Ops.sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc("l_returnflag"), asc("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+                      ${sqlSum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Skew-safe salted aggregation: same answer as the direct
+    // groupBy, hot keys spread over 16 reducers first (SURVEY §4:
+    // salting is the manual lever AQE doesn't pull for single-stage
+    // aggregations).
+    Q("a10_salted_agg",
+      (s, dir) => Ops.saltedSumCount(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice")
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+                      ${sqlSum("l_extendedprice")} AS sum_l_extendedprice,
+                      COUNT(*) AS n_rows
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // P5 + A2: partition-scoped MAX within the month window
     // (bronze_incremental_load.sql:64-65).
     Q("p5_partition_max",
