@@ -153,6 +153,50 @@ object Ops {
            sum(col("__pcnt")).as("n_rows"))
   }
 
+  /** As-of join: for every left row, attach the single right row with
+    * the greatest `rightTs <= leftTs` within the same key (ties on
+    * rightTs broken by the greatest `tieBreak`). The classic
+    * point-in-time enrichment (trades→quotes, events→dimensions).
+    *
+    * Implemented by composing built-ins (preference (a) of the
+    * project brief — no custom SparkPlan needed): tag and union both
+    * sides, one shuffle keyed on `key`, sort within partitions by
+    * (ts, side, tieBreak), and carry the latest right payload forward
+    * with `last(_, ignoreNulls = true)` over an unbounded-preceding
+    * frame. Cost: ONE shuffle + per-partition sort — the same plan a
+    * hand-written SortMergeAsofJoinExec would produce, with AQE and
+    * codegen intact. Right rows sort before left rows at equal ts, so
+    * `<=` (not `<`) semantics hold.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String], tieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side flag: 0 = right (sorts first at equal ts), 1 = left
+    val taggedRight = right.select(
+      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        col(tieBreak).cast("long").as("__tie") +:
+        payloadCols.map(col)) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(
+          left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        lit(Long.MaxValue).as("__tie") +:
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    taggedRight.unionByName(taggedLeft)
+      .select((col(key) +: col("__side") +:
+        leftCols.filterNot(_ == key).map(col)) ++
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** Text-string → numeric → int cast chain (reference
     * src/sql/silver_full_refresh_transformation.sql:57, SURVEY §2.7 F7):
     * handles values like "1.0". Floor-pinned like [[minuteDuration]]. */

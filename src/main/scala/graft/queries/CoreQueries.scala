@@ -355,6 +355,46 @@ object CoreQueries {
                       COUNT(*) AS n_rows
                FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // As-of join (beyond the reference): each event enriched with the
+    // latest order of the same user at event time — composed from
+    // built-ins as one keyed shuffle + window (Ops.asofJoin). Oracle:
+    // the equivalent windowed left join with the same deterministic
+    // tie rule (latest o_orderdate, then highest o_orderkey).
+    Q("j4_asof_join",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+          .select("event_id", "ts", "user_id")
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+                  col("o_orderkey"), col("o_totalprice"))
+        Ops.asofJoin(events, orders, key = "user_id",
+            leftTs = "ts", rightTs = "o_orderdate",
+            payloadCols = Seq("o_orderkey", "o_totalprice"),
+            tieBreak = "o_orderkey")
+          .select("event_id", "ts", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+                                o_totalprice FROM orders),
+                   e AS (SELECT event_id, ts, user_id FROM events),
+                   m AS (SELECT e.event_id, e.ts, e.user_id, o.o_orderkey,
+                                o.o_totalprice,
+                                ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                         FROM e LEFT JOIN o
+                           ON e.user_id = o.user_id AND o.o_orderdate <= e.ts)
+              SELECT event_id, ts, user_id, o_orderkey, o_totalprice
+              FROM m WHERE rn = 1 ORDER BY event_id""")),
+
+    // Approximate COUNT(DISTINCT) — the HLL sketch path for 100 TB
+    // cardinalities. Sketch bits are engine-specific → rows-only check.
+    Q("a11_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // P5 + A2: partition-scoped MAX within the month window
     // (bronze_incremental_load.sql:64-65).
     Q("p5_partition_max",
