@@ -355,6 +355,31 @@ object CoreQueries {
                       COUNT(*) AS n_rows
                FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // J5: FK referential validation (reference src/db_setup.py:185,
+    // 191,195 — parquet can't enforce constraints, so the check is an
+    // anti-join that must come back empty).
+    Q("j5_fk_check",
+      (s, dir) => Ops.insertIfAbsent(
+          t(s, dir, "lineitem").select(col("l_orderkey")).distinct(),
+          t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), broadcastExisting = true)
+        .orderBy("l_orderkey"),
+      Some("""SELECT DISTINCT l_orderkey FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)
+              ORDER BY l_orderkey""")),
+
+    // CUBE: all grouping combinations (beyond the reference; same
+    // Expand + single-aggregate plan family as a9_rollup).
+    Q("a12_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(asc("l_returnflag"), asc("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // As-of join (beyond the reference): each event enriched with the
     // latest order of the same user at event time — composed from
     // built-ins as one keyed shuffle + window (Ops.asofJoin). Oracle:
