@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-corpus cleaning pipeline — the end-to-end
+  * flow the extension operators exist for: score → gate → dedup, as
+  * one declarative plan (Catalyst fuses the scoring expressions into
+  * the scan projection; the only shuffle is the dedup's fingerprint
+  * hash-partition).
+  *
+  * At 100 TB this shape matters: every per-row stage (token counts,
+  * quality, language id, fingerprint) is a column expression pipelined
+  * inside the scan stage, rows failing the gate never reach the
+  * shuffle, and the dedup shuffles only (fingerprint, doc_id) plus
+  * whatever columns the caller keeps.
+  */
+object CorpusPipeline {
+
+  /** Score, gate, and exact-dedup a document corpus. Returns the
+    * surviving docs with their scores, deterministically ordered. */
+  def clean(docs: DataFrame, minQuality: Double = 0.5,
+            minTokens: Int = 20, keepLang: Option[String] = None,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), col(textCol),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val gated = scored
+      .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+    val langGated = keepLang.fold(gated)(l => gated.filter(col("lang_pred") === l))
+    Dedup.exactByFingerprint(langGated, textCol, idCol)
+      .select(idCol, "quality", "lang_pred", "n_tokens")
+      .orderBy(idCol)
+  }
+}

@@ -14,7 +14,48 @@ import graft.streaming.StreamingOps
 object ExtQueries {
   import Q._
 
+  // Reusable oracle fragments for composed queries (SQL twins of the
+  // TextAnalysis column expressions; see t1-t4 for the standalone uses)
+  private val SqlTokens = "len(string_split_regex(text,'\\s+'))"
+  private val SqlFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+  private def sqlLangScore(markers: Seq[String]): String =
+    s"len(list_filter(string_split_regex(text,'\\s+'), x -> list_contains([${
+      markers.map(m => s"'$m'").mkString(",")}], x)))"
+  private val SqlQuality = sqlRoundDet(
+    s"""LEAST(CAST($SqlTokens AS DOUBLE)/50.0, 1.0)*0.4
+        + GREATEST(1.0 - (CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+                          / CAST(GREATEST(length(text),1) AS DOUBLE))*10.0, 0.0)*0.3
+        + LEAST((CAST(${sqlLangScore(graft.ext.TextAnalysis.EnglishStopwords)} AS DOUBLE)
+                 / GREATEST(CAST($SqlTokens AS DOUBLE),1.0))*5.0, 1.0)*0.3""", 4)
+  private val SqlLangPred = {
+    val scores = graft.ext.TextAnalysis.LangMarkers
+      .map { case (lang, markers) => lang -> sqlLangScore(markers) }
+    val greatest = s"GREATEST(${scores.map(_._2).mkString(",")})"
+    val cases = scores.init.map { case (lang, s) =>
+      s"WHEN $s = $greatest THEN '$lang'" }.mkString(" ")
+    s"CASE WHEN $greatest = 0 THEN 'und' $cases ELSE '${scores.last._1}' END"
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Composed corpus-cleaning pipeline: score → quality/length gate →
+    // exact dedup, one declarative plan (ext/CorpusPipeline). The
+    // oracle composes the same fragments the standalone text queries
+    // pin individually.
+    Q("e1_corpus_clean",
+      (s, dir) => graft.ext.CorpusPipeline.clean(t(s, dir, "documents")),
+      Some(s"""WITH scored AS (
+                 SELECT doc_id, text, $SqlQuality AS quality,
+                        $SqlLangPred AS lang_pred, $SqlTokens AS n_tokens
+                 FROM documents),
+               g AS (SELECT * FROM scored
+                     WHERE quality >= 0.5 AND n_tokens >= 20),
+               d AS (SELECT doc_id, quality, lang_pred, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY $SqlFp
+                                          ORDER BY doc_id) AS rn
+                     FROM g)
+               SELECT doc_id, quality, lang_pred, n_tokens
+               FROM d WHERE rn = 1 ORDER BY doc_id""")),
 
     // ---- text analysis ------------------------------------------------
 

@@ -100,6 +100,21 @@ class ExtSpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L))) // 3 blocked away from 0
   }
 
+  test("corpus pipeline gates quality/length and dedups, keepLang filters") {
+    val corpus = Seq(
+      (0L, ("the and of to " * 15).trim),            // good en doc
+      (1L, ("the and of to " * 15).trim),            // exact dup of 0
+      (2L, "short"),                                  // fails minTokens
+      (3L, ("der und ist nicht " * 15).trim)          // good de doc
+    ).toDF("doc_id", "text")
+    val all = graft.ext.CorpusPipeline.clean(corpus, minQuality = 0.3,
+      minTokens = 20)
+    assert(all.select("doc_id").as[Long].collect().toSeq == Seq(0L, 3L))
+    val en = graft.ext.CorpusPipeline.clean(corpus, minQuality = 0.3,
+      minTokens = 20, keepLang = Some("en"))
+    assert(en.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("multimodal decode is partition-parallel and deterministic") {
     val media = Multimodal.mediaFromDocuments(
       docs.withColumn("source", lit("s")).withColumn("n_chars", length($"text")))
