@@ -27,16 +27,36 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
 
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // a failed query must be loud, not a suspiciously fast time
+            System.err.println(s"BENCH QUERY FAILED: $name: $e")
+            errors(name) = e.toString.take(200).replaceAll("[\"\\\\\n]", " ")
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with [info], which broke the driver's JSON
+    // parse in round 1 — also write the bare line to known file paths
+    for (p <- Seq(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
+                  Some("BENCH.json"), Some("/root/repo/BENCH.json")).flatten.distinct) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: could not write $p: $e") }
+    }
     spark.stop()
   }
 }

@@ -67,20 +67,33 @@ object Similarity {
         col(vecCol).cast("array<double>").as("cvec"))
 
   /** Assign every corpus vector to its nearest centroid (by cosine).
-    * One broadcast join + window; the result is reusable across
-    * queries — persist it bucketed by cid at scale. */
+    *
+    * Zero-shuffle formulation: the centroid set is first collapsed to
+    * a single array row (it is small by construction — |corpus|/stride
+    * rows) and broadcast-cross-joined onto the corpus, then the argmax
+    * is computed INSIDE the projection with one pass of higher-order
+    * functions — max of (ccos, -cid) structs, ties toward the lower
+    * centroid id, exactly the order the r1 window used. The r1 plan
+    * (`Window.partitionBy(nid)` with `nid` unique) forced a full
+    * corpus shuffle + sort just to rank each row's own candidates; at
+    * 100 TB that global exchange is pure waste. This plan touches each
+    * corpus row exactly once where it already lives; the result is
+    * reusable across queries — persist it bucketed by cid at scale. */
   def ivfAssign(corpus: DataFrame, cents: DataFrame,
                 vecCol: String = "embedding",
                 idCol: String = "vec_id"): DataFrame = {
     val v = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
-    val w = Window.partitionBy(col("nid"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    v.join(broadcast(cents))
-      .withColumn("ccos", cosine(col("nvec"), col("cvec")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select("nid", "nvec", "cid")
+    // one row holding all centroids (order irrelevant: max is total)
+    val centArr = cents.agg(
+      collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
+    val scoredArr = transform(col("__cents"), c =>
+      struct(cosine(col("nvec"), c.getField("cvec")).as("ccos"),
+             (-c.getField("cid")).as("ncid")))
+    v.join(broadcast(centArr))
+      .withColumn("__best", array_max(scoredArr))
+      .select(col("nid"), col("nvec"),
+        (-col("__best").getField("ncid")).as("cid"))
   }
 
   /** IVF top-k: probe the nprobe centroids nearest to each query and

@@ -12,24 +12,40 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of a text column. */
+  /** All per-row statistics in ONE imperative pass
+    * ([[graft.functions.TextStats]]): Catalyst does not CSE regex
+    * calls across expressions, so the r1 formulation (split /
+    * regexp_extract_all / HOF filter per statistic) paid ~4-9 string
+    * scans per row — t1/t2 were the #4/#5 most expensive bench
+    * queries. Every accessor below extracts a field of this struct;
+    * identical struct subtrees collapse to a single evaluation under
+    * whole-stage codegen subexpression elimination. Field semantics
+    * are bit-identical to the r1 regex formulations (Java `\s+` split
+    * counting, BPE-ish match counting, code-point length), so oracle
+    * SQL and result hashes are unchanged. */
+  def stats(text: Column): Column =
+    graft.functions.GraftFunctions.text_stats(text)
+
+  /** Whitespace tokens of a text column (array form — used by the
+    * shingling dedup family, which needs the tokens themselves). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish token count: letter runs, single digits, and single
     * punctuation marks — the pre-tokenization split most BPE vocabs
     * (GPT-2 style) apply before merges. A cheap, deterministic proxy
     * for LLM token budgeting over 100 TB of text. */
-  def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+  def bpeishTokenCount(text: Column): Column = stats(text).getField("n_bpeish")
 
   /** Punctuation character count. */
-  def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+  def punctCount(text: Column): Column = stats(text).getField("n_punct")
 
-  /** Stopword hits: number of tokens present in `stopwords`. */
+  /** Stopword hits: number of tokens present in `stopwords`. The
+    * general form (arbitrary stopword list) keeps the declarative HOF
+    * formulation; the fixed English list used by [[qualityScore]]
+    * rides the fused stats pass instead. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
     val sw = array(stopwords.map(lit): _*)
     size(filter(tokens(text), t => array_contains(sw, t)))
@@ -44,11 +60,13 @@ object TextAnalysis {
     * expensive dedup/training-set filtering. Deterministic double arithmetic
     * (single fixed expression tree), so it oracle-compares exactly. */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+    val st = stats(text)
+    val nTok = st.getField("n_tokens").cast("double")
     val lenScore = least(nTok / lit(50.0), lit(1.0))
-    val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val punctRatio = st.getField("n_punct").cast("double") /
+      greatest(st.getField("n_chars"), lit(1)).cast("double")
     val punctScore = greatest(lit(1.0) - punctRatio * lit(10.0), lit(0.0))
-    val swRatio = stopwordCount(text, EnglishStopwords).cast("double") / greatest(nTok, lit(1.0))
+    val swRatio = st.getField("n_stop").cast("double") / greatest(nTok, lit(1.0))
     val swScore = least(swRatio * lit(5.0), lit(1.0))
     graft.ops.Ops.roundDet(
       lenScore * lit(0.4) + punctScore * lit(0.3) + swScore * lit(0.3), 4)
@@ -69,9 +87,9 @@ object TextAnalysis {
   /** Heuristic language id: argmax of marker-hit counts, "und"
     * (undetermined) when nothing matches. */
   def langId(text: Column): Column = {
-    val scored = LangMarkers.map { case (lang, markers) =>
-      lang -> stopwordCount(text, markers)
-    }
+    val st = stats(text)
+    val scored = LangMarkers.map(_._1).zip(
+      Seq("s_en", "s_de", "s_es", "s_fr", "s_zh").map(st.getField))
     // fold right-to-left so earlier languages win ties via strict >
     val (bestLang, _) = scored.reverse.foldLeft(
         (lit("und"), lit(0).cast("int"))) {

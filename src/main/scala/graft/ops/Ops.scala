@@ -47,6 +47,19 @@ object Ops {
   def sumMoney(c: Column): Column =
     roundDet(sum(c.cast(MoneyDec)).cast("double"), 2)
 
+  /** Output type for compared money sums: wide enough for any
+    * realistic total, scale 2 like the reference's ROUND(…, 2). */
+  val MoneyOut: DecimalType = DecimalType(38, 2)
+
+  /** Exact, order-independent SUM of a double column emitted as
+    * DECIMAL(38,2) — no floating point anywhere in the compared
+    * output. The decimal→decimal cast rounds half-away-from-zero in
+    * both Spark (java HALF_UP) and DuckDB, so the 2dp digits are
+    * engine-independent; use this instead of [[sumMoney]] whenever the
+    * result column is hash-compared. */
+  def sumMoneyDec(c: Column): Column =
+    sum(c.cast(MoneyDec)).cast(MoneyOut)
+
   /** Exact, order-independent AVG of a double column, rounded to 2dp.
     * Computed as exact-decimal-sum / non-null-count so the only FP ops
     * (one divide, one round) are order-independent. Mirrors PG

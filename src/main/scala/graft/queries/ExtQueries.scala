@@ -14,6 +14,12 @@ import graft.streaming.StreamingOps
 object ExtQueries {
   import Q._
 
+  // SQL twin of Ops.sumMoneyDec: exact decimal SUM emitted as
+  // DECIMAL(38,2) — no floating point in the compared column, so the
+  // hash cannot drift with summation order on either engine.
+  private val SqlSumDec =
+    "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DECIMAL(38,2))"
+
   // Reusable oracle fragments for composed queries (SQL twins of the
   // TextAnalysis column expressions; see t1-t4 for the standalone uses)
   private val SqlTokens = "len(string_split_regex(text,'\\s+'))"
@@ -243,7 +249,7 @@ object ExtQueries {
                  FROM l)
                SELECT user_id, session_id, MIN(ts) AS session_start,
                       MAX(ts) AS session_end, COUNT(*) AS n_events,
-                      ${sqlSum("value")} AS sum_value
+                      $SqlSumDec AS sum_value
                FROM s GROUP BY user_id, session_id
                ORDER BY user_id, session_id""")),
 
@@ -255,10 +261,6 @@ object ExtQueries {
     // replicates exactly that rule on the batch result.
     Q("st2_sessionize_stream",
       (s, dir) => graft.streaming.StatefulSessions.replayEvents(s, dir, 30)
-        // state accumulates doubles in ts order; the oracle's SUM order
-        // is engine-chosen — round both to 2dp for comparison
-        .withColumn("sum_value",
-          graft.ops.Ops.roundDet(col("sum_value"), 2))
         .orderBy("user_id", "session_id"),
       Some(s"""WITH l AS (
                  SELECT user_id, ts, value,
@@ -274,10 +276,10 @@ object ExtQueries {
                g AS (
                  SELECT user_id, session_id, MIN(ts) AS session_start,
                         MAX(ts) AS session_end, COUNT(*) AS n_events,
-                        SUM(value) AS sum_value_raw
+                        $SqlSumDec AS sum_value
                  FROM s GROUP BY user_id, session_id)
                SELECT user_id, session_id, session_start, session_end,
-                      n_events, ${sqlRoundDet("sum_value_raw", 2)} AS sum_value
+                      n_events, sum_value
                FROM g
                WHERE session_id < (SELECT MAX(g2.session_id) FROM g g2
                                    WHERE g2.user_id = g.user_id)

@@ -9,16 +9,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event entering the sessionizer. */
 final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
-/** One closed (or final) session leaving it. */
+/** One closed (or final) session leaving it. `sum_value` is an exact
+  * decimal (encoder emits DecimalType(38,18)); callers cast to the
+  * compared DECIMAL(38,2) — no float ever reaches compared output. */
 final case class UserSession(user_id: Long, session_id: Long,
                              session_start: Timestamp, session_end: Timestamp,
-                             n_events: Long, sum_value: Double)
+                             n_events: Long, sum_value: java.math.BigDecimal)
 
 /** Open-session state carried between micro-batches. Timestamps in
   * MICROseconds (java.sql.Timestamp.getTime would truncate to ms and
-  * break bit-parity with the batch sessionizer). */
+  * break bit-parity with the batch sessionizer). `sum` is an exact
+  * decimal at scale 10 — decimal addition is associative and
+  * commutative, so the accumulated total is independent of event
+  * arrival order across micro-batches (raw-double accumulation was
+  * order-sensitive and broke run-to-run hash reproducibility). */
 final case class SessionState(sessionId: Long, start: Long, end: Long,
-                              n: Long, sum: Double)
+                              n: Long, sum: java.math.BigDecimal)
 
 /** Custom streaming state: gap-based sessionization with
   * `flatMapGroupsWithState` — the KeyValueGroupedDataset stateful API
@@ -50,7 +56,9 @@ object StatefulSessions {
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(e => micros(e.ts))
+            // total order: ts, then value as a tie-break for equal-ts
+            // events — batch arrival order never influences the result
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.value))
             var open = state.getOption.toList.flatten.headOption
             var nextId = open.map(_.sessionId + 1).getOrElse(0L)
             val closed = List.newBuilder[UserSession]
@@ -59,13 +67,13 @@ object StatefulSessions {
               open match {
                 case Some(s) if t - s.end <= gapUs =>
                   open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
-                    sum = s.sum + e.value))
+                    sum = s.sum.add(dec10(e.value))))
                 case Some(s) =>
                   closed += toSession(userId, s)
-                  open = Some(SessionState(nextId, t, t, 1L, e.value))
+                  open = Some(SessionState(nextId, t, t, 1L, dec10(e.value)))
                   nextId += 1
                 case None =>
-                  open = Some(SessionState(nextId, t, t, 1L, e.value))
+                  open = Some(SessionState(nextId, t, t, 1L, dec10(e.value)))
                   nextId += 1
               }
             }
@@ -79,6 +87,14 @@ object StatefulSessions {
           }
       }
   }
+
+  /** Exact decimal twin of Spark's `cast(v AS DECIMAL(28,10))`:
+    * shortest-string double expansion (BigDecimal.valueOf), then
+    * HALF_UP to scale 10 — bit-identical to what the batch
+    * sessionizer's sumMoneyDec feeds its decimal SUM. */
+  private def dec10(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
 
   private def micros(t: Timestamp): Long =
     org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
@@ -97,6 +113,16 @@ object StatefulSessions {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sinkName = "graft_sessions_sink"
+
+    // Stateful streaming pays a fixed per-shuffle-partition tax: every
+    // micro-batch checkpoints one state store per partition. The
+    // replayed stream is a single file; 32 partitions means 32 stores
+    // x N batches of pure overhead. Pin a small partition count for
+    // the stream's lifetime (it is baked into the checkpoint anyway),
+    // then restore the session default.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
 
     val events = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -119,7 +145,7 @@ object StatefulSessions {
       .select("user_id", "ts", "value")
       .as[SessionEvent]
 
-    val q = sessionizeStream(events, gapMinutes = 30)
+    val q = sessionizeStream(events, gapMinutes = gapMinutes)
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -127,5 +153,9 @@ object StatefulSessions {
     q.awaitTermination()
 
     spark.table(sinkName)
+      .withColumn("sum_value",
+        col("sum_value").cast(graft.ops.Ops.MoneyOut))
+
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -41,6 +41,14 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sinkName = "graft_stream_tumbling"
 
+    // Streaming aggregation checkpoints one state store per shuffle
+    // partition per micro-batch — at 32 partitions that fixed tax
+    // dwarfs the actual work on a replayed file. Pin a small count for
+    // this query (baked into its checkpoint), restore after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+
     // the file stream source requires a directory: point it at the sf
     // dir and glob-filter down to the events table
     val stream = spark.readStream
@@ -64,5 +72,7 @@ object StreamingOps {
     q.awaitTermination()
 
     spark.table(sinkName).orderBy("window_start", "event_type")
+
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -27,10 +27,12 @@ class StreamingSpec extends SparkTestBase {
     val expected = batch.join(lastPerUser, "user_id")
       .filter($"session_id" < $"last_id" ||
         lit(maxTsMs) - unix_millis($"session_end") > lit(31 * 60000L))
-      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .select("user_id", "session_id", "session_start", "session_end",
+        "n_events", "sum_value")
 
     val streamed = StatefulSessions.replayEvents(spark, sf001, 30)
-      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .select("user_id", "session_id", "session_start", "session_end",
+        "n_events", "sum_value")
 
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
