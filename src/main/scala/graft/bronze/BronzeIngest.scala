@@ -42,7 +42,7 @@ final class BronzeIngest(spark: SparkSession, warehouse: String,
   private val bronzePath = s"$warehouse/bronze/yellow_taxi_raw"
 
   def bronze: DataFrame =
-    if (new java.io.File(bronzePath).exists())
+    if (MetaStore.pathExists(spark, bronzePath))
       spark.read.schema(Schemas.bronze.add("pickup_month", "string"))
         .parquet(bronzePath)
     else spark.createDataFrame(
@@ -96,8 +96,15 @@ final class BronzeIngest(spark: SparkSession, warehouse: String,
           // window — not from the batch — so partial failures re-run
           // cleanly (C4, bronze_incremental_load.sql:64-65). The
           // pickup_month filter makes this a partition-pruned scan.
-          val monthKey = new java.text.SimpleDateFormat("yyyy-MM")
-            .format(ts)
+          // The key is rendered in the SESSION timezone — the same
+          // zone date_format used to write the pickup_month partition
+          // values (SimpleDateFormat used the JVM default zone, which
+          // silently diverges on non-UTC hosts).
+          val monthKey = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM")
+            .withZone(java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone))
+            .format(ts.toInstant)
           val wm = bronze.filter(col("pickup_month") === monthKey)
             .agg(max(col("tpep_pickup_datetime"))).first().get(0) match {
               case t: Timestamp => t

@@ -86,9 +86,19 @@ object Dedup {
     * (tiny) candidate set and verify exact Jaccard. The only O(pairs)
     * work happens on hash-bucket collisions (the LSH guarantee), and
     * the wide shingle arrays never enter the bucket shuffle. */
+  /** @param broadcastVerify hint the verification joins broadcast.
+    *   Right at the default true while the candidate pair set is small
+    *   (the LSH promise on a clean corpus). On a corpus where
+    *   candidates blow past executor memory, pass false: the joins
+    *   become shuffled hash joins keyed by doc id — same result, and
+    *   AQE still downgrades to broadcast at runtime when a side turns
+    *   out small. */
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id",
+                      broadcastVerify: Boolean = true): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (broadcastVerify) broadcast else identity
     val banded = docs.select(col(idCol).as("id"),
       graft.functions.GraftFunctions
         .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams, NumBands)
@@ -102,17 +112,16 @@ object Dedup {
 
     // verification cost stays proportional to the candidate set, not
     // the corpus: compute shingles only for docs that appear in a
-    // candidate pair (broadcast semi-join), then broadcast those to
-    // the pair join
+    // candidate pair (semi-join), then join those to the pairs
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sh = docs.select(col(idCol).as("id"), col(textCol))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .join(hinted(candIds), Seq("id"), "left_semi")
       .select(col("id"), shingles(col(textCol)).as("sh"))
 
     cands
-      .join(broadcast(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
-      .join(broadcast(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .join(hinted(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(hinted(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jaccard", graft.ops.Ops.roundDet(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))

@@ -13,13 +13,12 @@ final case class MediaRecord(doc_id: Long, media_type: String,
   * beyond the reference — SURVEY §7.4): image/audio/video as opaque
   * `binary` columns with typed metadata.
   *
-  * The Spark-side plumbing — schema, partition-parallel batch decode,
-  * frame sampling, metadata extraction — is real and tested. The
-  * codec itself is STUBBED ([[FakeCodec]]): the container has no
-  * image/audio libraries, so "decode" derives deterministic fake
-  * dimensions from a hash of the bytes. Swapping in a real codec
-  * changes only the body of [[FakeCodec.decodeDims]]; every plan
-  * shape stays identical.
+  * The whole path is real: fixture payloads are valid PNG / RIFF-WAVE
+  * containers ([[MediaContainers]]), and the decode stage parses the
+  * actual container headers (CRC-checked IHDR, WAVE chunk walk). Only
+  * pixel/PCM payload decoding is out of scope (no codec libraries in
+  * the container) — the post-header bytes ride along opaque, exactly
+  * as a training pipeline carries them until GPU-side decode.
   *
   * Scale notes: the decode stage is `mapPartitions` over a typed
   * Dataset — one codec init per partition (not per row), no shuffle;
@@ -28,27 +27,20 @@ final case class MediaRecord(doc_id: Long, media_type: String,
   */
 object Multimodal {
 
-  /** Deterministic stand-in for an image/audio codec. */
-  object FakeCodec {
-    /** STUB — replace with a real decoder. Derives (width, height,
-      * n_frames) deterministically from the payload bytes. */
-    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1,
-        math.abs(h % 240) + 1)
-    }
-  }
-
-  /** Build a media table from the documents fixture: the text bytes
-    * stand in for an encoded payload (UTF-8 — matching DuckDB's
-    * `encode()`), media_type assigned round-robin. In production this
-    * is `spark.read.format("binaryFile")` or parquet with a binary
+  /** Build a media table from the documents fixture: each document's
+    * UTF-8 text bytes wrapped in a real container — PNG for image
+    * rows, RIFF/WAVE for audio/video rows — with header fields derived
+    * from the doc id ([[graft.functions.MediaWrap]]). media_type is
+    * assigned round-robin. In production this is
+    * `spark.read.format("binaryFile")` or parquet with a binary
     * column. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").cast("binary").as("media"))
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs.select(col("doc_id"), mediaType.as("media_type"),
+      graft.functions.GraftFunctions.media_wrap(col("doc_id"), mediaType,
+        encode(col("text"), "UTF-8").cast("binary")).as("media"))
+  }
 
   /** Metadata extraction that needs no codec: pure column expressions
     * (codegen'd, prunable). */
@@ -57,7 +49,9 @@ object Multimodal {
 
   /** The batch decode stage: partition-parallel, one codec "init" per
     * partition, rows streamed through — the Spark-native equivalent of
-    * a batched pandas-UDF decode. */
+    * a batched pandas-UDF decode. Parses the real container headers
+    * ([[MediaContainers.decodeDims]]): PNG rows yield (width, height,
+    * 1), WAVE rows (sample rate, channels, sample-frame count). */
   def decode(spark: SparkSession, media: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     media.select("doc_id", "media_type", "media")
@@ -65,7 +59,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here
         it.map { case (id, mt, payload) =>
-          val (w, h, f) = FakeCodec.decodeDims(payload)
+          val (w, h, f) = MediaContainers.decodeDims(payload)
           MediaRecord(id, mt, payload, payload.length.toLong, w, h, f)
         }
       }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Generator, ImplicitCastInputTypes, UnaryExpression, UserDefinedExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Generator, ImplicitCastInputTypes, TernaryExpression, UnaryExpression, UserDefinedExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -473,6 +473,45 @@ object TextStats {
     .add("s_zh", IntegerType, nullable = false)
 }
 
+/** Wrap a raw payload in a real media container for the multimodal
+  * fixture table: image rows become a valid PNG stream (signature +
+  * CRC'd IHDR, dimensions derived from the doc id), audio/video rows a
+  * canonical RIFF/WAVE PCM stream (rate/channels derived from the doc
+  * id) — see [[graft.ext.MediaContainers]]. The derivations are plain
+  * arithmetic on the id and payload length, so an oracle can predict
+  * the decoded metadata without re-implementing the containers. */
+case class MediaWrap(docId: Expression, mediaType: Expression,
+                     data: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback
+    with UserDefinedExpression {
+
+  override def name: String = "media_wrap"
+  override def first: Expression = docId
+  override def second: Expression = mediaType
+  override def third: Expression = data
+
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType, StringType, BinaryType)
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(id: Any, mt: Any, d: Any): Any = {
+    val i = id.asInstanceOf[Long]
+    val payload = d.asInstanceOf[Array[Byte]]
+    mt.asInstanceOf[UTF8String].toString match {
+      case "image" =>
+        graft.ext.MediaContainers.wrapPng(
+          (i % 1920).toInt + 1, (i % 1080).toInt + 1, payload)
+      case _ =>
+        graft.ext.MediaContainers.wrapWav(
+          8000 + (i % 5).toInt * 2000, (i % 2).toInt + 1, payload)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MediaWrap =
+    copy(docId = f, mediaType = s, data = t)
+}
+
 /** Column-API and SQL-registry surface for the custom expressions. */
 object GraftFunctions {
 
@@ -500,6 +539,10 @@ object GraftFunctions {
 
   def text_stats(text: Column): Column =
     column(TextStats(expression(text)))
+
+  def media_wrap(docId: Column, mediaType: Column, data: Column): Column =
+    column(MediaWrap(expression(docId), expression(mediaType),
+      expression(data)))
 
   /** Register the expressions on a live session for SQL use
     * (`SELECT cosine_sim(a, b)`). For registration at session build

@@ -40,7 +40,7 @@ final class MetaStore(spark: SparkSession, warehouse: String) {
   val defaultWatermark: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")
 
   private def readOrEmpty(path: String, schema: StructType): DataFrame =
-    if (new java.io.File(path).exists())
+    if (MetaStore.pathExists(spark, path))
       spark.read.schema(schema).parquet(path)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -90,5 +90,16 @@ final class MetaStore(spark: SparkSession, warehouse: String) {
       fresh.write.mode("append").partitionBy("pickup_month")
         .parquet(invalidPath)
     n
+  }
+}
+
+object MetaStore {
+  /** Existence probe through the Hadoop FileSystem API, so the
+    * warehouse can live on any supported filesystem (file://, hdfs://,
+    * s3a://, …) — `java.io.File` silently answered false for every
+    * non-local URI, making a remote warehouse look forever empty. */
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

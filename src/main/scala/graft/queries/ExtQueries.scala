@@ -174,10 +174,23 @@ object ExtQueries {
 
     // threshold 0.3 ≈ p99 of within-label cosine in the synthetic
     // embeddings — high enough to be selective, low enough that the
-    // rows-only check sees output (real corpora would use ~0.95)
+    // rows-only check sees output (real corpora would use ~0.95).
+    // SQL-expressible: blocked brute force is a self-join within
+    // label; x1 already proves cosine bit-parity with list_dot_product
     Q("d5_dedup_embedding_cos",
       (s, dir) => Dedup.embeddingNearDups(t(s, dir, "embeddings"),
-        threshold = 0.3), None),
+        threshold = 0.3),
+      Some(s"""WITH v AS (SELECT vec_id AS id, label AS blk,
+                                CAST(embedding AS DOUBLE[]) AS vec
+                         FROM embeddings),
+                   p AS (SELECT a.id AS id_a, b.id AS id_b,
+                           ${sqlRoundDet("""list_dot_product(a.vec, b.vec)
+                                 / (sqrt(list_dot_product(a.vec, a.vec))
+                                    * sqrt(list_dot_product(b.vec, b.vec)))""", 4)} AS cosine
+                         FROM v a JOIN v b
+                           ON a.blk = b.blk AND a.id < b.id)
+              SELECT id_a, id_b, cosine FROM p
+              WHERE cosine >= 0.3 ORDER BY id_a, id_b""")),
 
     // ---- similarity search -------------------------------------------
 
@@ -202,14 +215,52 @@ object ExtQueries {
               SELECT qid, rank, nid, cosine FROM r WHERE rank <= 5
               ORDER BY qid, rank""")),
 
+    // deterministic end to end: stride centroids (vec_id % 20 = 0),
+    // cosine argmax assignment (ties to lower cid), nprobe=4 buckets,
+    // k=5 — so the whole IVF pipeline is plain SQL for the oracle
     Q("x2_sim_ivf_topk",
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
         Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 20), k = 5)
-      }, None),
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+                         FROM embeddings WHERE vec_id % 20 = 0),
+                   v AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec
+                         FROM embeddings),
+                   asg AS (SELECT nid, nvec, cid FROM (
+                       SELECT v.nid, v.nvec, c.cid,
+                         ROW_NUMBER() OVER (PARTITION BY v.nid ORDER BY
+                           list_dot_product(v.nvec, c.cvec)
+                             / (sqrt(list_dot_product(v.nvec, v.nvec))
+                                * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                           c.cid) AS rk
+                       FROM v, c) WHERE rk = 1),
+                   q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+                         FROM embeddings WHERE vec_id < 20),
+                   pr AS (SELECT qid, qvec, cid FROM (
+                       SELECT q.qid, q.qvec, c.cid,
+                         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                           list_dot_product(q.qvec, c.cvec)
+                             / (sqrt(list_dot_product(q.qvec, q.qvec))
+                                * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                           c.cid) AS rk
+                       FROM q, c) WHERE rk <= 4),
+                   pairs AS (SELECT pr.qid, asg.nid,
+                       ${sqlRoundDet("""list_dot_product(pr.qvec, asg.nvec)
+                             / (sqrt(list_dot_product(pr.qvec, pr.qvec))
+                                * sqrt(list_dot_product(asg.nvec, asg.nvec)))""", 4)} AS cosine
+                     FROM pr JOIN asg ON pr.cid = asg.cid AND pr.qid <> asg.nid),
+                   r AS (SELECT qid, nid, cosine,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                                              ORDER BY cosine DESC, nid) AS rank
+                         FROM pairs)
+              SELECT qid, rank, nid, cosine FROM r WHERE rank <= 5
+              ORDER BY qid, rank""")),
 
     // ---- multimodal plumbing -----------------------------------------
 
+    // container sizes: PNG = 8 signature + 25 IHDR chunk; WAVE = 44
+    // canonical header — payload bytes = the UTF-8 text (MediaWrap)
     Q("m1_multimodal_meta",
       (s, dir) => Multimodal.withByteLen(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
@@ -219,16 +270,35 @@ object ExtQueries {
                      CASE CAST(doc_id % 3 AS INTEGER)
                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                        ELSE 'video' END AS media_type,
-                     CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 44 END
+                          + octet_length(encode(text)) AS BIGINT) AS byte_len
               FROM documents ORDER BY doc_id""")),
 
+    // the decoder parses real container headers; the oracle predicts
+    // the decoded metadata from the same doc_id/text-length
+    // derivations the MediaWrap writer embedded (PNG: dims from the
+    // id, 1 frame; WAVE: rate 8000+(id%5)*2000, channels 1+(id%2),
+    // sample frames = data bytes / block align at 16-bit PCM)
     Q("m2_multimodal_decode",
       (s, dir) => Multimodal.decode(s,
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .toDF()
         .select("doc_id", "media_type", "byte_len", "width", "height", "n_frames")
         .orderBy("doc_id"),
-      None), // FakeCodec dims are engine-specific: rows-only check
+      Some("""SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INTEGER)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS media_type,
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 44 END
+                          + octet_length(encode(text)) AS BIGINT) AS byte_len,
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 1920 + 1
+                               ELSE 8000 + (doc_id % 5) * 2000 END AS INTEGER) AS width,
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 1080 + 1
+                               ELSE doc_id % 2 + 1 END AS INTEGER) AS height,
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                               ELSE octet_length(encode(text))
+                                    // (2 * (doc_id % 2 + 1)) END AS INTEGER) AS n_frames
+              FROM documents ORDER BY doc_id""")),
 
     // ---- sessionization ----------------------------------------------
 

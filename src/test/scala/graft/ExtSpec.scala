@@ -126,4 +126,20 @@ class ExtSpec extends SparkTestBase {
     val frames = Multimodal.sampleFrames(Multimodal.decode(spark, media), stride = 10)
     assert(frames.count() > 0)
   }
+
+  test("media containers: PNG/WAVE write-parse round trip, corrupt rejected") {
+    import graft.ext.MediaContainers
+    val data = "payload bytes".getBytes("UTF-8")
+    assert(MediaContainers.decodeDims(
+      MediaContainers.wrapPng(640, 480, data)) == ((640, 480, 1)))
+    // 13 payload bytes at 16-bit stereo -> 3 whole sample frames
+    assert(MediaContainers.decodeDims(
+      MediaContainers.wrapWav(16000, 2, data)) == ((16000, 2, 3)))
+    // flipped IHDR byte -> CRC failure, not silent garbage
+    val png = MediaContainers.wrapPng(640, 480, data)
+    png(17) = (png(17) ^ 1).toByte
+    intercept[IllegalArgumentException](MediaContainers.decodeDims(png))
+    intercept[IllegalArgumentException](
+      MediaContainers.decodeDims("not a container".getBytes("UTF-8")))
+  }
 }

@@ -76,6 +76,43 @@ class PipelineSpec extends SparkTestBase {
     assert(!r2.watermark.before(r1.watermark))
   }
 
+  test("runFromUrls: fetch from a file:// URL template end-to-end (F11/S1)") {
+    // publish two monthly files under the reference's naming scheme,
+    // then run the pipeline pointed at that file:// "CDN"
+    val cdn = Files.createTempDirectory("graft_cdn_")
+    (1 to 2).foreach { m =>
+      TaxiFixtures.monthBatch(spark, 2024, m).coalesce(1)
+        .write.parquet(s"$cdn/stage_$m")
+      val part = new java.io.File(s"$cdn/stage_$m").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        cdn.resolve(f"yellow_tripdata_2024-$m%02d.parquet"))
+    }
+
+    val wh = freshWarehouse()
+    val staging = Files.createTempDirectory("graft_stage_").toString
+    val p = new Pipeline(spark, wh)
+    p.runFromUrls(Seq((2024, 1), (2024, 2)), staging,
+      baseUrl = s"file://$cdn")
+
+    assert(spark.read.parquet(s"$wh/bronze/yellow_taxi_raw").count() > 1000)
+    assert(p.meta.ledger.filter(col("status") === "success").count() == 2)
+    assert(spark.read.parquet(s"$wh/gold/monthly_metrics").count() >= 2)
+  }
+
+  test("Setup wipes and recreates the warehouse tree with seeded dims (S8)") {
+    val wh = freshWarehouse()
+    // pre-existing junk that a re-setup must remove
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/bronze/stale"))
+    Setup.setup(spark, wh)
+    Setup.Layers.foreach(l =>
+      assert(new java.io.File(s"$wh/$l").isDirectory, s"missing layer $l"))
+    assert(!new java.io.File(s"$wh/bronze/stale").exists)
+    // static dims seeded (reference db_setup inline VALUES)
+    assert(spark.read.parquet(s"$wh/silver/payment_type").count() >= 6)
+    assert(spark.read.parquet(s"$wh/silver/ratecode").count() >= 6)
+  }
+
   test("failed ingest appends a failed ledger row and rethrows (C2)") {
     val wh = freshWarehouse()
     val p = new Pipeline(spark, wh)
