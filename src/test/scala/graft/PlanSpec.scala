@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.ops.Ops
+
+/** Physical-plan locks: the scale posture of the hot operators is an
+  * explicit, tested property, not an accident of the current optimizer
+  * mood. Each test pins the plan shape that makes the operator viable
+  * at 100 TB (pushdown reaching the scan, broadcast instead of
+  * shuffled joins, hash aggregation instead of global sorts, fused
+  * expressions evaluated once); a regression that re-introduces a
+  * corpus-wide exchange or a duplicated expensive expression fails
+  * here long before it burns a cluster.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def executed(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def docs = graft.queries.Q.t(spark, sf001, "documents")
+  private def embs = graft.queries.Q.t(spark, sf001, "embeddings")
+
+  test("ivfAssign: no window, no sort, no corpus-side shuffle (x2 plan)") {
+    val cents = Similarity.centroids(embs, stride = 20)
+    val plan = executed(Similarity.ivfAssign(embs, cents))
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(!plan.contains("Sort"), s"unexpected Sort in:\n$plan")
+    // the only exchanges allowed are on the (tiny) centroid-array side:
+    // its single-partition aggregate and the broadcast of the result
+    val shuffles = "Exchange (?!.*SinglePartition)".r
+      .findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(shuffles == 0, s"corpus-side shuffle in:\n$plan")
+  }
+
+  test("projection + filter push down to the parquet scan (S1/P1)") {
+    val plan = executed(docs.filter(col("lang") === "en")
+      .select("doc_id", "n_chars"))
+    assert(plan.contains("EqualTo(lang,en)"), s"filter not pushed:\n$plan")
+    // pruned read schema: only the referenced columns reach the scan
+    val readSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty && !readSchema.contains("text"),
+      s"unpruned column in scan:\n$readSchema")
+  }
+
+  test("dim joins broadcast; no sort-merge join in gold plans (J1)") {
+    val dim = spark.range(5).select(col("id"), concat(lit("v"), col("id")).as("name"))
+    val fact = docs.select(col("doc_id"), pmod(col("doc_id"), lit(5)).as("id"))
+    val plan = executed(fact.join(broadcast(dim), "id"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("full-row dedup is a hash aggregate, not a window (W1)") {
+    val plan = executed(Ops.dedupExact(docs))
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("as-of join costs exactly one shuffle (J4 plan)") {
+    val left = docs.select(col("doc_id").as("k"), col("n_chars").as("lts"),
+      col("lang"))
+    val right = docs.select(col("doc_id").as("k"), col("n_chars").as("rts"),
+      col("source"))
+    val plan = executed(Ops.asofJoin(left, right, "k", "lts", "rts",
+      Seq("source"), "rts"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$plan")
+  }
+
+  test("TextStats evaluates once per row under codegen CSE (t1/t2 plan)") {
+    import org.apache.spark.sql.execution.debug._
+    // t2-shaped query: quality references the stats struct 4 times
+    val df = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.qualityScore(col("text")).as("quality"))
+    val code = codegenString(df.queryExecution.executedPlan)
+    val calls = "TextStatsKernel\\.analyze\\(".r.findAllIn(code).size
+    // one evaluation site (subexpression-eliminated); a couple of
+    // wrapper occurrences are fine, re-evaluation per field is not
+    assert(calls >= 1 && calls <= 2,
+      s"TextStats evaluated $calls times — CSE regressed")
+  }
+
+  test("sessionize: two user-keyed shuffles, no self-join (W2 plan)") {
+    val events = graft.queries.Q.t(spark, sf001, "events")
+    val plan = executed(graft.ext.Sessions.sessionize(events, 30))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+}
