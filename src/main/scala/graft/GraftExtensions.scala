@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MinHashSignature(es.head, Dedup.hashParams))
     inject(ext, "minhash_bands",
       es => MinHashBands(es.head, Dedup.hashParams, Dedup.NumBands))
+    inject(ext, "text_stats",
+      es => TextStats(es.head))
+    inject(ext, "hyperplane_lsh64",
+      es => HyperplaneLsh64(es.head))
   }
 
   private def inject(ext: SparkSessionExtensions, name: String,

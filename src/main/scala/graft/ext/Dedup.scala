@@ -104,11 +104,39 @@ object Dedup {
         .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams, NumBands)
         .as(Seq("band", "bhash")))
 
-    val cands = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bhash"), col("id").as("id_b")),
-            Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Bucket-grouped pair generation instead of a bucket self-join:
+    // ONE aggregation keyed on (band, hash) collects each bucket's
+    // (sorted) ids, and the within-bucket pairs are generated by a
+    // higher-order expression over that array. The self-join form
+    // evaluated the expensive MinHash generator once per join side —
+    // and Spark can't reuse the scans because the join may broadcast
+    // one side — so the signature pass ran 2× (4× after the
+    // candidate-id reuse below). Here the aggregate's exchange is
+    // canonically identical everywhere it is consumed, so the
+    // signature pass runs once and ReusedExchange serves the rest.
+    // Bucket width is bounded by LSH collision behavior exactly as
+    // the join build side was; a pathological hot bucket means the
+    // band/row parameters are wrong for the corpus, not the plan.
+    val buckets = banded.groupBy("band", "bhash")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // ids are sorted and bucket-unique, so nested transform emits
+    // exactly the id_a < id_b pairs
+    // The candidate set is materialized executor-side
+    // (localCheckpoint): it is consumed three times below (pair join +
+    // both shingle sides), and relying on lazy lineage would re-run
+    // the corpus-wide signature pass per consumer (measured 3-4× in
+    // the executed plan — exchange reuse does not collapse them). The
+    // LSH contract keeps this table tiny relative to the corpus, so
+    // materializing it is cheap at any scale; same for the candidate
+    // shingle sets right after.
+    val cands = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+      .localCheckpoint()
 
     // verification cost stays proportional to the candidate set, not
     // the corpus: compute shingles only for docs that appear in a
@@ -118,6 +146,7 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), col(textCol))
       .join(hinted(candIds), Seq("id"), "left_semi")
       .select(col("id"), shingles(col(textCol)).as("sh"))
+      .localCheckpoint()
 
     cands
       .join(hinted(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")

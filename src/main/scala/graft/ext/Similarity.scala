@@ -96,6 +96,73 @@ object Similarity {
         (-col("__best").getField("ncid")).as("cid"))
   }
 
+  /** Cosine-LSH near-neighbor pairs over the whole corpus — the
+    * bucketed scale path when there is no query set (all-pairs
+    * near-dup mining over embeddings without a blocking column).
+    *
+    * Sign-random-projection signatures
+    * ([[graft.functions.HyperplaneLsh64]]) turn angular proximity into
+    * low Hamming distance; the SimHash pigeonhole block join then
+    * finds all pairs within `maxDist` signature bits exactly (d
+    * flipped bits cannot touch all d+1 chunks), and exact cosine
+    * verifies. Shuffles are keyed on (chunk, value) — never an
+    * unblocked cross join — so this scales like the text SimHash path:
+    * per-bucket work, bounded by how well 64 hyperplanes separate the
+    * corpus. */
+  def lshNearDups(corpus: DataFrame, threshold: Double, maxDist: Int = 12,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    // Wider chunks than the text SimHash path: angular signatures of
+    // true near-neighbors differ in more bits than token-set
+    // signatures, and maxDist+1 pigeonhole chunks at maxDist=12 would
+    // be 4-bit buckets that collide half the corpus. With fewer,
+    // wider chunks the guarantee relaxes from exact recall to high
+    // recall (a pair may flip a bit in every chunk) — the standard
+    // LSH recall/candidate-volume dial; pass numChunks = maxDist+1
+    // semantics by lowering maxDist for exactness.
+    val numChunks = maxDist / 4 + 1
+    val chunkBits = (64 + numChunks - 1) / numChunks
+    // only (chunk, value, id, sig) enters the bucket shuffle — 8-byte
+    // signature, never the embedding itself (the simhash posture)
+    val sig = corpus.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.hyperplane_lsh64(
+        col(vecCol).cast("array<double>")).as("sig"))
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until numChunks).map { c =>
+        val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(mask)
+      }: _*)).as(Seq("chunk", "cval")))
+
+    val l = chunked.select(col("chunk"), col("cval"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("cval"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    // candidate pairs are small by the LSH contract; materialize so
+    // the two vector-attach joins don't re-run the bucket join
+    val cands = l.join(r, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
+      .select("id_a", "id_b")
+      .localCheckpoint()
+
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val vecs = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .localCheckpoint()
+
+    cands
+      .join(broadcast(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))), "id_a")
+      .join(broadcast(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))), "id_b")
+      .withColumn("cosine",
+        graft.ops.Ops.roundDet(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF top-k: probe the nprobe centroids nearest to each query and
     * brute-force only inside those buckets. Approximate — recall
     * depends on stride/nprobe — but every step is a keyed join. */

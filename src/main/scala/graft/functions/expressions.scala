@@ -339,6 +339,51 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit random-hyperplane LSH signature of an array<double>
+  * embedding (sign-random-projection, the classic cosine-LSH family):
+  * bit k = sign of the dot product with hyperplane k. The hyperplanes
+  * are implicit Rademacher (±1) vectors derived per dimension from the
+  * XXH64 kernel — `hashLong(d, 42)`'s 64 bits are the signs of ALL 64
+  * hyperplanes at dimension d — so one hash + 64 adds per element, no
+  * stored projection matrix, identical bits on every executor. Two
+  * vectors' signature Hamming distance estimates their angle, so the
+  * SimHash pigeonhole blocking applies unchanged to embeddings. */
+case class HyperplaneLsh64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with CodegenFallback with UserDefinedExpression {
+
+  override def name: String = "hyperplane_lsh64"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val acc = new Array[Double](64)
+    val n = v.numElements()
+    var d = 0
+    while (d < n) {
+      val x = v.getDouble(d)
+      val signs = XXH64.hashLong(d.toLong, 42L)
+      var k = 0
+      while (k < 64) {
+        acc(k) += (if (((signs >>> k) & 1L) == 1L) x else -x)
+        k += 1
+      }
+      d += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (acc(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh64 =
+    copy(child = newChild)
+}
+
 /** One-pass text-statistics kernel shared by eval and codegen of
   * [[TextStats]]. Counts are defined to be bit-identical to the
   * declarative formulations they replace (graft.ext.TextAnalysis,
@@ -544,6 +589,9 @@ object GraftFunctions {
     column(MediaWrap(expression(docId), expression(mediaType),
       expression(data)))
 
+  def hyperplane_lsh64(vec: Column): Column =
+    column(HyperplaneLsh64(expression(vec)))
+
   /** Register the expressions on a live session for SQL use
     * (`SELECT cosine_sim(a, b)`). For registration at session build
     * time — including via `spark.sql.extensions` config — use
@@ -567,5 +615,7 @@ object GraftFunctions {
         graft.ext.Dedup.NumBands), "built-in")
     reg.createOrReplaceTempFunction("text_stats",
       es => TextStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_lsh64",
+      es => HyperplaneLsh64(es.head), "built-in")
   }
 }

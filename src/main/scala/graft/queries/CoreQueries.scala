@@ -420,6 +420,22 @@ object CoreQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // Exact interpolated percentile (ordered-set aggregate — beyond
+    // the reference's agg surface). Spark `percentile` and DuckDB
+    // `quantile_cont` share the lower+(upper-lower)*frac interpolation
+    // on the sorted values, so the doubles oracle-compare exactly.
+    Q("a13_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(Ops.roundDet(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+             Ops.roundDet(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+                      ${sqlRoundDet("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+                      ${sqlRoundDet("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90
+               FROM lineitem GROUP BY l_returnflag
+               ORDER BY l_returnflag""")),
+
     // P5 + A2: partition-scoped MAX within the month window
     // (bronze_incremental_load.sql:64-65).
     Q("p5_partition_max",

@@ -257,6 +257,17 @@ object ExtQueries {
               SELECT qid, rank, nid, cosine FROM r WHERE rank <= 5
               ORDER BY qid, rank""")),
 
+    // unblocked cosine-LSH near-neighbor pairs (sign-random-projection
+    // signatures + pigeonhole buckets); hash family engine-specific →
+    // rows-only check, exact-cosine verification inside
+    // maxDist 28: the synthetic corpus tops out below cosine 0.6, and
+    // E[hamming] = 64·θ/π ≈ 26 bits at cosine 0.3 — the radius must
+    // cover the angle of the pairs being mined (real near-dup corpora
+    // sit at cosine ≥0.9 ⇒ radius ~12)
+    Q("x3_sim_lsh_pairs",
+      (s, dir) => Similarity.lshNearDups(t(s, dir, "embeddings"),
+        threshold = 0.3, maxDist = 28), None),
+
     // ---- multimodal plumbing -----------------------------------------
 
     // container sizes: PNG = 8 signature + 25 IHDR chunk; WAVE = 44

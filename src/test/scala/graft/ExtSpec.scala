@@ -127,6 +127,21 @@ class ExtSpec extends SparkTestBase {
     assert(frames.count() > 0)
   }
 
+  test("cosine-LSH pairs find the planted near-duplicate embedding") {
+    val dim = 16
+    val base = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val near = base.zipWithIndex.map { case (x, i) => x + 0.001 * (i % 3) }
+    val far = Array.tabulate(dim)(i => math.cos(3.0 * i) * (if (i % 2 == 0) 1 else -1))
+    val corpus = Seq(
+      (0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq),
+      (3L, far.map(-_).toSeq)
+    ).toDF("vec_id", "embedding")
+    val pairs = graft.ext.Similarity.lshNearDups(corpus, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 2L || p._2 == 3L)) // far vectors excluded
+  }
+
   test("media containers: PNG/WAVE write-parse round trip, corrupt rejected") {
     import graft.ext.MediaContainers
     val data = "payload bytes".getBytes("UTF-8")
