@@ -52,13 +52,23 @@ object Ops {
   val MoneyOut: DecimalType = DecimalType(38, 2)
 
   /** Exact, order-independent SUM of a double column emitted as
-    * DECIMAL(38,2) — no floating point anywhere in the compared
-    * output. The decimal→decimal cast rounds half-away-from-zero in
-    * both Spark (java HALF_UP) and DuckDB, so the 2dp digits are
-    * engine-independent; use this instead of [[sumMoney]] whenever the
-    * result column is hash-compared. */
+    * DECIMAL(38,2) — no floating point precision in the compared
+    * output. Route: exact decimal sum → double (same bits on every
+    * engine for the same exact sum) → [[roundDet]] (portable 2dp) →
+    * DECIMAL(38,2) (exact: the rounded double is within an ulp of
+    * k/100, and both Spark and DuckDB convert it to the decimal k/100).
+    * Do NOT cast a decimal straight down to scale 2: Spark rounds
+    * HALF_UP but DuckDB 1.0 TRUNCATES decimal→decimal downscales, so
+    * any sum with live digits past 2dp would hash-mismatch. Use this
+    * instead of [[sumMoney]] whenever the result column is
+    * hash-compared. */
   def sumMoneyDec(c: Column): Column =
-    sum(c.cast(MoneyDec)).cast(MoneyOut)
+    roundDet(sum(c.cast(MoneyDec)).cast("double"), 2).cast(MoneyOut)
+
+  /** [[roundDet]] + exact DECIMAL(38,2) emission for an
+    * already-aggregated double — see [[sumMoneyDec]] for why the
+    * round must happen in double space. */
+  def toMoneyDec(c: Column): Column = roundDet(c, 2).cast(MoneyOut)
 
   /** Exact, order-independent AVG of a double column, rounded to 2dp.
     * Computed as exact-decimal-sum / non-null-count so the only FP ops
@@ -164,6 +174,25 @@ object Ops {
     partial.groupBy(keys.map(col): _*)
       .agg(roundDet(sum(col("__psum")).cast("double"), 2).as(s"sum_$valueCol"),
            sum(col("__pcnt")).as("n_rows"))
+  }
+
+  /** Skew-safe equi-join: the left (large, possibly skewed) side gets
+    * a deterministic salt derived from `saltSrc`, the right (small
+    * dimension) side is replicated once per salt bucket, and the join
+    * runs on (key, salt) — so one hot key spreads over `buckets`
+    * reducers instead of stalling a single task. Same rows as the
+    * plain inner join (each left row matches exactly the replica
+    * carrying its salt). This is the manual fallback for join skew
+    * that AQE's runtime splitting doesn't cover (e.g. when the hot
+    * key hides behind stale statistics); prefer a plain join +
+    * broadcast/AQE when the dimension fits in memory. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltSrc: String, buckets: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(saltSrc)), lit(buckets)).cast(IntegerType))
+    val r = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
   /** As-of join: for every left row, attach the single right row with

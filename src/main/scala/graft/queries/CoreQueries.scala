@@ -420,6 +420,75 @@ object CoreQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // Multiway join (TPC-H Q3 shape, beyond the reference's 2-table
+    // joins): filtered fact × orders × broadcast customer dim, group
+    // to per-order revenue, deterministic top-20. Catalyst gets
+    // pushdown of all three filters to the scans and picks
+    // broadcast/shuffled hash per side; revenue is an exact decimal
+    // sum of identically-computed double products, emitted
+    // DECIMAL(38,2) so the hash cannot drift.
+    Q("q3_multiway_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          // pin the long-expansion double product to 4dp (portable
+          // double ops) before the exact decimal sum, then emit via
+          // the sumMoneyDec route (see its scaladoc for the DuckDB
+          // truncating-downscale trap this avoids)
+          .agg(Ops.toMoneyDec(sum(Ops.roundDet(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast(Ops.MoneyDec)).cast("double")).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(20)
+      },
+      Some {
+        val prod4 = sqlRoundDet("l_extendedprice * (1 - l_discount)", 4)
+        val rev = "CAST(" + sqlRoundDet(
+          s"CAST(SUM(CAST($prod4 AS DECIMAL(28,10))) AS DOUBLE)", 2) +
+          " AS DECIMAL(38,2))"
+        s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     $rev AS revenue
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+                AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 20"""
+      }),
+
+    // Skew-safe salted JOIN (the join twin of a10's salted agg):
+    // identical rows to the plain inner join, verified by the oracle
+    // running the plain join.
+    Q("j6_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+            col("l_quantity"))
+        val part = t(s, dir, "part").select("p_partkey", "p_brand")
+        Ops.saltedJoin(li, part, "p_partkey", saltSrc = "l_orderkey",
+            buckets = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_rows"),
+            Ops.sumMoneyDec(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n_rows,
+                     CAST(${sqlRoundDet(
+                       "CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)", 2)}
+                       AS DECIMAL(38,2)) AS sum_qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand ORDER BY p_brand""")),
+
     // Exact interpolated percentile (ordered-set aggregate — beyond
     // the reference's agg surface). Spark `percentile` and DuckDB
     // `quantile_cont` share the lower+(upper-lower)*frac interpolation

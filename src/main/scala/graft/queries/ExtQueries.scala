@@ -14,11 +14,13 @@ import graft.streaming.StreamingOps
 object ExtQueries {
   import Q._
 
-  // SQL twin of Ops.sumMoneyDec: exact decimal SUM emitted as
-  // DECIMAL(38,2) — no floating point in the compared column, so the
-  // hash cannot drift with summation order on either engine.
-  private val SqlSumDec =
-    "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DECIMAL(38,2))"
+  // SQL twin of Ops.sumMoneyDec: exact decimal SUM → double →
+  // portable 2dp round → DECIMAL(38,2). The double hop matters:
+  // DuckDB truncates decimal→decimal downscale casts where Spark
+  // rounds, so the round must happen in (deterministic) double space.
+  private val SqlSumDec = "CAST(" + sqlRoundDet(
+    "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)", 2) +
+    " AS DECIMAL(38,2))"
 
   // Reusable oracle fragments for composed queries (SQL twins of the
   // TextAnalysis column expressions; see t1-t4 for the standalone uses)
@@ -376,6 +378,13 @@ object ExtQueries {
                       event_type, COUNT(*) AS n_events,
                       ${sqlSum("value")} AS sum_value
                FROM events GROUP BY 1, 2
-               ORDER BY window_start, event_type"""))
+               ORDER BY window_start, event_type""")),
+
+    // stateful streaming dedup == batch DISTINCT when the replay is
+    // driven to completion — the oracle runs the batch form
+    Q("st3_stream_dedup",
+      (s, dir) => StreamingOps.streamingDedupKeys(s, dir),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type"""))
   )
 }

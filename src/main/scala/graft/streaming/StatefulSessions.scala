@@ -152,9 +152,11 @@ object StatefulSessions {
       .start()
     q.awaitTermination()
 
+    // exact decimal state → double → portable 2dp round → DECIMAL(38,2)
+    // (same emission route as Ops.sumMoneyDec — see its scaladoc)
     spark.table(sinkName)
       .withColumn("sum_value",
-        col("sum_value").cast(graft.ops.Ops.MoneyOut))
+        graft.ops.Ops.toMoneyDec(col("sum_value").cast("double")))
 
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }

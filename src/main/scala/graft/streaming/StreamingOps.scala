@@ -75,4 +75,40 @@ object StreamingOps {
 
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  /** Streaming exact dedup: `dropDuplicates` over the replayed event
+    * stream — the stateful streaming twin of batch DISTINCT (W1), and
+    * the building block of exactly-once ingestion from at-least-once
+    * transports. Driven to completion the result equals the batch
+    * DISTINCT over the same keys, which is exactly what the oracle
+    * checks. State is one entry per distinct key, unbounded on an
+    * infinite stream — production pairs this with
+    * `dropDuplicatesWithinWatermark` to bound it; the replay here is
+    * finite by construction. */
+  def streamingDedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_stream_dedup"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sinkName).orderBy("user_id", "event_type")
+
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
 }
