@@ -237,6 +237,54 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // --------------------------------------------- components / canonical
+
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns pairwise matches into dedup GROUPS so one canonical
+    * document survives per group (pairs alone can't be acted on:
+    * A~B and B~C must collapse to one cluster {A,B,C}).
+    *
+    * Distributed min-label propagation: every vertex starts labeled
+    * with its own id and repeatedly takes the minimum label among
+    * itself and its neighbors; converges in O(graph diameter)
+    * rounds — near-dup clusters are shallow (diameter ≤ a few), so
+    * 3-4 rounds in practice, `maxIters` as the safety bound. Each
+    * round is one edge join + min-aggregate (shuffles keyed by vertex
+    * id); lineage is truncated per round (localCheckpoint — mandatory
+    * for iterative Spark, else the plan doubles every round). The
+    * only driver-side values are the per-round convergence count and
+    * loop bound — the labels themselves never leave the cluster.
+    * Returns (id, comp) with comp = min id of the component. */
+  def connectedComponents(pairs: DataFrame,
+                          idA: String = "id_a", idB: String = "id_b",
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")),
+          "dst")
+        .groupBy("src").agg(min(col("dcomp")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("ncomp")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = updated
+      i += 1
+    }
+    labels.orderBy("id")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs within a blocking column

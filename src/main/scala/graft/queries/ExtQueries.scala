@@ -126,6 +126,20 @@ object ExtQueries {
                      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
               FROM documents ORDER BY doc_id""")),
 
+    // Corpus vocabulary: token-explode → count → deterministic top-k.
+    // The tokenizer-training / vocab-audit staple; at 100 TB the
+    // map-side partial aggregate absorbs hot tokens ("the") before
+    // the shuffle, so skew stays bounded.
+    Q("t5_vocab_topk",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100),
+      Some("""SELECT token, COUNT(*) AS n
+              FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+                    FROM documents)
+              GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
+
     // ---- dedup family -------------------------------------------------
 
     Q("d1_dedup_exact",
@@ -173,6 +187,46 @@ object ExtQueries {
               WHERE CAST(n_common AS DOUBLE)
                     / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
               ORDER BY id_a, id_b""")),
+
+    // Near-dup pairs → dedup GROUPS: connected components by min-label
+    // propagation over the (hash-exact, see d4) jaccard pair list. The
+    // oracle computes the same components with a recursive reachability
+    // CTE — comp = min reachable id, identical by definition.
+    Q("d6_dedup_components",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.4)),
+      Some("""WITH RECURSIVE toks AS (
+                SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk
+                FROM documents),
+              sh AS (
+                SELECT doc_id, lang,
+                       unnest(list_distinct(list_transform(
+                         range(0, GREATEST(len(tk)-3, 0)+1),
+                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
+                FROM toks),
+              sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+              pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_common AS DOUBLE)
+                      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              verts AS (SELECT DISTINCT src AS id FROM edges),
+              reach(src, dst) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT r.src, e.dst FROM reach r
+                JOIN edges e ON r.dst = e.src)
+              SELECT src AS id, MIN(dst) AS comp FROM reach
+              GROUP BY src ORDER BY id""")),
 
     // threshold 0.3 ≈ p99 of within-label cosine in the synthetic
     // embeddings — high enough to be selective, low enough that the

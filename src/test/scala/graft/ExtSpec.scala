@@ -127,6 +127,14 @@ class ExtSpec extends SparkTestBase {
     assert(frames.count() > 0)
   }
 
+  test("connected components collapse pair chains into dedup groups") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3}, {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comps = graft.ext.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("cosine-LSH pairs find the planted near-duplicate embedding") {
     val dim = 16
     val base = Array.tabulate(dim)(i => math.sin(i + 1.0))
