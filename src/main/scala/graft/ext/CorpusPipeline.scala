@@ -33,4 +33,36 @@ object CorpusPipeline {
       .select(idCol, "quality", "lang_pred", "n_tokens")
       .orderBy(idCol)
   }
+
+  /** The full near-dup-aware variant: score → gate → exact dedup →
+    * n-gram-Jaccard near-dup pairs → connected components → keep ONE
+    * canonical (lowest-id) document per near-dup group. This is the
+    * production corpus-dedup flow end-to-end: pairwise similarity
+    * alone cannot decide survivors — A~B, B~C must collapse to one
+    * cluster — so the component step is what makes the output an
+    * actual dataset rather than a report. Non-matched docs pass
+    * through (left join against the component labels). */
+  def cleanNearDups(docs: DataFrame, minQuality: Double = 0.5,
+                    minTokens: Int = 20, jaccardThreshold: Double = 0.4,
+                    blockCol: String = "lang",
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), col(textCol), col(blockCol),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val gated = scored
+      .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+    val exact = Dedup.exactByFingerprint(gated, textCol, idCol)
+    val comps = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(exact, jaccardThreshold,
+        blockCol = blockCol, textCol = textCol, idCol = idCol))
+    exact
+      .join(broadcast(comps.select(col("id").as(idCol), col("comp"))),
+        Seq(idCol), "left")
+      // survivors: docs that are their own component minimum, or that
+      // matched nothing (comp null)
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .select(idCol, "quality", "n_tokens")
+      .orderBy(idCol)
+  }
 }

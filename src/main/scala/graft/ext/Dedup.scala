@@ -258,8 +258,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
                           idA: String = "id_a", idB: String = "id_b",
                           maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // materialize the pair list once — the symmetric union consumes it
+    // twice, and pair lists are typically the output of an expensive
+    // similarity computation worth exactly one evaluation
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()

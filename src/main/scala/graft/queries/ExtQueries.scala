@@ -65,6 +65,55 @@ object ExtQueries {
                SELECT doc_id, quality, lang_pred, n_tokens
                FROM d WHERE rn = 1 ORDER BY doc_id""")),
 
+    // The near-dup-aware corpus clean: score → gate → exact dedup →
+    // jaccard pairs → connected components → one canonical doc per
+    // group. The oracle composes the e1 fragments with the d6
+    // recursive-reachability components over the same deduped set.
+    Q("e2_corpus_neardup_clean",
+      (s, dir) => graft.ext.CorpusPipeline.cleanNearDups(
+        t(s, dir, "documents")),
+      Some(s"""WITH RECURSIVE scored AS (
+                 SELECT doc_id, text, lang, $SqlQuality AS quality,
+                        $SqlTokens AS n_tokens
+                 FROM documents),
+               g AS (SELECT * FROM scored
+                     WHERE quality >= 0.5 AND n_tokens >= 20),
+               ex AS (SELECT doc_id, text, lang, quality, n_tokens FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY $SqlFp
+                                                     ORDER BY doc_id) AS rn
+                        FROM g) WHERE rn = 1),
+               toks AS (SELECT doc_id, lang,
+                               string_split_regex(text, '\\s+') AS tk FROM ex),
+               sh AS (SELECT doc_id, lang,
+                        unnest(list_distinct(list_transform(
+                          range(0, GREATEST(len(tk)-3, 0)+1),
+                          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
+                      FROM toks),
+               sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                                COUNT(*) AS n_common
+                         FROM sh a JOIN sh b
+                           ON a.lang = b.lang AND a.shingle = b.shingle
+                          AND a.doc_id < b.doc_id
+                         GROUP BY a.doc_id, b.doc_id),
+               pairs AS (SELECT id_a, id_b FROM inter
+                         JOIN sizes sa ON sa.doc_id = id_a
+                         JOIN sizes sb ON sb.doc_id = id_b
+                         WHERE CAST(n_common AS DOUBLE)
+                               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4),
+               edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION SELECT id_b, id_a FROM pairs),
+               verts AS (SELECT DISTINCT src AS id FROM edges),
+               reach(src, dst) AS (
+                 SELECT id, id FROM verts
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+               comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
+               SELECT e.doc_id, e.quality, e.n_tokens
+               FROM ex e LEFT JOIN comp c ON c.id = e.doc_id
+               WHERE c.comp IS NULL OR c.comp = e.doc_id
+               ORDER BY e.doc_id""")),
+
     // ---- text analysis ------------------------------------------------
 
     Q("t1_text_stats",
