@@ -66,6 +66,54 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoin == plain inner join on random data (any salt source)") {
+    val leftGen = for { k <- Gen.choose(0, 20); v <- Gen.choose(0L, 1000L) } yield (k, v)
+    val left = sample(leftGen, 400).toDF("k", "v")
+    val right = sample(Gen.choose(0, 20), 60).distinct
+      .map(k => (k, s"dim_$k")).toDF("k", "name")
+    val salted = Ops.saltedJoin(left, right, "k", saltSrc = "v", buckets = 7)
+      .select("k", "v", "name")
+    val plain = left.join(right, "k").select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("connectedComponents: idempotent labeling, comp = min of component") {
+    val edgeGen = for { a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L)
+                        if a != b } yield (math.min(a, b), math.max(a, b))
+    val pairs = sample(edgeGen, 60).distinct.toDF("id_a", "id_b")
+    val labels = graft.ext.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // every vertex labeled; label is a member of the same component
+    val edges = sample(edgeGen, 60).distinct
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across components")
+    }
+    // the label really is the minimum of its component
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp, s"component $comp min mismatch")
+    }
+  }
+
+  test("sessionize: per-user event counts are conserved") {
+    val evGen = for {
+      u <- Gen.choose(0L, 8L); t <- tsGen; v <- Gen.choose(0.0, 100.0)
+    } yield (u, t, v)
+    val events = sample(evGen, 500).toDF("user_id", "ts", "value")
+    val sessions = graft.ext.Sessions.sessionize(events, gapMinutes = 60)
+    val perUserSessions = sessions.groupBy("user_id")
+      .agg(sum("n_events").as("n")).as[(Long, Long)].collect().toMap
+    val perUserEvents = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(perUserSessions == perUserEvents)
+    // session ids are dense 0..k per user
+    val ids = sessions.select("user_id", "session_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    ids.foreach { case (u, ss) =>
+      assert(ss == (0L until ss.length).toSeq, s"non-dense sessions for $u")
+    }
+  }
+
   test("minhash signature: jaccard-similar sets collide more (LSH property)") {
     // identical token arrays → identical signature
     val df = Seq("a b c d e f g h i j").toDF("text")
