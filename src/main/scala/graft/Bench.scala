@@ -35,7 +35,10 @@ object Bench {
           case e: Throwable =>
             // a failed query must be loud, not a suspiciously fast time
             System.err.println(s"BENCH QUERY FAILED: $name: $e")
-            errors(name) = e.toString.take(200).replaceAll("[\"\\\\\n]", " ")
+            // strip quote/backslash and ALL control chars — a tab or
+            // CR in an exception message must not break the JSON line
+            errors(name) = e.toString.take(200)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
         }
         name -> (System.nanoTime() - t0) / 1e9
     }
@@ -50,7 +53,7 @@ object Bench {
     // sbt prefixes stdout with [info], which broke the driver's JSON
     // parse in round 1 — also write the bare line to known file paths
     for (p <- Seq(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
-                  Some("BENCH.json"), Some("/root/repo/BENCH.json")).flatten.distinct) {
+                  Some("BENCH.json")).flatten.distinct) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
           (line + "\n").getBytes("UTF-8"))

@@ -46,8 +46,7 @@ final class Pipeline(spark: SparkSession, warehouse: String,
                     graft.bronze.Sources.urlFetcher): Unit =
     run(months.map { case (year, month) =>
       () => {
-        val url = graft.bronze.Sources
-          .downloadUrl(year, month).replace(graft.bronze.Sources.BaseUrl, baseUrl)
+        val url = graft.bronze.Sources.downloadUrl(baseUrl, year, month)
         val staged = log.timed(s"fetch $url")(
           graft.bronze.Sources.fetch(url, stagingDir, fetcher))
         spark.read.parquet(staged)

@@ -14,7 +14,12 @@ object Sources {
   /** Monthly yellow-taxi parquet URL, zero-padded month — parity with
     * the reference's only unit test (test/test_download_url.py:13-15). */
   def downloadUrl(year: Int, month: Int): String =
-    f"$BaseUrl/yellow_tripdata_$year%04d-$month%02d.parquet"
+    downloadUrl(BaseUrl, year, month)
+
+  /** Same template against any base (a `file://` fixture dir in
+    * tests, a mirror in production). */
+  def downloadUrl(base: String, year: Int, month: Int): String =
+    f"$base/yellow_tripdata_$year%04d-$month%02d.parquet"
 
   /** A transport: (url, destination file) => (). Swappable so tests
     * and air-gapped environments can fetch `file://` URLs with the

@@ -287,6 +287,12 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // silent non-convergence would hand back split components and let
+    // duplicate groups keep multiple "canonical" survivors downstream
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters " +
+        "(component diameter exceeds the bound)")
     labels.orderBy("id")
   }
 

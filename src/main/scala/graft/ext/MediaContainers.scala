@@ -96,13 +96,19 @@ object MediaContainers {
       require(crc.getValue == readU32be(p, 29), "corrupt PNG: IHDR CRC mismatch")
       ((readU32be(p, 16)).toInt, (readU32be(p, 20)).toInt, 1)
     } else if (p.length >= 12 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
-      // real chunk walk: fmt may not be the first chunk
+      // real chunk walk: fmt may not be the first chunk. Every length
+      // field is validated against the remaining bytes BEFORE use —
+      // a hostile/corrupt length must throw, not hang the walk (a
+      // 0xFFFFFFF8 length truncates to a negative step and would loop
+      // forever) or read out of bounds.
       var off = 12
       var sampleRate = -1; var channels = -1; var blockAlign = -1
       var dataLen = -1L
       while (off + 8 <= p.length && (sampleRate < 0 || dataLen < 0)) {
         val t = tag(p, off)
         val len = readU32le(p, off + 4)
+        require(len <= p.length - off - 8,
+          s"corrupt WAVE: chunk '$t' length $len exceeds payload")
         if (t == "fmt ") {
           require(len >= 16, "corrupt WAVE: short fmt chunk")
           channels = readU16le(p, off + 10)

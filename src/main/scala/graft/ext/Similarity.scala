@@ -109,9 +109,17 @@ object Similarity {
     * unblocked cross join — so this scales like the text SimHash path:
     * per-bucket work, bounded by how well 64 hyperplanes separate the
     * corpus. */
+  /** @param broadcastVerify hint the candidate-vector joins broadcast
+    *   (right for the usual small candidate set). Pass false when the
+    *   hyperplanes separate the corpus poorly and the candidate
+    *   vectors outgrow broadcast memory — the joins fall back to
+    *   shuffled hash, same result (the minhashNearDups knob). */
   def lshNearDups(corpus: DataFrame, threshold: Double, maxDist: Int = 12,
                   vecCol: String = "embedding",
-                  idCol: String = "vec_id"): DataFrame = {
+                  idCol: String = "vec_id",
+                  broadcastVerify: Boolean = true): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (broadcastVerify) broadcast else identity
     // Wider chunks than the text SimHash path: angular signatures of
     // true near-neighbors differ in more bits than token-set
     // signatures, and maxDist+1 pigeonhole chunks at maxDist=12 would
@@ -150,12 +158,12 @@ object Similarity {
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val vecs = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("vec"))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .join(hinted(candIds), Seq("id"), "left_semi")
       .localCheckpoint()
 
     cands
-      .join(broadcast(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))), "id_a")
-      .join(broadcast(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))), "id_b")
+      .join(hinted(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))), "id_a")
+      .join(hinted(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))), "id_b")
       .withColumn("cosine",
         graft.ops.Ops.roundDet(cosine(col("vec_a"), col("vec_b")), 4))
       .filter(col("cosine") >= threshold)

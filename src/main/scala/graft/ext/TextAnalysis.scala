@@ -89,7 +89,7 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val st = stats(text)
     val scored = LangMarkers.map(_._1).zip(
-      Seq("s_en", "s_de", "s_es", "s_fr", "s_zh").map(st.getField))
+      graft.functions.TextStats.langFields.map(st.getField))
     // fold right-to-left so earlier languages win ties via strict >
     val (bestLang, _) = scored.reverse.foldLeft(
         (lit("und"), lit(0).cast("int"))) {

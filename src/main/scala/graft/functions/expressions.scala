@@ -393,8 +393,14 @@ case class HyperplaneLsh64(child: Expression)
   */
 object TextStatsKernel {
 
-  // set 0 = English stopwords (quality score); sets 1..5 = language
-  // marker sets in graft.ext.TextAnalysis.LangMarkers order
+  // set 0 = English stopwords (quality score); sets 1..N = language
+  // marker sets in graft.ext.TextAnalysis.LangMarkers order. The
+  // language count is derived from LangMarkers everywhere (here, the
+  // langs array, the struct schema) so extending the marker table
+  // cannot desynchronize the kernel from its schema.
+  private[functions] val NumLangs: Int =
+    graft.ext.TextAnalysis.LangMarkers.length
+
   private val wordSets: java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, Array[Int]]()
     val sets: Seq[Seq[String]] =
@@ -426,7 +432,7 @@ object TextStatsKernel {
     val len = str.length
     var nChars = 0; var nBpe = 0; var nPunct = 0; var nStop = 0
     var nonWsRuns = 0
-    val langs = new Array[Int](5)
+    val langs = new Array[Int](NumLangs)
     var leadingWs = false; var trailingWs = false
     var inLetterRun = false
     var tokStart = -1
@@ -473,8 +479,8 @@ object TextStatsKernel {
       else nonWsRuns + (if (leadingWs) 1 else 0) + (if (trailingWs) 1 else 0)
 
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nTokens, nBpe, nPunct, nChars, nStop,
-        langs(0), langs(1), langs(2), langs(3), langs(4)))
+      (Array[Any](nTokens, nBpe, nPunct, nChars, nStop) ++
+        langs.map(x => x: Any)))
   }
 }
 
@@ -505,17 +511,14 @@ case class TextStats(child: Expression)
 }
 
 object TextStats {
-  val schema: StructType = new StructType()
-    .add("n_tokens", IntegerType, nullable = false)
-    .add("n_bpeish", IntegerType, nullable = false)
-    .add("n_punct", IntegerType, nullable = false)
-    .add("n_chars", IntegerType, nullable = false)
-    .add("n_stop", IntegerType, nullable = false)
-    .add("s_en", IntegerType, nullable = false)
-    .add("s_de", IntegerType, nullable = false)
-    .add("s_es", IntegerType, nullable = false)
-    .add("s_fr", IntegerType, nullable = false)
-    .add("s_zh", IntegerType, nullable = false)
+  /** Per-language score field names, in LangMarkers order. */
+  val langFields: Seq[String] =
+    graft.ext.TextAnalysis.LangMarkers.map { case (lang, _) => s"s_$lang" }
+
+  val schema: StructType =
+    (Seq("n_tokens", "n_bpeish", "n_punct", "n_chars", "n_stop") ++ langFields)
+      .foldLeft(new StructType())((st, f) =>
+        st.add(f, IntegerType, nullable = false))
 }
 
 /** Wrap a raw payload in a real media container for the multimodal

@@ -18,7 +18,8 @@ final class StageLog(logFile: Option[java.nio.file.Path] = None) {
     val line = s"${fmt.format(java.time.Instant.now())} [graft] $msg"
     println(line)
     logFile.foreach { p =>
-      java.nio.file.Files.createDirectories(p.getParent)
+      // a bare relative filename has no parent — nothing to create
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
