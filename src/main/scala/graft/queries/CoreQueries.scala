@@ -489,6 +489,36 @@ object CoreQueries {
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY p_brand ORDER BY p_brand""")),
 
+    // Running total over an explicit ROWS frame (window-frame coverage
+    // beyond w2's internal running sum): per-customer cumulative spend
+    // in order-key order. The sum is exact decimal per frame — each
+    // output value is an independent exact prefix sum, so no FP
+    // accumulation order can drift — emitted via the portable
+    // double-round route (see Ops.sumMoneyDec).
+    Q("a14_running_total",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            Ops.toMoneyDec(
+              sum(col("o_totalprice").cast(Ops.MoneyDec)).over(w)
+                .cast("double")).as("running_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some {
+        val run = "CAST(" + sqlRoundDet(
+          """CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)""", 2) +
+          " AS DECIMAL(38,2))"
+        s"""SELECT o_custkey, o_orderkey, $run AS running_spend
+            FROM orders WHERE o_custkey < 50
+            ORDER BY o_custkey, o_orderkey"""
+      }),
+
     // Exact interpolated percentile (ordered-set aggregate — beyond
     // the reference's agg surface). Spark `percentile` and DuckDB
     // `quantile_cont` share the lower+(upper-lower)*frac interpolation

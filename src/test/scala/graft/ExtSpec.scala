@@ -135,6 +135,14 @@ class ExtSpec extends SparkTestBase {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components fail loudly when the iteration bound is hit") {
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.ext.Dedup.connectedComponents(chain, maxIters = 1)
+    }
+  }
+
   test("cosine-LSH pairs find the planted near-duplicate embedding") {
     val dim = 16
     val base = Array.tabulate(dim)(i => math.sin(i + 1.0))
