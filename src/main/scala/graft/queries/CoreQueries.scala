@@ -78,10 +78,12 @@ object CoreQueries {
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("2001-01-01 00:00:00"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is not unique in the synthetic
+        // data: total-order on every output column
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
               FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""")),
 
     // P2: watermark + window filter (bronze_incremental_load.sql:42-43).
     Q("p2_window_filter_in",
@@ -239,13 +241,16 @@ object CoreQueries {
         Ops.insertIfAbsent(t(s, dir, "lineitem"), existing,
             Seq("l_orderkey"), broadcastExisting = true)
           .select("l_orderkey", "l_linenumber", "l_extendedprice")
-          .orderBy("l_orderkey", "l_linenumber")
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+          // data (see w1's comment) — order by every output column so
+          // remaining ties are between identical rows
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem l
               WHERE NOT EXISTS (SELECT 1 FROM orders o
                                 WHERE o.o_orderkey = l.l_orderkey
                                   AND o.o_orderstatus = 'F')
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
 
     // F5: derived minute-duration over a join
     // (silver_full_refresh_transformation.sql:54).
@@ -256,13 +261,13 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
                 Ops.minuteDuration(col("l_shipdate"), col("o_orderdate"))
                   .as("minute_duration"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "minute_duration"),
       Some("""SELECT l_orderkey, l_linenumber,
                      CAST(FLOOR((date_diff('second', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
                                - date_diff('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate))
                                / 60.0) AS INTEGER) AS minute_duration
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, minute_duration""")),
 
     // F6 + A7: CASE decode with unmapped → NULL, NULL kept as group key
     // (silver_full_refresh_transformation.sql:4-9; gold join NULL groups).
