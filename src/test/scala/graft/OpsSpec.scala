@@ -60,6 +60,22 @@ class OpsSpec extends SparkTestBase {
     assert(out == Seq(30, -15))
   }
 
+  test("compactPartitioned merges small files, preserves data, survives re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val path = s"$dir/events_table"
+    val df = spark.range(0, 2000)
+      .select($"id", ($"id" % 4).cast("string").as("part"))
+    // fragment: 25 writers per partition
+    df.repartition(25).write.partitionBy("part").parquet(path)
+
+    val originalRows = spark.read.parquet(path).collect().toSet
+    val (before, after) = graft.ops.Maintenance
+      .compactPartitioned(spark, path, "part")
+    assert(before > after, s"no compaction: $before -> $after")
+    assert(after <= 8, s"still fragmented: $after files")
+    assert(spark.read.parquet(path).collect().toSet == originalRows)
+  }
+
   test("decodeByMap maps known ids, NULL for unmapped (F6)") {
     val df = Seq(1, 2, 42).toDF("id")
     val out = df.select(Ops.decodeByMap($"id", Seq(1 -> "one", 2 -> "two"))
