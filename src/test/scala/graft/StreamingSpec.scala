@@ -59,4 +59,41 @@ class StreamingSpec extends SparkTestBase {
     val meta = new graft.meta.MetaStore(spark, whStream)
     assert(meta.ledger.filter(col("status") === "success").count() >= 1)
   }
+
+  test("streaming ingest restart resumes from checkpoint — no reprocessing") {
+    val wh = Files.createTempDirectory("graft_whr_").toString
+    val staging = Files.createTempDirectory("graft_stg2_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt2_").toString
+    val ingest = new StreamingBronzeIngest(spark, wh)
+
+    // the file-stream source watches top-level files: stage each
+    // month's parquet part as a uniquely-named file in the root
+    def stage(month: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_part_")
+      TaxiFixtures.monthBatch(spark, 2024, month, rows = 400)
+        .coalesce(1).write.parquet(s"$tmp/out")
+      val part = new java.io.File(s"$tmp/out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(staging, f"month_$month%02d.parquet"))
+    }
+
+    stage(1)
+    ingest.ingestAvailable(staging, ckpt)
+    val afterFirst = spark.read.parquet(s"$wh/bronze/yellow_taxi_raw").count()
+    assert(afterFirst > 0)
+
+    // second run over the SAME checkpoint: month 1 is already
+    // committed, so only the newly staged month flows through
+    stage(2)
+    ingest.ingestAvailable(staging, ckpt)
+    val bronze = spark.read.parquet(s"$wh/bronze/yellow_taxi_raw")
+    assert(bronze.count() > afterFirst)
+    assert(bronze.select("pickup_month").distinct().count() == 2)
+
+    // and a third run with nothing new staged is a complete no-op
+    ingest.ingestAvailable(staging, ckpt)
+    assert(spark.read.parquet(s"$wh/bronze/yellow_taxi_raw").count()
+      == bronze.count())
+  }
 }
