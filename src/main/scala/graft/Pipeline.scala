@@ -59,15 +59,7 @@ final class Pipeline(spark: SparkSession, warehouse: String,
 object Pipeline {
   def main(args: Array[String]): Unit = {
     val warehouse = args.headOption.getOrElse("/tmp/graft_warehouse")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-pipeline")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSpark.session("graft-pipeline")
 
     val p = new Pipeline(spark, warehouse)
     p.run((1 to 3).map(m => () => TaxiFixtures.monthBatch(spark, 2024, m)))

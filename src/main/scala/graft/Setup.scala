@@ -43,15 +43,7 @@ object Setup {
 
   def main(args: Array[String]): Unit = {
     val warehouse = args.headOption.getOrElse("/tmp/graft_warehouse")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-setup")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSpark.session("graft-setup")
     setup(spark, warehouse)
     spark.stop()
   }

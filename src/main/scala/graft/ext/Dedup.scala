@@ -97,8 +97,7 @@ object Dedup {
                       textCol: String = "text",
                       idCol: String = "doc_id",
                       broadcastVerify: Boolean = true): DataFrame = {
-    val hinted: DataFrame => DataFrame =
-      if (broadcastVerify) broadcast else identity
+    val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
     val banded = docs.select(col(idCol).as("id"),
       graft.functions.GraftFunctions
         .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams, NumBands)

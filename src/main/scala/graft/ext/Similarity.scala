@@ -118,8 +118,7 @@ object Similarity {
                   vecCol: String = "embedding",
                   idCol: String = "vec_id",
                   broadcastVerify: Boolean = true): DataFrame = {
-    val hinted: DataFrame => DataFrame =
-      if (broadcastVerify) broadcast else identity
+    val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
     // Wider chunks than the text SimHash path: angular signatures of
     // true near-neighbors differ in more bits than token-set
     // signatures, and maxDist+1 pigeonhole chunks at maxDist=12 would

@@ -176,6 +176,13 @@ object Ops {
            sum(col("__pcnt")).as("n_rows"))
   }
 
+  /** `broadcast` when `hint` is true, identity otherwise — the opt-out
+    * knob for verification joins whose "small" side can pathologically
+    * outgrow broadcast memory (LSH candidate sets on a corpus the hash
+    * family separates poorly). */
+  def maybeBroadcast(hint: Boolean): DataFrame => DataFrame =
+    if (hint) broadcast else identity
+
   /** Skew-safe equi-join: the left (large, possibly skewed) side gets
     * a deterministic salt derived from `saltSrc`, the right (small
     * dimension) side is replicated once per salt bucket, and the join

@@ -51,6 +51,17 @@ object Q {
   /** Oracle-side exact AVG — the SQL twin of [[graft.ops.Ops.avgMoney]]. */
   def sqlAvg(c: String): String =
     sqlRoundDet(s"CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / COUNT($c)", 2)
+
+  /** Emit an aggregated double as DECIMAL(38,2) — the SQL twin of
+    * [[graft.ops.Ops.toMoneyDec]] (portable 2dp round in double space;
+    * DuckDB truncates decimal→decimal downscales where Spark rounds). */
+  def sqlToMoneyDec(x: String): String =
+    "CAST(" + sqlRoundDet(x, 2) + " AS DECIMAL(38,2))"
+
+  /** Exact decimal SUM emitted as DECIMAL(38,2) — the SQL twin of
+    * [[graft.ops.Ops.sumMoneyDec]]. */
+  def sqlSumMoneyDec(c: String): String =
+    sqlToMoneyDec(s"CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE)")
 }
 
 /** Core relational queries: every operator in SURVEY.md §2 expressed
@@ -457,9 +468,8 @@ object CoreQueries {
       },
       Some {
         val prod4 = sqlRoundDet("l_extendedprice * (1 - l_discount)", 4)
-        val rev = "CAST(" + sqlRoundDet(
-          s"CAST(SUM(CAST($prod4 AS DECIMAL(28,10))) AS DOUBLE)", 2) +
-          " AS DECIMAL(38,2))"
+        val rev = sqlToMoneyDec(
+          s"CAST(SUM(CAST($prod4 AS DECIMAL(28,10))) AS DOUBLE)")
         s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
                      $rev AS revenue
               FROM customer, orders, lineitem
@@ -488,9 +498,7 @@ object CoreQueries {
           .orderBy("p_brand")
       },
       Some(s"""SELECT p_brand, COUNT(*) AS n_rows,
-                     CAST(${sqlRoundDet(
-                       "CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)", 2)}
-                       AS DECIMAL(38,2)) AS sum_qty
+                     ${sqlSumMoneyDec("l_quantity")} AS sum_qty
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY p_brand ORDER BY p_brand""")),
 
@@ -514,11 +522,10 @@ object CoreQueries {
           .orderBy("o_custkey", "o_orderkey")
       },
       Some {
-        val run = "CAST(" + sqlRoundDet(
+        val run = sqlToMoneyDec(
           """CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)""", 2) +
-          " AS DECIMAL(38,2))"
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)""")
         s"""SELECT o_custkey, o_orderkey, $run AS running_spend
             FROM orders WHERE o_custkey < 50
             ORDER BY o_custkey, o_orderkey"""

@@ -14,13 +14,9 @@ import graft.streaming.StreamingOps
 object ExtQueries {
   import Q._
 
-  // SQL twin of Ops.sumMoneyDec: exact decimal SUM → double →
-  // portable 2dp round → DECIMAL(38,2). The double hop matters:
-  // DuckDB truncates decimal→decimal downscale casts where Spark
-  // rounds, so the round must happen in (deterministic) double space.
-  private val SqlSumDec = "CAST(" + sqlRoundDet(
-    "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)", 2) +
-    " AS DECIMAL(38,2))"
+  // SQL twin of Ops.sumMoneyDec over the events `value` column — see
+  // Q.sqlSumMoneyDec for why the round happens in double space.
+  private val SqlSumDec = sqlSumMoneyDec("value")
 
   // Reusable oracle fragments for composed queries (SQL twins of the
   // TextAnalysis column expressions; see t1-t4 for the standalone uses)

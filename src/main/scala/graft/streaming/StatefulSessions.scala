@@ -114,15 +114,7 @@ object StatefulSessions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sinkName = "graft_sessions_sink"
 
-    // Stateful streaming pays a fixed per-shuffle-partition tax: every
-    // micro-batch checkpoints one state store per partition. The
-    // replayed stream is a single file; 32 partitions means 32 stores
-    // x N batches of pure overhead. Pin a small partition count for
-    // the stream's lifetime (it is baked into the checkpoint anyway),
-    // then restore the session default.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    StreamingOps.withFewShufflePartitions(spark) {
 
     val events = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -158,6 +150,6 @@ object StatefulSessions {
       .withColumn("sum_value",
         graft.ops.Ops.toMoneyDec(col("sum_value").cast("double")))
 
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

@@ -14,6 +14,20 @@ import graft.ops.Ops
   */
 object StreamingOps {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned low,
+    * restoring the session default after. Stateful micro-batches
+    * checkpoint one state store per shuffle partition — at the
+    * session's 32 that fixed tax dwarfs the actual work on a replayed
+    * file, so every finite streaming query here runs under this pin
+    * (the value is baked into the stream's checkpoint anyway). */
+  private[streaming] def withFewShufflePartitions[T](
+      spark: SparkSession, n: Int = 4)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** events.parquet schema for the streaming reader: parquet stores
     * ts as TIMESTAMP(NANOS) which Spark reads as long under
     * nanosAsLong (see graft.queries.Q.t). */
@@ -40,14 +54,7 @@ object StreamingOps {
                           windowDuration: String = "1 day"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sinkName = "graft_stream_tumbling"
-
-    // Streaming aggregation checkpoints one state store per shuffle
-    // partition per micro-batch — at 32 partitions that fixed tax
-    // dwarfs the actual work on a replayed file. Pin a small count for
-    // this query (baked into its checkpoint), restore after.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withFewShufflePartitions(spark) {
 
     // the file stream source requires a directory: point it at the sf
     // dir and glob-filter down to the events table
@@ -73,7 +80,7 @@ object StreamingOps {
 
     spark.table(sinkName).orderBy("window_start", "event_type")
 
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** Streaming exact dedup: `dropDuplicates` over the replayed event
@@ -88,9 +95,7 @@ object StreamingOps {
   def streamingDedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sinkName = "graft_stream_dedup"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withFewShufflePartitions(spark) {
 
     val stream = spark.readStream
       .schema(eventsRawSchema)
@@ -109,6 +114,6 @@ object StreamingOps {
 
     spark.table(sinkName).orderBy("user_id", "event_type")
 
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }
