@@ -502,6 +502,47 @@ object CoreQueries {
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY p_brand ORDER BY p_brand""")),
 
+    // Conditional aggregation (TPC-H Q12 shape): SUM(CASE WHEN …)
+    // pivots a predicate into per-group counters in a single pass —
+    // one scan, one aggregate, no joins or unions.
+    Q("q12_conditional_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+               .otherwise(0L)).as("high_line_count"),
+             sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+               .otherwise(0L)).as("low_line_count"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS high_line_count,
+                     SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS low_line_count
+              FROM orders GROUP BY o_orderstatus
+              ORDER BY o_orderstatus""")),
+
+    // Full outer join: customers × per-customer order rollup — rows
+    // survive from BOTH unmatched sides (customers who never ordered,
+    // and any order keyed outside the customer table). Completes the
+    // join-type family (inner/left/anti/semi are covered elsewhere).
+    Q("j7_full_outer_join",
+      (s, dir) => {
+        val perCust = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+          .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(col("c_custkey"), col("o_custkey"), col("c_mktsegment"),
+            col("n_orders"))
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_custkey"))
+      },
+      Some("""SELECT c_custkey, o_custkey, c_mktsegment, n_orders
+              FROM customer
+              FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                               FROM orders GROUP BY o_custkey) o
+                ON c_custkey = o_custkey
+              ORDER BY c_custkey NULLS FIRST, o_custkey NULLS FIRST""")),
+
     // Running total over an explicit ROWS frame (window-frame coverage
     // beyond w2's internal running sum): per-customer cumulative spend
     // in order-key order. The sum is exact decimal per frame — each
