@@ -502,6 +502,53 @@ object CoreQueries {
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY p_brand ORDER BY p_brand""")),
 
+    // Set operations: purchasers present in BOTH January halves
+    // (INTERSECT) and first-half-only purchasers (EXCEPT) in one
+    // output, tagged. Spark intersect/except = INTERSECT/EXCEPT
+    // DISTINCT — hash-aggregate + hash-join plans, no sorts.
+    Q("s9_set_ops",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+        val h1 = ev.filter(col("ts") < ts("2024-01-16 00:00:00"))
+          .select("user_id")
+        val h2 = ev.filter(col("ts") >= ts("2024-01-16 00:00:00"))
+          .select("user_id")
+        h1.intersect(h2).withColumn("cohort", lit("both_halves"))
+          .unionByName(h1.except(h2).withColumn("cohort", lit("first_only")))
+          .orderBy("cohort", "user_id")
+      },
+      Some("""WITH h1 AS (SELECT user_id FROM events
+                          WHERE event_type = 'purchase'
+                            AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+                   h2 AS (SELECT user_id FROM events
+                          WHERE event_type = 'purchase'
+                            AND ts >= TIMESTAMP '2024-01-16 00:00:00')
+              SELECT user_id, 'both_halves' AS cohort
+              FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+              UNION ALL
+              SELECT user_id, 'first_only' AS cohort
+              FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+              ORDER BY cohort, user_id""")),
+
+    // Pivot: per-day event counts spread into one column per event
+    // type (fixed value list → static output schema; Catalyst compiles
+    // this to a single aggregate with one conditional counter per
+    // type, exactly what the oracle spells out).
+    Q("a15_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                     SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                     SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                     SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                     SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+              FROM events GROUP BY 1 ORDER BY day""")),
+
     // Conditional aggregation (TPC-H Q12 shape): SUM(CASE WHEN …)
     // pivots a predicate into per-group counters in a single pass —
     // one scan, one aggregate, no joins or unions.
