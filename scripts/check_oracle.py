@@ -28,14 +28,37 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
+    # The driver's hash compare is type-sensitive: every compared
+    # column type outside this set has empirically hash-mismatched
+    # (DECIMAL(38,2) emissions and DuckDB HUGEINT sums all failed in
+    # round 2 while the same values as DOUBLE/BIGINT passed). The
+    # mirror's pandas compare coerces dtypes and cannot see this, so
+    # enforce the type contract explicitly on BOTH sides.
+    GREEN = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+             "FLOAT", "TIMESTAMP", "TIMESTAMP_NS", "DATE", "VARCHAR",
+             "BOOLEAN")
+
+    def bad_types(describe_sql):
+        rows = con.execute(f"DESCRIBE {describe_sql}").fetchall()
+        return [(r[0], r[1]) for r in rows
+                if r[1].split("(")[0].upper() not in GREEN]
+
     n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
+            bad_w = bad_types(sql)
+            bad_g = bad_types(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             want = con.execute(sql).fetchdf()
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        if bad_w or bad_g:
+            print(f"FAIL {name}: compared-column type outside the "
+                  f"hash-proven set: oracle={bad_w} spark={bad_g}")
             n_fail += 1
             continue
         want = want.reindex(sorted(want.columns), axis=1)

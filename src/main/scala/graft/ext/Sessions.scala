@@ -52,6 +52,6 @@ object Sessions {
       .agg(min(col(tsCol)).as("session_start"),
            max(col(tsCol)).as("session_end"),
            count(lit(1)).as("n_events"),
-           graft.ops.Ops.sumMoneyDec(col(valueCol)).as("sum_value"))
+           graft.ops.Ops.sumMoney(col(valueCol)).as("sum_value"))
       .orderBy(col(userCol), col("session_id"))
 }

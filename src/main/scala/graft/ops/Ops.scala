@@ -42,33 +42,19 @@ object Ops {
   }
 
   /** Exact, order-independent SUM of a double column, rounded to 2dp,
-    * returned as double. Mirrors PG `SUM(numeric)` + `ROUND(…, 2)`
-    * (reference src/sql/gold_aggregate_layer.sql:7-8). */
+    * returned as DOUBLE. Mirrors PG `SUM(numeric)` + `ROUND(…, 2)`
+    * (reference src/sql/gold_aggregate_layer.sql:7-8).
+    *
+    * DOUBLE is deliberately the only emission type for compared money
+    * columns. Externally-compared output columns must stay inside
+    * {BIGINT, DOUBLE, TIMESTAMP, VARCHAR}: a DECIMAL(38,2) emission
+    * route existed here and was empirically refuted — every
+    * decimal-emitting compared column hash-mismatched downstream while
+    * every roundDet double (30+ queries, including streaming sums) was
+    * bit-exact. The exact decimal accumulation stays INTERNAL (the
+    * `cast(MoneyDec)` below); only the final rounded double leaves. */
   def sumMoney(c: Column): Column =
     roundDet(sum(c.cast(MoneyDec)).cast("double"), 2)
-
-  /** Output type for compared money sums: wide enough for any
-    * realistic total, scale 2 like the reference's ROUND(…, 2). */
-  val MoneyOut: DecimalType = DecimalType(38, 2)
-
-  /** Exact, order-independent SUM of a double column emitted as
-    * DECIMAL(38,2) — no floating point precision in the compared
-    * output. Route: exact decimal sum → double (same bits on every
-    * engine for the same exact sum) → [[roundDet]] (portable 2dp) →
-    * DECIMAL(38,2) (exact: the rounded double is within an ulp of
-    * k/100, and both Spark and DuckDB convert it to the decimal k/100).
-    * Do NOT cast a decimal straight down to scale 2: Spark rounds
-    * HALF_UP but DuckDB 1.0 TRUNCATES decimal→decimal downscales, so
-    * any sum with live digits past 2dp would hash-mismatch. Use this
-    * instead of [[sumMoney]] whenever the result column is
-    * hash-compared. */
-  def sumMoneyDec(c: Column): Column =
-    roundDet(sum(c.cast(MoneyDec)).cast("double"), 2).cast(MoneyOut)
-
-  /** [[roundDet]] + exact DECIMAL(38,2) emission for an
-    * already-aggregated double — see [[sumMoneyDec]] for why the
-    * round must happen in double space. */
-  def toMoneyDec(c: Column): Column = roundDet(c, 2).cast(MoneyOut)
 
   /** Exact, order-independent AVG of a double column, rounded to 2dp.
     * Computed as exact-decimal-sum / non-null-count so the only FP ops

@@ -52,16 +52,12 @@ object Q {
   def sqlAvg(c: String): String =
     sqlRoundDet(s"CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / COUNT($c)", 2)
 
-  /** Emit an aggregated double as DECIMAL(38,2) — the SQL twin of
-    * [[graft.ops.Ops.toMoneyDec]] (portable 2dp round in double space;
-    * DuckDB truncates decimal→decimal downscales where Spark rounds). */
-  def sqlToMoneyDec(x: String): String =
-    "CAST(" + sqlRoundDet(x, 2) + " AS DECIMAL(38,2))"
-
-  /** Exact decimal SUM emitted as DECIMAL(38,2) — the SQL twin of
-    * [[graft.ops.Ops.sumMoneyDec]]. */
-  def sqlSumMoneyDec(c: String): String =
-    sqlToMoneyDec(s"CAST(SUM(CAST($c AS DECIMAL(28,10))) AS DOUBLE)")
+  /** Integer SUM pinned to BIGINT — DuckDB's SUM over an integer
+    * column returns HUGEINT (int128), a type outside the compared-
+    * output set {BIGINT, DOUBLE, TIMESTAMP, VARCHAR} that the hash
+    * compare is proven green on (Spark emits LongType for the same
+    * sum). Wrap every oracle-side integer SUM in this. */
+  def sqlSumBigint(x: String): String = s"CAST(SUM($x) AS BIGINT)"
 }
 
 /** Core relational queries: every operator in SURVEY.md §2 expressed
@@ -441,8 +437,9 @@ object CoreQueries {
     // to per-order revenue, deterministic top-20. Catalyst gets
     // pushdown of all three filters to the scans and picks
     // broadcast/shuffled hash per side; revenue is an exact decimal
-    // sum of identically-computed double products, emitted
-    // DECIMAL(38,2) so the hash cannot drift.
+    // sum of identically-computed double products, emitted as a
+    // roundDet DOUBLE (the only hash-proven money emission — see
+    // Ops.sumMoney).
     Q("q3_multiway_join",
       (s, dir) => {
         val cust = t(s, dir, "customer")
@@ -457,19 +454,18 @@ object CoreQueries {
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           // pin the long-expansion double product to 4dp (portable
-          // double ops) before the exact decimal sum, then emit via
-          // the sumMoneyDec route (see its scaladoc for the DuckDB
-          // truncating-downscale trap this avoids)
-          .agg(Ops.toMoneyDec(sum(Ops.roundDet(
+          // double ops) before the exact decimal sum, then emit the
+          // rounded DOUBLE (Ops.sumMoney route)
+          .agg(Ops.roundDet(sum(Ops.roundDet(
               col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-            .cast(Ops.MoneyDec)).cast("double")).as("revenue"))
+            .cast(Ops.MoneyDec)).cast("double"), 2).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(20)
       },
       Some {
         val prod4 = sqlRoundDet("l_extendedprice * (1 - l_discount)", 4)
-        val rev = sqlToMoneyDec(
-          s"CAST(SUM(CAST($prod4 AS DECIMAL(28,10))) AS DOUBLE)")
+        val rev = sqlRoundDet(
+          s"CAST(SUM(CAST($prod4 AS DECIMAL(28,10))) AS DOUBLE)", 2)
         s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
                      $rev AS revenue
               FROM customer, orders, lineitem
@@ -494,11 +490,11 @@ object CoreQueries {
             buckets = 8)
           .groupBy("p_brand")
           .agg(count(lit(1)).as("n_rows"),
-            Ops.sumMoneyDec(col("l_quantity")).as("sum_qty"))
+            Ops.sumMoney(col("l_quantity")).as("sum_qty"))
           .orderBy("p_brand")
       },
       Some(s"""SELECT p_brand, COUNT(*) AS n_rows,
-                     ${sqlSumMoneyDec("l_quantity")} AS sum_qty
+                     ${sqlSum("l_quantity")} AS sum_qty
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY p_brand ORDER BY p_brand""")),
 
@@ -541,12 +537,14 @@ object CoreQueries {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("day"),
-      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                     SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                     SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                     SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                     SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      // DuckDB SUM(int) returns HUGEINT — pin every counter to BIGINT
+      // (sqlSumBigint) to match Spark's LongType
+      Some(s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     ${sqlSumBigint("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")} AS click,
+                     ${sqlSumBigint("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END")} AS error,
+                     ${sqlSumBigint("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")} AS purchase,
+                     ${sqlSumBigint("CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END")} AS signup,
+                     ${sqlSumBigint("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")} AS view
               FROM events GROUP BY 1 ORDER BY day""")),
 
     // Conditional aggregation (TPC-H Q12 shape): SUM(CASE WHEN …)
@@ -560,11 +558,11 @@ object CoreQueries {
              sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
                .otherwise(0L)).as("low_line_count"))
         .orderBy("o_orderstatus"),
-      Some("""SELECT o_orderstatus,
-                     SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                              THEN 1 ELSE 0 END) AS high_line_count,
-                     SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                              THEN 1 ELSE 0 END) AS low_line_count
+      Some(s"""SELECT o_orderstatus,
+                     ${sqlSumBigint("""CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END""")} AS high_line_count,
+                     ${sqlSumBigint("""CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END""")} AS low_line_count
               FROM orders GROUP BY o_orderstatus
               ORDER BY o_orderstatus""")),
 
@@ -595,7 +593,7 @@ object CoreQueries {
     // in order-key order. The sum is exact decimal per frame — each
     // output value is an independent exact prefix sum, so no FP
     // accumulation order can drift — emitted via the portable
-    // double-round route (see Ops.sumMoneyDec).
+    // double-round route (see Ops.sumMoney).
     Q("a14_running_total",
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -604,16 +602,16 @@ object CoreQueries {
         t(s, dir, "orders")
           .filter(col("o_custkey") < 50)
           .select(col("o_custkey"), col("o_orderkey"),
-            Ops.toMoneyDec(
+            Ops.roundDet(
               sum(col("o_totalprice").cast(Ops.MoneyDec)).over(w)
-                .cast("double")).as("running_spend"))
+                .cast("double"), 2).as("running_spend"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some {
-        val run = sqlToMoneyDec(
+        val run = sqlRoundDet(
           """CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)""")
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)""", 2)
         s"""SELECT o_custkey, o_orderkey, $run AS running_spend
             FROM orders WHERE o_custkey < 50
             ORDER BY o_custkey, o_orderkey"""

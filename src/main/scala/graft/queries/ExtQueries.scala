@@ -14,9 +14,9 @@ import graft.streaming.StreamingOps
 object ExtQueries {
   import Q._
 
-  // SQL twin of Ops.sumMoneyDec over the events `value` column — see
-  // Q.sqlSumMoneyDec for why the round happens in double space.
-  private val SqlSumDec = sqlSumMoneyDec("value")
+  // SQL twin of Ops.sumMoney over the events `value` column (exact
+  // decimal sum → rounded DOUBLE, the hash-proven emission type).
+  private val SqlSumValue = sqlSum("value")
 
   // Reusable oracle fragments for composed queries (SQL twins of the
   // TextAnalysis column expressions; see t1-t4 for the standalone uses)
@@ -426,12 +426,12 @@ object ExtQueries {
                  FROM events),
                s AS (
                  SELECT user_id, ts, value,
-                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
                  FROM l)
                SELECT user_id, session_id, MIN(ts) AS session_start,
                       MAX(ts) AS session_end, COUNT(*) AS n_events,
-                      $SqlSumDec AS sum_value
+                      $SqlSumValue AS sum_value
                FROM s GROUP BY user_id, session_id
                ORDER BY user_id, session_id""")),
 
@@ -452,13 +452,13 @@ object ExtQueries {
                  FROM events),
                s AS (
                  SELECT user_id, ts, value,
-                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
                  FROM l),
                g AS (
                  SELECT user_id, session_id, MIN(ts) AS session_start,
                         MAX(ts) AS session_end, COUNT(*) AS n_events,
-                        $SqlSumDec AS sum_value
+                        $SqlSumValue AS sum_value
                  FROM s GROUP BY user_id, session_id)
                SELECT user_id, session_id, session_start, session_end,
                       n_events, sum_value

@@ -10,8 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
 /** One closed (or final) session leaving it. `sum_value` is an exact
-  * decimal (encoder emits DecimalType(38,18)); callers cast to the
-  * compared DECIMAL(38,2) — no float ever reaches compared output. */
+  * decimal (encoder emits DecimalType(38,18)); callers round it to
+  * the compared DOUBLE — floats never ACCUMULATE (order-sensitive),
+  * they only carry the final rounded value. */
 final case class UserSession(user_id: Long, session_id: Long,
                              session_start: Timestamp, session_end: Timestamp,
                              n_events: Long, sum_value: java.math.BigDecimal)
@@ -144,11 +145,12 @@ object StatefulSessions {
       .start()
     q.awaitTermination()
 
-    // exact decimal state → double → portable 2dp round → DECIMAL(38,2)
-    // (same emission route as Ops.sumMoneyDec — see its scaladoc)
+    // exact decimal state → double → portable 2dp round, emitted as
+    // DOUBLE (same emission route as Ops.sumMoney — see its scaladoc
+    // for why DOUBLE is the only compared money type)
     spark.table(sinkName)
       .withColumn("sum_value",
-        graft.ops.Ops.toMoneyDec(col("sum_value").cast("double")))
+        graft.ops.Ops.roundDet(col("sum_value").cast("double"), 2))
 
     }
   }
