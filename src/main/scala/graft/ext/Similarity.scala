@@ -68,32 +68,32 @@ object Similarity {
 
   /** Assign every corpus vector to its nearest centroid (by cosine).
     *
-    * Zero-shuffle formulation: the centroid set is first collapsed to
-    * a single array row (it is small by construction — |corpus|/stride
-    * rows) and broadcast-cross-joined onto the corpus, then the argmax
-    * is computed INSIDE the projection with one pass of higher-order
-    * functions — max of (ccos, -cid) structs, ties toward the lower
-    * centroid id, exactly the order the r1 window used. The r1 plan
-    * (`Window.partitionBy(nid)` with `nid` unique) forced a full
-    * corpus shuffle + sort just to rank each row's own candidates; at
-    * 100 TB that global exchange is pure waste. This plan touches each
-    * corpus row exactly once where it already lives; the result is
-    * reusable across queries — persist it bucketed by cid at scale. */
+    * Zero-shuffle, codegen'd formulation: the centroid set is first
+    * collapsed to a single array row (it is small by construction —
+    * |corpus|/stride rows) and broadcast-cross-joined onto the corpus;
+    * the argmax then runs INSIDE the projection as the fused
+    * [[graft.functions.ArgMaxCosine]] expression — one whole-stage-
+    * codegen'd loop over the centroids per corpus row, ties toward
+    * the lower centroid id. Each corpus row is touched exactly once
+    * where it already lives (no corpus exchange, unlike a
+    * per-(row, centroid) join + max_by reduction), and nothing is
+    * interpreted (unlike a `transform`/`array_max` HOF argmax, which
+    * never enters codegen and measured 13× slower at sf0.1). The
+    * result is reusable across queries — persist it bucketed by cid
+    * at scale. */
   def ivfAssign(corpus: DataFrame, cents: DataFrame,
                 vecCol: String = "embedding",
                 idCol: String = "vec_id"): DataFrame = {
     val v = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
-    // one row holding all centroids (order irrelevant: max is total)
+    // one row holding all centroids (order irrelevant: the argmax is
+    // a total order over (cosine, -cid))
     val centArr = cents.agg(
       collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
-    val scoredArr = transform(col("__cents"), c =>
-      struct(cosine(col("nvec"), c.getField("cvec")).as("ccos"),
-             (-c.getField("cid")).as("ncid")))
     v.join(broadcast(centArr))
-      .withColumn("__best", array_max(scoredArr))
       .select(col("nid"), col("nvec"),
-        (-col("__best").getField("ncid")).as("cid"))
+        graft.functions.GraftFunctions.argmax_cosine(
+          col("nvec"), col("__cents")).as("cid"))
   }
 
   /** Cosine-LSH near-neighbor pairs over the whole corpus — the

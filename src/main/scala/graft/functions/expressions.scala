@@ -77,6 +77,111 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmax_cosine(vec, cents): the id of the centroid most cosine-
+  * similar to `vec`, ties toward the LOWER id. `cents` is an
+  * array<struct<cid: bigint, cvec: array<double>>> — the whole
+  * (small) centroid set collapsed into one broadcastable value, so
+  * IVF assignment is a zero-shuffle projection over the corpus: each
+  * row is scored against every centroid in one fused, whole-stage-
+  * codegen'd loop (same accumulation order as [[CosineSimilarity]],
+  * so assignments are bit-compatible with the per-pair formulation).
+  *
+  * Exists because the declarative alternatives both give up
+  * something at 100 TB: a per-(row, centroid) join + max_by
+  * re-shuffles the corpus to reduce, and `array_max`∘`transform`
+  * over the centroid array is a higher-order function — interpreted,
+  * never codegen'd, measured 13× slower at sf0.1. NaN cosines rank
+  * greatest (java.lang.Double.compare), matching Spark sort order;
+  * an empty/all-null centroid array yields NULL. */
+case class ArgMaxCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType),
+    ArrayType(StructType(Seq(
+      StructField("cid", LongType),
+      StructField("cvec", ArrayType(DoubleType))))))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    var found = false
+    var bestCid = 0L
+    var bestCos = 0.0
+    var j = 0
+    val m = cs.numElements()
+    while (j < m) {
+      if (!cs.isNullAt(j)) {
+        val cent = cs.getStruct(j, 2)
+        val cid = cent.getLong(0)
+        val cvec = cent.getArray(1)
+        val n = math.min(vec.numElements(), cvec.numElements())
+        var ab = 0.0; var aa = 0.0; var bb = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = vec.getDouble(i); val yi = cvec.getDouble(i)
+          ab += xi * yi; aa += xi * xi; bb += yi * yi
+          i += 1
+        }
+        val c = ab / (math.sqrt(aa) * math.sqrt(bb))
+        val cmp = java.lang.Double.compare(c, bestCos)
+        if (!found || cmp > 0 || (cmp == 0 && cid < bestCid)) {
+          found = true; bestCos = c; bestCid = cid
+        }
+      }
+      j += 1
+    }
+    if (found) bestCid else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cs) => {
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val found = ctx.freshName("found")
+      val bestCid = ctx.freshName("bestCid")
+      val bestCos = ctx.freshName("bestCos")
+      val cent = ctx.freshName("cent")
+      val cid = ctx.freshName("cid"); val cvec = ctx.freshName("cvec")
+      val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb"); val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+        boolean $found = false;
+        long $bestCid = 0L;
+        double $bestCos = 0.0;
+        int $m = $cs.numElements();
+        for (int $j = 0; $j < $m; $j++) {
+          if (!$cs.isNullAt($j)) {
+            InternalRow $cent = $cs.getStruct($j, 2);
+            long $cid = $cent.getLong(0);
+            ArrayData $cvec = $cent.getArray(1);
+            int $n = java.lang.Math.min($vec.numElements(), $cvec.numElements());
+            double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $xi = $vec.getDouble($i);
+              double $yi = $cvec.getDouble($i);
+              $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+            }
+            double $c = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+            int $cmp = java.lang.Double.compare($c, $bestCos);
+            if (!$found || $cmp > 0 || ($cmp == 0 && $cid < $bestCid)) {
+              $found = true; $bestCos = $c; $bestCid = $cid;
+            }
+          }
+        }
+        if ($found) { ${ev.value} = $bestCid; } else { ${ev.isNull} = true; }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgMaxCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** K-slot MinHash signature of an array<string> shingle column in one
   * pass: base = pmod(xxhash64(s), P) (identical bits to the built-in
   * `xxhash64` — same XXH64 kernel, same seed 42), then
@@ -568,6 +673,9 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
+  def argmax_cosine(vec: Column, cents: Column): Column =
+    column(ArgMaxCosine(expression(vec), expression(cents)))
+
   def minhash_sig(shingles: Column, params: Seq[(Long, Long)]): Column =
     column(MinHashSignature(expression(shingles), params))
 
@@ -608,6 +716,9 @@ object GraftFunctions {
     }
     reg.createOrReplaceTempFunction("cosine_sim",
       es => { arity(2, "cosine_sim")(es); CosineSimilarity(es.head, es(1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction("argmax_cosine",
+      es => { arity(2, "argmax_cosine")(es); ArgMaxCosine(es.head, es(1)) },
       "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")

@@ -35,6 +35,24 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 0, s"corpus-side shuffle in:\n$plan")
   }
 
+  test("ivfAssign argmax runs inside whole-stage codegen (x2 perf lock)") {
+    import org.apache.spark.sql.execution.debug._
+    // AQE wraps join plans in AdaptiveSparkPlanExec, which exposes no
+    // codegen subtrees until runtime — inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cents = Similarity.centroids(embs, stride = 20)
+      val df = Similarity.ivfAssign(embs, cents)
+      // ArgMaxCosine's doGenCode emits the bestCid/bestCos accumulator
+      // loop; if the expression fell back to interpreted eval (the r2
+      // transform/array_max regression: 2.55 s → 33 s at sf0.1), the
+      // generated code would not contain it
+      val code = codegenString(df.queryExecution.executedPlan)
+      assert(code.contains("bestCid"),
+        "argmax cosine loop not in whole-stage codegen — interpreted fallback")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("projection + filter push down to the parquet scan (S1/P1)") {
     val plan = executed(docs.filter(col("lang") === "en")
       .select("doc_id", "n_chars"))
