@@ -100,57 +100,67 @@ object Similarity {
     * bucketed scale path when there is no query set (all-pairs
     * near-dup mining over embeddings without a blocking column).
     *
-    * Sign-random-projection signatures
-    * ([[graft.functions.HyperplaneLsh64]]) turn angular proximity into
-    * low Hamming distance; the SimHash pigeonhole block join then
-    * finds all pairs within `maxDist` signature bits exactly (d
-    * flipped bits cannot touch all d+1 chunks), and exact cosine
-    * verifies. Shuffles are keyed on (chunk, value) — never an
-    * unblocked cross join — so this scales like the text SimHash path:
-    * per-bucket work, bounded by how well 64 hyperplanes separate the
-    * corpus. */
+    * Banded sign-random-projection ([[graft.functions
+    * .HyperplaneLshExplode]], the MinHash AND/OR scheme on angular
+    * hashes): each vector gets `numBands` independent `bandBits`-bit
+    * signatures; two vectors become a candidate pair iff some band
+    * matches exactly, and exact cosine verifies every candidate.
+    * Shuffles are keyed on (band, value) — never an unblocked cross
+    * join — and only (id, band, bval) enters the bucket shuffle, never
+    * the embedding.
+    *
+    * Scale contract (the dials are independent, unlike the former
+    * pigeonhole chunking of ONE 64-bit signature, whose chunk width —
+    * and therefore bucket-key space, 256 values at radius 28 — was
+    * forced by the mining radius, making candidates O(n²/256)):
+    *  - `bandBits` sizes the bucket-key space, 2^bandBits keys per
+    *    band. Pick bandBits ≳ log2(corpus): random-pair collisions per
+    *    band are then ≈ n²/2^bandBits ≈ O(n), so candidate volume
+    *    scales with the true near-neighbor mass, not a fixed ceiling.
+    *  - `numBands` buys recall: P[pair found] =
+    *    1 − (1 − (1 − θ/π)^bandBits)^numBands. At a production
+    *    near-dup threshold (cosine ≥ 0.9) the defaults give ~94%
+    *    recall; mining at low cosine needs narrower bands or more of
+    *    them (see x3's registration for the synthetic-corpus knobs).
+    *  - `maxBucket` drops degenerate buckets (a band value shared by
+    *    more members carries ~no angular information, and a single
+    *    hot bucket would emit O(maxBucket²) candidate pairs); pairs
+    *    lost there remain findable through their other bands. The
+    *    drop is a visible dial, not a silent truncation.
+    */
   /** @param broadcastVerify hint the candidate-vector joins broadcast
     *   (right for the usual small candidate set). Pass false when the
     *   hyperplanes separate the corpus poorly and the candidate
     *   vectors outgrow broadcast memory — the joins fall back to
     *   shuffled hash, same result (the minhashNearDups knob). */
-  def lshNearDups(corpus: DataFrame, threshold: Double, maxDist: Int = 12,
+  def lshNearDups(corpus: DataFrame, threshold: Double,
+                  numBands: Int = 32, bandBits: Int = 16,
+                  maxBucket: Int = 1024,
                   vecCol: String = "embedding",
                   idCol: String = "vec_id",
                   broadcastVerify: Boolean = true): DataFrame = {
     val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
-    // Wider chunks than the text SimHash path: angular signatures of
-    // true near-neighbors differ in more bits than token-set
-    // signatures, and maxDist+1 pigeonhole chunks at maxDist=12 would
-    // be 4-bit buckets that collide half the corpus. With fewer,
-    // wider chunks the guarantee relaxes from exact recall to high
-    // recall (a pair may flip a bit in every chunk) — the standard
-    // LSH recall/candidate-volume dial; pass numChunks = maxDist+1
-    // semantics by lowering maxDist for exactness.
-    val numChunks = maxDist / 4 + 1
-    val chunkBits = (64 + numChunks - 1) / numChunks
-    // only (chunk, value, id, sig) enters the bucket shuffle — 8-byte
-    // signature, never the embedding itself (the simhash posture)
-    val sig = corpus.select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.hyperplane_lsh64(
-        col(vecCol).cast("array<double>")).as("sig"))
-    val chunked = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until numChunks).map { c =>
-        val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
-        shiftright(col("sig"), c * chunkBits).bitwiseAND(mask)
-      }: _*)).as(Seq("chunk", "cval")))
+    val banded = corpus.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.hyperplane_lsh_explode(
+        col(vecCol).cast("array<double>"), numBands, bandBits)
+        .as(Seq("band", "bval")))
 
-    val l = chunked.select(col("chunk"), col("cval"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("cval"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    // Bucket-grouped pair generation (the minhashNearDups pattern):
+    // one aggregation keyed on (band, bval) collects each bucket's
+    // sorted ids; within-bucket id_a < id_b pairs come from a nested
+    // transform over that array, so the signature pass runs once and
+    // no self-join re-evaluates it.
+    val buckets = banded.groupBy("band", "bval")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     // candidate pairs are small by the LSH contract; materialize so
-    // the two vector-attach joins don't re-run the bucket join
-    val cands = l.join(r, Seq("chunk", "cval"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
-      .select("id_a", "id_b")
+    // the two vector-attach joins don't re-run the bucket aggregate
+    val cands = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
       .localCheckpoint()
 
     val candIds = cands

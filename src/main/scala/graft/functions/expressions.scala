@@ -489,6 +489,83 @@ case class HyperplaneLsh64(child: Expression)
     copy(child = newChild)
 }
 
+/** Banded random-hyperplane LSH: emits one (band, bval) row per band,
+  * where `bval` is an independent `bandBits`-bit sign-random-projection
+  * signature of the embedding (band b uses hyperplanes none of the
+  * other bands see). Two vectors collide in band b iff all bandBits
+  * signs agree there — the MinHash-style AND/OR amplification:
+  * P[collision in one band] = (1 − θ/π)^bandBits, amplified across
+  * `numBands` OR-ed chances. Tuning contract (scaladoc'd at the
+  * operator, graft.ext.Similarity.lshNearDups): bandBits positions the
+  * selectivity threshold AND sizes the bucket-key space (2^bandBits
+  * keys per band — pick bandBits ≳ log2(corpus) so bucket occupancy
+  * stays O(1) as the corpus grows; never a fixed 256-value ceiling),
+  * numBands buys recall linearly in cost.
+  *
+  * Like [[HyperplaneLsh64]], the hyperplanes are implicit Rademacher
+  * vectors drawn from the XXH64 kernel — `hashLong(d, 42+w)` is the
+  * d-th dimension's sign row for global sign-bit word w — so there is
+  * no stored projection matrix and every executor derives identical
+  * planes. A custom Generator (not posexplode of an array expression)
+  * so InferFiltersFromGenerate cannot synthesize a `size(…) > 0`
+  * filter that would re-evaluate the signature pass below the
+  * Generate node (the round-1 generator trap). */
+case class HyperplaneLshExplode(child: Expression, numBands: Int,
+                                bandBits: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(numBands >= 1, s"numBands must be >= 1, got $numBands")
+  require(bandBits >= 1 && bandBits <= 63,
+    s"bandBits must be in [1, 63], got $bandBits")
+
+  private val totalBits = numBands * bandBits
+  private val numWords = (totalBits + 63) / 64
+
+  override def elementSchema: StructType = new StructType()
+    .add("band", IntegerType, nullable = false)
+    .add("bval", LongType, nullable = false)
+
+  override def checkInputDataTypes() =
+    ExpectsInputTypes.checkInputDataTypes(children, Seq(ArrayType(DoubleType)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val vec = child.eval(input)
+    if (vec == null) return Nil
+    val v = vec.asInstanceOf[ArrayData]
+    val acc = new Array[Double](totalBits)
+    val n = v.numElements()
+    var d = 0
+    while (d < n) {
+      val x = v.getDouble(d)
+      var w = 0
+      while (w < numWords) {
+        val signs = XXH64.hashLong(d.toLong, 42L + w)
+        val base = w * 64
+        val hi = math.min(64, totalBits - base)
+        var k = 0
+        while (k < hi) {
+          acc(base + k) += (if (((signs >>> k) & 1L) == 1L) x else -x)
+          k += 1
+        }
+        w += 1
+      }
+      d += 1
+    }
+    (0 until numBands).map { b =>
+      var sig = 0L
+      var k = 0
+      while (k < bandBits) {
+        if (acc(b * bandBits + k) > 0) sig |= (1L << k)
+        k += 1
+      }
+      InternalRow(b, sig)
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneLshExplode = copy(child = newChild)
+}
+
 /** One-pass text-statistics kernel shared by eval and codegen of
   * [[TextStats]]. Counts are defined to be bit-identical to the
   * declarative formulations they replace (graft.ext.TextAnalysis,
@@ -702,6 +779,10 @@ object GraftFunctions {
 
   def hyperplane_lsh64(vec: Column): Column =
     column(HyperplaneLsh64(expression(vec)))
+
+  def hyperplane_lsh_explode(vec: Column, numBands: Int,
+                             bandBits: Int): Column =
+    column(HyperplaneLshExplode(expression(vec), numBands, bandBits))
 
   /** Register the expressions on a live session for SQL use
     * (`SELECT cosine_sim(a, b)`). For registration at session build

@@ -358,16 +358,19 @@ object ExtQueries {
               SELECT qid, rank, nid, cosine FROM r WHERE rank <= 5
               ORDER BY qid, rank""")),
 
-    // unblocked cosine-LSH near-neighbor pairs (sign-random-projection
-    // signatures + pigeonhole buckets); hash family engine-specific →
-    // rows-only check, exact-cosine verification inside
-    // maxDist 28: the synthetic corpus tops out below cosine 0.6, and
-    // E[hamming] = 64·θ/π ≈ 26 bits at cosine 0.3 — the radius must
-    // cover the angle of the pairs being mined (real near-dup corpora
-    // sit at cosine ≥0.9 ⇒ radius ~12)
+    // unblocked cosine-LSH near-neighbor pairs (banded sign-random-
+    // projection, MinHash-style AND/OR); hash family engine-specific →
+    // rows-only check, exact-cosine verification inside.
+    // Knobs for THIS corpus: the synthetic embeddings mine at an
+    // unrealistically low cosine 0.3 (66° — sign bits agree only 60%
+    // of the time), so bands are narrowed to 12 bits and doubled to 32
+    // for ~6-22% recall across the 0.3-0.5 cosine range; 2^12 bucket
+    // keys per band still exceeds the tested corpus sizes (bandBits ≳
+    // log2(n) rule). Production near-dup mining at cosine ≥ 0.9 uses
+    // the defaults (32×16-bit bands ⇒ ~94% recall, 65k keys/band).
     Q("x3_sim_lsh_pairs",
       (s, dir) => Similarity.lshNearDups(t(s, dir, "embeddings"),
-        threshold = 0.3, maxDist = 28), None),
+        threshold = 0.3, numBands = 32, bandBits = 12), None),
 
     // ---- multimodal plumbing -----------------------------------------
 
