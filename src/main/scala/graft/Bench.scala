@@ -7,8 +7,34 @@ package graft
   * Queries run in sorted-name order after a small untimed warm-up
   * (session init, codegen compiler, parquet footer caches), so
   * per-query numbers measure the query, not JVM cold start.
+  *
+  * Besides timings the line carries a per-query physical-plan DIGEST
+  * (stable hash of the formatted plan with expression ids and file
+  * paths normalized away), and the full formatted plans go to
+  * BENCH_PLANS.txt — so a timing swing between rounds is attributable:
+  * same digest = same plan = environmental noise; changed digest = a
+  * real plan regression/improvement to audit.
   */
 object Bench {
+
+  /** Strip run-variant noise from a formatted plan so the digest is
+    * stable across runs/scale factors: expression ids (#123), codegen
+    * stage ids, plan ids, file paths/locations, row-count stats. */
+  private[graft] def normalizePlan(plan: String): String =
+    plan
+      .replaceAll("#\\d+", "#")
+      .replaceAll("\\[codegen id : \\d+\\]", "")
+      .replaceAll("\\[plan_id=\\d+\\]", "")
+      .replaceAll("(?i)location:? [^\\n]*", "location: _")
+      .replaceAll("file:[^\\s,\\)\\]]+", "file:_")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
+
+  private[graft] def digest(plan: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(normalizePlan(plan).getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSpark.session("graft-bench",
@@ -19,30 +45,48 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val plans = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val secs = try {
+          val df = fn(spark, sfDir)
+          df.count()
+          val s = (System.nanoTime() - t0) / 1e9
+          try {
+            plans(name) = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          } catch { case e: Throwable =>
+            System.err.println(s"bench: no plan for $name: $e") }
+          s
+        } catch {
           case e: Throwable =>
-            // a failed query must be loud, not a suspiciously fast time
+            // a failed query must be loud AND carry a sentinel time:
+            // consumers reading only the timing fields must not see a
+            // plausible wall-clock for a query that produced nothing
             System.err.println(s"BENCH QUERY FAILED: $name: $e")
             // strip quote/backslash and ALL control chars — a tab or
             // CR in an exception message must not break the JSON line
             errors(name) = e.toString.take(200)
               .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+            -1.0
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val digests = plans.map { case (k, v) => "\"" + k + "\":\"" + digest(v) + "\"" }
+      .mkString("{", ",", "}")
+    // failed queries (sentinel -1) do not count into the total
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$digests,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info], which broke the driver's JSON
     // parse in round 1 — also write the bare line to known file paths
+    // (BENCH.json is gitignored; see .gitignore)
     for (p <- Seq(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
                   Some("BENCH.json")).flatten.distinct) {
       try {
@@ -51,6 +95,16 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"bench: could not write $p: $e") }
     }
+    // full formatted plans, digest-tagged, for plan-level audits
+    val plansOut = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "BENCH_PLANS.txt")
+    try {
+      val body = plans.map { case (k, v) =>
+        s"==== $k [${digest(v)}] ====\n$v"
+      }.mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(plansOut),
+        body.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $plansOut: $e") }
     spark.stop()
   }
 }

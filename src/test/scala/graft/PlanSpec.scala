@@ -102,6 +102,15 @@ class PlanSpec extends SparkTestBase {
       s"TextStats evaluated $calls times — CSE regressed")
   }
 
+  test("bench plan digest ignores run-variant noise, sees plan changes") {
+    val a = """HashAggregate #12 [codegen id : 3]
+Location: InMemoryFileIndex [file:/root/testdata/sf0.1/lineitem.parquet]"""
+    val b = """HashAggregate #99 [codegen id : 7]
+Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
+    assert(Bench.digest(a) == Bench.digest(b))
+    assert(Bench.digest(a) != Bench.digest(a.replace("HashAggregate", "SortAggregate")))
+  }
+
   test("sessionize: two user-keyed shuffles, no self-join (W2 plan)") {
     val events = graft.queries.Q.t(spark, sf001, "events")
     val plan = executed(graft.ext.Sessions.sessionize(events, 30))
