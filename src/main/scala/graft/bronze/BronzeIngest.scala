@@ -66,10 +66,20 @@ final class BronzeIngest(spark: SparkSession, warehouse: String,
       // for free from the invalid_records composite PK; our analog is
       // the same left-anti join used for ON CONFLICT (J3), against the
       // small (broadcast) quarantine table.
+      val candidates =
+        batch.filter(col("tpep_pickup_datetime") > lit(lld))
+      // Months spanned by the candidates — a map-side-combined
+      // distinct over one or two values per monthly batch — so the
+      // anti-join below reads only those quarantine partitions
+      // (PartitionFilters, locked by PlanSpec) instead of the whole
+      // ever-growing table.
+      val candMonths = candidates
+        .select(date_format(col("tpep_pickup_datetime"), "yyyy-MM")
+          .as("pickup_month"))
+        .distinct().collect().map(_.getString(0)).toSeq
       val newRows = Ops.insertIfAbsent(
-        batch.filter(col("tpep_pickup_datetime") > lit(lld)),
-        meta.invalidRecords, Schemas.invalidRecordsKey,
-        broadcastExisting = true)
+        candidates, meta.invalidRecordsForMonths(candMonths),
+        Schemas.invalidRecordsKey, broadcastExisting = true)
 
       // Window = calendar month of the earliest new row in the batch
       // (min is a cheap scalar agg on the already-staged batch).

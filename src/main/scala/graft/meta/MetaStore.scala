@@ -51,6 +51,16 @@ final class MetaStore(spark: SparkSession, warehouse: String) {
     readOrEmpty(invalidPath,
       Schemas.bronze.add("pickup_month", "string"))
 
+  /** Quarantine restricted to the given months — the read carries a
+    * partition-column predicate, so the parquet scan keeps a
+    * `PartitionFilters: [pickup_month IN (…)]` entry and touches only
+    * those month directories. Every anti-join against the quarantine
+    * goes through here: the right side stays O(months-in-batch) as the
+    * table grows, instead of re-scanning years of history per run
+    * (SURVEY §7.5 risk 3). Locked by PlanSpec. */
+  def invalidRecordsForMonths(months: Seq[String]): DataFrame =
+    invalidRecords.filter(col("pickup_month").isin(months: _*))
+
   /** `COALESCE(MAX(last_load_date), '2024-01-01')` — A1/F1
     * (bronze_incremental_load.sql:18-20). One tiny scalar agg over the
     * ledger; the ledger stays kilobytes even after years of runs. */
@@ -83,7 +93,13 @@ final class MetaStore(spark: SparkSession, warehouse: String) {
       date_format(col("tpep_pickup_datetime"), "yyyy-MM"))
     val batch = Ops.dedupFirst(withMonth, Schemas.invalidRecordsKey,
       Seq(col("tpep_dropoff_datetime"), col("fare_amount")))
-    val fresh = Ops.insertIfAbsent(batch, invalidRecords,
+    // Distinct months in the batch: a map-side-combined agg that
+    // returns a handful of values (out-of-window rows cluster around
+    // the window edges), bought once so the anti-join's quarantine
+    // scan is partition-pruned instead of full.
+    val months = batch.select("pickup_month").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val fresh = Ops.insertIfAbsent(batch, invalidRecordsForMonths(months),
       Schemas.invalidRecordsKey, broadcastExisting = true)
     val n = fresh.count()
     if (n > 0)

@@ -111,6 +111,25 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(Bench.digest(a) != Bench.digest(a.replace("HashAggregate", "SortAggregate")))
   }
 
+  test("quarantine anti-join reads only the batch's months (C4/J3 at scale)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_plan_wh_").toString
+    val meta = new graft.meta.MetaStore(spark, wh)
+    // seed two months of quarantine partitions
+    Seq(1, 2).foreach { m =>
+      meta.quarantine(graft.taxi.TaxiFixtures.monthBatch(spark, 2024, m))
+    }
+    // the exact anti-join fragment BronzeIngest.ingest builds
+    val batch = graft.taxi.TaxiFixtures.monthBatch(spark, 2024, 1)
+    val plan = executed(Ops.insertIfAbsent(
+      batch, meta.invalidRecordsForMonths(Seq("2024-01")),
+      graft.schema.Schemas.invalidRecordsKey, broadcastExisting = true))
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("pickup_month"),
+      s"quarantine scan not partition-pruned:\n$plan")
+    assert(pf.contains("2024-01"), s"month predicate missing:\n$pf")
+  }
+
   test("sessionize: two user-keyed shuffles, no self-join (W2 plan)") {
     val events = graft.queries.Q.t(spark, sf001, "events")
     val plan = executed(graft.ext.Sessions.sessionize(events, 30))
