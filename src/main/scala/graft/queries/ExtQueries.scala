@@ -487,6 +487,16 @@ object ExtQueries {
     Q("st3_stream_dedup",
       (s, dir) => StreamingOps.streamingDedupKeys(s, dir),
       Some("""SELECT DISTINCT user_id, event_type FROM events
-              ORDER BY user_id, event_type"""))
+              ORDER BY user_id, event_type""")),
+
+    // bounded-state dedup: the key carries the event day, so every
+    // duplicate pair is < 24 h apart and the 2-day watermark delay
+    // guarantees the dedup — completed replay == batch DISTINCT
+    Q("st4_stream_dedup_bounded",
+      (s, dir) => StreamingOps.streamingDedupBounded(s, dir),
+      Some("""SELECT DISTINCT user_id, event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day
+              FROM events
+              ORDER BY user_id, event_type, ts_day"""))
   )
 }

@@ -83,6 +83,49 @@ object StreamingOps {
     }
   }
 
+  /** Bounded-state streaming dedup — the production form of
+    * [[streamingDedupKeys]]. `dropDuplicates` keeps one state row per
+    * key forever; `dropDuplicatesWithinWatermark` evicts a key's state
+    * once the watermark passes its event time + delay, so state holds
+    * ~delay's worth of keys regardless of stream age.
+    *
+    * The eviction is only sound when every duplicate pair of a key is
+    * closer together than the delay — here that is a property of the
+    * key itself: it includes the event's calendar day, so duplicates
+    * are < 24 h apart by construction and the 2-day delay covers every
+    * pair. That makes the completed replay equal batch
+    * `DISTINCT (user_id, event_type, day)` — which is what the DuckDB
+    * oracle checks — while an infinite stream would hold only ~2 days
+    * of keys in the state store. */
+  def streamingDedupBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_stream_dedup_wm"
+    withFewShufflePartitions(spark) {
+
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 days")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("ts_day"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts_day")
+      .select("user_id", "event_type", "ts_day")
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sinkName).orderBy("user_id", "event_type", "ts_day")
+
+    }
+  }
+
   /** Streaming exact dedup: `dropDuplicates` over the replayed event
     * stream — the stateful streaming twin of batch DISTINCT (W1), and
     * the building block of exactly-once ingestion from at-least-once
@@ -90,8 +133,9 @@ object StreamingOps {
     * DISTINCT over the same keys, which is exactly what the oracle
     * checks. State is one entry per distinct key, unbounded on an
     * infinite stream — production pairs this with
-    * `dropDuplicatesWithinWatermark` to bound it; the replay here is
-    * finite by construction. */
+    * `dropDuplicatesWithinWatermark` to bound it
+    * ([[streamingDedupBounded]]); the replay here is finite by
+    * construction. */
   def streamingDedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sinkName = "graft_stream_dedup"

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.ext.Sessions
-import graft.streaming.{StatefulSessions, StreamingBronzeIngest}
+import graft.streaming.{StatefulSessions, StreamingBronzeIngest, StreamingOps}
 import graft.taxi.TaxiFixtures
 
 /** Streaming surface tests: batch/stream parity for the stateful
@@ -36,6 +36,16 @@ class StreamingSpec extends SparkTestBase {
 
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
+  test("bounded-state dedup == batch DISTINCT on the day-bucketed key (st4)") {
+    val events = graft.queries.Q.t(spark, sf001, "events")
+    val expected = events.select($"user_id", $"event_type",
+      date_trunc("day", $"ts").as("ts_day")).distinct()
+    val streamed = StreamingOps.streamingDedupBounded(spark, sf001)
+    assert(streamed.count() == expected.count())
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty)
   }
 
   test("streaming bronze ingest == batch bronze ingest") {
