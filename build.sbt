@@ -1,8 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "pythonnyctaxidatapipelinespark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
-unmanagedBase := file("/opt/spark/jars")
+// Spark jars ship with the image at /opt/spark/jars (zero-egress);
+// CI and other hosts can point SPARK_HOME at any Spark 4.1.x dist.
+unmanagedBase := file(sys.env.getOrElse("SPARK_HOME", "/opt/spark")) / "jars"
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(
