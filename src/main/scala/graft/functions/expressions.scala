@@ -726,6 +726,11 @@ case class MediaWrap(docId: Expression, mediaType: Expression,
 
   override def nullSafeEval(id: Any, mt: Any, d: Any): Any = {
     val i = id.asInstanceOf[Long]
+    // Java % on a negative id would yield non-positive dims / invalid
+    // sample rates — a corrupt container the decoder then rejects, and
+    // the oracle's derivations silently diverge. Ids are non-negative
+    // by the fixture contract; enforce it instead of wrapping garbage.
+    require(i >= 0, s"MediaWrap requires a non-negative doc id, got $i")
     val payload = d.asInstanceOf[Array[Byte]]
     mt.asInstanceOf[UTF8String].toString match {
       case "image" =>

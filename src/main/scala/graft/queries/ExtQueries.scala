@@ -40,6 +40,52 @@ object ExtQueries {
     s"CASE WHEN $greatest = 0 THEN 'und' $cases ELSE '${scores.last._1}' END"
   }
 
+  // -- shared shingle-pair oracle chain (d4/d6/e2) ----------------------
+  // Single source of truth for the 3-gram-Jaccard SQL twin of
+  // Dedup.ngramJaccardPairs: `src` rows → distinct 3-gram shingles →
+  // per-doc shingle counts → per-pair intersection counts. Tuning the
+  // shingle width or join keys happens here, once, for all three
+  // oracles that embed the chain.
+  private def sqlShinglePairCtes(src: String): String =
+    s"""toks AS (
+          SELECT doc_id, lang, string_split_regex(text, '\\s+') AS tk
+          FROM $src),
+        sh AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(
+                   range(0, GREATEST(len(tk)-3, 0)+1),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.shingle = b.shingle
+           AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)"""
+
+  // Jaccard over the `inter`/`sizes` aliases of sqlShinglePairCtes
+  private val SqlJaccard =
+    "CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)"
+
+  // pairs → undirected edges → reachability components (comp = min
+  // reachable id, the SQL twin of Dedup.connectedComponents' min-label
+  // propagation). Requires WITH RECURSIVE; follows sqlShinglePairCtes.
+  private def sqlComponentCtes(threshold: Double): String =
+    s"""pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE $SqlJaccard >= $threshold),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        verts AS (SELECT DISTINCT src AS id FROM edges),
+        reach(src, dst) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)"""
+
   val all: Seq[Q] = Seq(
 
     // Composed corpus-cleaning pipeline: score → quality/length gate →
@@ -78,33 +124,8 @@ object ExtQueries {
                         SELECT *, ROW_NUMBER() OVER (PARTITION BY $SqlFp
                                                      ORDER BY doc_id) AS rn
                         FROM g) WHERE rn = 1),
-               toks AS (SELECT doc_id, lang,
-                               string_split_regex(text, '\\s+') AS tk FROM ex),
-               sh AS (SELECT doc_id, lang,
-                        unnest(list_distinct(list_transform(
-                          range(0, GREATEST(len(tk)-3, 0)+1),
-                          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
-                      FROM toks),
-               sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-               inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                                COUNT(*) AS n_common
-                         FROM sh a JOIN sh b
-                           ON a.lang = b.lang AND a.shingle = b.shingle
-                          AND a.doc_id < b.doc_id
-                         GROUP BY a.doc_id, b.doc_id),
-               pairs AS (SELECT id_a, id_b FROM inter
-                         JOIN sizes sa ON sa.doc_id = id_a
-                         JOIN sizes sb ON sb.doc_id = id_b
-                         WHERE CAST(n_common AS DOUBLE)
-                               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4),
-               edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                         UNION SELECT id_b, id_a FROM pairs),
-               verts AS (SELECT DISTINCT src AS id FROM edges),
-               reach(src, dst) AS (
-                 SELECT id, id FROM verts
-                 UNION
-                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-               comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
+               ${sqlShinglePairCtes("ex")},
+               ${sqlComponentCtes(0.4)}
                SELECT e.doc_id, e.quality, e.n_tokens
                FROM ex e LEFT JOIN comp c ON c.id = e.doc_id
                WHERE c.comp IS NULL OR c.comp = e.doc_id
@@ -208,29 +229,13 @@ object ExtQueries {
     Q("d4_dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         threshold = 0.4),
-      Some(s"""WITH toks AS (
-                SELECT doc_id, lang, string_split_regex(text, '\\s+') AS tk
-                FROM documents),
-              sh AS (
-                SELECT doc_id, lang,
-                       unnest(list_distinct(list_transform(
-                         range(0, GREATEST(len(tk)-3, 0)+1),
-                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
-                FROM toks),
-              sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-              inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                FROM sh a JOIN sh b
-                  ON a.lang = b.lang AND a.shingle = b.shingle
-                 AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id)
+      Some(s"""WITH ${sqlShinglePairCtes("documents")}
               SELECT id_a, id_b,
-                     ${sqlRoundDet("CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)", 4)} AS jaccard
+                     ${sqlRoundDet(SqlJaccard, 4)} AS jaccard
               FROM inter
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b
-              WHERE CAST(n_common AS DOUBLE)
-                    / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+              WHERE $SqlJaccard >= 0.4
               ORDER BY id_a, id_b""")),
 
     // Near-dup pairs → dedup GROUPS: connected components by min-label
@@ -240,38 +245,9 @@ object ExtQueries {
     Q("d6_dedup_components",
       (s, dir) => Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.4)),
-      Some("""WITH RECURSIVE toks AS (
-                SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk
-                FROM documents),
-              sh AS (
-                SELECT doc_id, lang,
-                       unnest(list_distinct(list_transform(
-                         range(0, GREATEST(len(tk)-3, 0)+1),
-                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS shingle
-                FROM toks),
-              sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-              inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                FROM sh a JOIN sh b
-                  ON a.lang = b.lang AND a.shingle = b.shingle
-                 AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id),
-              pairs AS (
-                SELECT id_a, id_b FROM inter
-                JOIN sizes sa ON sa.doc_id = id_a
-                JOIN sizes sb ON sb.doc_id = id_b
-                WHERE CAST(n_common AS DOUBLE)
-                      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4),
-              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                        UNION SELECT id_b, id_a FROM pairs),
-              verts AS (SELECT DISTINCT src AS id FROM edges),
-              reach(src, dst) AS (
-                SELECT id, id FROM verts
-                UNION
-                SELECT r.src, e.dst FROM reach r
-                JOIN edges e ON r.dst = e.src)
-              SELECT src AS id, MIN(dst) AS comp FROM reach
-              GROUP BY src ORDER BY id""")),
+      Some(s"""WITH RECURSIVE ${sqlShinglePairCtes("documents")},
+              ${sqlComponentCtes(0.4)}
+              SELECT id, comp FROM comp ORDER BY id""")),
 
     // threshold 0.3 ≈ p99 of within-label cosine in the synthetic
     // embeddings — high enough to be selective, low enough that the
