@@ -644,6 +644,120 @@ object CoreQueries {
       Some(s"""SELECT event_type, MAX(value) AS max_value, COUNT(*) AS n_events
                FROM events
                WHERE ts >= TIMESTAMP '$WIN_LO' AND ts < TIMESTAMP '2024-02-01 00:00:00'
-               GROUP BY event_type ORDER BY event_type"""))
+               GROUP BY event_type ORDER BY event_type""")),
+
+    // TPC-H Q5 shape: region-gated six-table join. The dimension chain
+    // region → nation → supplier collapses to two tiny broadcast
+    // tables before touching a fact row; customer⋈orders⋈lineitem are
+    // the only shuffled joins (keyed on their own join columns, the
+    // partitioning a 1000-executor plan wants). The n_name group key
+    // arrives via the broadcast side — no second pass over facts.
+    Q("q5_region_revenue",
+      (s, dir) => {
+        val asianNations = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val supp = t(s, dir, "supplier")
+          .join(broadcast(asianNations),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val cust = t(s, dir, "customer")
+          .join(broadcast(asianNations.select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_nationkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+                  col("o_orderdate") < ts("1998-01-01 00:00:00"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(Ops.roundDet(sum(Ops.roundDet(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast(Ops.MoneyDec)).cast("double"), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some {
+        val prod4 = sqlRoundDet("l_extendedprice * (1 - l_discount)", 4)
+        val rev = sqlRoundDet(
+          s"CAST(SUM(CAST($prod4 AS DECIMAL(28,10))) AS DOUBLE)", 2)
+        s"""SELECT n_name, $rev AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""
+      }),
+
+    // TPC-H Q18 shape: HAVING over a big aggregate, then the
+    // qualifying keys rejoin the facts. The heavy groupBy runs on
+    // lineitem alone (partial agg shuffles pre-reduced rows keyed by
+    // l_orderkey); the survivors are a tiny set that broadcasts into
+    // the orders/customer joins. The HAVING compares exact decimal
+    // sums on both engines — no FP boundary flicker at the threshold.
+    Q("q18_big_spenders",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(Ops.MoneyDec)).as("qty_dec"))
+          .filter(col("qty_dec") > lit(250).cast(Ops.MoneyDec))
+          .select(col("l_orderkey"),
+            Ops.roundDet(col("qty_dec").cast("double"), 2).as("total_qty"))
+        t(s, dir, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            Ops.roundDet(col("o_totalprice"), 2).as("o_price"),
+            col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+      },
+      Some(s"""SELECT c_name, o_orderkey, o_orderdate,
+                      ${sqlRoundDet("o_totalprice", 2)} AS o_price,
+                      ${sqlRoundDet(
+                        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)", 2)}
+                        AS total_qty
+               FROM customer, orders, lineitem
+               WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+               GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+               HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 250
+               ORDER BY total_qty DESC, o_orderkey""")),
+
+    // TPC-H Q4 shape: EXISTS correlated subquery → left-semi join with
+    // a non-equi conjunct (late shipment: any lineitem shipped after
+    // the order date). The semi join shuffles each side once on the
+    // order key and never materializes matches — the plan EXISTS
+    // should produce, declared directly.
+    Q("q4_priority_semi",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+                  col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
