@@ -37,6 +37,27 @@ object Dedup {
       .drop("__rn", "__fp")
   }
 
+  /** Incremental exact dedup — the form corpus-scale ingestion
+    * actually runs: dedup a NEW batch against an already-ingested
+    * corpus without touching corpus bodies. In-batch survivors
+    * (lowest id per fingerprint) anti-join the corpus fingerprint
+    * set; only (id, fingerprint) pairs ever shuffle. At 100 TB the
+    * corpus side is a persisted fingerprint table appended per batch
+    * — the dedup twin of the bronze quarantine's pruned idempotency
+    * join — so each increment costs O(batch), not O(corpus). */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val corpusFps = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .drop("__rn", "__fp")
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** Number of minhash permutations / LSH bands. 64 hashes × 16 bands

@@ -105,4 +105,31 @@ object TextAnalysis {
     * the exact-dedup key — see [[Dedup.exactByFingerprint]]. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** PII redaction patterns, applied in order — URLs first so an
+    * address embedded in a URL is consumed as part of the URL, not
+    * matched again by a later pattern. Every pattern is valid in both
+    * Java regex and RE2 (character classes, bounded repetition, \b —
+    * no backrefs or lookaround), so the DuckDB oracle applies the
+    * same strings verbatim. (name, pattern, replacement). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[A-Za-z0-9./_%-]+", "[URL]"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"))
+
+  /** Redact emails / URLs / IPv4s / phone numbers to typed
+    * placeholders — the pre-training privacy-scrub pass. A fold of
+    * codegen'd `regexp_replace` calls: per-row, no shuffle, streams
+    * through the scan like every other text op here. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
+  /** Match count of one [[PiiPatterns]] pattern against the raw text
+    * (detection metric; counts are pre-redaction so overlapping
+    * pattern classes count independently). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 }

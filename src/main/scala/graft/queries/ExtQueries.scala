@@ -249,6 +249,44 @@ object ExtQueries {
               ${sqlComponentCtes(0.4)}
               SELECT id, comp FROM comp ORDER BY id""")),
 
+    // Incremental dedup: a synthetic new batch (disguised duplicates
+    // of corpus docs — different ids, case-flipped text, SAME
+    // normalized fingerprint — plus genuinely new ' v2' docs) deduped
+    // against the full corpus. Only the v2 docs survive; the oracle
+    // rebuilds the identical batch in SQL and runs the same
+    // survivors-then-anti-join chain.
+    Q("d7_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dups = docs.filter(col("doc_id") % 5 < 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            upper(col("text")).as("text"))
+        val fresh = docs.filter(col("doc_id") % 5 >= 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text"))
+        Dedup.incrementalDedup(dups.unionByName(fresh), docs)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus_fp AS (SELECT $SqlFp AS fp FROM documents),
+               b AS (
+                 SELECT doc_id + 1000000 AS doc_id, upper(text) AS text
+                 FROM documents WHERE doc_id % 5 < 2
+                 UNION ALL
+                 SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text
+                 FROM documents WHERE doc_id % 5 >= 2),
+               bf AS (SELECT doc_id, $SqlFp AS fp FROM b),
+               surv AS (SELECT doc_id, fp FROM (
+                          SELECT doc_id, fp,
+                                 ROW_NUMBER() OVER (PARTITION BY fp
+                                                    ORDER BY doc_id) AS rn
+                          FROM bf) WHERE rn = 1)
+               SELECT s.doc_id, s.fp FROM surv s
+               WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c
+                                 WHERE c.fp = s.fp)
+               ORDER BY s.doc_id""")),
+
     // threshold 0.3 ≈ p99 of within-label cosine in the synthetic
     // embeddings — high enough to be selective, low enough that the
     // rows-only check sees output (real corpora would use ~0.95).
