@@ -113,11 +113,21 @@ object Dedup {
     *   candidates blow past executor memory, pass false: the joins
     *   become shuffled hash joins keyed by doc id — same result, and
     *   AQE still downgrades to broadcast at runtime when a side turns
-    *   out small. */
+    *   out small.
+    * @param maxBucket drop buckets larger than this (the
+    *   [[Similarity.lshNearDups]] cap): one degenerate bucket — e.g.
+    *   millions of boilerplate near-identical docs all hashing to one
+    *   band value — would collect into a single array row and emit
+    *   O(bucket²) pairs. A band shared by that many members carries
+    *   ~no similarity information, and pairs dropped here remain
+    *   findable through their other 15 bands, so the cap bounds the
+    *   worst case without a silent recall cliff. A visible dial, not
+    *   a hidden truncation. */
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       textCol: String = "text",
                       idCol: String = "doc_id",
-                      broadcastVerify: Boolean = true): DataFrame = {
+                      broadcastVerify: Boolean = true,
+                      maxBucket: Int = 1024): DataFrame = {
     val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
     val banded = docs.select(col(idCol).as("id"),
       graft.functions.GraftFunctions
@@ -135,11 +145,12 @@ object Dedup {
     // canonically identical everywhere it is consumed, so the
     // signature pass runs once and ReusedExchange serves the rest.
     // Bucket width is bounded by LSH collision behavior exactly as
-    // the join build side was; a pathological hot bucket means the
-    // band/row parameters are wrong for the corpus, not the plan.
+    // the join build side was, and `maxBucket` caps the degenerate
+    // case (see the param doc) so no single hot bucket can emit a
+    // quadratic pair volume.
     val buckets = banded.groupBy("band", "bhash")
       .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     // ids are sorted and bucket-unique, so nested transform emits
     // exactly the id_a < id_b pairs
     // The candidate set is materialized executor-side
@@ -177,6 +188,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Exact shingle-Jaccard for a GIVEN pair list, recomputed through
+    * the explode-and-count join path — deliberately NOT the
+    * `array_intersect`/`array_union` route [[minhashNearDups]]'s
+    * verification uses, so the two formulations check each other.
+    * Only docs appearing in a pair are shingled (semi-join), so cost
+    * is O(pairs), not O(corpus). Pairs where either side has no
+    * shingles in common count 0. Returns (id_a, id_b, jaccard_exact). */
+  def shingleJaccardFor(pairs: DataFrame, docs: DataFrame,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val ids = p.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sh = docs.select(col(idCol).as("id"), col(textCol))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"), explode(shingles(col(textCol))).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = p
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    p.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.ops.Ops.roundDet(
+          coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L)))
+            .cast("double"), 4).as("jaccard_exact"))
   }
 
   /** Fused signature + LSH banding — see [[graft.functions.MinHashBands]]. */
@@ -295,16 +338,23 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")),
           "dst")
         .groupBy("src").agg(min(col("dcomp")).as("ncomp"))
+      // carry the did-this-row-change flag through the same pass that
+      // computes the new label: the convergence check then costs one
+      // scan of the already-checkpointed round output, not an extra
+      // join+shuffle per round (the former formulation re-joined
+      // `updated` against `labels`). Still one blocking action per
+      // round — O(diameter) of them, fine for shallow near-dup
+      // clusters; a corpus with adversarial diameters would switch to
+      // large-star/small-star, not tune this loop.
       val updated = labels
         .join(neighborMin.select(col("src").as("id"), col("ncomp")),
           Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("__changed"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = updated
+      changed = updated.filter(col("__changed")).count()
+      labels = updated.drop("__changed")
       i += 1
     }
     // silent non-convergence would hand back split components and let

@@ -38,7 +38,17 @@ object Similarity {
   /** Exact cosine top-k: for every query vector, the k corpus
     * neighbors with highest cosine (self excluded), rank-numbered.
     * Queries are broadcast; the corpus is never collected. Ties break
-    * deterministically toward the lower neighbor id. */
+    * deterministically toward the lower neighbor id ((cosine, nid) is
+    * a total order per query, so the result is unique).
+    *
+    * Two-phase partial top-k: a naive `Window.partitionBy(qid)` puts
+    * ALL |corpus| candidate rows for one query into a single
+    * partition/task — a driver-visible hotspot at scale. Instead the
+    * first window ranks within (qid, corpus-partition) — key space
+    * |q|·numPartitions, each group bounded by partition size — and
+    * keeps k rows per group; the global window then ranks only
+    * ≤ k·numPartitions rows per query. Per-partition top-k retains
+    * every global top-k member, so the result is identical. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      vecCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
@@ -46,10 +56,18 @@ object Similarity {
       col(vecCol).cast("array<double>").as("nvec"))
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
+    val wPart = Window.partitionBy(col("qid"), col("__pid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid").asc)
     c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("cosine", graft.ops.Ops.roundDet(cosine(col("qvec"), col("nvec")), 4))
+      // corpus-side partition id: the broadcast join preserves c's
+      // partitioning, so this bounds every (qid, __pid) group by the
+      // corpus partition size
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prank", row_number().over(wPart))
+      .filter(col("__prank") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cosine")
@@ -65,6 +83,32 @@ object Similarity {
     corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("cid"),
         col(vecCol).cast("array<double>").as("cvec"))
+
+  /** Lloyd-refined (k-means) centroids, seeded from the deterministic
+    * stride set: each iteration is one broadcast argmax assignment
+    * pass ([[ivfAssign]] — zero corpus shuffle) plus one elementwise
+    * mean (posexplode → groupBy (cid, pos) — shuffle keyed on bounded
+    * (cid, dim) space). No driver-side math; empty clusters drop out.
+    * Centroid quality only affects IVF recall, never the mechanism,
+    * so the oracle-able stride path stays the default for x2 while
+    * this is the measured-recall upgrade (see x2_recall / ExtSpec).
+    * Means are FP-order-dependent (avg over a shuffle) — fine here,
+    * because recall is a count, not a hash-compared value. */
+  def kmeansCentroids(corpus: DataFrame, stride: Int, iters: Int = 2,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    var cents = centroids(corpus, stride, vecCol, idCol)
+    for (_ <- 1 to iters) {
+      cents = ivfAssign(corpus, cents, vecCol, idCol)
+        .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
 
   /** Assign every corpus vector to its nearest centroid (by cosine).
     *
@@ -182,12 +226,18 @@ object Similarity {
 
   /** IVF top-k: probe the nprobe centroids nearest to each query and
     * brute-force only inside those buckets. Approximate — recall
-    * depends on stride/nprobe — but every step is a keyed join. */
+    * depends on stride/nprobe/centroid quality — but every step is a
+    * keyed join. `kmeansIters` > 0 refines the stride seeds with that
+    * many Lloyd iterations ([[kmeansCentroids]]); 0 keeps the
+    * deterministic stride set the x2 oracle reproduces in SQL. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               stride: Int = 20, nprobe: Int = 4,
               vecCol: String = "embedding",
-              idCol: String = "vec_id"): DataFrame = {
-    val cents = centroids(corpus, stride, vecCol, idCol)
+              idCol: String = "vec_id",
+              kmeansIters: Int = 0): DataFrame = {
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(corpus, stride, kmeansIters, vecCol, idCol)
+      else centroids(corpus, stride, vecCol, idCol)
     val assigned = ivfAssign(corpus, cents, vecCol, idCol)
 
     val q = queries.select(col(idCol).as("qid"),

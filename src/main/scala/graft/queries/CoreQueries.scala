@@ -432,6 +432,29 @@ object CoreQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // a11 contract check: the HLL estimate is within ±5% of the exact
+    // COUNT(DISTINCT) per group (rsd=0.02 ⇒ 5% is +2.5σ; the sketch is
+    // deterministic for fixed data, so this is a stable bound, not a
+    // flaky probabilistic one). Violations are provably empty, so the
+    // oracle is the empty set with the same schema — the same
+    // contract-not-bits pattern as the d2/d3/x3 precision queries.
+    Q("a11_bounds",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val approx = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        approx.join(exact, Seq("l_returnflag"))
+          .filter(abs(col("approx_parts") - col("exact_parts")) >
+            col("exact_parts") * lit(0.05))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+                     CAST(NULL AS BIGINT) AS approx_parts,
+                     CAST(NULL AS BIGINT) AS exact_parts
+              WHERE FALSE""")),
+
     // Multiway join (TPC-H Q3 shape, beyond the reference's 2-table
     // joins): filtered fact × orders × broadcast customer dim, group
     // to per-order revenue, deterministic top-20. Catalyst gets

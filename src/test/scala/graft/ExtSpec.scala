@@ -33,6 +33,27 @@ class ExtSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 4L)))
   }
 
+  test("minhash maxBucket drops degenerate buckets, other bands recover") {
+    // 30 identical docs: every band hashes all 30 ids into ONE bucket.
+    // With maxBucket below the bucket size every bucket is dropped and
+    // no pairs survive; with the default cap all C(30,2) pairs emerge.
+    val boiler = (0L until 30L).map(i =>
+      (i, "identical boilerplate text repeated across the whole corpus"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(boiler, threshold = 0.4, maxBucket = 5)
+      .count() == 0)
+    assert(Dedup.minhashNearDups(boiler, threshold = 0.4)
+      .count() == 30 * 29 / 2)
+  }
+
+  test("shingleJaccardFor matches minhash's reported jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.4)
+    val rec = Dedup.shingleJaccardFor(pairs, docs)
+      .join(pairs, Seq("id_a", "id_b"))
+    assert(rec.count() > 0)
+    assert(rec.filter($"jaccard_exact" =!= $"jaccard").count() == 0)
+  }
+
   test("simhash blocks find low-hamming pairs") {
     // simhash needs long docs for stable bits: 60 tokens, one changed.
     // One word in 60 flips only the bits whose vote margin is ~0, so
@@ -54,6 +75,27 @@ class ExtSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect()
     val p01 = out.find(r => r._1 == 0L && r._2 == 1L)
     assert(p01.isDefined && p01.get._3 > 0.5)
+  }
+
+  test("kmeans-refined IVF clears 0.8 recall and beats stride seeds") {
+    // bench config (stride=20, nprobe=12) on the sf0.001 fixture:
+    // measured stride recall 0.79, kmeans(2) 0.90 — assert the refined
+    // path ≥ 0.8 and ≥ the stride path, with slack for FP-order drift
+    // in the kmeans means (recall is a count, drift moves it ±1 match)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = embs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embs, q, 5)
+      .select("qid", "nid").localCheckpoint()
+    val nExact = exact.count().toDouble
+    def recall(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(embs, q, 5, nprobe = 12,
+        kmeansIters = iters).select("qid", "nid")
+      exact.join(approx, Seq("qid", "nid")).count() / nExact
+    }
+    val stride = recall(0)
+    val kmeans = recall(2)
+    assert(kmeans >= 0.8, s"kmeans recall $kmeans")
+    assert(kmeans >= stride - 0.02, s"kmeans $kmeans < stride $stride")
   }
 
   test("langId picks the language with most marker hits") {

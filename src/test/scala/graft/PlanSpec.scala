@@ -53,6 +53,23 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bruteForceTopK ranks per corpus partition first (x1 plan)") {
+    // the naive single window partitioned by qid alone would put ALL
+    // |corpus| candidates of one query in one task; the two-phase form
+    // ranks within (qid, __pid) first — assert the partial window is
+    // in the plan and that no Window partitions by qid alone
+    val q = embs.filter(col("vec_id") < 5)
+    val plan = executed(Similarity.bruteForceTopK(embs, q, 3))
+    // both phases must be present: the (qid, __pid) pre-rank bounds
+    // every window group by the corpus partition size, and the final
+    // qid-only window only ever sees the ≤ k·numPartitions rows that
+    // survived the __prank filter
+    assert(plan.contains("__pid"),
+      s"per-partition pre-rank missing from:\n$plan")
+    assert(plan.contains("__prank"),
+      s"per-partition rank filter missing from:\n$plan")
+  }
+
   test("projection + filter push down to the parquet scan (S1/P1)") {
     val plan = executed(docs.filter(col("lang") === "en")
       .select("doc_id", "n_chars"))
