@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev tooling: render SCALING.md from three Bench JSON lines.
+
+Usage: python3 scripts/scaling_report.py sf001.json sf01.json sf1.json
+
+The three files are `graft.Bench` outputs at sf0.01, sf0.1 and the
+10x ScaleUp replica of sf0.1 ("sf1"). The report tabulates per-query
+seconds and the x10/x100 wall-clock ratios, flagging queries whose
+time grows faster than rows. Pair-emitting sketch queries are expected
+super-linear on the replica because exact replication multiplies the
+true near-dup pair mass ~N^2 (see ScaleUp.scala's scaladoc).
+"""
+import json
+import sys
+
+# queries whose OUTPUT is super-linear under exact replication: every
+# doc/vector gains 9 identical twins, so pair mass scales ~copies^2
+PAIR_FAMILIES = {
+    "d2_dedup_minhash", "d2_precision", "d3_dedup_simhash", "d3_precision",
+    "d4_dedup_ngram_jaccard", "d5_dedup_embedding_cos", "d6_dedup_components",
+    "e2_corpus_neardup_clean", "x3_sim_lsh_pairs", "x3_precision",
+}
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(p001, p01, p1):
+    b001, b01, b1 = load(p001), load(p01), load(p1)
+    q001, q01, q1 = b001["queries"], b01["queries"], b1["queries"]
+    names = sorted(q01)
+
+    print("| query | sf0.01 s | sf0.1 s | sf1synth s | x10 ratio | x100 ratio | note |")
+    print("|---|---|---|---|---|---|---|")
+    flagged = []
+    for n in names:
+        t001, t01, t1 = q001.get(n), q01.get(n), q1.get(n)
+        r10 = t01 / t001 if t001 and t001 > 0 else float("nan")
+        r100 = t1 / t001 if t001 and t001 > 0 else float("nan")
+        note = ""
+        if n in PAIR_FAMILIES:
+            note = "pair family: output ~N^2 under replication"
+        elif t1 is not None and t01 and t1 / t01 > 20:
+            note = "SUPER-LINEAR — investigate"
+            flagged.append(n)
+        print(f"| {n} | {t001:.2f} | {t01:.2f} | {t1:.2f} "
+              f"| {r10:.1f} | {r100:.1f} | {note} |")
+    print()
+    print(f"Totals: sf0.01 {b001['value']:.1f} s, sf0.1 {b01['value']:.1f} s, "
+          f"sf1synth {b1['value']:.1f} s.")
+    if flagged:
+        print(f"FLAGGED super-linear: {', '.join(flagged)}")
+    errs = {k: v for b in (b001, b01, b1) for k, v in b.get("errors", {}).items()}
+    if errs:
+        print(f"ERRORS: {errs}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:4])

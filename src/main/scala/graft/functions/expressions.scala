@@ -2,7 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Generator, ImplicitCastInputTypes, TernaryExpression, UnaryExpression, UserDefinedExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  ExpectsInputTypes, Generator, ImplicitCastInputTypes, TernaryExpression,
+  UnaryExpression, UserDefinedExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64

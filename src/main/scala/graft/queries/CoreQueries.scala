@@ -781,6 +781,78 @@ object CoreQueries {
                 AND EXISTS (SELECT 1 FROM lineitem
                             WHERE l_orderkey = o_orderkey
                               AND l_shipdate > o_orderdate)
-              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // The medallion transform chain END TO END as one driver-checkable
+    // row (not just its operators): a bronze-shaped taxi frame derived
+    // deterministically from `events`, pushed through the REAL
+    // silver transform (full-row dedup W1, text→int cast F7, floored
+    // minute_duration F5) and the REAL gold vendor aggregate (A3 dim +
+    // F6 decode + broadcast left join J1/A7 + exact money sums F9) —
+    // the same code GoldenSpec pins with exact values on the taxi
+    // fixtures. vendorid 42 decodes to NULL, so the NULL group is
+    // exercised; the oracle replays the identical chain in SQL.
+    Q("g1_gold_vendor_e2e",
+      (s, dir) => {
+        val bronze = t(s, dir, "events").select(
+          element_at(array(lit(1), lit(2), lit(6), lit(7), lit(42)),
+            (col("event_id") % 5).cast("int") + 1).as("vendorid"),
+          col("ts").as("tpep_pickup_datetime"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (col("event_id") % 90 + 1) * 60L * 1000000L)
+            .as("tpep_dropoff_datetime"),
+          lit("1").as("passenger_count"),
+          lit(0.0).as("trip_distance"),
+          lit("1.0").as("ratecodeid"),
+          lit("N").as("store_and_fwd_flag"),
+          lit(1).as("pulocationid"), lit(1).as("dolocationid"),
+          (col("event_id") % 8).cast("int").as("payment_type"),
+          lit(0.0).as("fare_amount"), lit(0.0).as("extra"),
+          lit(0.0).as("mta_tax"), lit(0.0).as("tip_amount"),
+          lit(0.0).as("tolls_amount"), lit(0.0).as("improvement_surcharge"),
+          Ops.roundDet(col("value"), 2).as("total_amount"),
+          lit(0.0).as("congestion_surcharge"), lit(0.0).as("airport_fee"))
+        val fact = graft.silver.SilverRefresh.transformFact(bronze)
+        val dim = fact.select("vendorid").distinct()
+          .withColumn("vendor", Ops.decodeByMap(col("vendorid"),
+            graft.silver.SilverRefresh.VendorNames))
+        graft.gold.GoldViews.vendorMetrics(fact, dim)
+          .orderBy(desc("total_revenue"), asc_nulls_first("vendor"))
+      },
+      Some(s"""WITH bronze AS (
+                 SELECT list_extract([1,2,6,7,42],
+                          CAST(event_id % 5 AS INTEGER) + 1) AS vendorid,
+                        ts AS tpep_pickup_datetime,
+                        ts + to_minutes(CAST(event_id % 90 + 1 AS BIGINT))
+                          AS tpep_dropoff_datetime,
+                        '1' AS passenger_count, 0.0 AS trip_distance,
+                        '1.0' AS ratecodeid, 'N' AS store_and_fwd_flag,
+                        1 AS pulocationid, 1 AS dolocationid,
+                        CAST(event_id % 8 AS INTEGER) AS payment_type,
+                        0.0 AS fare_amount, 0.0 AS extra, 0.0 AS mta_tax,
+                        0.0 AS tip_amount, 0.0 AS tolls_amount,
+                        0.0 AS improvement_surcharge,
+                        ${sqlRoundDet("value", 2)} AS total_amount,
+                        0.0 AS congestion_surcharge, 0.0 AS airport_fee
+                 FROM events),
+               fact AS (SELECT DISTINCT * FROM bronze),
+               f2 AS (SELECT *,
+                        CAST(FLOOR(date_diff('second', tpep_pickup_datetime,
+                               tpep_dropoff_datetime) / 60.0) AS INTEGER)
+                          AS minute_duration
+                      FROM fact),
+               dim AS (SELECT DISTINCT vendorid,
+                         CASE vendorid
+                           WHEN 1 THEN 'Creative Mobile Technologies, LLC'
+                           WHEN 2 THEN 'Curb Mobility, LLC'
+                           WHEN 6 THEN 'Myle Technologies Inc'
+                           WHEN 7 THEN 'Helix' END AS vendor
+                       FROM f2)
+               SELECT d.vendor, CAST(COUNT(*) AS BIGINT) AS total_trips,
+                      ${sqlSum("total_amount")} AS total_revenue,
+                      ${sqlAvg("minute_duration")} AS avg_trip_duration
+               FROM f2 LEFT JOIN dim d ON f2.vendorid = d.vendorid
+               GROUP BY d.vendor
+               ORDER BY total_revenue DESC, vendor ASC NULLS FIRST"""))
   )
 }

@@ -212,8 +212,11 @@ object ExtQueries {
                          + GREATEST(1.0 - (CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
                                            / CAST(GREATEST(length(text),1) AS DOUBLE))*10.0, 0.0)*0.3
                          + LEAST((CAST(len(list_filter(string_split_regex(text,'\s+'),
-                                    x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
-                                  / GREATEST(CAST(len(string_split_regex(text,'\s+')) AS DOUBLE),1.0))*5.0, 1.0)*0.3""", 4)} AS quality
+                                    x -> list_contains(
+                                      ['the','a','an','and','or','of','to','in','is','it'],
+                                      x))) AS DOUBLE)
+                                  / GREATEST(CAST(len(string_split_regex(text,'\s+'))
+                                             AS DOUBLE),1.0))*5.0, 1.0)*0.3""", 4)} AS quality
               FROM documents ORDER BY doc_id""")),
 
     Q("t3_text_langid",
@@ -222,11 +225,16 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some("""WITH sc AS (
                 SELECT doc_id,
-                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['the','a','and','of','to','is'], x))) AS s_en,
-                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
-                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['el','la','los','que','es','y'], x))) AS s_es,
-                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['le','la','les','est','et','ne'], x))) AS s_fr,
-                  len(list_filter(string_split_regex(text,'\s+'), x -> list_contains(['de','shi','bu','le','wo','ni'], x))) AS s_zh
+                  len(list_filter(string_split_regex(text,'\s+'),
+                    x -> list_contains(['the','a','and','of','to','is'], x))) AS s_en,
+                  len(list_filter(string_split_regex(text,'\s+'),
+                    x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+                  len(list_filter(string_split_regex(text,'\s+'),
+                    x -> list_contains(['el','la','los','que','es','y'], x))) AS s_es,
+                  len(list_filter(string_split_regex(text,'\s+'),
+                    x -> list_contains(['le','la','les','est','et','ne'], x))) AS s_fr,
+                  len(list_filter(string_split_regex(text,'\s+'),
+                    x -> list_contains(['de','shi','bu','le','wo','ni'], x))) AS s_zh
                 FROM documents)
               SELECT doc_id,
                 CASE WHEN GREATEST(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
