@@ -366,6 +366,83 @@ object Dedup {
     labels.orderBy("id")
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the scale path when component diameters
+    * are NOT shallow. [[connectedComponents]]' label propagation costs
+    * O(diameter) rounds (each a blocking driver action); star
+    * contraction converges in O(log n) rounds for ANY topology, so a
+    * pathological chain of pairwise near-dups (common in boilerplate
+    * chains: A~B~C~...~Z where A and Z share nothing) costs ~log
+    * rounds instead of one round per link.
+    *
+    * Each round is two star operations, both expressed as
+    * groupBy(min)-then-join — co-partitioned on the grouping key, so
+    * the join after the aggregate does not reshuffle:
+    *  - large-star: every node u points its LARGER neighbors at
+    *    m(u) = min(u ∪ neighbors)
+    *  - small-star: every node u points its smaller-or-equal
+    *    neighbors (and itself) at the min of that set
+    * The fixed point is a union of stars centered at each component's
+    * minimum id. Convergence is detected by an order-independent edge
+    * fingerprint (count + sum of xxhash64(lo,hi)) — one single-row
+    * aggregate per round, never a diff join. Returns (id, comp) with
+    * comp = min id of the component, bit-identical to
+    * [[connectedComponents]] (ComponentsSpec pins both equalities). */
+  def connectedComponentsStar(pairs: DataFrame,
+                              idA: String = "id_a", idB: String = "id_b",
+                              maxIters: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    def sym(df: DataFrame): DataFrame = df
+      .select(col("lo").as("u"), col("hi").as("v"))
+      .union(df.select(col("hi").as("u"), col("lo").as("v")))
+
+    var edges = canon(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+      .localCheckpoint()
+    // (n_edges, xor of edge hashes) — equal fingerprints ⇒ equal edge
+    // sets: edges are distinct, so the xor-fold is a set digest (and,
+    // unlike a sum, cannot overflow under ANSI arithmetic); a
+    // same-size same-xor collision would need a crafted corpus
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(
+        expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: m(u) over ALL neighbors, rewire the larger ones
+      val s1 = sym(edges)
+      val m1 = s1.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = canon(s1.join(m1, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst")))
+      // small-star: m over the smaller-or-equal neighborhood ∪ {u}
+      val s2 = sym(large).filter(col("v") < col("u"))
+      val m2 = s2.groupBy("u").agg(min(col("v")).as("m"))
+      val small = canon(
+        s2.join(m2, "u").select(col("v").as("src"), col("m").as("dst"))
+          .union(m2.select(col("u").as("src"), col("m").as("dst"))))
+        .localCheckpoint()
+      val nfp = fingerprint(small)
+      converged = nfp == fp
+      fp = nfp
+      edges = small
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIters rounds")
+    // at the fixed point every edge is (component-min, member): comp =
+    // min neighbor for leaves, self for centers
+    val s = sym(edges)
+    s.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), col("u")).as("comp"))
+      .orderBy("id")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs within a blocking column

@@ -18,6 +18,14 @@ import java.util.zip.CRC32
   */
 object MediaContainers {
 
+  /** Bytes before the opaque data section of a [[wrapPng]] stream:
+    * 8 signature + 25 IHDR chunk (len + type + 13 data + CRC). */
+  val PngHeaderLen: Int = 33
+
+  /** Bytes before the data section of a [[wrapWav]] stream: the
+    * canonical 44-byte RIFF/fmt/data header. */
+  val WavHeaderLen: Int = 44
+
   private val PngMagic: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 

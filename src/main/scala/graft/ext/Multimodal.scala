@@ -65,6 +65,44 @@ object Multimodal {
       }
   }
 
+  /** Integer fit-to-box: scale (w, h) so the longer side equals
+    * `maxSide` (no-op when already within the box), floor division,
+    * never below 1 px. Pure integer arithmetic so an oracle replays it
+    * exactly — the formula is the contract between [[resizeImages]]
+    * and the m4 oracle SQL. */
+  def fitDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val mx = math.max(w, h)
+    if (mx <= maxSide) (w, h)
+    else (math.max(1, (w.toLong * maxSide / mx).toInt),
+          math.max(1, (h.toLong * maxSide / mx).toInt))
+  }
+
+  /** The resize stage: image rows get their PNG container REWRITTEN
+    * (signature + CRC'd IHDR carrying the fitted dimensions; data
+    * section untouched — pixel resampling is the codec-library slot,
+    * see [[MediaContainers]]), audio/video rows pass through. Same
+    * `mapPartitions` codec boundary as [[decode]]: partition-parallel,
+    * no shuffle, one codec init per partition. The rewrap is real —
+    * decoding the output parses the new header, which is how the m4
+    * query verifies this stage end-to-end. */
+  def resizeImages(decoded: Dataset[MediaRecord], maxSide: Int)
+      : Dataset[MediaRecord] = {
+    implicit val enc = decoded.encoder
+    decoded.mapPartitions { it =>
+      it.map { r =>
+        if (r.media_type != "image") r
+        else {
+          val (w, h) = fitDims(r.width, r.height, maxSide)
+          val data = java.util.Arrays.copyOfRange(
+            r.media, MediaContainers.PngHeaderLen, r.media.length)
+          val payload = MediaContainers.wrapPng(w, h, data)
+          r.copy(media = payload, byte_len = payload.length.toLong,
+            width = w, height = h)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: every strideth frame index of each video row —
     * a generator (posexplode) over the decoded frame count; downstream
     * feature extraction fans out per frame without reshuffling. */
@@ -74,4 +112,25 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
+
+  /** Feature extraction over the opaque data section: count / sum /
+    * min / max / mean of the unsigned byte values — the brightness
+    * (image) / loudness-proxy (PCM) features — via the fused
+    * [[graft.functions.ByteStats]] expression: one codegen'd pass per
+    * row, a pure projection (no shuffle, no mapPartitions), so it
+    * pipelines into whatever scan or stage precedes it. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val offset = when(col("media_type") === "image",
+      lit(MediaContainers.PngHeaderLen))
+      .otherwise(lit(MediaContainers.WavHeaderLen))
+    media.withColumn("__bs",
+        graft.functions.GraftFunctions.byte_stats(col("media"), offset))
+      .select(col("doc_id"), col("media_type"),
+        col("__bs.n_bytes").cast("long").as("n_bytes"),
+        graft.ops.Ops.roundDet(col("__bs.b_sum").cast("double") /
+          greatest(col("__bs.n_bytes"), lit(1)).cast("double"), 4)
+          .as("byte_mean"),
+        col("__bs.b_min").cast("long").as("byte_min"),
+        col("__bs.b_max").cast("long").as("byte_max"))
+  }
 }

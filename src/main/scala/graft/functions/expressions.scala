@@ -705,6 +705,71 @@ object TextStats {
         st.add(f, IntegerType, nullable = false))
 }
 
+/** Static kernel for [[ByteStats]] — one imperative pass over the
+  * payload's data section. Bytes are treated as unsigned (0-255), the
+  * way pixel/PCM intensity features read them. */
+object ByteStatsKernel {
+  def analyze(data: Array[Byte], offset: Int): InternalRow = {
+    require(offset >= 0 && offset <= data.length,
+      s"byte_stats offset $offset outside payload of ${data.length} bytes")
+    var i = offset
+    var sum = 0L
+    var min = 256
+    var max = -1
+    while (i < data.length) {
+      val b = data(i) & 0xFF
+      sum += b
+      if (b < min) min = b
+      if (b > max) max = b
+      i += 1
+    }
+    val n = data.length - offset
+    if (n == 0) { min = 0; max = 0 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sum, min, max))
+  }
+}
+
+/** Fused per-row byte statistics over a binary payload's data section
+  * (bytes from `offset` to the end): count, sum, min, max of the
+  * unsigned byte values in ONE pass, codegen'd as a single static
+  * call. This is the feature-extract stage of the multimodal pipeline
+  * — brightness/loudness-proxy features computed without leaving
+  * whole-stage codegen and without a per-feature scan of the payload.
+  * Real pixel/PCM decode would slot in at the same boundary with a
+  * codec library; the byte-level features are the honest no-codec
+  * stand-in, and (unlike a codec) are exactly oracle-able because the
+  * fixture's data section is the document's UTF-8 text. */
+case class ByteStats(data: Expression, offset: Expression)
+    extends BinaryExpression with ExpectsInputTypes with UserDefinedExpression {
+
+  override def name: String = "byte_stats"
+  override def left: Expression = data
+  override def right: Expression = offset
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ByteStats.schema
+
+  override def nullSafeEval(d: Any, off: Any): Any =
+    ByteStatsKernel.analyze(d.asInstanceOf[Array[Byte]],
+      off.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, o) =>
+      s"${ev.value} = graft.functions.ByteStatsKernel.analyze($d, $o);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ByteStats =
+    copy(data = l, offset = r)
+}
+
+object ByteStats {
+  val schema: StructType = new StructType()
+    .add("n_bytes", IntegerType, nullable = false)
+    .add("b_sum", LongType, nullable = false)
+    .add("b_min", IntegerType, nullable = false)
+    .add("b_max", IntegerType, nullable = false)
+}
+
 /** Wrap a raw payload in a real media container for the multimodal
   * fixture table: image rows become a valid PNG stream (signature +
   * CRC'd IHDR, dimensions derived from the doc id), audio/video rows a
@@ -784,6 +849,9 @@ object GraftFunctions {
     column(MediaWrap(expression(docId), expression(mediaType),
       expression(data)))
 
+  def byte_stats(data: Column, offset: Column): Column =
+    column(ByteStats(expression(data), expression(offset)))
+
   def hyperplane_lsh64(vec: Column): Column =
     column(HyperplaneLsh64(expression(vec)))
 
@@ -817,6 +885,9 @@ object GraftFunctions {
         graft.ext.Dedup.NumBands), "built-in")
     reg.createOrReplaceTempFunction("text_stats",
       es => TextStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("byte_stats",
+      es => { arity(2, "byte_stats")(es); ByteStats(es.head, es(1)) },
+      "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh64",
       es => HyperplaneLsh64(es.head), "built-in")
   }

@@ -311,6 +311,20 @@ object ExtQueries {
               ${sqlComponentCtes(0.4)}
               SELECT id, comp FROM comp ORDER BY id""")),
 
+    // Same components, contraction instead of propagation: the
+    // O(log n)-round large-star/small-star path for corpora whose
+    // near-dup graphs have deep chains (label propagation is
+    // O(diameter) driver round-trips). Identical output by
+    // construction — the oracle is d6's recursive-reachability CTE
+    // verbatim, so the driver pins both implementations to the same
+    // ground truth.
+    Q("d8_components_star",
+      (s, dir) => Dedup.connectedComponentsStar(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.4)),
+      Some(s"""WITH RECURSIVE ${sqlShinglePairCtes("documents")},
+              ${sqlComponentCtes(0.4)}
+              SELECT id, comp FROM comp ORDER BY id""")),
+
     // Incremental dedup: a synthetic new batch (disguised duplicates
     // of corpus docs — different ids, case-flipped text, SAME
     // normalized fingerprint — plus genuinely new ' v2' docs) deduped
@@ -568,6 +582,86 @@ object ExtQueries {
                                     // (2 * (doc_id % 2 + 1)) END AS INTEGER) AS n_frames
               FROM documents ORDER BY doc_id""")),
 
+    // frame sampling: every 100th sample frame of each video row via
+    // a sequence generator — the oracle replays the stride with
+    // range(); n_frames derives from the WAVE block align exactly as
+    // in m2
+    Q("m3_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.decode(s,
+            Multimodal.mediaFromDocuments(t(s, dir, "documents"))),
+          stride = 100)
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH v AS (
+                SELECT doc_id,
+                       octet_length(encode(text))
+                         // (2 * (doc_id % 2 + 1)) AS n_frames
+                FROM documents WHERE doc_id % 3 = 2)
+              SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+                     CAST(unnest(range(0, n_frames, 100)) AS BIGINT)
+                       AS frame_idx
+              FROM v ORDER BY doc_id, frame_idx""")),
+
+    // resize: the PNG container is REWRITTEN with fit-to-box dims
+    // (longer side → 224, integer floor division, data untouched) and
+    // decoded AGAIN, so the oracle checks the whole
+    // wrap→resize→re-decode chain from the id-derived original dims
+    Q("m4_resize",
+      (s, dir) => Multimodal.decode(s,
+          Multimodal.resizeImages(
+            Multimodal.decode(s,
+              Multimodal.mediaFromDocuments(t(s, dir, "documents"))),
+            maxSide = 224).toDF())
+        .toDF()
+        .filter(col("media_type") === "image")
+        .select("doc_id", "width", "height", "byte_len")
+        .orderBy("doc_id"),
+      Some("""WITH o AS (
+                SELECT doc_id,
+                       CAST(doc_id % 1920 + 1 AS BIGINT) AS w0,
+                       CAST(doc_id % 1080 + 1 AS BIGINT) AS h0,
+                       octet_length(encode(text)) AS data_len
+                FROM documents WHERE doc_id % 3 = 0)
+              SELECT doc_id,
+                     CAST(CASE WHEN GREATEST(w0, h0) <= 224 THEN w0
+                          ELSE GREATEST(w0 * 224 // GREATEST(w0, h0), 1)
+                          END AS INTEGER) AS width,
+                     CAST(CASE WHEN GREATEST(w0, h0) <= 224 THEN h0
+                          ELSE GREATEST(h0 * 224 // GREATEST(w0, h0), 1)
+                          END AS INTEGER) AS height,
+                     CAST(33 + data_len AS BIGINT) AS byte_len
+              FROM o ORDER BY doc_id""")),
+
+    // feature extraction: unsigned-byte count/mean/min/max over the
+    // data section in one fused codegen pass (ByteStats). The fixture
+    // data section is the UTF-8 text and the corpus is ASCII, so the
+    // oracle folds over ascii(char) — an independent formulation of
+    // the same bytes
+    Q("m5_media_features",
+      (s, dir) => Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 3 AS INTEGER)
+                         WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS media_type,
+                       list_transform(range(1, length(text) + 1),
+                         i -> ascii(substr(text, CAST(i AS INTEGER), 1)))
+                         AS bytes
+                FROM documents)
+              SELECT doc_id, media_type,
+                     CAST(len(bytes) AS BIGINT) AS n_bytes,
+                     ${sqlRoundDet(
+                       """CAST(list_aggregate(bytes, 'sum') AS DOUBLE)
+                          / CAST(GREATEST(len(bytes), 1) AS DOUBLE)""", 4)}
+                       AS byte_mean,
+                     CAST(list_aggregate(bytes, 'min') AS BIGINT) AS byte_min,
+                     CAST(list_aggregate(bytes, 'max') AS BIGINT) AS byte_max
+              FROM b ORDER BY doc_id""")),
+
     // ---- sessionization ----------------------------------------------
 
     // batch formulation: lag + running-sum analytic windows (coverage
@@ -641,6 +735,21 @@ object ExtQueries {
       (s, dir) => StreamingOps.streamingDedupKeys(s, dir),
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
+
+    // stream-stream event-time interval join (impression→click
+    // attribution). The completed replay equals the batch interval
+    // join — the oracle runs exactly that
+    Q("st5_stream_interval_join",
+      (s, dir) => StreamingOps.streamStreamIntervalJoin(s, dir),
+      Some("""SELECT a.event_id AS imp_id, b.event_id AS click_id,
+                     a.user_id,
+                     CAST(a.ts AS TIMESTAMP) AS imp_ts,
+                     CAST(b.ts AS TIMESTAMP) AS click_ts
+              FROM events a JOIN events b ON a.user_id = b.user_id
+              WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+                AND b.ts >= a.ts
+                AND b.ts <= a.ts + INTERVAL 10 MINUTE
+              ORDER BY imp_id, click_id""")),
 
     // bounded-state dedup: the key carries the event day, so every
     // duplicate pair is < 24 h apart and the 2-day watermark delay

@@ -126,6 +126,59 @@ object StreamingOps {
     }
   }
 
+  /** Stream-stream event-time interval join — the attribution staple
+    * (impression → click within N minutes) and the one join family
+    * batch joins can't replace on live data. Two streams derived from
+    * the replayed events file (even event_ids as "impressions", odd as
+    * "clicks"), both watermarked, inner-joined on user_id with the
+    * click constrained to [imp.ts, imp.ts + N min]. The time-range
+    * predicate is what lets Spark bound the join state: each side's
+    * rows are dropped once the other side's watermark passes their
+    * latest possible match time.
+    *
+    * The replay uses a watermark delay covering the whole fixture span,
+    * so no state eviction can race the (possibly multi-file,
+    * unordered) file replay and the completed result equals the batch
+    * interval join EXACTLY — which is what the DuckDB oracle checks.
+    * A production deployment tightens the delay to its real disorder
+    * bound (state then holds ~delay + interval of rows per side);
+    * the bounded-state discipline itself is proven by st4. */
+  def streamStreamIntervalJoin(spark: SparkSession, sfDir: String,
+                               windowMinutes: Int = 10): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_stream_interval_join"
+    withFewShufflePartitions(spark) {
+
+    def side(parity: Int, prefix: String): DataFrame = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .filter(pmod(col("event_id"), lit(2)) === parity)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "35 days")
+
+    val joined = side(0, "imp").join(side(1, "click"),
+      expr(s"""imp_user = click_user
+               AND click_ts >= imp_ts
+               AND click_ts <= imp_ts + interval $windowMinutes minutes"""))
+      .select(col("imp_id"), col("click_id"),
+        col("imp_user").as("user_id"), col("imp_ts"), col("click_ts"))
+
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sinkName).orderBy("imp_id", "click_id")
+
+    }
+  }
+
   /** Streaming exact dedup: `dropDuplicates` over the replayed event
     * stream — the stateful streaming twin of batch DISTINCT (W1), and
     * the building block of exactly-once ingestion from at-least-once

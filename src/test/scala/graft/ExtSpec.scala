@@ -169,12 +169,74 @@ class ExtSpec extends SparkTestBase {
     assert(frames.count() > 0)
   }
 
+  test("resize rewrites a decodable PNG header; non-images pass through") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val resized = Multimodal.resizeImages(
+      Multimodal.decode(spark, media), maxSide = 10)
+    // re-decode proves the rewritten container is valid; images fit
+    // the box with aspect preserved via integer floor, others untouched
+    val again = Multimodal.decode(spark, resized.toDF()).collect()
+    again.foreach { r =>
+      if (r.media_type == "image") {
+        assert(r.width <= 10 && r.height <= 10 && r.width >= 1 && r.height >= 1)
+      }
+    }
+    val before = Multimodal.decode(spark, media).collect()
+      .map(r => r.doc_id -> r).toMap
+    again.filter(_.media_type != "image").foreach { r =>
+      assert(r.width == before(r.doc_id).width &&
+        r.byte_len == before(r.doc_id).byte_len)
+    }
+    // fitDims contract: no-op inside the box, floor-scale outside
+    assert(Multimodal.fitDims(100, 50, 224) == ((100, 50)))
+    assert(Multimodal.fitDims(448, 100, 224) == ((224, 50)))
+    assert(Multimodal.fitDims(2000, 1, 224) == ((224, 1)))
+  }
+
+  test("byte_stats features match a driver-side fold over the data bytes") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media)
+      .as[(Long, String, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8").map(_ & 0xFF)
+      val (_, _, n, mean, mn, mx) = feats(id)
+      assert(n == bytes.length && mn == bytes.min && mx == bytes.max)
+      assert(math.abs(mean - bytes.sum.toDouble / bytes.length) < 5e-4)
+    }
+  }
+
   test("connected components collapse pair chains into dedup groups") {
     // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3}, {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val comps = graft.ext.Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("star-contraction components: deep chains converge in O(log n) rounds") {
+    // a 200-link path has diameter 200: label propagation needs 200
+    // rounds (maxIters=20 throws), star contraction ~log2(200) ≈ 8
+    val chain = (0L to 200L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.ext.Dedup.connectedComponents(chain, maxIters = 20)
+    }
+    val comps = graft.ext.Dedup.connectedComponentsStar(chain, maxIters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 201 && comps.values.forall(_ == 0L))
+  }
+
+  test("star-contraction components == label propagation on shallow graphs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 8L), (8L, 5L))
+      .toDF("id_a", "id_b")
+    val prop = graft.ext.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val star = graft.ext.Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
   }
 
   test("connected components fail loudly when the iteration bound is hit") {

@@ -48,6 +48,23 @@ class StreamingSpec extends SparkTestBase {
       expected.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join == batch interval join (st5)") {
+    val events = graft.queries.Q.t(spark, sf001, "events")
+    val imp = events.filter($"event_id" % 2 === 0)
+      .select($"event_id".as("imp_id"), $"user_id", $"ts".as("imp_ts"))
+    val click = events.filter($"event_id" % 2 === 1)
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("click_ts"))
+    val expected = imp.join(click,
+      $"user_id" === $"c_user" && $"click_ts" >= $"imp_ts" &&
+        $"click_ts" <= $"imp_ts" + expr("interval 10 minutes"))
+      .select("imp_id", "click_id", "user_id", "imp_ts", "click_ts")
+    val streamed = StreamingOps.streamStreamIntervalJoin(spark, sf001)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming bronze ingest == batch bronze ingest") {
     val whStream = Files.createTempDirectory("graft_whs_").toString
     val whBatch = Files.createTempDirectory("graft_whb_").toString
