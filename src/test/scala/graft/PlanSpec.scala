@@ -106,6 +106,41 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$plan")
   }
 
+  test("ByteStats runs codegen'd, one pass, no shuffle (m5 plan)") {
+    import org.apache.spark.sql.execution.debug._
+    val df = graft.ext.Multimodal.extractFeatures(
+      graft.ext.Multimodal.mediaFromDocuments(docs))
+    // a pure projection: feature extraction must not shuffle
+    assert(!executed(df).contains("Exchange"),
+      "m5 plan gained a shuffle")
+    val code = codegenString(df.queryExecution.executedPlan)
+    val calls = "ByteStatsKernel\\.analyze\\(".r.findAllIn(code).size
+    assert(calls >= 1 && calls <= 2,
+      s"ByteStats evaluated $calls times — codegen/CSE regressed")
+  }
+
+  test("star contraction: aggregate and rewire join share one exchange") {
+    // each star op is groupBy(u) then join back on u — co-partitioned,
+    // so a round costs the aggregate exchanges plus the symmetric-union
+    // ones, never a separate join-side repartition of the edge list.
+    // Lock the per-round exchange budget (large star alone): sym-union
+    // scan + aggregate, with the join reusing the aggregate's
+    // partitioning (ReusedExchange or AQE shuffle reuse).
+    val edges = docs.select(col("doc_id").as("lo"),
+      (col("doc_id") + 1).as("hi"))
+    val s1 = edges.select(col("lo").as("u"), col("hi").as("v"))
+      .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+    val m1 = s1.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    val large = s1.join(m1, "u").filter(col("v") > col("u"))
+      .select(col("v"), col("m"))
+    val plan = executed(large)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"large-star round costs $exchanges hash exchanges — " +
+        "co-partitioning between the min-aggregate and the rewire " +
+        "join regressed:\n" + plan)
+  }
+
   test("TextStats evaluates once per row under codegen CSE (t1/t2 plan)") {
     import org.apache.spark.sql.execution.debug._
     // t2-shaped query: quality references the stats struct 4 times
