@@ -383,6 +383,33 @@ object ExtQueries {
               SELECT id_a, id_b, cosine FROM p
               WHERE cosine >= 0.3 ORDER BY id_a, id_b""")),
 
+    // The unblocked-corpus near-dup path d5's scaladoc promises: no
+    // natural blocking column, so ivfAssign buckets the corpus by
+    // nearest centroid (zero-shuffle codegen argmax) and the brute
+    // force runs within buckets only. Deterministic end-to-end (stride
+    // centroids, tie-to-lower-cid argmax — the x2-proven chain), so
+    // the oracle replays the identical blocking in SQL. Approximate
+    // by construction: cross-bucket pairs are unseen, the same recall
+    // trade x2_recall quantifies for top-k.
+    Q("d9_dedup_embedding_ivf",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val assigned = Similarity.ivfAssign(embs,
+          Similarity.centroids(embs, stride = 20))
+        Dedup.embeddingNearDups(
+          assigned.select(col("nid").as("vec_id"), col("cid").as("label"),
+            col("nvec").as("embedding")),
+          threshold = 0.3)
+      },
+      Some(s"""WITH $SqlIvfCtes,
+                 dp AS (SELECT a.nid AS id_a, b.nid AS id_b,
+                          ${sqlRoundDet(sqlCosRaw("a.nvec", "b.nvec"), 4)}
+                            AS cosine
+                        FROM iasg a JOIN iasg b
+                          ON a.cid = b.cid AND a.nid < b.nid)
+              SELECT id_a, id_b, cosine FROM dp
+              WHERE cosine >= 0.3 ORDER BY id_a, id_b""")),
+
     // ---- similarity search -------------------------------------------
 
     Q("x1_sim_bruteforce_topk",
