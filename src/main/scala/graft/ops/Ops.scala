@@ -232,6 +232,46 @@ object Ops {
       .drop("__side")
   }
 
+  /** Range join WITHOUT an equi-key — point-in-interval lookups
+    * (calendar windows, IP ranges, price tiers). Spark plans the bare
+    * `l.ts BETWEEN r.start AND r.end` join as
+    * BroadcastNestedLoopJoin: every left row against every interval,
+    * O(|L|·|R|) — the quadratic cliff at 100 TB. The standard rewrite
+    * buckets time by `maxLenSeconds` (an upper bound on interval
+    * length): a point in bucket b can only hit intervals that touch
+    * bucket b, so exploding each interval to the ≤ 2 buckets it spans
+    * and equi-joining on the bucket id turns the plan into a keyed
+    * shuffle join + residual filter — O(|L| + |R| + matches), AQE and
+    * codegen intact.
+    *
+    * Semantics: half-open `[start, end)`. Intervals longer than
+    * `maxLenSeconds` would silently miss matches in unspanned buckets,
+    * so they fail loudly instead (`raise_error` in the explode path).
+    */
+  def bucketedRangeJoin(left: DataFrame, right: DataFrame,
+                        leftTs: String, rightStart: String,
+                        rightEnd: String,
+                        maxLenSeconds: Long): DataFrame = {
+    val w = lit(maxLenSeconds * 1000000L)
+    def bucket(c: Column): Column = floor(unix_micros(c) / w)
+    val lb = left.withColumn("__b", bucket(col(leftTs)))
+    // the length check lives INSIDE the evaluated bucket expression
+    // (an independent check column would be pruned as unused and the
+    // error never raised)
+    val endBucket = when(
+      unix_micros(col(rightEnd)) - unix_micros(col(rightStart)) <=
+        maxLenSeconds * 1000000L, bucket(col(rightEnd)))
+      .otherwise(raise_error(concat(lit("bucketedRangeJoin: interval " +
+        s"longer than maxLenSeconds=$maxLenSeconds at start="),
+        col(rightStart).cast("string"))).cast("long"))
+    val rb = right.withColumn("__b",
+      explode(sequence(bucket(col(rightStart)), endBucket)))
+    lb.join(rb, Seq("__b"))
+      .filter(col(leftTs) >= col(rightStart) &&
+        col(leftTs) < col(rightEnd))
+      .drop("__b")
+  }
+
   /** Text-string → numeric → int cast chain (reference
     * src/sql/silver_full_refresh_transformation.sql:57, SURVEY §2.7 F7):
     * handles values like "1.0". Floor-pinned like [[minuteDuration]]. */

@@ -611,6 +611,34 @@ object CoreQueries {
                 ON c_custkey = o_custkey
               ORDER BY c_custkey NULLS FIRST, o_custkey NULLS FIRST""")),
 
+    // Range join with NO equi-key (point-in-interval lookup): naive
+    // Spark plans this as BroadcastNestedLoopJoin — O(|L|·|R|). The
+    // bucketized rewrite (Ops.bucketedRangeJoin) turns it into a keyed
+    // equi-join on time buckets + residual filter; PlanSpec locks the
+    // nested loop out of the plan. Windows are derived
+    // deterministically from the events table (every 499th event
+    // opens a 37-minute window), the oracle runs the naive join —
+    // same matches, different plan.
+    Q("j8_range_join_bucketed",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("ts"))
+        val wins = t(s, dir, "events")
+          .filter(col("event_id") % 499 === 0)
+          .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+            (col("ts") + expr("interval 37 minutes")).as("win_end"))
+        Ops.bucketedRangeJoin(ev, wins, "ts", "win_start", "win_end",
+            maxLenSeconds = 37 * 60)
+          .select(col("event_id"), col("win_id"))
+          .orderBy("event_id", "win_id")
+      },
+      Some("""WITH w AS (SELECT event_id AS win_id, ts AS win_start,
+                           ts + INTERVAL 37 MINUTE AS win_end
+                         FROM events WHERE event_id % 499 = 0)
+              SELECT e.event_id, w.win_id
+              FROM events e JOIN w
+                ON e.ts >= w.win_start AND e.ts < w.win_end
+              ORDER BY e.event_id, w.win_id""")),
+
     // Running total over an explicit ROWS frame (window-frame coverage
     // beyond w2's internal running sum): per-customer cumulative spend
     // in order-key order. The sum is exact decimal per frame — each

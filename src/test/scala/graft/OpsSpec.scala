@@ -31,6 +31,34 @@ class OpsSpec extends SparkTestBase {
     assert(in.count() + out.count() == all.count())
   }
 
+  test("bucketedRangeJoin == naive range join; long intervals fail loudly") {
+    val points = (0 until 500).map(i =>
+      (i.toLong, new Timestamp(1700000000000L + i * 97000L)))
+      .toDF("event_id", "ts")
+    val wins = (0 until 20).map(i =>
+      (1000L + i, new Timestamp(1700000000000L + i * 2500000L),
+        new Timestamp(1700000000000L + i * 2500000L + 600000L)))
+      .toDF("win_id", "win_start", "win_end")
+    val bucketed = Ops.bucketedRangeJoin(points, wins, "ts",
+      "win_start", "win_end", maxLenSeconds = 600)
+      .select("event_id", "win_id")
+    val naive = points.join(wins,
+      $"ts" >= $"win_start" && $"ts" < $"win_end")
+      .select("event_id", "win_id")
+    assert(bucketed.count() > 0 && naive.count() == bucketed.count())
+    assert(bucketed.exceptAll(naive).isEmpty &&
+      naive.exceptAll(bucketed).isEmpty)
+    // an interval longer than maxLenSeconds would silently miss
+    // matches in buckets it spans but was never exploded into — the
+    // contract is to throw instead
+    val ex = intercept[Exception] {
+      Ops.bucketedRangeJoin(points, wins, "ts",
+        "win_start", "win_end", maxLenSeconds = 300).count()
+    }
+    assert(ex.getMessage.contains("bucketedRangeJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("bucketedRangeJoin")))
+  }
+
   test("insertIfAbsent keeps only new keys (J3 / ON CONFLICT DO NOTHING)") {
     val existing = Seq((1, "x"), (2, "y")).toDF("k", "v")
     val incoming = Seq((2, "dup"), (3, "new"), (3, "new2")).toDF("k", "v")

@@ -141,6 +141,26 @@ class PlanSpec extends SparkTestBase {
         "join regressed:\n" + plan)
   }
 
+  test("bucketed range join replaces the nested loop with an equi-join (j8)") {
+    val ev = graft.queries.Q.t(spark, sf001, "events")
+      .select(col("event_id"), col("ts"))
+    val wins = graft.queries.Q.t(spark, sf001, "events")
+      .filter(col("event_id") % 499 === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr("interval 37 minutes")).as("win_end"))
+    // the naive formulation IS the nested-loop cliff — document it
+    val naive = executed(ev.join(wins,
+      col("ts") >= col("win_start") && col("ts") < col("win_end")))
+    assert(naive.contains("NestedLoop") || naive.contains("Cartesian"),
+      "naive range join no longer nested-loop — revisit whether " +
+        "bucketedRangeJoin is still needed:\n" + naive)
+    val bucketed = executed(graft.ops.Ops.bucketedRangeJoin(
+      ev, wins, "ts", "win_start", "win_end", maxLenSeconds = 37 * 60))
+    assert(!bucketed.contains("NestedLoop") &&
+      !bucketed.contains("Cartesian"),
+      "bucketedRangeJoin plan regressed to a nested loop:\n" + bucketed)
+  }
+
   test("TextStats evaluates once per row under codegen CSE (t1/t2 plan)") {
     import org.apache.spark.sql.execution.debug._
     // t2-shaped query: quality references the stats struct 4 times
