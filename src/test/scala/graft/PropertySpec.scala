@@ -95,6 +95,60 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponentsStar == connectedComponents on random graphs") {
+    val edgeGen = for { a <- Gen.choose(0L, 60L); b <- Gen.choose(0L, 60L)
+                        if a != b } yield (math.min(a, b), math.max(a, b))
+    (0 until 3).foreach { round =>
+      val pairs = sample(edgeGen.map { case (a, b) =>
+        (a + round * 100, b + round * 100) }, 50 + round * 30)
+        .distinct.toDF("id_a", "id_b")
+      val prop = graft.ext.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val star = graft.ext.Dedup.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"round $round: star != propagation")
+    }
+  }
+
+  test("bucketedRangeJoin == naive join for random points and intervals") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ptGen = Gen.choose(0L, 7L * 24 * 3600).map(s =>
+      new Timestamp(base + s * 1000))
+    val winGen = for {
+      s <- Gen.choose(0L, 7L * 24 * 3600)
+      len <- Gen.choose(1L, 3600L) // ≤ the 3600 s bucket bound below
+    } yield (new Timestamp(base + s * 1000),
+      new Timestamp(base + (s + len) * 1000))
+    val pts = sample(ptGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("event_id", "ts")
+    val wins = sample(winGen, 40).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("win_id", "win_start", "win_end")
+    val bucketed = Ops.bucketedRangeJoin(pts, wins, "ts",
+      "win_start", "win_end", maxLenSeconds = 3600)
+      .select("event_id", "win_id")
+    val naive = pts.join(wins,
+      $"ts" >= $"win_start" && $"ts" < $"win_end")
+      .select("event_id", "win_id")
+    assert(bucketed.exceptAll(naive).isEmpty &&
+      naive.exceptAll(bucketed).isEmpty)
+  }
+
+  test("fitDims: inside box, aspect order preserved, idempotent") {
+    val dimGen = for { w <- Gen.choose(1, 4000); h <- Gen.choose(1, 4000) }
+      yield (w, h)
+    sample(dimGen, 200).foreach { case (w, h) =>
+      val (nw, nh) = graft.ext.Multimodal.fitDims(w, h, 224)
+      assert(nw >= 1 && nh >= 1 && nw <= 224 && nh <= 224,
+        s"($w,$h) -> ($nw,$nh) outside box")
+      // the longer side stays the longer side
+      assert((w >= h) == (nw >= nh) || nw == nh, s"($w,$h) -> ($nw,$nh)")
+      // no-op inside the box; idempotent everywhere
+      if (math.max(w, h) <= 224) assert((nw, nh) == ((w, h)))
+      assert(graft.ext.Multimodal.fitDims(nw, nh, 224) == ((nw, nh)))
+    }
+  }
+
   test("sessionize: per-user event counts are conserved") {
     val evGen = for {
       u <- Gen.choose(0L, 8L); t <- tsGen; v <- Gen.choose(0.0, 100.0)
