@@ -19,6 +19,8 @@ PAIR_FAMILIES = {
     "d2_dedup_minhash", "d2_precision", "d3_dedup_simhash", "d3_precision",
     "d4_dedup_ngram_jaccard", "d5_dedup_embedding_cos", "d6_dedup_components",
     "e2_corpus_neardup_clean", "x3_sim_lsh_pairs", "x3_precision",
+    "d8_components_star", "d9_dedup_embedding_ivf",
+    "st5_stream_interval_join",
 }
 
 
@@ -37,16 +39,18 @@ def main(p001, p01, p1):
     flagged = []
     for n in names:
         t001, t01, t1 = q001.get(n), q01.get(n), q1.get(n)
-        r10 = t01 / t001 if t001 and t001 > 0 else float("nan")
-        r100 = t1 / t001 if t001 and t001 > 0 else float("nan")
+        r10 = t01 / t001 if t01 is not None and t001 else None
+        r100 = t1 / t001 if t1 is not None and t001 else None
         note = ""
         if n in PAIR_FAMILIES:
             note = "pair family: output ~N^2 under replication"
         elif t1 is not None and t01 and t1 / t01 > 20:
             note = "SUPER-LINEAR — investigate"
             flagged.append(n)
-        print(f"| {n} | {t001:.2f} | {t01:.2f} | {t1:.2f} "
-              f"| {r10:.1f} | {r100:.1f} | {note} |")
+        def fmt(t, spec=".2f"):
+            return format(t, spec) if t is not None else "—"
+        print(f"| {n} | {fmt(t001)} | {fmt(t01)} | {fmt(t1)} "
+              f"| {fmt(r10, '.1f')} | {fmt(r100, '.1f')} | {note} |")
     print()
     print(f"Totals: sf0.01 {b001['value']:.1f} s, sf0.1 {b01['value']:.1f} s, "
           f"sf1synth {b1['value']:.1f} s.")

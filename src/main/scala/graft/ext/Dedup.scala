@@ -212,14 +212,21 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // LEFT joins throughout: a pair id missing from `docs` must score
+    // jaccard_exact = 0 (a contract VIOLATION the caller's filter then
+    // surfaces), not silently vanish from the recomputation
     p.join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"), "left")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"), "left")
+      .withColumn("__nc", coalesce(col("n_common"), lit(0L)))
+      .withColumn("__den", coalesce(col("n_a"), lit(0L)) +
+        coalesce(col("n_b"), lit(0L)) - col("__nc"))
       .select(col("id_a"), col("id_b"),
-        graft.ops.Ops.roundDet(
-          coalesce(col("n_common"), lit(0L)).cast("double") /
-          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L)))
-            .cast("double"), 4).as("jaccard_exact"))
+        when(col("__den") > 0, graft.ops.Ops.roundDet(
+          col("__nc").cast("double") / col("__den").cast("double"), 4))
+          .otherwise(lit(0.0)).as("jaccard_exact"))
   }
 
   /** Fused signature + LSH banding — see [[graft.functions.MinHashBands]]. */

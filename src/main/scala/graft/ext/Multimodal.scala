@@ -108,7 +108,9 @@ object Multimodal {
     * feature extraction fans out per frame without reshuffling. */
   def sampleFrames(decoded: Dataset[MediaRecord], stride: Int): DataFrame =
     decoded.toDF()
-      .filter(col("media_type") === "video")
+      // n_frames == 0 (payload shorter than one sample frame) must
+      // yield zero rows, not a sequence(0, -1) boundary error
+      .filter(col("media_type") === "video" && col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))

@@ -252,6 +252,9 @@ object Ops {
                         leftTs: String, rightStart: String,
                         rightEnd: String,
                         maxLenSeconds: Long): DataFrame = {
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "bucketedRangeJoin: inputs must not carry a '__b' column " +
+        "(it would be silently overwritten and dropped)")
     val w = lit(maxLenSeconds * 1000000L)
     def bucket(c: Column): Column = floor(unix_micros(c) / w)
     val lb = left.withColumn("__b", bucket(col(leftTs)))

@@ -682,11 +682,13 @@ object ExtQueries {
               SELECT doc_id, media_type,
                      CAST(len(bytes) AS BIGINT) AS n_bytes,
                      ${sqlRoundDet(
-                       """CAST(list_aggregate(bytes, 'sum') AS DOUBLE)
+                       """CAST(COALESCE(list_aggregate(bytes, 'sum'), 0) AS DOUBLE)
                           / CAST(GREATEST(len(bytes), 1) AS DOUBLE)""", 4)}
                        AS byte_mean,
-                     CAST(list_aggregate(bytes, 'min') AS BIGINT) AS byte_min,
-                     CAST(list_aggregate(bytes, 'max') AS BIGINT) AS byte_max
+                     CAST(COALESCE(list_aggregate(bytes, 'min'), 0) AS BIGINT)
+                       AS byte_min,
+                     CAST(COALESCE(list_aggregate(bytes, 'max'), 0) AS BIGINT)
+                       AS byte_max
               FROM b ORDER BY doc_id""")),
 
     // ---- sessionization ----------------------------------------------

@@ -82,7 +82,7 @@ class ExtSpec extends SparkTestBase {
     // measured stride recall 0.79, kmeans(2) 0.90 — assert the refined
     // path ≥ 0.8 and ≥ the stride path, with slack for FP-order drift
     // in the kmeans means (recall is a count, drift moves it ±1 match)
-    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = embs.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceTopK(embs, q, 5)
       .select("qid", "nid").localCheckpoint()

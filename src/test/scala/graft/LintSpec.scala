@@ -31,18 +31,22 @@ class LintSpec extends AnyFunSuite {
     "Bench.scala", "Verify.scala", "Pipeline.scala", "Setup.scala",
     "StageLog.scala", "ScaleUp.scala")
 
-  private def scalaSources: Seq[Path] = {
-    val root = Paths.get("src")
-    Files.walk(root).iterator().asScala
+  /** One walk, one read per file, shared by every rule (the walk
+    * stream is closed eagerly — Files.walk holds directory handles). */
+  private lazy val sources: Seq[(Path, String)] = {
+    val walk = Files.walk(Paths.get("src"))
+    try walk.iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .toSeq.sortBy(_.toString)
+      .map(p => (p, Files.readString(p)))
+    finally walk.close()
   }
 
   private def check(rule: String)(
       violation: (Path, Int, String) => Boolean): Unit = {
     val hits = for {
-      p <- scalaSources
-      (line, i) <- Files.readString(p).linesIterator.zipWithIndex
+      (p, text) <- sources
+      (line, i) <- text.linesIterator.zipWithIndex
       if violation(p, i, line)
     } yield s"$p:${i + 1}"
     assert(hits.isEmpty, s"$rule violated at:\n  ${hits.mkString("\n  ")}")
@@ -74,7 +78,7 @@ class LintSpec extends AnyFunSuite {
   }
 
   test("files end with a newline") {
-    val hits = scalaSources.filterNot(p => Files.readString(p).endsWith("\n"))
+    val hits = sources.collect { case (p, t) if !t.endsWith("\n") => p }
     assert(hits.isEmpty, s"missing final newline:\n  ${hits.mkString("\n  ")}")
   }
 }
