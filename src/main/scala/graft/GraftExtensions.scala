@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => TextStats(es.head))
     inject(ext, "hyperplane_lsh64",
       es => HyperplaneLsh64(es.head))
+    inject(ext, "byte_stats",
+      es => ByteStats(es.head, es(1)))
+    // plan rewrites: declarative point-in-interval joins get the
+    // bucketed equi-join plan instead of a nested loop (the rule's
+    // match is deliberately narrow — see its scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoinRule)
   }
 
   private def inject(ext: SparkSessionExtensions, name: String,

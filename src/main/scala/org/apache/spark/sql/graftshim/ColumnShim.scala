@@ -24,4 +24,12 @@ object ColumnShim {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(
       org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+
+  /** Test hook: the optimizer rules an extensions instance would
+    * inject at session build (buildOptimizerRules is private[sql]). */
+  def buildOptimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+                          spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

@@ -161,6 +161,39 @@ class PlanSpec extends SparkTestBase {
       "bucketedRangeJoin plan regressed to a nested loop:\n" + bucketed)
   }
 
+  test("BucketedRangeJoinRule: declarative interval join loses its nested loop") {
+    val ev = graft.queries.Q.t(spark, sf001, "events")
+      .select(col("event_id"), col("ts"))
+    val wins = graft.queries.Q.t(spark, sf001, "events")
+      .filter(col("event_id") % 499 === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"))
+    def naive() = ev.join(wins,
+      col("ts") >= col("win_start") &&
+        col("ts") < col("win_start") + expr("interval 37 minutes"))
+      .select(col("event_id"), col("win_id"))
+    val expected = naive().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+
+      graft.plans.BucketedRangeJoinRule
+    try {
+      val plan = executed(naive())
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        "rule did not rewrite the interval join:\n" + plan)
+      val got = naive().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(expected), "rule changed the join's result")
+      // narrowness: a bound that is a column (length not statically
+      // known) must be left alone
+      val wins2 = wins.withColumn("win_end",
+        col("win_start") + expr("interval 37 minutes"))
+      val other = executed(ev.join(wins2,
+        col("ts") >= col("win_start") && col("ts") < col("win_end"))
+        .select(col("event_id"), col("win_id")))
+      assert(other.contains("NestedLoop") || other.contains("Cartesian"),
+        "rule fired on a non-literal interval bound:\n" + other)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("TextStats evaluates once per row under codegen CSE (t1/t2 plan)") {
     import org.apache.spark.sql.execution.debug._
     // t2-shaped query: quality references the stats struct 4 times

@@ -29,9 +29,14 @@ class SqlSurfaceSpec extends SparkTestBase {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     val fns = org.apache.spark.sql.graftshim.ColumnShim.buildRegistry(ext)
-    Seq("cosine_sim", "simhash64", "minhash_sig", "minhash_bands").foreach { n =>
+    Seq("cosine_sim", "simhash64", "minhash_sig", "minhash_bands",
+      "byte_stats").foreach { n =>
       assert(fns.functionExists(FunctionIdentifier(n)), n)
     }
+    val rules = org.apache.spark.sql.graftshim.ColumnShim
+      .buildOptimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.BucketedRangeJoinRule),
+      "extensions must inject the range-join rewrite rule")
   }
 
   test("download URL template (parity with reference test_download_url.py)") {
