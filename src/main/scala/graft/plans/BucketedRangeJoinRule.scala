@@ -71,10 +71,16 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
       case LessThanOrEqual(b, a) => Some((a, b))
       case _ => None
     }
-    // normalize `a < bound` / `bound > a` to (a, bound)
+    // normalize `a < bound` / `bound > a` (and the closed BETWEEN
+    // forms `a <= bound` / `bound >= a`) to (a, bound). Open or
+    // closed makes no difference to bucket COVERAGE — b(ts) still
+    // falls in [b(start), b(bound)] — and the original comparison is
+    // kept as the residual filter, so semantics ride along verbatim.
     def lt(c: Expression): Option[(Expression, Expression)] = c match {
       case LessThan(a, bound) => Some((a, bound))
       case GreaterThan(bound, a) => Some((a, bound))
+      case LessThanOrEqual(a, bound) => Some((a, bound))
+      case GreaterThanOrEqual(bound, a) => Some((a, bound))
       case _ => None
     }
     // start + literal interval, with the interval's length (micros)

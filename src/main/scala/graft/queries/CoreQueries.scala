@@ -611,6 +611,40 @@ object CoreQueries {
                 ON c_custkey = o_custkey
               ORDER BY c_custkey NULLS FIRST, o_custkey NULLS FIRST""")),
 
+    // approx_percentile contract (the a11_bounds pattern for the GK
+    // quantile sketch): with accuracy a, the sketch guarantees the
+    // returned value's RANK is within n/a of the target rank. The
+    // check recomputes each group's true rank interval of the
+    // approximate median ([rows < v, rows ≤ v]) and emits groups
+    // where target rank 0.5·n falls outside that interval widened by
+    // n/a + 1 — provably empty, empty-set oracle. (The sketch value
+    // itself is merge-order-dependent, so only the BOUND is
+    // driver-checkable — exact percentiles are a13.)
+    Q("a16_approx_percentile_bounds",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_quantity").as("q"))
+        val ap = li.groupBy("flag")
+          .agg(expr("approx_percentile(q, 0.5, 1000)").as("v"),
+            count(lit(1)).as("n"))
+        li.join(ap, Seq("flag"))
+          .groupBy("flag")
+          .agg(first(col("n")).as("n"),
+            sum(when(col("q") < col("v"), 1L).otherwise(0L)).as("rank_lo"),
+            sum(when(col("q") <= col("v"), 1L).otherwise(0L)).as("rank_hi"))
+          .withColumn("__err", col("n").cast("double") / 1000.0 + 1.0)
+          .withColumn("__target", col("n").cast("double") * 0.5)
+          .filter(col("__target") < col("rank_lo").cast("double") - col("__err") ||
+            col("__target") > col("rank_hi").cast("double") + col("__err"))
+          .select("flag", "n", "rank_lo", "rank_hi")
+          .orderBy("flag")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS flag,
+                     CAST(NULL AS BIGINT) AS n,
+                     CAST(NULL AS BIGINT) AS rank_lo,
+                     CAST(NULL AS BIGINT) AS rank_hi
+              WHERE FALSE""")),
+
     // Range join with NO equi-key (point-in-interval lookup): naive
     // Spark plans this as BroadcastNestedLoopJoin — O(|L|·|R|). The
     // bucketized rewrite (Ops.bucketedRangeJoin) turns it into a keyed

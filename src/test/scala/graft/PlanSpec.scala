@@ -182,6 +182,14 @@ class PlanSpec extends SparkTestBase {
         "rule did not rewrite the interval join:\n" + plan)
       val got = naive().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(got.sameElements(expected), "rule changed the join's result")
+      // the closed BETWEEN spelling rewrites too (coverage is the
+      // same; the ≤ stays as the residual filter)
+      val between = executed(ev.join(wins,
+        col("ts").between(col("win_start"),
+          col("win_start") + expr("interval 37 minutes")))
+        .select(col("event_id"), col("win_id")))
+      assert(!between.contains("NestedLoop") && !between.contains("Cartesian"),
+        "rule did not rewrite the BETWEEN form:\n" + between)
       // narrowness: a bound that is a column (length not statically
       // known) must be left alone
       val wins2 = wins.withColumn("win_end",
