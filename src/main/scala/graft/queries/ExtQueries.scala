@@ -758,6 +758,23 @@ object ExtQueries {
                FROM events GROUP BY 1, 2
                ORDER BY window_start, event_type""")),
 
+    // append-mode windows: only watermark-closed windows are emitted
+    // (the immutable-sink production form); the oracle applies the
+    // same closed-before-final-watermark filter to the batch result
+    Q("st6_stream_tumbling_append",
+      (s, dir) => StreamingOps.tumblingEventCountsAppend(s, dir),
+      Some(s"""WITH g AS (
+                 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                          AS window_start,
+                        event_type, COUNT(*) AS n_events,
+                        ${sqlSum("value")} AS sum_value
+                 FROM events GROUP BY 1, 2)
+               SELECT window_start, event_type, n_events, sum_value
+               FROM g
+               WHERE epoch_ms(window_start + INTERVAL 1 DAY)
+                     < (SELECT epoch_ms(MAX(ts)) FROM events) - 3600000
+               ORDER BY window_start, event_type""")),
+
     // stateful streaming dedup == batch DISTINCT when the replay is
     // driven to completion — the oracle runs the batch form
     Q("st3_stream_dedup",

@@ -51,9 +51,29 @@ object StreamingOps {
     * horizon, which can never close on a finite replay).
     */
   def tumblingEventCounts(spark: SparkSession, sfDir: String,
-                          windowDuration: String = "1 day"): DataFrame = {
+                          windowDuration: String = "1 day"): DataFrame =
+    tumblingWindows(spark, sfDir, windowDuration, "complete",
+      "graft_stream_tumbling")
+
+  /** Append-mode twin of [[tumblingEventCounts]] — the production
+    * form for sinks that cannot rewrite rows (files, topics): a
+    * window is emitted ONCE, when the event-time watermark passes its
+    * end, and windows still open at end-of-replay stay unemitted.
+    * On the finite replay that means every window whose end the final
+    * watermark (max ts − 1 h) has passed — exactly the filter the
+    * DuckDB oracle applies to the batch result. (The emission relies
+    * on the no-data final micro-batch AvailableNow runs after the
+    * last file batch, which advances the watermark and flushes
+    * closed windows.) */
+  def tumblingEventCountsAppend(spark: SparkSession, sfDir: String,
+                                windowDuration: String = "1 day"): DataFrame =
+    tumblingWindows(spark, sfDir, windowDuration, "append",
+      "graft_stream_tumbling_append")
+
+  private def tumblingWindows(spark: SparkSession, sfDir: String,
+                              windowDuration: String, mode: String,
+                              sinkName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sinkName = "graft_stream_tumbling"
     withFewShufflePartitions(spark) {
 
     // the file stream source requires a directory: point it at the sf
@@ -73,7 +93,7 @@ object StreamingOps {
     val q = stream.writeStream
       .format("memory")
       .queryName(sinkName)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
