@@ -645,6 +645,34 @@ object CoreQueries {
                      CAST(NULL AS BIGINT) AS rank_hi
               WHERE FALSE""")),
 
+    // Sliding (overlapping) windows — the window-variant tumbling
+    // (p2/a5/st1) doesn't cover: window('1 day', slide '6 hours')
+    // assigns every event to 4 overlapping windows. The oracle
+    // replays Spark's epoch-aligned assignment exactly: starts are
+    // the multiples of the slide in (ts − length, ts], generated with
+    // range(0,4) and filtered half-open.
+    Q("a17_sliding_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Ops.sumMoney(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some(s"""WITH w AS (
+                 SELECT event_type, value,
+                        to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600
+                                          - k * 21600 AS BIGINT))
+                          AS window_start
+                 FROM events, (SELECT unnest(range(0, 4)) AS k)
+                 WHERE floor(epoch(ts) / 21600) * 21600 - k * 21600
+                       > epoch(ts) - 86400)
+               SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+                      event_type, COUNT(*) AS n_events,
+                      ${sqlSum("value")} AS sum_value
+               FROM w GROUP BY 1, 2
+               ORDER BY window_start, event_type""")),
+
     // Range join with NO equi-key (point-in-interval lookup): naive
     // Spark plans this as BroadcastNestedLoopJoin — O(|L|·|R|). The
     // bucketized rewrite (Ops.bucketedRangeJoin) turns it into a keyed
