@@ -714,6 +714,44 @@ object ExtQueries {
                FROM s GROUP BY user_id, session_id
                ORDER BY user_id, session_id""")),
 
+    // native session_window API (the built-in operator, vs w2's
+    // explicit lag+running-sum formulation). Semantics differ at the
+    // boundary — session_window starts a NEW session at gap ≥ 30 min
+    // (w2: > 30 min) and its session end is last-event + gap, both
+    // mirrored exactly in the oracle (timestamp comparison, no
+    // date_diff truncation).
+    Q("w3_session_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.Ops.sumMoney(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some(s"""WITH l AS (
+                 SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                         OR ts >= lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts)
+                            + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM events),
+               g AS (
+                 SELECT user_id, ts, value,
+                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM l)
+               SELECT user_id,
+                      CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                      CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP)
+                        AS session_end,
+                      COUNT(*) AS n_events, $SqlSumValue AS sum_value
+               FROM g GROUP BY user_id, sid
+               ORDER BY user_id, session_start""")),
+
     // streaming twin: flatMapGroupsWithState over a replayed stream.
     // A session is emitted when a later event closes it or when the
     // final watermark (max ts - 1 min, ms precision) passes its
