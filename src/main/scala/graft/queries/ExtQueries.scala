@@ -796,6 +796,35 @@ object ExtQueries {
                FROM events GROUP BY 1, 2
                ORDER BY window_start, event_type""")),
 
+    // streaming native session windows (see sessionWindowStream):
+    // append mode emits sessions the final watermark (max ts − 1 h)
+    // has closed; the oracle is the batch w3 chain with that filter
+    Q("st7_session_window_stream",
+      (s, dir) => StreamingOps.sessionWindowStream(s, dir),
+      Some(s"""WITH l AS (
+                 SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                         OR ts >= lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts)
+                            + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM events),
+               g AS (
+                 SELECT user_id, ts, value,
+                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM l)
+               SELECT user_id,
+                      CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                      CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP)
+                        AS session_end,
+                      COUNT(*) AS n_events, $SqlSumValue AS sum_value
+               FROM g GROUP BY user_id, sid
+               HAVING (SELECT epoch_ms(MAX(ts)) FROM events)
+                      - epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) > 3600000
+               ORDER BY user_id, session_start""")),
+
     // append-mode windows: only watermark-closed windows are emitted
     // (the immutable-sink production form); the oracle applies the
     // same closed-before-final-watermark filter to the batch result

@@ -199,6 +199,47 @@ object StreamingOps {
     }
   }
 
+  /** Streaming native session windows — the built-in operator twin of
+    * [[StatefulSessions]]' flatMapGroupsWithState formulation (same
+    * trade as batch w2 vs w3: explicit state machine vs declarative
+    * API; session_window semantics — new session at gap ≥ 30 min,
+    * end = last event + gap). Append mode: a session is emitted once,
+    * when the event-time watermark passes its end; sessions still
+    * open within (delay + gap) of stream end stay unemitted, exactly
+    * the filter the oracle applies to the batch session_window
+    * result. */
+  def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_stream_session_window"
+    withFewShufflePartitions(spark) {
+
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           Ops.sumMoney(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sinkName).orderBy("user_id", "session_start")
+
+    }
+  }
+
   /** Streaming exact dedup: `dropDuplicates` over the replayed event
     * stream — the stateful streaming twin of batch DISTINCT (W1), and
     * the building block of exactly-once ingestion from at-least-once
