@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops
+
+/** Relevance scoring over a document corpus (extension beyond the
+  * reference — SURVEY §7.4): TF-IDF term weighting and BM25 ranked
+  * retrieval, the two standard lexical-relevance primitives a
+  * training-data pipeline uses for corpus triage (what is this
+  * document about; which documents match a probe query) before any
+  * embedding model gets involved.
+  *
+  * Scale posture, both operators:
+  *  - corpus statistics (document count, per-term document frequency,
+  *    average document length) are tiny by construction — one row, or
+  *    vocabulary-sized — and attach to the corpus via broadcast joins;
+  *    the corpus itself is never re-shuffled for them.
+  *  - all floating-point score trees are fixed-shape and evaluated in
+  *    deposit order, then rounded with [[Ops.roundDet]], so the DuckDB
+  *    oracle reproduces them bit-exactly (the cosine/quality playbook).
+  *  - ranking windows partition on bounded keys (`doc_id` for top
+  *    terms — group size ≤ per-doc vocabulary; the global top-N for
+  *    BM25 uses the two-phase partial top-k of
+  *    [[Similarity.bruteForceTopK]] so no single task sees the corpus).
+  */
+object Relevance {
+
+  /** Top-k TF-IDF terms per document.
+    *
+    * tf is the raw in-document term count; idf = ln(N / df) with df
+    * counted over exact whitespace tokens — on a 100 TB corpus both
+    * come from one (doc, term)-keyed aggregation, and the (term, df)
+    * side stays vocabulary-sized, hence broadcast. Ranking happens on
+    * the ROUNDED score (4dp) with a term-name tie-break, so rank is a
+    * total order and both engines agree even when two raw scores
+    * differ only in the last ulp of `ln`.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(nDocs)) // 1-row corpus stat
+      .withColumn("score", Ops.roundDet(
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Okapi BM25 top-N documents for a fixed bag of query terms.
+    *
+    * Per-document work is a single pass over the token array (one
+    * codegen'd HOF count per query term — no explode, no shuffle);
+    * the corpus statistics (N, Σdl, per-term df) reduce to ONE row and
+    * broadcast back. The score tree is built in fixed term order and
+    * summed left-to-right, so the oracle's identically-shaped
+    * expression matches bit-for-bit before the 4dp round.
+    *
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard
+    * Robertson-Sparck Jones form, always ≥ 0.
+    */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], topN: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
+    val tfCol = (t: String) =>
+      size(filter(TextAnalysis.tokens(col(textCol)), x => x === lit(t)))
+    val base = docs.select(
+      col(idCol).as("doc_id") +:
+        TextAnalysis.tokenCount(col(textCol)).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+
+    // one-row corpus statistics: N, total token mass, df per term
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+
+    val scored = base.join(broadcast(stats)).withColumn("score", {
+      val nD = col("n_docs").cast("double")
+      val avgdl = col("sum_dl").cast("double") / nD
+      val dlNorm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
+      val termScore = (i: Int) => {
+        val tfD = col(s"tf_$i").cast("double")
+        val dfD = col(s"df_$i").cast("double")
+        val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+        idf * (tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * dlNorm)
+      }
+      Ops.roundDet(
+        terms.indices.map(termScore).reduceLeft((a, c) => a + c), 4)
+    })
+
+    // two-phase partial top-N (the bruteForceTopK pattern): rank
+    // within each scan partition first, so the global window only
+    // sees ≤ topN·numPartitions rows instead of the whole corpus.
+    val wPart = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prank", row_number().over(wPart))
+      .filter(col("__prank") <= topN)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select("rank", "doc_id", "score")
+      .orderBy("rank")
+  }
+}

@@ -72,6 +72,15 @@ object TextAnalysis {
       lenScore * lit(0.4) + punctScore * lit(0.3) + swScore * lit(0.3), 4)
   }
 
+  /** Stopword scrub: drop `stopwords` tokens and re-join on single
+    * spaces — the lexical normalization applied before shingling /
+    * vocabulary building so function words don't dominate n-gram
+    * space. Per-row HOF chain (split → filter → join), no shuffle. */
+  def scrubStopwords(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    array_join(filter(tokens(text), t => !array_contains(sw, t)), " ")
+  }
+
   /** Language marker words for the n-gram-heuristic language id. The
     * test corpus is synthetic English-ish text, so markers matter less
     * than the mechanism: count marker hits per language, pick the
@@ -113,7 +122,7 @@ object TextAnalysis {
     * no backrefs or lookaround), so the DuckDB oracle applies the
     * same strings verbatim. (name, pattern, replacement). */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("url", "https?://[A-Za-z0-9./_%-]+", "[URL]"),
+    ("url", "https?://[A-Za-z0-9./_%?=&:#@~+-]+", "[URL]"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"))

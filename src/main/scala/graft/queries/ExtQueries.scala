@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Multimodal, Relevance, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Training-data extension queries (SURVEY §7.4): text analysis,
@@ -39,6 +39,31 @@ object ExtQueries {
       s"WHEN $s = $greatest THEN '$lang'" }.mkString(" ")
     s"CASE WHEN $greatest = 0 THEN 'und' $cases ELSE '${scores.last._1}' END"
   }
+
+  // -- relevance / curation oracle fragments (t6-t10, e3-e4) ------------
+  // BM25 configuration shared between the Spark query and its oracle.
+  // Terms chosen for spread in document frequency on the fixture
+  // vocabulary; constants interpolated into the SQL via Scala Double
+  // toString (shortest round-trip repr), so both engines compute with
+  // bit-identical doubles.
+  private val Bm25Terms = Seq("spark", "customer", "vector")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** SQL twin of Relevance.bm25TopDocs' per-term score: same tree
+    * shape, same left-to-right evaluation (see its scaladoc). */
+  private def sqlBm25Term(i: Int): String =
+    s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+                 / (CAST(df_$i AS DOUBLE) + 0.5))
+        * (CAST(tf_$i AS DOUBLE) * ${Bm25K1 + 1.0})
+        / (CAST(tf_$i AS DOUBLE)
+           + $Bm25K1 * (1.0 - $Bm25B + $Bm25B
+             * (CAST(dl AS DOUBLE)
+                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+
+  // DuckDB list literal of TextAnalysis.EnglishStopwords
+  private val SqlStopList =
+    TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(",")
 
   // -- shared shingle-pair oracle chain (d4/d6/e2) ----------------------
   // Single source of truth for the 3-gram-Jaccard SQL twin of
@@ -267,6 +292,145 @@ object ExtQueries {
               FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
                     FROM documents)
               GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
+
+    // ---- relevance scoring --------------------------------------------
+
+    // TF-IDF top terms per document: tf and df from one (doc, term)
+    // aggregation; df/N broadcast back; ranking on the ROUNDED score
+    // (term tie-break) so both engines agree at ulp boundaries.
+    Q("t6_tfidf_topterms",
+      (s, dir) => Relevance.tfidfTopTerms(t(s, dir, "documents"), k = 3),
+      Some(s"""WITH toks AS (SELECT doc_id,
+                        unnest(string_split_regex(text, '\\s+')) AS term
+                      FROM documents),
+               tfq AS (SELECT doc_id, term, COUNT(*) AS tf
+                       FROM toks GROUP BY doc_id, term),
+               dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+               nq AS (SELECT COUNT(*) AS n_docs FROM documents),
+               scored AS (SELECT doc_id, tfq.term AS term,
+                   ${sqlRoundDet(
+                     """CAST(tf AS DOUBLE)
+                        * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))""",
+                     4)} AS score
+                 FROM tfq JOIN dfq ON tfq.term = dfq.term CROSS JOIN nq),
+               ranked AS (SELECT doc_id, term, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rank
+                 FROM scored)
+               SELECT doc_id, rank, term, score FROM ranked
+               WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // Okapi BM25 top-20 for a fixed query-term bag: per-row HOF term
+    // counts, one-row corpus stats broadcast back, fixed-order score
+    // tree (see Relevance.bm25TopDocs for the determinism contract).
+    Q("t7_bm25_rank",
+      (s, dir) => Relevance.bm25TopDocs(t(s, dir, "documents"),
+        Bm25Terms, topN = 20, k1 = Bm25K1, b = Bm25B),
+      Some(s"""WITH base AS (SELECT doc_id,
+                      len(string_split_regex(text, '\\s+')) AS dl,
+                      ${Bm25Terms.zipWithIndex.map { case (tm, i) =>
+                        s"""len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x = '$tm')) AS tf_$i""" }.mkString(",\n")}
+                    FROM documents),
+               stats AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                      ${Bm25Terms.indices.map(i =>
+                        s"""CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS df_$i""").mkString(",\n")}
+                    FROM base),
+               scored AS (SELECT doc_id,
+                   ${sqlRoundDet(
+                     Bm25Terms.indices.map(sqlBm25Term).mkString(" + "), 4)}
+                     AS score
+                 FROM base CROSS JOIN stats),
+               ranked AS (SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+                 FROM scored)
+               SELECT rank, doc_id, score FROM ranked
+               WHERE rank <= 20 ORDER BY rank""")),
+
+    // ---- curation / normalization -------------------------------------
+
+    // Stopword scrub: lexical normalization before shingling/vocab.
+    Q("t8_stopword_scrub",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.scrubStopwords(col("text"),
+            TextAnalysis.EnglishStopwords).as("clean_text"),
+          TextAnalysis.stopwordCount(col("text"),
+            TextAnalysis.EnglishStopwords).cast("long").as("n_removed"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                 array_to_string(list_filter(
+                   string_split_regex(text, '\\s+'),
+                   x -> NOT list_contains([$SqlStopList], x)), ' ')
+                   AS clean_text,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                   x -> list_contains([$SqlStopList], x))) AS BIGINT)
+                   AS n_removed
+               FROM documents ORDER BY doc_id""")),
+
+    // Token-budget histogram: fixed-width bins over the whitespace
+    // token count — the distribution profile that sizes a mix.
+    Q("t9_token_histogram",
+      (s, dir) => Curation.histogram(t(s, dir, "documents"),
+        TextAnalysis.tokenCount(col("text")), width = 10),
+      Some("""SELECT bin, COUNT(*) AS n FROM (
+                SELECT CAST(dl - (dl % 10) AS BIGINT) AS bin FROM (
+                  SELECT len(string_split_regex(text, '\s+')) AS dl
+                  FROM documents))
+              GROUP BY bin ORDER BY bin""")),
+
+    // PII redaction pass over the corpus. The synthetic fixture
+    // carries no PII, so this row checks cross-engine pass-through
+    // parity of the regex chain (zero hits, text unchanged); the
+    // positive-match contract (planted emails/URLs/IPs/phones) is
+    // spec-verified in ExtSpec over an inline frame.
+    Q("t10_redact",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("clean_text"),
+          TextAnalysis.PiiPatterns.map { case (_, p, _) =>
+            TextAnalysis.piiCount(col("text"), p)
+          }.reduceLeft(_ + _).as("pii_hits"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                 ${TextAnalysis.PiiPatterns.foldLeft("text") {
+                   case (acc, (_, p, r)) =>
+                     s"regexp_replace($acc, '$p', '$r', 'g')"
+                 }} AS clean_text,
+                 CAST(${TextAnalysis.PiiPatterns.map { case (_, p, _) =>
+                   s"len(regexp_extract_all(text, '$p'))"
+                 }.mkString(" + ")} AS BIGINT) AS pii_hits
+               FROM documents ORDER BY doc_id""")),
+
+    // Deterministic hash sample (~10%): reproducible, re-partition-
+    // stable held-out split — no RNG, rides the scan.
+    Q("e3_deterministic_sample",
+      (s, dir) => Curation.deterministicSample(
+          t(s, dir, "documents"), "doc_id", hexBound = "1a")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+              ORDER BY doc_id""")),
+
+    // Class-balanced sampling: cap every language at its 25 best-
+    // quality documents (quality desc, doc_id tie-break) so no class
+    // dominates the mix. One shuffle keyed on lang.
+    Q("e4_balanced_sample",
+      (s, dir) => Curation.balancedTopK(
+          t(s, dir, "documents").withColumn("quality",
+            TextAnalysis.qualityScore(col("text"))),
+          "lang", k = 25, col("quality").desc, col("doc_id").asc)
+        .select("lang", "rank", "doc_id", "quality")
+        .orderBy("lang", "rank"),
+      Some(s"""WITH scored AS (SELECT doc_id, lang, $SqlQuality AS quality
+                               FROM documents),
+               ranked AS (SELECT lang, doc_id, quality,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY quality DESC, doc_id) AS rank
+                 FROM scored)
+               SELECT lang, rank, doc_id, quality FROM ranked
+               WHERE rank <= 25 ORDER BY lang, rank""")),
 
     // ---- dedup family -------------------------------------------------
 
