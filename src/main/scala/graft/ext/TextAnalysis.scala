@@ -72,6 +72,32 @@ object TextAnalysis {
       lenScore * lit(0.4) + punctScore * lit(0.3) + swScore * lit(0.3), 4)
   }
 
+  /** Word n-grams of a text column as an array (empty when the doc
+    * has fewer than n tokens). Per-row HOF — the building block for
+    * [[repetitionScore]]. */
+  def ngramArray(text: Column, n: Int): Column = {
+    require(n >= 1, s"ngramArray needs n >= 1, got $n")
+    val tk = tokens(text)
+    when(size(tk) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(tk) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j + 1))): _*)))
+  }
+
+  /** Intra-document repetition: the duplicated fraction of word
+    * n-grams, 1 − |distinct n-grams| / |n-grams| (0 when the doc is
+    * too short to have any). High values flag boilerplate/looping
+    * text — the standard repetition quality gate applied alongside
+    * [[qualityScore]] before training-set admission. Deterministic
+    * double arithmetic, rounded to 4dp, so it oracle-compares
+    * exactly. */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val ng = ngramArray(text, n)
+    graft.ops.Ops.roundDet(
+      when(size(ng) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(ng)).cast("double") /
+          size(ng).cast("double")), 4)
+  }
+
   /** Stopword scrub: drop `stopwords` tokens and re-join on single
     * spaces — the lexical normalization applied before shingling /
     * vocabulary building so function words don't dominate n-gram

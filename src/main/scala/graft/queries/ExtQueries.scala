@@ -402,6 +402,35 @@ object ExtQueries {
                  }.mkString(" + ")} AS BIGINT) AS pii_hits
                FROM documents ORDER BY doc_id""")),
 
+    // Intra-document repetition: duplicated fraction of word 1-grams
+    // and 3-grams — the boilerplate/looping-text quality gate.
+    Q("t11_repetition",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.repetitionScore(col("text"), 1).as("rep_token"),
+          TextAnalysis.repetitionScore(col("text"), 3).as("rep_3gram"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id,
+                      string_split_regex(text, '\\s+') AS t
+                    FROM documents),
+               ng AS (SELECT doc_id, t AS g1,
+                   CASE WHEN len(t) < 3 THEN []
+                        ELSE list_transform(range(0, len(t) - 2),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                   END AS g3
+                 FROM tk)
+               SELECT doc_id,
+                 ${sqlRoundDet(
+                   """CASE WHEN len(g1) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(g1)) AS DOUBLE)
+                                 / CAST(len(g1) AS DOUBLE) END""", 4)}
+                   AS rep_token,
+                 ${sqlRoundDet(
+                   """CASE WHEN len(g3) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                                 / CAST(len(g3) AS DOUBLE) END""", 4)}
+                   AS rep_3gram
+               FROM ng ORDER BY doc_id""")),
+
     // Deterministic hash sample (~10%): reproducible, re-partition-
     // stable held-out split — no RNG, rides the scan.
     Q("e3_deterministic_sample",

@@ -50,6 +50,19 @@ class CurationSpec extends SparkTestBase {
     assert(out.getInt(1) == 4) // the, is, in, a
   }
 
+  test("repetitionScore measures duplicated n-gram fraction") {
+    val df = Seq(
+      (0L, "a b a b"),        // tokens: 2/4 dup; 3-grams "a b a","b a b" distinct
+      (1L, "x x x x x"),      // tokens: 4/5 dup; 3-grams: 3x "x x x" → 2/3
+      (2L, "one two")         // too short for 3-grams → 0
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextAnalysis.repetitionScore($"text", 1).as("r1"),
+      TextAnalysis.repetitionScore($"text", 3).as("r3"))
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out == Seq((0L, 0.5, 0.0), (1L, 0.8, 0.6667), (2L, 0.0, 0.0)))
+  }
+
   private val corpus = Seq(
     (0L, "apple apple banana"),
     (1L, "banana cherry"),

@@ -104,6 +104,45 @@ class OpsSpec extends SparkTestBase {
     assert(spark.read.parquet(path).collect().toSet == originalRows)
   }
 
+  test("zorderValue interleaves bit planes (Morton order)") {
+    // bits=2 over [0,3]x[0,3]: normalization is the identity, so the
+    // z-value is the textbook Morton code (x bits on even planes)
+    val df = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("x", "y")
+    val z = df.select(graft.ops.Maintenance.zorderValue(
+      Seq($"x", $"y"), Seq(lit(0L), lit(0L)), Seq(lit(3L), lit(3L)),
+      bits = 2).as("z")).as[Long].collect().toSeq
+    assert(z == Seq(0L, 5L, 10L, 15L, 9L))
+  }
+
+  test("zorderWrite clusters files into small key-space rectangles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val path = s"$dir/grid"
+    // 64x64 grid in row-major order: an unsorted write would give
+    // every file the full x-range and a 1/16 y-band (area 4096/16 in
+    // one dim only); the z-curve should cut BOTH dims per file
+    val grid = spark.range(0, 64L * 64L)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    graft.ops.Maintenance.zorderWrite(grid, path, Seq("x", "y"),
+      numFiles = 16)
+
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size == 16)
+    val areas = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"x"), max($"x"), min($"y"), max($"y")).head
+      (r.getLong(1) - r.getLong(0) + 1) * (r.getLong(3) - r.getLong(2) + 1)
+    }
+    // ideal: 16 files x 256 cells; range-boundary files may straddle
+    // two quadrants, so allow 4x — far below the 4096-cell full extent
+    assert(areas.max <= 2048, s"file spans too much key space: $areas")
+    assert(areas.sum / areas.size <= 1024, s"weak clustering: $areas")
+    // and the rewrite is lossless
+    assert(spark.read.parquet(path).collect().toSet ==
+      grid.collect().toSet)
+  }
+
   test("decodeByMap maps known ids, NULL for unmapped (F6)") {
     val df = Seq(1, 2, 42).toDF("id")
     val out = df.select(Ops.decodeByMap($"id", Seq(1 -> "one", 2 -> "two"))
