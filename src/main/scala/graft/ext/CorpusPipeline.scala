@@ -65,4 +65,39 @@ object CorpusPipeline {
       .select(idCol, "quality", "n_tokens")
       .orderBy(idCol)
   }
+
+  /** The selection pass that runs AFTER cleaning: clean → cap every
+    * class at its k best-quality documents ([[Curation.balancedTopK]])
+    * → deterministic held-out hash split ([[Curation
+    * .deterministicSample]] complement). Returns the training-mix
+    * rows (class, rank, id, quality, train/holdout split) — the
+    * composed curate step a mix builder consumes directly.
+    *
+    * Shuffle inventory: everything `clean` pays, plus ONE shuffle
+    * keyed on the class column for the cap window; the hash split is
+    * a per-row predicate. The gate runs before the window, so capped
+    * classes never shuffle their rejected rows' text — only the
+    * projected metadata columns move. */
+  def curate(docs: DataFrame, classCol: String, perClassCap: Int,
+             holdoutBound: String = "1a",
+             minQuality: Double = 0.5, minTokens: Int = 20,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cleaned = docs
+      .select(col(idCol), col(textCol), col(classCol),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+    val deduped = Dedup.exactByFingerprint(cleaned, textCol, idCol)
+      .select(col(idCol), col(classCol), col("quality"))
+    Curation.balancedTopK(deduped, classCol, perClassCap,
+      col("quality").desc, col(idCol).asc)
+      // split as text, not boolean: the driver hash-compare's proven
+      // emission types are {BIGINT, DOUBLE, TIMESTAMP, VARCHAR}
+      .withColumn("split",
+        when(substring(md5(col(idCol).cast("string")), 1, 2) < holdoutBound,
+          "holdout").otherwise("train"))
+      .select(col(classCol), col("rank"), col(idCol), col("quality"),
+        col("split"))
+      .orderBy(col(classCol), col("rank"))
+  }
 }

@@ -210,6 +210,31 @@ object ExtQueries {
                WHERE c.comp IS NULL OR c.comp = e.doc_id
                ORDER BY e.doc_id""")),
 
+    // The composed curate step: clean → per-class quality cap →
+    // deterministic train/holdout hash split. Classes come from
+    // `source` (the crawl-domain analog), capped at 15 docs each.
+    Q("e5_curated_mix",
+      (s, dir) => graft.ext.CorpusPipeline.curate(
+        t(s, dir, "documents"), classCol = "source", perClassCap = 15),
+      Some(s"""WITH scored AS (
+                 SELECT doc_id, text, source, $SqlQuality AS quality,
+                        $SqlTokens AS n_tokens
+                 FROM documents),
+               g AS (SELECT * FROM scored
+                     WHERE quality >= 0.5 AND n_tokens >= 20),
+               dd AS (SELECT doc_id, source, quality FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY $SqlFp
+                                                     ORDER BY doc_id) AS rn
+                        FROM g) WHERE rn = 1),
+               capped AS (SELECT source, doc_id, quality,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS rank
+                 FROM dd)
+               SELECT source, rank, doc_id, quality,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                      THEN 'holdout' ELSE 'train' END AS split
+               FROM capped WHERE rank <= 15 ORDER BY source, rank""")),
+
     // ---- text analysis ------------------------------------------------
 
     Q("t1_text_stats",

@@ -70,6 +70,34 @@ class PlanSpec extends SparkTestBase {
       s"per-partition rank filter missing from:\n$plan")
   }
 
+  test("tfidf: corpus stats attach via broadcast, no sort-merge join (t6)") {
+    val plan = executed(graft.ext.Relevance.tfidfTopTerms(docs, k = 3))
+    // the (term, df) side is vocabulary-sized and the doc count is one
+    // row — both must come back as broadcasts; a sort-merge join here
+    // would re-shuffle the whole (doc, term) relation per corpus stat
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("bm25: per-row scoring, no explode, pre-truncated global rank (t7)") {
+    val plan = executed(graft.ext.Relevance.bm25TopDocs(
+      docs, Seq("spark", "table"), topN = 10))
+    // term counting is a per-row HOF pass — exploding the corpus into
+    // a (doc, token) relation would shuffle token mass, not doc mass
+    assert(!plan.contains("Generate"), s"corpus explode in:\n$plan")
+    // the global top-N window only sees per-partition survivors (the
+    // bruteForceTopK two-phase pattern)
+    assert(plan.contains("__prank"), s"pre-truncation missing:\n$plan")
+  }
+
+  test("deterministic sample is a scan-side filter: zero exchanges (e3)") {
+    val plan = executed(graft.ext.Curation.deterministicSample(
+      docs, "doc_id", "1a"))
+    assert(!plan.contains("Exchange"), s"sampling should ride the scan:\n$plan")
+    assert(!plan.contains("Sort"), plan)
+  }
+
   test("projection + filter push down to the parquet scan (S1/P1)") {
     val plan = executed(docs.filter(col("lang") === "en")
       .select("doc_id", "n_chars"))
