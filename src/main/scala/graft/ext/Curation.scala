@@ -51,6 +51,59 @@ object Curation {
       .filter(col("rank") <= k)
   }
 
+  /** Weighted dataset mix: per-class deterministic sampling rates —
+    * the knob that turns a raw crawl into a recipe ("20% of src0,
+    * 90% of wikipedia, 5% of everything else"). Same md5-threshold
+    * mechanism as [[deterministicSample]] but at 16-bit granularity
+    * (first four hex digits, rate resolution 1/65536) and with the
+    * bound chosen per class: keep a row iff
+    * `int(md5(key)[0:4], 16) < floor(rate(class) * 65536)`.
+    *
+    * The rate lookup is a literal when-chain (codegen'd, rides the
+    * scan — no join, no shuffle); the weight table is config-small by
+    * contract. Determinism gives the mix the same three properties as
+    * the sampler: reproducible, layout-independent, and stable under
+    * incremental corpus growth — re-running the mix on an extended
+    * corpus keeps every previously selected row.
+    */
+  def weightedMix(df: DataFrame, classCol: String,
+                  weights: Map[String, Double],
+                  defaultRate: Double = 0.0,
+                  keyCol: String = "doc_id"): DataFrame = {
+    (weights.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    val rate = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (cls, r)) => when(col(classCol) === cls, lit(r)).otherwise(acc)
+    }
+    val slot = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.filter(slot < floor(rate * 65536.0).cast("long"))
+  }
+
+  /** Key-skew profile: the distribution of per-key row counts that
+    * decides whether a join/agg on `keyCol` needs salting
+    * ([[graft.ops.Ops]]' salted variants) or AQE skew handling.
+    * Two partial+final aggregates (rows → per-key counts → one
+    * summary row): n_keys, total rows, max/avg per-key count, the
+    * count of "heavy" keys above `heavyThreshold`, and top_share =
+    * max_n / total — when top_share ≈ 1/parallelism or more, one
+    * task owns the stage's tail and the key needs salting. Output is
+    * one bounded row; nothing about this profile grows with data
+    * size. */
+  def skewProfile(df: DataFrame, keyCol: String,
+                  heavyThreshold: Long): DataFrame = {
+    val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_n"),
+      graft.ops.Ops.roundDet(
+        sum(col("n")).cast("double") / count(lit(1)), 4).as("avg_n"),
+      sum(when(col("n") > heavyThreshold, 1L).otherwise(0L)).as("n_heavy"),
+      graft.ops.Ops.roundDet(
+        max(col("n")).cast("double") / sum(col("n")), 6).as("top_share"))
+  }
+
   /** Fixed-width histogram of an integer metric: bin = value rounded
     * down to a multiple of `width`. Partial+final aggregate over at
     * most (max/width) bins — the distribution-profiling pass (token

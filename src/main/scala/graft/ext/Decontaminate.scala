@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (extension beyond the reference — SURVEY
+  * §7.4): remove from a training corpus every document that shares a
+  * word n-gram with a held-out evaluation set, the standard guard
+  * against test-set leakage before pretraining.
+  *
+  * Mechanism: both sides shingle into word n-grams
+  * ([[TextAnalysis.ngramArray]]), the corpus side explodes (shuffle
+  * keyed by shingle, never by document pair), and the eval side —
+  * contract-small: benchmarks are thousands of prompts, not
+  * terabytes — broadcasts. A semi/inner join on the shingle plus a
+  * doc-keyed count yields the flag list; an anti-join yields the
+  * clean corpus.
+  *
+  * Scale posture at 100 TB: the only wide payload (document text)
+  * never shuffles — shingling happens in the scan stage and only
+  * (doc_id, shingle-hash) pairs move. Eval shingles are a broadcast
+  * build side; with `broadcastEval = false` the join degrades to a
+  * shuffled hash join for pathologically large eval sets.
+  */
+object Decontaminate {
+
+  /** Distinct word n-gram shingles per document: (idCol, shingle). */
+  private def shingles(docs: DataFrame, n: Int, textCol: String,
+                       idCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(TextAnalysis.ngramArray(col(textCol), n)))
+          .as("shingle"))
+
+  /** Documents of `docs` contaminated by `evalDocs`: any shared word
+    * n-gram flags the document. Returns (idCol, n_matched) where
+    * n_matched counts the DISTINCT corpus-side shingles that hit the
+    * eval set — the evidence weight a review queue would sort by.
+    * Documents present in both frames flag themselves (callers
+    * exclude the eval ids when the eval set is carved from the same
+    * table; see the c1 query). */
+  def flagged(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+              textCol: String = "text", idCol: String = "doc_id",
+              broadcastEval: Boolean = true): DataFrame = {
+    val evalSh = shingles(evalDocs, n, textCol, idCol)
+      .select("shingle").distinct()
+    val build = if (broadcastEval) broadcast(evalSh) else evalSh
+    shingles(docs, n, textCol, idCol)
+      .join(build, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_matched"))
+  }
+
+  /** The clean corpus: `docs` minus every flagged document. Anti-join
+    * on the id — document bodies stay in place; only ids shuffle. */
+  def clean(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+            textCol: String = "text", idCol: String = "doc_id",
+            broadcastEval: Boolean = true): DataFrame =
+    docs.join(
+      flagged(docs, evalDocs, n, textCol, idCol, broadcastEval)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -61,6 +61,12 @@ object ExtQueries {
              * (CAST(dl AS DOUBLE)
                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
 
+  /** Oracle-side twin of [[Curation.weightedMix]]'s per-class bound:
+    * floor(rate·65536) as 4 lowercase hex digits, the fixed width at
+    * which lexicographic string compare equals integer compare. */
+  private def hex4(rate: Double): String =
+    f"${math.floor(rate * 65536.0).toLong}%04x"
+
   // DuckDB list literal of TextAnalysis.EnglishStopwords
   private val SqlStopList =
     TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(",")
@@ -1090,6 +1096,130 @@ object ExtQueries {
       Some("""SELECT DISTINCT user_id, event_type,
                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day
               FROM events
-              ORDER BY user_id, event_type, ts_day"""))
+              ORDER BY user_id, event_type, ts_day""")),
+
+    // ---- curation round 2: decontamination, packing, mixing, skew,
+    // quantization (the c*/a18/x4 family) -----------------------------
+
+    // Benchmark decontamination: docs (doc_id % 20 <> 7) flagged for
+    // sharing any 3-gram with the held-out eval slice (doc_id % 20 =
+    // 7). The oracle rebuilds the same shingle sets and counts the
+    // same distinct-shingle hits. Eval shingles broadcast; corpus
+    // bodies never shuffle.
+    Q("c1_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.Decontaminate.flagged(
+            docs.filter(pmod(col("doc_id"), lit(20)) =!= 7),
+            docs.filter(pmod(col("doc_id"), lit(20)) === 7))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split_regex(text, '\s+') AS tk
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         range(0, GREATEST(len(tk)-3, 0)+1),
+                         i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])))
+                         AS shingle
+                FROM toks),
+              ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 7),
+              corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 7)
+              SELECT c.doc_id, COUNT(*) AS n_matched
+              FROM corp c JOIN ev e ON c.shingle = e.shingle
+              GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    // Concat-and-chunk sequence packing at a 128-token budget, one
+    // independent layout per lang. Pure window cumsum — the oracle is
+    // the same cumsum in ANSI SQL.
+    Q("c2_pack_sequences",
+      (s, dir) => graft.ext.Packing.packSequences(
+          t(s, dir, "documents"), budget = 128).orderBy("doc_id"),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, lang, CAST($SqlTokens AS BIGINT) AS n_tokens
+                 FROM documents),
+               c AS (
+                 SELECT doc_id, lang, n_tokens,
+                        CAST(COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens, 0) AS BIGINT) AS strt
+                 FROM toks)
+               SELECT doc_id, lang, n_tokens,
+                      CAST(FLOOR(CAST(strt AS DOUBLE) / 128) AS BIGINT)
+                        AS seq_id,
+                      strt - CAST(FLOOR(CAST(strt AS DOUBLE) / 128) AS BIGINT)
+                             * 128 AS seq_offset
+               FROM c ORDER BY doc_id""")),
+
+    // Weighted dataset mix: per-source deterministic sampling rates
+    // (80% of src0, 50% of src3, 10% of src7, 25% default). The
+    // oracle compares the same 4-hex md5 slot against the same
+    // per-class bound — fixed-width lowercase hex compares
+    // lexicographically as the integer does.
+    Q("c3_weighted_mix",
+      (s, dir) => Curation.weightedMix(t(s, dir, "documents"), "source",
+          Map("src0" -> 0.8, "src3" -> 0.5, "src7" -> 0.1),
+          defaultRate = 0.25)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source FROM documents
+               WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                 CASE source WHEN 'src0' THEN '${hex4(0.8)}'
+                             WHEN 'src3' THEN '${hex4(0.5)}'
+                             WHEN 'src7' THEN '${hex4(0.1)}'
+                             ELSE '${hex4(0.25)}' END
+               ORDER BY doc_id""")),
+
+    // Key-skew profile over events.user_id — the diagnostic that
+    // decides whether a key needs the salted agg/join route (a10/j6).
+    // One bounded summary row.
+    Q("a18_skew_profile",
+      (s, dir) => Curation.skewProfile(t(s, dir, "events"), "user_id",
+        heavyThreshold = 80L),
+      Some(s"""WITH pk AS (SELECT user_id, COUNT(*) AS n
+                           FROM events GROUP BY user_id)
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                      CAST(SUM(n) AS BIGINT) AS n_rows,
+                      CAST(MAX(n) AS BIGINT) AS max_n,
+                      ${sqlRoundDet("CAST(SUM(n) AS DOUBLE) / COUNT(*)", 4)}
+                        AS avg_n,
+                      CAST(SUM(CASE WHEN n > 80 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_heavy,
+                      ${sqlRoundDet(
+                        "CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)", 6)}
+                        AS top_share
+               FROM pk""")),
+
+    // Int8 quantization reconstruction-error report: per-vector code
+    // range and max/mean |x - dequant(x)|. Same floor(+0.5) half-up
+    // rounding and same left-to-right error-sum fold on both engines
+    // (list_reduce is the sequential fold; list_sum's order is not
+    // contractual).
+    Q("x4_quantize",
+      (s, dir) => Similarity.quantizeError(t(s, dir, "embeddings"))
+        .orderBy("vec_id"),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings),
+               q AS (SELECT vec_id, list_min(v) AS mn, list_max(v) AS mx, v
+                     FROM e),
+               r AS (SELECT vec_id, len(v) AS d,
+                       list_transform(v, x -> CASE WHEN mx = mn THEN 0.0
+                         ELSE abs(x - (mn
+                           + floor((x - mn) / (mx - mn) * 255.0 + 0.5)
+                             * ((mx - mn) / 255.0))) END) AS errs,
+                       list_transform(v, x ->
+                         CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                         ELSE CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5)
+                                   AS BIGINT) END) AS codes
+                     FROM q)
+               SELECT vec_id,
+                      CAST(list_min(codes) AS BIGINT) AS code_min,
+                      CAST(list_max(codes) AS BIGINT) AS code_max,
+                      ${sqlRoundDet("list_max(errs)", 6)} AS max_err,
+                      ${sqlRoundDet(
+                        "list_reduce(errs, (a, b) -> a + b) / d", 6)}
+                        AS avg_err
+               FROM r ORDER BY vec_id"""))
   )
 }
