@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, ExtQueries, Q}
+import graft.queries.{CoreQueries, ExtQueries, PipeQueries, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CoreQueries, ExtQueries, Q}
   */
 object SparkEntry {
 
-  private def registry: Seq[Q] = CoreQueries.all ++ ExtQueries.all
+  private def registry: Seq[Q] =
+    CoreQueries.all ++ ExtQueries.all ++ PipeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The gold.vendor_metrics shape: fact × broadcast dim → group →

@@ -4,10 +4,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg (dev only — the driver passes two): a comma-
+    // separated list of query-name prefixes to run/dump, for fast
+    // iteration on a few queries without re-dumping the whole registry
+    val keep: String => Boolean = args.lift(2) match {
+      case Some(pfx) =>
+        val ps = pfx.split(',').toSeq; name => ps.exists(name.startsWith)
+      case None => _ => true
+    }
     val spark = LocalSpark.session("graft-verify", defaultCpus = "4")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -116,4 +116,49 @@ object Curation {
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .orderBy("bin")
   }
+
+  /** Deterministic train/val/test assignment: the row's 16-bit md5
+    * slot (same mechanism as [[weightedMix]]) is cut at the
+    * cumulative fraction boundaries, so every row lands in exactly
+    * one split, the split is reproducible across engines/layouts/
+    * runs, and — critically for held-out integrity at 100 TB — a row
+    * KEEPS its split when the corpus is re-read or extended: new data
+    * can never migrate old rows between train and test.
+    *
+    * `fracs` are (name, fraction) in cut order, summing to ≤ 1; any
+    * remainder falls to `rest`. Comparison is on the 4-hex-digit md5
+    * prefix as a STRING (fixed width, lowercase — lexicographic order
+    * equals numeric order), which keeps the oracle SQL a verbatim
+    * twin. Adds a `split` column; no shuffle — the assignment rides
+    * the scan. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  fracs: Seq[(String, Double)],
+                  rest: String = "test"): DataFrame = {
+    require(fracs.nonEmpty && fracs.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions must be non-empty and sum to <= 1, got $fracs")
+    val bounds = fracs.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val hexBounds = bounds.map(b =>
+      f"${math.min(65535, math.floor(b * 65536.0).toLong)}%04x")
+    val slot = substring(md5(col(keyCol).cast("string")), 1, 4)
+    val assign = fracs.zip(hexBounds).reverse
+      .foldLeft(lit(rest)) { case (acc, ((name, _), bound)) =>
+        when(slot < bound, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic epoch shuffle: order the dataset by
+    * `md5(key ":" epoch)` — a reproducible pseudorandom permutation
+    * per training epoch, with no RNG state to coordinate across
+    * executors. Spark executes the sort as a range-partitioned
+    * exchange (sampled split points, every partition sorts locally),
+    * so unlike a `row_number()` position column there is no global
+    * single-partition window anywhere — the permutation scales like
+    * any other sort. Ties are impossible (md5 of distinct keys), but
+    * `key` is appended to the ordering anyway so duplicate keys stay
+    * deterministic. */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame = {
+    val k = md5(concat_ws(":", col(keyCol).cast("string"), lit(epoch)))
+    df.withColumn("shuffle_key", k).orderBy(col("shuffle_key"), col(keyCol))
+  }
 }

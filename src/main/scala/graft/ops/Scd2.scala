@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension (SCD2) maintenance: rebuild a
+  * versioned history from an append-only change log, and apply an
+  * incremental update batch to a current snapshot (the lakehouse
+  * MERGE pattern, expressed as joins + unions so it runs on plain
+  * parquet without a table format).
+  *
+  * The reference pipeline rebuilds its dimensions by full overwrite
+  * every run (src/etl/silver.py dims path — correct because its dims
+  * are config-small). At 100 TB the dimension WITH history is itself
+  * big (every user/document carries versioned attributes), so both
+  * operations here stay fully distributed:
+  *
+  *  - [[fromLog]] is one shuffle on the business key + two window
+  *    passes over the SAME (key, order) sort — Spark plans a single
+  *    Exchange and reuses the sort for both windows.
+  *  - [[applyChanges]] joins the snapshot against the update batch on
+  *    the business key. The batch is the small side by contract (one
+  *    increment vs the whole history) and is broadcast, so the
+  *    snapshot never shuffles at all.
+  */
+object Scd2 {
+
+  /** Rebuild the full SCD2 history of one attribute from a change
+    * log. Consecutive rows (per key, ordered by `tsCol` then
+    * `tieCol`) that repeat the same attribute value are compressed
+    * away; each surviving row becomes a version with
+    * `valid_from = its timestamp` and `valid_to = next version's
+    * timestamp` (NULL for the current version).
+    *
+    * `tieCol` must make the per-key order total (a unique event id):
+    * with equal timestamps and no tie-break, which duplicate row wins
+    * would be nondeterministic, and so would the whole history.
+    *
+    * Output: key, attr, valid_from, valid_to — the standard "as of t,
+    * the value was v" lookup shape ([[Ops.asofJoin]] consumes it
+    * directly).
+    */
+  def fromLog(log: DataFrame, key: String, tsCol: String,
+              attr: String, tieCol: String): DataFrame = {
+    val order = Seq(col(tsCol), col(tieCol))
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    // pass 1: drop rows whose attribute repeats the previous row's
+    val changes = log
+      .select(col(key), col(tsCol), col(attr), col(tieCol))
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+      .drop("__prev")
+    // pass 2 (same partitioning + order, Exchange reused): each
+    // surviving change is valid until the next one
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .drop(tsCol, tieCol)
+  }
+
+  /** Apply an incremental update batch to a current SCD2 snapshot —
+    * the lakehouse MERGE, as three filters over one broadcast join.
+    *
+    * `current` holds the open versions as (key, attr, valid_from) —
+    * valid_to IS NULL is implied, callers pass only current rows.
+    * `updates` holds at most one new attribute value per key, all
+    * effective at `effTs`. Per key:
+    *
+    *  - update with a DIFFERENT value: the open row is closed out
+    *    (`valid_to = effTs`) and a new open row is appended;
+    *  - no update, or an update equal to the current value (no-op
+    *    churn rows — real CDC feeds are full of them): the open row
+    *    passes through untouched.
+    *
+    * The update batch is broadcast (config-small by contract: one
+    * increment vs the whole dimension), so the big snapshot is never
+    * shuffled; with a genuinely big batch callers pre-partition both
+    * sides on `key` and drop the broadcast instead.
+    */
+  def applyChanges(current: DataFrame, updates: DataFrame, key: String,
+                   attr: String, effTs: Column): DataFrame = {
+    val upd = broadcast(
+      updates.select(col(key).as("__uk"), col(attr).as("__uv")))
+    val joined = current.join(upd, col(key) === col("__uk"), "left")
+    val changed = coalesce(
+      col("__uk").isNotNull && col("__uv") =!= col(attr), lit(false))
+    val openTo = lit(null).cast("timestamp")
+    val kept = joined.filter(!changed)
+      .select(col(key), col(attr), col("valid_from"), openTo.as("valid_to"))
+    val closed = joined.filter(changed)
+      .select(col(key), col(attr), col("valid_from"), effTs.as("valid_to"))
+    val opened = joined.filter(changed)
+      .select(col(key), col("__uv").as(attr), effTs.as("valid_from"),
+        openTo.as("valid_to"))
+    kept.unionByName(closed).unionByName(opened)
+  }
+}

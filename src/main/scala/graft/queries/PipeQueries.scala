@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Chunking, Curation}
+import graft.ops.Scd2
+
+/** Pipeline-lifecycle queries: SCD2 dimension versioning (u*), the
+  * chunk/shuffle corpus-prep steps (c*), and the held-out split
+  * assignment (e*) — the operators that turn the engine's cleaned
+  * corpus into training-ready inputs and keep its dimensions
+  * queryable "as of" any point in time. Same contract as the other
+  * registries: every query has a DuckDB oracle producing the
+  * identical result.
+  */
+object PipeQueries {
+  import Q._
+
+  val all: Seq[Q] = Seq(
+
+    // ---- SCD2 dimension versioning ------------------------------------
+
+    // Rebuild the full per-user event_type history from the events
+    // change log: consecutive repeats compressed, each surviving row
+    // versioned [valid_from, valid_to). One shuffle on user_id; both
+    // window passes share the (user_id; ts, event_id) sort.
+    Q("u1_scd2_rebuild",
+      (s, dir) => Scd2
+        .fromLog(t(s, dir, "events"), key = "user_id", tsCol = "ts",
+          attr = "event_type", tieCol = "event_id")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+          asc_nulls_first("valid_to")),
+      Some("""WITH ordered AS (
+                SELECT user_id, ts, event_type, event_id,
+                       LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events),
+              changes AS (
+                SELECT user_id, event_type, ts, event_id FROM ordered
+                WHERE prev IS NULL OR prev <> event_type)
+              SELECT user_id, event_type, ts AS valid_from,
+                     LEAD(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+              FROM changes
+              ORDER BY user_id, valid_from, event_type,
+                       valid_to NULLS FIRST""")),
+
+    // MERGE an update batch into a current snapshot: customers with a
+    // negative balance move to segment DELINQUENT effective Feb 1 —
+    // their open row closes out and a new open row appends; everyone
+    // else passes through. Snapshot never shuffles (batch broadcast).
+    Q("u2_scd2_merge",
+      (s, dir) => {
+        val cur = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ts("2024-01-01 00:00:00").as("valid_from"))
+        val upd = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey"), lit("DELINQUENT").as("c_mktsegment"))
+        Scd2.applyChanges(cur, upd, key = "c_custkey",
+            attr = "c_mktsegment", effTs = ts("2024-02-01 00:00:00"))
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""WITH cur AS (
+                SELECT c_custkey, c_mktsegment,
+                       TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+                FROM customer),
+              changed AS (
+                SELECT c_custkey, c_mktsegment, valid_from
+                FROM cur WHERE c_custkey IN
+                  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+                  AND c_mktsegment <> 'DELINQUENT')
+              SELECT c_custkey, c_mktsegment, valid_from,
+                     CAST(NULL AS TIMESTAMP) AS valid_to
+              FROM cur
+              WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+              UNION ALL
+              SELECT c_custkey, c_mktsegment, valid_from,
+                     TIMESTAMP '2024-02-01 00:00:00' AS valid_to
+              FROM changed
+              UNION ALL
+              SELECT c_custkey, 'DELINQUENT' AS c_mktsegment,
+                     TIMESTAMP '2024-02-01 00:00:00' AS valid_from,
+                     CAST(NULL AS TIMESTAMP) AS valid_to
+              FROM changed
+              ORDER BY c_custkey, valid_from""")),
+
+    // ---- context-window prep ------------------------------------------
+
+    // Overlapping token windows (size 64, overlap 16): narrow
+    // map+explode, no shuffle — chunking rides the scan partitioning.
+    Q("c4_chunk_docs",
+      (s, dir) => Chunking.chunk(t(s, dir, "documents"),
+          size = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split_regex(text, '\s+') AS tk
+                FROM documents),
+              base AS (
+                SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+              starts AS (
+                SELECT doc_id, tk, n,
+                       unnest(generate_series(0, n - 1, 48)) AS s
+                FROM base)
+              SELECT doc_id, s // 48 AS chunk_id,
+                     array_to_string(list_slice(tk, s + 1, s + 64), ' ')
+                       AS chunk_text,
+                     CAST(LEAST(64, n - s) AS BIGINT) AS n_chunk_tokens
+              FROM starts ORDER BY doc_id, chunk_id""")),
+
+    // Deterministic epoch shuffle: reproducible pseudorandom
+    // permutation by md5(key:epoch), executed as a range-partitioned
+    // sort — no RNG state, no single-partition window.
+    Q("c5_epoch_shuffle",
+      (s, dir) => Curation.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", epoch = 1),
+      Some("""SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':1') AS shuffle_key
+              FROM documents ORDER BY shuffle_key, doc_id""")),
+
+    // ---- held-out split integrity -------------------------------------
+
+    // Stratum × split counts under the 90/5/5 hash split: shows the
+    // proportions hold per language and pins the assignment itself
+    // (the md5 cut) to the oracle.
+    Q("e6_stratified_split",
+      (s, dir) => Curation.splitAssign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.90, "val" -> 0.05), rest = "test")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("split")),
+      Some("""SELECT lang,
+                     CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                            < 'e666' THEN 'train'
+                          WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                            < 'f333' THEN 'val'
+                          ELSE 'test' END AS split,
+                     COUNT(*) AS n
+              FROM documents
+              GROUP BY lang, split
+              ORDER BY lang, split"""))
+  )
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Chunking, Curation}
+import graft.ops.Scd2
+
+/** Unit coverage for the pipeline-lifecycle operators behind
+  * PipeQueries (u1/u2/c4/c5/e6): SCD2 rebuild + merge semantics on
+  * hand-built change logs, chunk window arithmetic at the edges, and
+  * the determinism/consistency contracts of the split and the epoch
+  * shuffle. */
+class PipeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tsv(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2 fromLog compresses repeats and versions the changes") {
+    val log = Seq(
+      (1L, "2024-01-01 00:00:00", "A", 1L),
+      (1L, "2024-01-02 00:00:00", "A", 2L), // repeat — compressed away
+      (1L, "2024-01-03 00:00:00", "B", 3L),
+      (1L, "2024-01-04 00:00:00", "A", 4L), // value may recur later
+      (2L, "2024-01-01 00:00:00", "X", 5L)
+    ).map { case (k, t, v, id) => (k, tsv(t), v, id) }
+      .toDF("user_id", "ts", "status", "event_id")
+    val got = Scd2.fromLog(log, "user_id", "ts", "status", "event_id")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, "A", tsv("2024-01-01 00:00:00"), Some(tsv("2024-01-03 00:00:00"))),
+      (1L, "B", tsv("2024-01-03 00:00:00"), Some(tsv("2024-01-04 00:00:00"))),
+      (1L, "A", tsv("2024-01-04 00:00:00"), None),
+      (2L, "X", tsv("2024-01-01 00:00:00"), None)))
+  }
+
+  test("scd2 fromLog breaks equal-timestamp ties by the tie column") {
+    val t0 = tsv("2024-01-01 00:00:00")
+    val log = Seq((1L, t0, "B", 2L), (1L, t0, "A", 1L))
+      .toDF("user_id", "ts", "status", "event_id")
+    val got = Scd2.fromLog(log, "user_id", "ts", "status", "event_id")
+      .orderBy("valid_from", "status").collect()
+    // event 1 (A) precedes event 2 (B): A closes out at t0, B stays open
+    assert(got.map(_.getString(1)).toSeq === Seq("A", "B"))
+    assert(got.count(_.isNullAt(3)) === 1)
+  }
+
+  test("scd2 applyChanges closes, opens, and passes through") {
+    val cur = Seq((1L, "GOLD"), (2L, "SILVER"), (3L, "GOLD"))
+      .toDF("k", "seg")
+      .withColumn("valid_from", lit(tsv("2024-01-01 00:00:00")))
+    // key 1 changes, key 2 no-op churn (same value), key 4 unknown key
+    val upd = Seq((1L, "BRONZE"), (2L, "SILVER"), (4L, "NEW"))
+      .toDF("k", "seg")
+    val eff = lit(tsv("2024-02-01 00:00:00"))
+    val got = Scd2.applyChanges(cur, upd, "k", "seg", eff)
+      .orderBy("k", "valid_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, "GOLD", tsv("2024-01-01 00:00:00"), Some(tsv("2024-02-01 00:00:00"))),
+      (1L, "BRONZE", tsv("2024-02-01 00:00:00"), None),
+      (2L, "SILVER", tsv("2024-01-01 00:00:00"), None),
+      (3L, "GOLD", tsv("2024-01-01 00:00:00"), None)))
+  }
+
+  test("chunk windows overlap, keep the tail, and cover every token") {
+    // 10 tokens, size 4, overlap 2 -> starts 0,2,4,6,8
+    val docs = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunk(docs, size = 4, overlap = 2)
+      .orderBy("chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got.map(_._2) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.head._3 === "t1 t2 t3 t4")
+    assert(got(1)._3 === "t3 t4 t5 t6")
+    assert(got.last._3 === "t9 t10") // short tail kept, nothing dropped
+    assert(got.map(_._4) === Seq(4L, 4L, 4L, 4L, 2L))
+  }
+
+  test("chunk rejects degenerate configs and keeps single-window docs") {
+    intercept[IllegalArgumentException](
+      Chunking.chunk(Seq((1L, "a b")).toDF("doc_id", "text"), 4, 4))
+    val one = Chunking.chunk(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), size = 8, overlap = 2)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(one === Seq((1L, 0L, "a b c", 3L)))
+  }
+
+  test("splitAssign is exhaustive, deterministic, and growth-stable") {
+    val docs = (1L to 500L).toDF("doc_id")
+    val assign = Curation.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.90, "val" -> 0.05), rest = "test")
+    val counts = assign.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 500L)
+    assert(counts("train") > 400L) // ~450 expected at p=0.9
+    // consistency: the same keys keep their split inside a superset
+    val grown = Curation.splitAssign((1L to 1000L).toDF("doc_id"), "doc_id",
+      Seq("train" -> 0.90, "val" -> 0.05), rest = "test")
+    val before = assign.as[(Long, String)].collect().toMap
+    val after = grown.filter($"doc_id" <= 500).as[(Long, String)]
+      .collect().toMap
+    assert(before === after)
+  }
+
+  test("epochShuffle permutes deterministically and differs by epoch") {
+    val docs = (1L to 100L).toDF("doc_id")
+    val e1a = Curation.epochShuffle(docs, "doc_id", 1)
+      .select("doc_id").as[Long].collect().toSeq
+    val e1b = Curation.epochShuffle(docs, "doc_id", 1)
+      .select("doc_id").as[Long].collect().toSeq
+    val e2 = Curation.epochShuffle(docs, "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(e1a === e1b)                   // reproducible
+    assert(e1a !== e2)                    // epoch changes the permutation
+    assert(e1a.sorted === (1L to 100L))   // it is a permutation
+    assert(e1a !== (1L to 100L).toSeq)    // and not the identity
+  }
+}

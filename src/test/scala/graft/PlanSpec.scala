@@ -278,4 +278,44 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges in:\n$plan")
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
+
+  test("scd2 fromLog: both window passes share one key shuffle (u1 plan)") {
+    val events = graft.queries.Q.t(spark, sf001, "events")
+    val plan = executed(graft.ops.Scd2.fromLog(
+      events, "user_id", "ts", "event_type", "event_id"))
+    // lag-compress and lead-version partition AND order identically,
+    // so Catalyst must plan exactly one hashpartitioning exchange —
+    // a second exchange means the two windows stopped sharing the sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("scd2 applyChanges: snapshot never shuffles (u2 plan)") {
+    val cur = graft.queries.Q.t(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        graft.queries.Q.ts("2024-01-01 00:00:00").as("valid_from"))
+    val upd = graft.queries.Q.t(spark, sf001, "customer")
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), lit("DELINQUENT").as("c_mktsegment"))
+    val plan = executed(graft.ops.Scd2.applyChanges(
+      cur, upd, "c_custkey", "c_mktsegment",
+      graft.queries.Q.ts("2024-02-01 00:00:00")))
+    assert(plan.contains("BroadcastHashJoin"), s"batch not broadcast:\n$plan")
+    assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext,
+      s"snapshot-side shuffle in:\n$plan")
+  }
+
+  test("chunk: narrow map+explode, no shuffle at all (c4 plan)") {
+    val plan = executed(graft.ext.Chunking.chunk(docs, 64, 16))
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+    assert(plan.contains("Generate"), s"explode missing from:\n$plan")
+  }
+
+  test("epochShuffle: range-partitioned sort, no single-partition window") {
+    val plan = executed(graft.ext.Curation.epochShuffle(docs, "doc_id", 1))
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"expected a range-partitioned global sort in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
 }
