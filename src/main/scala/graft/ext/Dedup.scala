@@ -58,6 +58,68 @@ object Dedup {
       .drop("__rn", "__fp")
   }
 
+  /** Bloom-prefiltered incremental dedup — same exact result as
+    * [[incrementalDedup]] (asserted by its oracle: a Bloom filter has
+    * no false negatives, so prefilter + exact verify = exact), but
+    * the corpus anti-join only ever sees the batch rows the filter
+    * could not rule out.
+    *
+    * One pass over the corpus fingerprints builds a single Bloom
+    * filter (Spark's own `BloomFilterAggregate`, the engine's
+    * runtime-filter sketch; `numBits` caps its size — the driver
+    * holds exactly one `numBits/8`-byte object, the same bounded-
+    * scalar pattern as the watermark reads). The batch then splits on
+    * `might_contain`:
+    *
+    *  - negatives (the vast majority of a mostly-new batch) are
+    *    DEFINITELY absent from the corpus and skip the join entirely
+    *    — they never shuffle;
+    *  - positives (true duplicates + the configured false-positive
+    *    fraction) take the exact fingerprint anti-join.
+    *
+    * At 100 TB this turns the per-increment cost from "shuffle the
+    * whole batch against the corpus fingerprint table" into "shuffle
+    * ~dup-rate + FPP of it"; the corpus-side scan still happens once
+    * for the filter build, which is the cheapest possible full pass
+    * (fingerprints only, one aggregation, no shuffle of bodies). */
+  def bloomIncrementalDedup(batch: DataFrame, corpus: DataFrame,
+                            expectedItems: Long = 1000000L,
+                            numBits: Long = 8388608L,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.types.BinaryType
+
+    val corpusFps = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnShim.expression(col("__fp")))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // one bounded row: the serialized filter (numBits/8 bytes)
+    val bloomBytes = corpusFps.agg(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val survivors = batch
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    if (bloomBytes == null) { // empty corpus: everything is new
+      survivors.drop("__rn", "__fp")
+    } else {
+      val mightContain = ColumnShim.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        new XxHash64(Seq(ColumnShim.expression(col("__fp"))))))
+      val definitelyNew = survivors.filter(!mightContain)
+      val needsCheck = survivors.filter(mightContain)
+        .join(corpusFps, Seq("__fp"), "left_anti")
+      definitelyNew.unionByName(needsCheck).drop("__rn", "__fp")
+    }
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** Number of minhash permutations / LSH bands. 64 hashes × 16 bands

@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Chunking, Curation}
+import graft.ext.{Chunking, Curation, Dedup, TextAnalysis}
 import graft.ops.Scd2
+import graft.streaming.StreamingOps
 
 /** Pipeline-lifecycle queries: SCD2 dimension versioning (u*), the
   * chunk/shuffle corpus-prep steps (c*), and the held-out split
@@ -14,6 +15,10 @@ import graft.ops.Scd2
   */
 object PipeQueries {
   import Q._
+
+  // oracle-side twin of TextAnalysis.fingerprint (same literal as
+  // ExtQueries uses for the d-family)
+  private val SqlFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
   val all: Seq[Q] = Seq(
 
@@ -115,6 +120,57 @@ object PipeQueries {
       Some("""SELECT doc_id,
                      md5(CAST(doc_id AS VARCHAR) || ':1') AS shuffle_key
               FROM documents ORDER BY shuffle_key, doc_id""")),
+
+    // ---- bloom-prefiltered incremental dedup --------------------------
+
+    // Same exact-result contract as d7 (bloom prefilter + exact
+    // verify = exact; no false negatives), on a different batch mix
+    // (1/3 re-ingested duplicates, 2/3 genuinely new): the oracle is
+    // the plain exact-incremental SQL, so a filter bug — a missed
+    // duplicate let through or a new doc wrongly dropped — hash-fails.
+    Q("d10_dedup_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dups = docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            upper(col("text")).as("text"))
+        val fresh = docs.filter(col("doc_id") % 3 =!= 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" b2")).as("text"))
+        Dedup.bloomIncrementalDedup(dups.unionByName(fresh), docs)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus_fp AS (SELECT $SqlFp AS fp FROM documents),
+               b AS (
+                 SELECT doc_id + 2000000 AS doc_id, upper(text) AS text
+                 FROM documents WHERE doc_id % 3 = 0
+                 UNION ALL
+                 SELECT doc_id + 2000000 AS doc_id, text || ' b2' AS text
+                 FROM documents WHERE doc_id % 3 <> 0),
+               bf AS (SELECT doc_id, $SqlFp AS fp FROM b),
+               surv AS (SELECT doc_id, fp FROM (
+                          SELECT doc_id, fp,
+                                 ROW_NUMBER() OVER (PARTITION BY fp
+                                                    ORDER BY doc_id) AS rn
+                          FROM bf) WHERE rn = 1)
+               SELECT s.doc_id, s.fp FROM surv s
+               WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c
+                                 WHERE c.fp = s.fp)
+               ORDER BY s.doc_id""")),
+
+    // ---- stream-static enrichment -------------------------------------
+
+    // Event stream × broadcast customer dimension, aggregated per
+    // segment in complete mode — the finite replay equals the batch
+    // join+group the oracle runs.
+    Q("st8_stream_static_enrich",
+      (s, dir) => StreamingOps.streamStaticEnrich(s, dir),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+                      ${sqlSum("value")} AS sum_value
+               FROM events JOIN customer ON user_id = c_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ---- held-out split integrity -------------------------------------
 

@@ -104,6 +104,33 @@ class PipeSpec extends SparkTestBase {
     assert(before === after)
   }
 
+  test("bloom dedup == exact incremental dedup, even at brutal FPP") {
+    val corpus = (1L to 60L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((100L to 129L).map(i => (i, s"corpus doc number ${i - 99}"))
+      ++ (200L to 229L).map(i => (i, s"fresh doc number $i"))
+      ++ Seq((300L, "fresh doc number 200"))) // in-batch dup of id 200
+      .toDF("doc_id", "text")
+    val exact = graft.ext.Dedup.incrementalDedup(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted
+    // 64 bits for 60 items: nearly every membership probe returns
+    // true, so the exact-verify join carries the result — correctness
+    // must not depend on the filter being selective
+    val bloom = graft.ext.Dedup.bloomIncrementalDedup(batch, corpus,
+      expectedItems = 60L, numBits = 64L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloom === exact)
+    assert(exact === (200L to 229L).toArray) // dups out, in-batch dup out
+  }
+
+  test("bloom dedup on an empty corpus keeps every batch survivor") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.bloomIncrementalDedup(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === Array(1L, 3L)) // in-batch dedup still applies
+  }
+
   test("epochShuffle permutes deterministically and differs by epoch") {
     val docs = (1L to 100L).toDF("doc_id")
     val e1a = Curation.epochShuffle(docs, "doc_id", 1)

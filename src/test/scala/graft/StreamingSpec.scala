@@ -65,6 +65,20 @@ class StreamingSpec extends SparkTestBase {
       expected.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrich == batch join+group (st8)") {
+    val events = graft.queries.Q.t(spark, sf001, "events")
+    val dim = spark.read.parquet(s"$sf001/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment")
+    val expected = events.join(dim, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Ops.sumMoney($"value").as("sum_value"))
+    val streamed = StreamingOps.streamStaticEnrich(spark, sf001)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming bronze ingest == batch bronze ingest") {
     val whStream = Files.createTempDirectory("graft_whs_").toString
     val whBatch = Files.createTempDirectory("graft_whb_").toString
