@@ -24,11 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct word n-gram shingles per document: (idCol, shingle). */
+  /** Distinct word n-gram shingles per document: (idCol, shingle).
+    * The token array is materialized in its own projection BEFORE the
+    * n-gram lambda: HOFs evaluate interpreted, and with `split`
+    * inlined in the lambda the text was re-split per element —
+    * O(len²) per document (c1 at sf0.1: 8.8 s inlined vs ~1 s
+    * materialized; the optimizer does not collapse the alias into the
+    * Generate, so the split runs once per row). */
   private def shingles(docs: DataFrame, n: Int, textCol: String,
                        idCol: String): DataFrame =
-    docs.select(col(idCol),
-        explode(array_distinct(TextAnalysis.ngramArray(col(textCol), n)))
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(array_distinct(TextAnalysis.ngramArrayOfTokens(col("__tk"), n)))
           .as("shingle"))
 
   /** Documents of `docs` contaminated by `evalDocs`: any shared word

@@ -141,13 +141,21 @@ object Dedup {
     Seq.fill(NumHashes)((next(), next()))
   }
 
-  /** Word n-gram shingles (default 3) of a text column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word n-gram shingles over an already-tokenized array column.
+    * HOF lambdas evaluate interpreted, so callers materialize the
+    * token array in its own projection first — with `split` inlined
+    * the text would be re-split per element, O(len²) per document
+    * (the c1/TextAnalysis.ngramArrayOfTokens lesson). */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+
+  /** Word n-gram shingles (default 3) of a text column. Convenience
+    * form; hot paths project [[TextAnalysis.tokens]] first and use
+    * [[shinglesOfTokens]]. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), n)
 
   /** 64-slot MinHash signature of a shingle array: base-hash every
     * shingle into [0, 2^31) with xxhash64, then take the min under
@@ -238,7 +246,8 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sh = docs.select(col(idCol).as("id"), col(textCol))
       .join(hinted(candIds), Seq("id"), "left_semi")
-      .select(col("id"), shingles(col(textCol)).as("sh"))
+      .select(col("id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), shinglesOfTokens(col("__tk")).as("sh"))
       .localCheckpoint()
 
     cands
@@ -267,7 +276,8 @@ object Dedup {
       .distinct()
     val sh = docs.select(col(idCol).as("id"), col(textCol))
       .join(ids, Seq("id"), "left_semi")
-      .select(col("id"), explode(shingles(col(textCol))).as("shingle"))
+      .select(col("id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), explode(shinglesOfTokens(col("__tk"))).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = p
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")

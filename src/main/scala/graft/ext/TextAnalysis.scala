@@ -72,16 +72,27 @@ object TextAnalysis {
       lenScore * lit(0.4) + punctScore * lit(0.3) + swScore * lit(0.3), 4)
   }
 
-  /** Word n-grams of a text column as an array (empty when the doc
-    * has fewer than n tokens). Per-row HOF — the building block for
-    * [[repetitionScore]]. */
-  def ngramArray(text: Column, n: Int): Column = {
+  /** Word n-grams over an ALREADY-TOKENIZED array column (empty when
+    * fewer than n tokens). Callers with a text column should project
+    * `tokens(text)` into its own column first and pass that: higher-
+    * order functions are CodegenFallback (interpreted), so any
+    * expression inside the lambda is re-evaluated per element — with
+    * `split` inlined that made shingling O(len²) per document
+    * (re-splitting the full text for every element access, measured
+    * 8.8 s on c1 at sf0.1 vs ~1 s with the tokens materialized). */
+  def ngramArrayOfTokens(tk: Column, n: Int): Column = {
     require(n >= 1, s"ngramArray needs n >= 1, got $n")
-    val tk = tokens(text)
     when(size(tk) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(tk) - n), i =>
         concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j + 1))): _*)))
   }
+
+  /** Word n-grams of a text column as an array — the building block
+    * for [[repetitionScore]]. Convenience form of
+    * [[ngramArrayOfTokens]]; hot paths (Decontaminate) project the
+    * token array first instead, see the scaladoc there. */
+  def ngramArray(text: Column, n: Int): Column =
+    ngramArrayOfTokens(tokens(text), n)
 
   /** Intra-document repetition: the duplicated fraction of word
     * n-grams, 1 − |distinct n-grams| / |n-grams| (0 when the doc is
