@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ext.{Chunking, Curation, Dedup, TextAnalysis}
-import graft.ops.Scd2
+import graft.ops.{Expectations, Scd2}
 import graft.streaming.StreamingOps
 
 /** Pipeline-lifecycle queries: SCD2 dimension versioning (u*), the
@@ -171,6 +171,62 @@ object PipeQueries {
                       ${sqlSum("value")} AS sum_value
                FROM events JOIN customer ON user_id = c_custkey
                GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- data-quality expectations ------------------------------------
+
+    // The admission gate as one report: five row-local rules fused
+    // into a single scan-stage aggregate, plus key-uniqueness and FK
+    // existence — every check one bounded row, union ordered by rule.
+    Q("e7_expectations",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        Expectations.report(Seq(
+          Expectations.rowChecks(li, Seq(
+            "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 1),
+            "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+            "price_nonneg" -> (col("l_extendedprice") >= 0),
+            "qty_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+            "shipdate_notnull" -> col("l_shipdate").isNotNull)),
+          Expectations.uniquenessCheck(li, "pk_unique",
+            Seq("l_orderkey", "l_linenumber")),
+          Expectations.referentialCheck(li, "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey", "fk_orders")))
+      },
+      Some("""WITH base AS (SELECT COUNT(*) AS n FROM lineitem)
+              SELECT * FROM (
+                SELECT 'discount_range' AS rule, n AS n_checked,
+                       (SELECT COUNT(*) FROM lineitem
+                        WHERE (l_discount >= 0 AND l_discount <= 1)
+                          IS NOT TRUE) AS n_violations FROM base
+                UNION ALL
+                SELECT 'flag_domain', n,
+                       (SELECT COUNT(*) FROM lineitem
+                        WHERE (l_returnflag IN ('A','N','R')) IS NOT TRUE)
+                  FROM base
+                UNION ALL
+                SELECT 'price_nonneg', n,
+                       (SELECT COUNT(*) FROM lineitem
+                        WHERE (l_extendedprice >= 0) IS NOT TRUE) FROM base
+                UNION ALL
+                SELECT 'qty_range', n,
+                       (SELECT COUNT(*) FROM lineitem
+                        WHERE (l_quantity >= 1 AND l_quantity <= 50)
+                          IS NOT TRUE) FROM base
+                UNION ALL
+                SELECT 'shipdate_notnull', n,
+                       (SELECT COUNT(*) FROM lineitem
+                        WHERE (l_shipdate IS NOT NULL) IS NOT TRUE) FROM base
+                UNION ALL
+                SELECT 'pk_unique', n,
+                       n - (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber))
+                            FROM lineitem) FROM base
+                UNION ALL
+                SELECT 'fk_orders', n,
+                       (SELECT COUNT(*) FROM lineitem l
+                        WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)) FROM base)
+              ORDER BY rule""")),
 
     // ---- held-out split integrity -------------------------------------
 

@@ -131,6 +131,41 @@ class PipeSpec extends SparkTestBase {
     assert(got === Array(1L, 3L)) // in-batch dedup still applies
   }
 
+  test("expectations count violations with IS NOT TRUE null semantics") {
+    import graft.ops.Expectations
+    val df = Seq[(java.lang.Long, String)]((1L, "A"), (2L, null),
+      (null, "B"), (2L, "A")).toDF("k", "v")
+    val rows = Expectations.report(Seq(
+      Expectations.rowChecks(df, Seq(
+        "k_pos" -> (col("k") > 0),        // null k -> violation
+        "v_domain" -> col("v").isin("A")) // null v and "B" -> violations
+      ),
+      Expectations.uniquenessCheck(df, "k_unique", Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows === Array(
+      ("k_pos", 4L, 1L), ("k_unique", 4L, 1L), ("v_domain", 4L, 2L)))
+  }
+
+  test("referential check: null FKs checked but not violations") {
+    import graft.ops.Expectations
+    val child = Seq[java.lang.Long](1L, 5L, null).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Expectations.referentialCheck(child, "fk", parent, "pk", "fk_ok")
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === (("fk_ok", 3L, 1L)))
+  }
+
+  test("rowChecks: every rule rides one aggregate pass (single scan)") {
+    import graft.ops.Expectations
+    val li = graft.queries.Q.t(spark, sf001, "lineitem")
+    val plan = Expectations.rowChecks(li, Seq(
+      "a" -> (col("l_quantity") > 0), "b" -> (col("l_discount") <= 1),
+      "c" -> col("l_returnflag").isNotNull))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan for 3 rules, got $scans in:\n$plan")
+  }
+
   test("epochShuffle permutes deterministically and differs by epoch") {
     val docs = (1L to 100L).toDF("doc_id")
     val e1a = Curation.epochShuffle(docs, "doc_id", 1)
