@@ -28,6 +28,14 @@ object Bench {
       .replaceAll("(?i)location:? [^\\n]*", "location: _")
       .replaceAll("file:[^\\s,\\)\\]]+", "file:_")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
+      .replaceAll("0x[0-9A-Fa-f]{64,}", "0x_") // giant binary literals
+
+  /** Shorten giant inline binary literals (e.g. a broadcast Bloom
+    * filter's bytes) for the human-readable plans file — a 1 MiB
+    * filter would otherwise dump 2 MiB of hex per plan occurrence. */
+  private[graft] def compactPlan(plan: String): String =
+    "0x[0-9A-Fa-f]{64,}".r.replaceAllIn(plan,
+      m => s"${m.matched.take(18)}…(${m.matched.length - 2} hex chars)")
 
   private[graft] def digest(plan: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -99,7 +107,7 @@ object Bench {
     val plansOut = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "BENCH_PLANS.txt")
     try {
       val body = plans.map { case (k, v) =>
-        s"==== $k [${digest(v)}] ====\n$v"
+        s"==== $k [${digest(v)}] ====\n${compactPlan(v)}"
       }.mkString("\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(plansOut),
         body.getBytes("UTF-8"))

@@ -137,7 +137,11 @@ object PipeQueries {
         val fresh = docs.filter(col("doc_id") % 3 =!= 0)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" b2")).as("text"))
-        Dedup.bloomIncrementalDedup(dups.unionByName(fresh), docs)
+        // filter sized to the fixture corpus (≤50 k docs at sf1synth):
+        // 2^17 bits ≈ 16 KiB — the broadcast artifact stays literal-
+        // sized in the plan; production corpora scale numBits up
+        Dedup.bloomIncrementalDedup(dups.unionByName(fresh), docs,
+            expectedItems = 50000L, numBits = 1L << 17)
           .select(col("doc_id"),
             TextAnalysis.fingerprint(col("text")).as("fp"))
           .orderBy("doc_id")
