@@ -29,6 +29,9 @@ object Bench {
       .replaceAll("file:[^\\s,\\)\\]]+", "file:_")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
       .replaceAll("0x[0-9A-Fa-f]{64,}", "0x_") // giant binary literals
+      // synthetic lambda identities (MapPartitions closures) embed a
+      // per-JVM class counter + object hash — pure run noise
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-f]+", "Lambda\\$_")
 
   /** Shorten giant inline binary literals (e.g. a broadcast Bloom
     * filter's bytes) for the human-readable plans file — a 1 MiB

@@ -252,6 +252,19 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(Bench.digest(a) != Bench.digest(a.replace("HashAggregate", "SortAggregate")))
   }
 
+  test("bench plan digest ignores lambda identities and giant literals") {
+    // MapPartitions closures print a per-JVM synthetic class counter +
+    // object hash — caused m2/m3/m4 digest churn across identical runs
+    val a = "Arguments: graft.ext.Multimodal$$$Lambda$6249/0x00007feb@1f80c4dc"
+    val b = "Arguments: graft.ext.Multimodal$$$Lambda$6440/0x00007efe@6aa658c3"
+    assert(Bench.digest(a) == Bench.digest(b))
+    // a broadcast Bloom filter inlines its bytes as a huge hex literal
+    val hex1 = "might_contain(0x" + "ab" * 64 + ", x)"
+    val hex2 = "might_contain(0x" + "cd" * 64 + ", x)"
+    assert(Bench.digest(hex1) == Bench.digest(hex2))
+    assert(Bench.compactPlan(hex1).length < hex1.length / 2)
+  }
+
   test("quarantine anti-join reads only the batch's months (C4/J3 at scale)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_plan_wh_").toString
     val meta = new graft.meta.MetaStore(spark, wh)
