@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Chunking, Curation, Dedup, TextAnalysis}
+import graft.ext.{Chunking, Curation, Dedup, Drift, TextAnalysis}
 import graft.ops.{Expectations, Scd2}
 import graft.streaming.StreamingOps
 
@@ -231,6 +231,41 @@ object PipeQueries {
                           (SELECT 1 FROM orders o
                            WHERE o.o_orderkey = l.l_orderkey)) FROM base)
               ORDER BY rule""")),
+
+    // ---- distribution drift ------------------------------------------
+
+    // PSI between the full corpus and a language-skewed candidate
+    // batch over 100-char length bins: both sides reduce to bounded
+    // (bin, share) tables; the only shuffles are bin-keyed.
+    Q("e8_drift_psi",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Drift.psiBinned(docs, docs.filter(col("lang") === "en"),
+          metric = col("n_chars"), width = 100)
+      },
+      Some(s"""WITH pr AS (SELECT (n_chars - n_chars % 100) AS bin,
+                                  COUNT(*) AS n
+                           FROM documents GROUP BY 1),
+                    pt AS (SELECT SUM(n) AS t FROM pr),
+                    p AS (SELECT bin, CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                            AS pre FROM pr CROSS JOIN pt),
+                    qr AS (SELECT (n_chars - n_chars % 100) AS bin,
+                                  COUNT(*) AS n
+                           FROM documents WHERE lang = 'en' GROUP BY 1),
+                    qt AS (SELECT SUM(n) AS t FROM qr),
+                    q AS (SELECT bin, CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                            AS pca FROM qr CROSS JOIN qt)
+               SELECT bin,
+                      ${sqlRoundDet("COALESCE(pre, 0)", 6)} AS p_ref,
+                      ${sqlRoundDet("COALESCE(pca, 0)", 6)} AS p_cand,
+                      ${sqlRoundDet(
+                        """(GREATEST(COALESCE(pre, 0), 1e-4)
+                            - GREATEST(COALESCE(pca, 0), 1e-4))
+                           * ln(GREATEST(COALESCE(pre, 0), 1e-4)
+                                / GREATEST(COALESCE(pca, 0), 1e-4))""", 4)}
+                        AS psi_term
+               FROM p FULL OUTER JOIN q USING (bin)
+               ORDER BY bin""")),
 
     // ---- held-out split integrity -------------------------------------
 

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ext.Bpe
+
+/** BPE merge-trainer verification (iterative state evolution — not
+  * SQL-oracleable, so the contract is pinned here instead):
+  * hand-computed merges on a classic corpus, sequential overlap
+  * semantics, determinism across runs. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("learns the hand-computed merges on the classic corpus") {
+    // word counts: low×5, lower×2 — every word ends with </w>
+    val docs = Seq((1L, ("low " * 5 + "lower " * 2).trim))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(spark, docs, numMerges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2,
+    // (e,r)=2, (r,</w>)=2 -> tie (l,o)/(o,w) broken lexicographically
+    assert(merges(0) === ((1, "l", "o", 7L)))
+    // "lo" now a symbol: (lo,w)=7 wins
+    assert(merges(1) === ((2, "lo", "w", 7L)))
+    // "low" a symbol: (low,</w>)=5 wins
+    assert(merges(2) === ((3, "low", "</w>", 5L)))
+    // remaining: lower = [low,e,r,</w>]: (e,r)=2,(low,e)=2,(r,</w>)=2
+    // -> lexicographic tie-break picks (e,r)
+    assert(merges(3) === ((4, "e", "r", 2L)))
+  }
+
+  test("overlap merges apply left-to-right like reference BPE") {
+    // "aaaa": pairs (a,a)x3 -> merge a+a; sequential application
+    // yields [aa, aa, </w>], NOT [aa, a, a...] or a triple overlap
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val merges = Bpe.train(spark, docs, numMerges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges(0) === ((1, "a", "a", 3L)))
+    // after round 1 the word is [aa, aa, </w>] — the 3 overlapping
+    // (a,a) pairs collapsed to TWO merged symbols, not three.
+    // Round 2 ties (aa,aa)=1 with (aa,</w>)=1; '<' sorts before 'a',
+    // so the deterministic lexicographic tie-break picks (aa,</w>)
+    assert(merges(1) === ((2, "aa", "</w>", 1L)))
+  }
+
+  test("deterministic across repeated runs and stops when exhausted") {
+    val docs = graft.queries.Q.t(spark, sf001, "documents").limit(50)
+    val a = Bpe.train(spark, docs, 3).collect().toSeq
+    val b = Bpe.train(spark, docs, 3).collect().toSeq
+    assert(a === b && a.size === 3)
+    // single-char single word exhausts after merging with </w>
+    val tiny = Seq((1L, "x")).toDF("doc_id", "text")
+    val m = Bpe.train(spark, tiny, 10).collect()
+    // [x,</w>] -> merge 1 (x,</w>); then one symbol, no pairs left
+    assert(m.length === 1)
+  }
+}
