@@ -95,4 +95,33 @@ object Scd2 {
         openTo.as("valid_to"))
     kept.unionByName(closed).unionByName(opened)
   }
+
+  /** Snapshot diff — the change-data feed between two versions of a
+    * dimension: which keys were ADDED, REMOVED, or CHANGED (any
+    * compared column differs) from `before` to `after`. The CDC
+    * producer side of [[applyChanges]]: diff two snapshots when no
+    * change log exists, then feed the result to the merge.
+    *
+    * One full-outer join on the key; each side first reduces to
+    * (key, md5-of-compared-columns), so wide dimension payloads never
+    * enter the shuffle — the same fingerprint trick as the dedup
+    * family. Unchanged keys are dropped in the join output filter.
+    * Output: (key, change ∈ {added, removed, changed}). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compared column")
+    def fp(df: DataFrame, k: String, h: String): DataFrame =
+      df.select(col(key).as(k),
+        md5(concat_ws("\u0001", compareCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h))
+    fp(before, "__bk", "__bh")
+      .join(fp(after, "__ak", "__ah"),
+        col("__bk") === col("__ak"), "full_outer")
+      .withColumn("change",
+        when(col("__bk").isNull, "added")
+          .when(col("__ak").isNull, "removed")
+          .when(col("__bh") =!= col("__ah"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("__bk"), col("__ak")).as(key), col("change"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ext.{Chunking, Curation, Dedup, Drift, TextAnalysis}
-import graft.ops.{Expectations, Scd2}
+import graft.ops.{DeltaAgg, Expectations, Scd2}
 import graft.streaming.StreamingOps
 
 /** Pipeline-lifecycle queries: SCD2 dimension versioning (u*), the
@@ -231,6 +231,83 @@ object PipeQueries {
                           (SELECT 1 FROM orders o
                            WHERE o.o_orderkey = l.l_orderkey)) FROM base)
               ORDER BY rule""")),
+
+    // ---- CDC + incremental gold maintenance ---------------------------
+
+    // Snapshot diff: customers vs a mutated "next week" snapshot —
+    // negative balances switch segment (changed), odd high keys leave
+    // (removed), synthetic keys arrive (added). Sides reduce to
+    // (key, md5) before the full-outer join.
+    Q("u3_snapshot_diff",
+      (s, dir) => {
+        val before = t(s, dir, "customer")
+        val after = before
+          .filter(!(col("c_custkey") % 7 === 3 && col("c_custkey") > 1000))
+          .withColumn("c_mktsegment",
+            when(col("c_acctbal") < 0, lit("DELINQUENT"))
+              .otherwise(col("c_mktsegment")))
+          .unionByName(before.filter(col("c_custkey") % 11 === 5)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              col("c_name"), col("c_nationkey"), col("c_acctbal"),
+              col("c_mktsegment")))
+        Scd2.snapshotDiff(before, after, "c_custkey",
+            Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+          .orderBy("c_custkey", "change")
+      },
+      Some("""WITH after AS (
+                SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                       CASE WHEN c_acctbal < 0 THEN 'DELINQUENT'
+                            ELSE c_mktsegment END AS c_mktsegment
+                FROM customer
+                WHERE NOT (c_custkey % 7 = 3 AND c_custkey > 1000)
+                UNION ALL
+                SELECT c_custkey + 1000000, c_name, c_nationkey,
+                       c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey % 11 = 5)
+              SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+                     CASE WHEN b.c_custkey IS NULL THEN 'added'
+                          WHEN a.c_custkey IS NULL THEN 'removed'
+                          WHEN b.c_name <> a.c_name
+                            OR b.c_nationkey <> a.c_nationkey
+                            OR b.c_acctbal <> a.c_acctbal
+                            OR b.c_mktsegment <> a.c_mktsegment
+                            THEN 'changed' END AS change
+              FROM customer b FULL OUTER JOIN after a
+                ON b.c_custkey = a.c_custkey
+              WHERE (b.c_custkey IS NULL OR a.c_custkey IS NULL
+                     OR b.c_name <> a.c_name
+                     OR b.c_nationkey <> a.c_nationkey
+                     OR b.c_acctbal <> a.c_acctbal
+                     OR b.c_mktsegment <> a.c_mktsegment)
+              ORDER BY c_custkey, change""")),
+
+    // Incremental gold maintenance: per-segment order metrics built
+    // by aggregating TWO disjoint halves separately and merging the
+    // monoid state — the oracle computes the one-shot aggregate, so a
+    // hash match PROVES batch boundaries cannot change the result
+    // (exact decimal sums merge associatively; rounding only at read).
+    Q("g2_gold_incremental",
+      (s, dir) => {
+        val cust = broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val orders = t(s, dir, "orders")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+        def half(even: Boolean) = DeltaAgg.partialSums(
+          orders.filter((col("o_orderkey") % 2 === 0) === even),
+          Seq("c_mktsegment"), col("o_totalprice"))
+        val merged = DeltaAgg.merge(half(even = true), half(even = false),
+          Seq("c_mktsegment"))
+        DeltaAgg.finish(merged, Seq("c_mktsegment"))
+          .withColumnRenamed("n", "n_orders")
+          .withColumnRenamed("total", "revenue")
+          .withColumnRenamed("avg", "avg_order")
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+                      ${sqlSum("o_totalprice")} AS revenue,
+                      ${sqlAvg("o_totalprice")} AS avg_order
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ---- distribution drift ------------------------------------------
 

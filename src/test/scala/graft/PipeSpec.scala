@@ -166,6 +166,35 @@ class PipeSpec extends SparkTestBase {
     assert(scans == 1, s"expected 1 scan for 3 rules, got $scans in:\n$plan")
   }
 
+  test("snapshotDiff classifies added/removed/changed; null-safe") {
+    import graft.ops.Scd2
+    val before = Seq((1L, Some("a"), 10.0), (2L, None, 5.0),
+      (3L, Some("c"), 1.0)).toDF("k", "name", "bal")
+    val after = Seq((1L, Some("a"), 10.0),   // unchanged -> dropped
+      (2L, Some("b"), 5.0),                  // null -> value = changed
+      (4L, Some("d"), 2.0))                  // new key; 3 removed
+      .toDF("k", "name", "bal")
+    val got = Scd2.snapshotDiff(before, after, "k", Seq("name", "bal"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("delta-agg merge is batch-boundary independent (monoid state)") {
+    import graft.ops.DeltaAgg
+    val rows = (1 to 100).map(i => (s"g${i % 3}", i * 0.37))
+      .toDF("g", "v")
+    val oneShot = DeltaAgg.finish(
+      DeltaAgg.partialSums(rows, Seq("g"), $"v"), Seq("g"))
+      .orderBy("g").collect().toSeq
+    // three uneven batches, merged pairwise in a different order
+    val Seq(b1, b2, b3) = Seq($"v" < 10, $"v" >= 10 && $"v" < 30, $"v" >= 30)
+      .map(f => DeltaAgg.partialSums(rows.filter(f), Seq("g"), $"v"))
+    val merged = DeltaAgg.finish(
+      DeltaAgg.merge(b3, DeltaAgg.merge(b1, b2, Seq("g")), Seq("g")),
+      Seq("g")).orderBy("g").collect().toSeq
+    assert(merged === oneShot)
+  }
+
   test("epochShuffle permutes deterministically and differs by epoch") {
     val docs = (1L to 100L).toDF("doc_id")
     val e1a = Curation.epochShuffle(docs, "doc_id", 1)
