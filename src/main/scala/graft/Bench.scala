@@ -32,13 +32,24 @@ object Bench {
       // synthetic lambda identities (MapPartitions closures) embed a
       // per-JVM class counter + object hash — pure run noise
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-f]+", "Lambda\\$_")
+      // localCheckpoint scans print the RDD's per-JVM id counter
+      .replaceAll("RDD\\[\\d+\\]", "RDD[_]")
+
+  /** Escape non-printable characters (e.g. the \u0001 field
+    * separators some expressions carry as string literals) so the
+    * plans file stays text. */
+  private def printable(s: String): String =
+    s.flatMap {
+      case c if c >= ' ' || c == '\n' || c == '\t' => c.toString
+      case c => f"\\u${c.toInt}%04x"
+    }
 
   /** Shorten giant inline binary literals (e.g. a broadcast Bloom
     * filter's bytes) for the human-readable plans file — a 1 MiB
     * filter would otherwise dump 2 MiB of hex per plan occurrence. */
   private[graft] def compactPlan(plan: String): String =
-    "0x[0-9A-Fa-f]{64,}".r.replaceAllIn(plan,
-      m => s"${m.matched.take(18)}…(${m.matched.length - 2} hex chars)")
+    printable("0x[0-9A-Fa-f]{64,}".r.replaceAllIn(plan,
+      m => s"${m.matched.take(18)}…(${m.matched.length - 2} hex chars)"))
 
   private[graft] def digest(plan: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

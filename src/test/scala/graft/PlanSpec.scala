@@ -263,6 +263,13 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     val hex2 = "might_contain(0x" + "cd" * 64 + ", x)"
     assert(Bench.digest(hex1) == Bench.digest(hex2))
     assert(Bench.compactPlan(hex1).length < hex1.length / 2)
+    // localCheckpoint scans embed the per-JVM RDD id counter
+    val r1 = "Scan ExistingRDD MapPartitionsRDD[364] at localCheckpoint"
+    val r2 = "Scan ExistingRDD MapPartitionsRDD[512] at localCheckpoint"
+    assert(Bench.digest(r1) == Bench.digest(r2))
+    // control-char string literals must not make the plans file binary
+    assert(!Bench.compactPlan("concat_ws(" + 1.toChar + ", a, b)")
+      .exists(c => c < ' ' && c != '\n' && c != '\t'))
   }
 
   test("quarantine anti-join reads only the batch's months (C4/J3 at scale)") {
