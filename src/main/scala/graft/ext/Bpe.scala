@@ -88,4 +88,32 @@ object Bpe {
     }
     merges.result().toDF("round", "left", "right", "pair_count")
   }
+
+  /** Apply a learned merge table to text — the encode side: each word
+    * symbolizes to characters + the `</w>` marker, then every merge
+    * is applied in learn order with the same left-to-right fold
+    * [[train]] uses, so encode(train corpus) reproduces the training
+    * segmentation exactly. Returns the per-row token-array column.
+    *
+    * Cost model: per row, |merges| fold passes over ≤ word-length
+    * symbol arrays — pure narrow map, no shuffle, rides the scan.
+    * The merge table is a driver-side Seq by contract (a tokenizer
+    * has a bounded merge list; it is config, not data). */
+  def encode(text: org.apache.spark.sql.Column,
+             merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val words = TextAnalysis.tokens(text)
+    val symbolized = transform(words, w =>
+      concat(transform(split(w, ""), c => c), array(lit("</w>"))))
+    val encodedWords = merges.foldLeft(symbolized) { case (acc, (l, r)) =>
+      val merged = lit(l + r)
+      transform(acc, syms => aggregate(
+        syms,
+        array().cast("array<string>"),
+        (a, x) => when(
+          size(a) > 0 && element_at(a, -1) === lit(l) && x === lit(r),
+          concat(slice(a, lit(1), size(a) - 1), array(merged)))
+          .otherwise(concat(a, array(x)))))
+    }
+    flatten(encodedWords)
+  }
 }

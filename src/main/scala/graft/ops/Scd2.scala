@@ -36,6 +36,10 @@ object Scd2 {
     * `tieCol` must make the per-key order total (a unique event id):
     * with equal timestamps and no tie-break, which duplicate row wins
     * would be nondeterministic, and so would the whole history.
+    * `attr` must be non-null: the repeat filter compares with `=!=`,
+    * so a NULL attribute row after a non-null one is dropped as a
+    * repeat (NULL-valued "changes" are not versions — encode absence
+    * as a sentinel value if the domain needs it).
     *
     * Output: key, attr, valid_from, valid_to — the standard "as of t,
     * the value was v" lookup shape ([[Ops.asofJoin]] consumes it

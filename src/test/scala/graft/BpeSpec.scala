@@ -41,6 +41,24 @@ class BpeSpec extends SparkTestBase {
     assert(merges(1) === ((2, "aa", "</w>", 1L)))
   }
 
+  test("encode reproduces the training segmentation and round-trips") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, ("low " * 5 + "lower " * 2).trim))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(spark, docs, numMerges = 4)
+      .orderBy("round").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val toks = docs.select(Bpe.encode(col("text"), merges).as("t"))
+      .as[Seq[String]].collect().head
+    // merges: l+o, lo+w, low+</w>, e+r =>
+    //   "low"   -> [low</w>]            "lower" -> [low, er, </w>]
+    assert(toks.take(5) === Seq.fill(5)("low</w>"))
+    assert(toks.drop(5) === Seq("low", "er", "</w>", "low", "er", "</w>"))
+    // round-trip: stripping the word markers recovers the text
+    val joined = toks.mkString("").replace("</w>", " ").trim
+    assert(joined === ("low " * 5 + "lower " * 2).trim)
+  }
+
   test("deterministic across repeated runs and stops when exhausted") {
     val docs = graft.queries.Q.t(spark, sf001, "documents").limit(50)
     val a = Bpe.train(spark, docs, 3).collect().toSeq
