@@ -101,7 +101,10 @@ object Bpe {
     * has a bounded merge list; it is config, not data). */
   def encode(text: org.apache.spark.sql.Column,
              merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
-    val words = TextAnalysis.tokens(text)
+    // drop empty tokens (leading/trailing whitespace artifacts of the
+    // split) — training's wordCounts filters them too, and an empty
+    // word would otherwise emit a spurious ["", "</w>"] pair
+    val words = filter(TextAnalysis.tokens(text), w => length(w) > 0)
     val symbolized = transform(words, w =>
       concat(transform(split(w, ""), c => c), array(lit("</w>"))))
     val encodedWords = merges.foldLeft(symbolized) { case (acc, (l, r)) =>

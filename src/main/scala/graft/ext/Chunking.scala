@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
 object Chunking {
 
   /** Explode each document into token windows of `size` tokens
-    * advancing by `size − overlap`: starts 0, s, 2s, … up to the last
-    * start < n_tokens, so the tail chunk may be short but no token is
-    * dropped. Emits (id, chunk_id, chunk_text, n_chunk_tokens);
-    * chunk_id is the 0-based window index within its document.
+    * advancing by `size − overlap`: starts 0, s, 2s, … while the
+    * window still covers at least one NEW token (start < n − overlap,
+    * plus start 0), so the tail chunk may be short but no token is
+    * dropped AND no chunk is a pure suffix of its predecessor — a
+    * start inside the previous window's overlap region would re-emit
+    * already-covered tokens as a fully redundant training row.
+    * Emits (id, chunk_id, chunk_text, n_chunk_tokens); chunk_id is
+    * the 0-based window index within its document.
     */
   def chunk(docs: DataFrame, size: Int, overlap: Int,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -36,11 +40,12 @@ object Chunking {
       s"overlap must be in [0, size), got $overlap for size $size")
     val step = size - overlap
     docs
-      .select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
       .filter(col("__n") > 0)
       .withColumn("__start",
-        explode(sequence(lit(0), col("__n") - 1, lit(step))))
+        explode(sequence(lit(0),
+          greatest(col("__n") - overlap - 1, lit(0)), lit(step))))
       .select(
         col(idCol),
         (col("__start").cast("long") / step).cast("bigint").as("chunk_id"),

@@ -137,8 +137,13 @@ object Curation {
     require(fracs.nonEmpty && fracs.map(_._2).sum <= 1.0 + 1e-9,
       s"fractions must be non-empty and sum to <= 1, got $fracs")
     val bounds = fracs.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val hexBounds = bounds.map(b =>
-      f"${math.min(65535, math.floor(b * 65536.0).toLong)}%04x")
+    // a cumulative fraction reaching 1.0 must capture EVERY slot
+    // including "ffff", so its bound sorts after all hex strings —
+    // clamping to "ffff" would silently leak the top slot to `rest`
+    val hexBounds = bounds.map { b =>
+      val v = math.floor(b * 65536.0).toLong
+      if (v >= 65536L) "g" else f"$v%04x"
+    }
     val slot = substring(md5(col(keyCol).cast("string")), 1, 4)
     val assign = fracs.zip(hexBounds).reverse
       .foldLeft(lit(rest)) { case (acc, ((name, _), bound)) =>

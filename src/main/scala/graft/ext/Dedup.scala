@@ -93,8 +93,12 @@ object Dedup {
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.types.BinaryType
 
+    // materialized (localCheckpoint): consumed twice — bloom build +
+    // anti-join — and lazy lineage would re-scan the corpus per
+    // consumer, doubling the one full pass this operator budgets
     val corpusFps = corpus
       .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+      .localCheckpoint()
     val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
       new XxHash64(Seq(ColumnShim.expression(col("__fp")))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
@@ -103,10 +107,14 @@ object Dedup {
       .head().getAs[Array[Byte]](0)
 
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    // materialized for the same reason: the might_contain filter and
+    // its negation both consume it — without a checkpoint the batch
+    // fingerprint+window shuffle runs twice
     val survivors = batch
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+      .localCheckpoint()
     if (bloomBytes == null) { // empty corpus: everything is new
       survivors.drop("__rn", "__fp")
     } else {

@@ -28,7 +28,11 @@ object Drift {
 
   /** Per-bin PSI report: (bin, p_ref, p_cand, psi_term), ordered by
     * bin; total PSI is the sum of psi_term. `metric` must be an
-    * integer-valued column expression; bins are `width`-wide. */
+    * integer-valued column expression; bins are `width`-wide with
+    * FLOOR semantics (pmod): −50 at width 100 lands in bin −100, not
+    * 0 — mirror any SQL twin with `x - ((x % w + w) % w)`, since bare
+    * `%` follows the dividend's sign and would bin negatives
+    * differently. */
   def psiBinned(reference: DataFrame, candidate: DataFrame,
                 metric: Column, width: Int,
                 eps: Double = 1e-4): DataFrame = {

@@ -27,13 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object DeltaAgg {
 
-  /** A batch reduced to mergeable state: (keys..., n, s) with `s` the
-    * exact DECIMAL(28,10) sum of `valueCol` (the [[Ops.sumMoney]]
-    * accumulator type, pre-rounding). */
+  /** A batch reduced to mergeable state: (keys..., n, nv, s) — row
+    * count, NON-NULL value count, and the exact DECIMAL(28,10) sum of
+    * `valueCol` (the [[Ops.sumMoney]] accumulator type,
+    * pre-rounding). `nv` is carried separately because SQL AVG (and
+    * [[Ops.avgMoney]]) divide by the non-null count, not the row
+    * count — with nullable measures the two differ, and the average
+    * must stay mergeable without revisiting history. */
   def partialSums(batch: DataFrame, keys: Seq[String],
                   valueCol: Column): DataFrame =
     batch.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
+        count(valueCol).as("nv"),
         sum(valueCol.cast("decimal(28,10)")).as("s"))
 
   /** Merge stored state with a new batch's partial state: union +
@@ -43,13 +48,16 @@ object DeltaAgg {
             keys: Seq[String]): DataFrame =
     stored.unionByName(batchPartial)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .agg(sum(col("n")).as("n"), sum(col("nv")).as("nv"),
+        sum(col("s")).as("s"))
 
   /** Presentation read: rounded sum and derived average, the
-    * [[Ops.sumMoney]]/[[Ops.avgMoney]] emission contract. */
+    * [[Ops.sumMoney]]/[[Ops.avgMoney]] emission contract (avg divides
+    * by the non-null count; NULL when the group has no values). */
   def finish(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) ++ Seq(
       col("n"),
       Ops.roundDet(col("s").cast("double"), 2).as("total"),
-      Ops.roundDet(col("s").cast("double") / col("n"), 2).as("avg")): _*)
+      Ops.roundDet(col("s").cast("double") /
+        when(col("nv") > 0, col("nv")), 2).as("avg")): _*)
 }

@@ -35,9 +35,12 @@ object Expectations {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
       s"rule names must be identifiers, got ${rules.map(_._1)}")
+    // coalesce: sum() over an EMPTY frame is NULL, but an empty batch
+    // has zero violations — a gate comparing n_violations === 0 must
+    // pass it, not get NULL
     val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L))
-        .as(s"__v_$name")
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)),
+        lit(0L)).as(s"__v_$name")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules
@@ -67,8 +70,8 @@ object Expectations {
     val pks = parent.select(col(pkCol).as("__pk")).distinct()
     child.select(col(fkCol)).join(pks, col(fkCol) === col("__pk"), "left")
       .agg(count(lit(1)).as("n_checked"),
-        sum(when(col(fkCol).isNotNull && col("__pk").isNull, 1L)
-          .otherwise(0L)).as("n_violations"))
+        coalesce(sum(when(col(fkCol).isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_violations"))
       .select(lit(ruleName).as("rule"), col("n_checked"),
         col("n_violations"))
   }

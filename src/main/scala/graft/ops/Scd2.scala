@@ -64,7 +64,7 @@ object Scd2 {
   }
 
   /** Apply an incremental update batch to a current SCD2 snapshot —
-    * the lakehouse MERGE, as three filters over one broadcast join.
+    * the lakehouse MERGE, in ONE pass over one broadcast join.
     *
     * `current` holds the open versions as (key, attr, valid_from) —
     * valid_to IS NULL is implied, callers pass only current rows.
@@ -77,27 +77,33 @@ object Scd2 {
     *    churn rows — real CDC feeds are full of them): the open row
     *    passes through untouched.
     *
-    * The update batch is broadcast (config-small by contract: one
-    * increment vs the whole dimension), so the big snapshot is never
-    * shuffled; with a genuinely big batch callers pre-partition both
-    * sides on `key` and drop the broadcast instead.
+    * Each joined row emits its 1 (pass-through) or 2 (close-out +
+    * reopen) output rows through a single generate — NOT three
+    * filtered branches unioned, which would scan and join the whole
+    * snapshot three times. The update batch is broadcast
+    * (config-small by contract: one increment vs the whole
+    * dimension), so the big snapshot is never shuffled; with a
+    * genuinely big batch callers pre-partition both sides on `key`
+    * and drop the broadcast instead.
     */
   def applyChanges(current: DataFrame, updates: DataFrame, key: String,
                    attr: String, effTs: Column): DataFrame = {
     val upd = broadcast(
       updates.select(col(key).as("__uk"), col(attr).as("__uv")))
-    val joined = current.join(upd, col(key) === col("__uk"), "left")
     val changed = coalesce(
       col("__uk").isNotNull && col("__uv") =!= col(attr), lit(false))
     val openTo = lit(null).cast("timestamp")
-    val kept = joined.filter(!changed)
-      .select(col(key), col(attr), col("valid_from"), openTo.as("valid_to"))
-    val closed = joined.filter(changed)
-      .select(col(key), col(attr), col("valid_from"), effTs.as("valid_to"))
-    val opened = joined.filter(changed)
-      .select(col(key), col("__uv").as(attr), effTs.as("valid_from"),
-        openTo.as("valid_to"))
-    kept.unionByName(closed).unionByName(opened)
+    def version(a: Column, from: Column, to: Column) =
+      struct(a.as("__a"), from.as("__f"), to.as("__t"))
+    current.join(upd, col(key) === col("__uk"), "left")
+      .select(col(key), explode(when(changed,
+          array(version(col(attr), col("valid_from"), effTs),
+            version(col("__uv"), effTs, openTo)))
+        .otherwise(
+          array(version(col(attr), col("valid_from"), openTo))))
+        .as("__v"))
+      .select(col(key), col("__v.__a").as(attr),
+        col("__v.__f").as("valid_from"), col("__v.__t").as("valid_to"))
   }
 
   /** Snapshot diff — the change-data feed between two versions of a

@@ -103,7 +103,8 @@ object PipeQueries {
                 SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
               starts AS (
                 SELECT doc_id, tk, n,
-                       unnest(generate_series(0, n - 1, 48)) AS s
+                       unnest(generate_series(0, GREATEST(n - 17, 0), 48))
+                         AS s
                 FROM base)
               SELECT doc_id, s // 48 AS chunk_id,
                      array_to_string(list_slice(tk, s + 1, s + 64), ' ')
@@ -320,14 +321,14 @@ object PipeQueries {
         Drift.psiBinned(docs, docs.filter(col("lang") === "en"),
           metric = col("n_chars"), width = 100)
       },
-      Some(s"""WITH pr AS (SELECT (n_chars - n_chars % 100) AS bin,
-                                  COUNT(*) AS n
+      Some(s"""WITH pr AS (SELECT (n_chars - ((n_chars % 100 + 100) % 100))
+                                  AS bin, COUNT(*) AS n
                            FROM documents GROUP BY 1),
                     pt AS (SELECT SUM(n) AS t FROM pr),
                     p AS (SELECT bin, CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
                             AS pre FROM pr CROSS JOIN pt),
-                    qr AS (SELECT (n_chars - n_chars % 100) AS bin,
-                                  COUNT(*) AS n
+                    qr AS (SELECT (n_chars - ((n_chars % 100 + 100) % 100))
+                                  AS bin, COUNT(*) AS n
                            FROM documents WHERE lang = 'en' GROUP BY 1),
                     qt AS (SELECT SUM(n) AS t FROM qr),
                     q AS (SELECT bin, CAST(n AS DOUBLE) / CAST(t AS DOUBLE)

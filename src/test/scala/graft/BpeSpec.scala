@@ -57,6 +57,11 @@ class BpeSpec extends SparkTestBase {
     // round-trip: stripping the word markers recovers the text
     val joined = toks.mkString("").replace("</w>", " ").trim
     assert(joined === ("low " * 5 + "lower " * 2).trim)
+    // leading/trailing whitespace must not emit spurious ["", "</w>"]
+    val padded = Seq((1L, "  low \n")).toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), merges).as("t"))
+      .as[Seq[String]].collect().head
+    assert(padded === Seq("low</w>"))
   }
 
   test("deterministic across repeated runs and stops when exhausted") {

@@ -64,18 +64,28 @@ class PipeSpec extends SparkTestBase {
       (3L, "GOLD", tsv("2024-01-01 00:00:00"), None)))
   }
 
-  test("chunk windows overlap, keep the tail, and cover every token") {
-    // 10 tokens, size 4, overlap 2 -> starts 0,2,4,6,8
+  test("chunk windows overlap, cover every token, no redundant tails") {
+    // 10 tokens, size 4, overlap 2 -> starts 0,2,4,6. A start-8 chunk
+    // "t9 t10" would be a pure suffix of the start-6 chunk — redundant
+    // training content — so starts stop once the window adds no new
+    // token (start < n - overlap).
     val docs = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
     val got = Chunking.chunk(docs, size = 4, overlap = 2)
       .orderBy("chunk_id")
       .as[(Long, Long, String, Long)].collect().toSeq
-    assert(got.map(_._2) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.map(_._2) === Seq(0L, 1L, 2L, 3L))
     assert(got.head._3 === "t1 t2 t3 t4")
     assert(got(1)._3 === "t3 t4 t5 t6")
-    assert(got.last._3 === "t9 t10") // short tail kept, nothing dropped
-    assert(got.map(_._4) === Seq(4L, 4L, 4L, 4L, 2L))
+    assert(got.last._3 === "t7 t8 t9 t10") // every token covered
+    assert(got.map(_._4) === Seq(4L, 4L, 4L, 4L))
+    // short tail still kept when it carries new tokens: 9 tokens ->
+    // starts 0,2,4,6 with the last chunk 3 tokens long
+    val nine = Seq((1L, (1 to 9).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tail = Chunking.chunk(nine, 4, 2).orderBy("chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(tail.last._3 === "t7 t8 t9" && tail.last._4 === 3L)
   }
 
   test("chunk rejects degenerate configs and keeps single-window docs") {
@@ -153,6 +163,43 @@ class PipeSpec extends SparkTestBase {
     val r = Expectations.referentialCheck(child, "fk", parent, "pk", "fk_ok")
       .collect().head
     assert((r.getString(0), r.getLong(1), r.getLong(2)) === (("fk_ok", 3L, 1L)))
+  }
+
+  test("expectations on an EMPTY batch report zero violations, not null") {
+    import graft.ops.Expectations
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val parent = Seq(1L).toDF("pk")
+    val rows = Expectations.report(Seq(
+      Expectations.rowChecks(empty, Seq("k_pos" -> (col("k") > 0))),
+      Expectations.referentialCheck(empty, "k", parent, "pk", "fk_ok")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows === Array(("fk_ok", 0L, 0L), ("k_pos", 0L, 0L)))
+  }
+
+  test("splitAssign with fractions summing to 1 leaves nothing to rest") {
+    // the slot space is 16-bit; 'ffff' keys must land in the LAST
+    // named split, not leak to the rest label (the 1.0 boundary clamp)
+    val docs = (1L to 2000L).toDF("doc_id")
+    val counts = Curation.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.95, "val" -> 0.05), rest = "leak")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("leak"), s"rows leaked to rest: $counts")
+    assert(counts.values.sum === 2000L)
+  }
+
+  test("delta-agg avg divides by non-null values, not row count") {
+    import graft.ops.DeltaAgg
+    val rows = Seq[(String, Option[Double])](("g", Some(1.0)), ("g", None))
+      .toDF("g", "v")
+    val r = DeltaAgg.finish(
+      DeltaAgg.partialSums(rows, Seq("g"), $"v"), Seq("g")).collect().head
+    assert(r.getLong(1) === 2L)        // n counts rows
+    assert(r.getDouble(3) === 1.0)     // avg = 1.0/1, not 1.0/2
+    // all-null group: avg must be NULL, not a division blow-up
+    val nulls = Seq[(String, Option[Double])](("h", None)).toDF("g", "v")
+    val h = DeltaAgg.finish(
+      DeltaAgg.partialSums(nulls, Seq("g"), $"v"), Seq("g")).collect().head
+    assert(h.isNullAt(3))
   }
 
   test("rowChecks: every rule rides one aggregate pass (single scan)") {
