@@ -82,6 +82,11 @@ object CorpusPipeline {
              holdoutBound: String = "1a",
              minQuality: Double = 0.5, minTokens: Int = 20,
              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // same guard as Curation.deterministicSample: a malformed bound
+    // (wrong width or non-hex chars like "z3") would silently skew the
+    // lexicographic compare to a wrong split rate instead of failing
+    require(holdoutBound.matches("[0-9a-f]{2}"),
+      s"holdoutBound must be two lowercase hex digits, got '$holdoutBound'")
     val cleaned = docs
       .select(col(idCol), col(textCol), col(classCol),
         TextAnalysis.qualityScore(col(textCol)).as("quality"),
@@ -94,7 +99,7 @@ object CorpusPipeline {
       // split as text, not boolean: the driver hash-compare's proven
       // emission types are {BIGINT, DOUBLE, TIMESTAMP, VARCHAR}
       .withColumn("split",
-        when(substring(md5(col(idCol).cast("string")), 1, 2) < holdoutBound,
+        when(Curation.md5Hex(col(idCol), 2) < holdoutBound,
           "holdout").otherwise("train"))
       .select(col(classCol), col("rank"), col(idCol), col("quality"),
         col("split"))

@@ -29,11 +29,23 @@ object Curation {
     * Spark, DuckDB, Postgres), and the reference already leans on it
     * for fingerprints ([[TextAnalysis.fingerprint]]).
     */
+  /** First `digits` lowercase hex chars of md5(key) — the ONE
+    * engine-portable slot every hash-routing operator here uses
+    * (sampling, mixing, splits, pack shards). Fixed width means
+    * lexicographic compare equals integer compare. */
+  private[ext] def md5Hex(key: Column, digits: Int): Column =
+    substring(md5(key.cast("string")), 1, digits)
+
+  /** The 16-bit integer form of [[md5Hex]] (4 hex digits → 0..65535),
+    * for rate arithmetic rather than string-bound compares. */
+  private[ext] def slot16(key: Column): Column =
+    conv(md5Hex(key, 4), 16, 10).cast("long")
+
   def deterministicSample(df: DataFrame, keyCol: String,
                           hexBound: String = "1a"): DataFrame = {
     require(hexBound.matches("[0-9a-f]{2}"),
       s"hexBound must be two lowercase hex digits, got '$hexBound'")
-    df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < hexBound)
+    df.filter(md5Hex(col(keyCol), 2) < hexBound)
   }
 
   /** Per-group cap: the top k rows of each group under `order`
@@ -75,9 +87,7 @@ object Curation {
     val rate = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (cls, r)) => when(col(classCol) === cls, lit(r)).otherwise(acc)
     }
-    val slot = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
-      .cast("long")
-    df.filter(slot < floor(rate * 65536.0).cast("long"))
+    df.filter(slot16(col(keyCol)) < floor(rate * 65536.0).cast("long"))
   }
 
   /** Key-skew profile: the distribution of per-key row counts that
@@ -144,7 +154,7 @@ object Curation {
       val v = math.floor(b * 65536.0).toLong
       if (v >= 65536L) "g" else f"$v%04x"
     }
-    val slot = substring(md5(col(keyCol).cast("string")), 1, 4)
+    val slot = md5Hex(col(keyCol), 4)
     val assign = fracs.zip(hexBounds).reverse
       .foldLeft(lit(rest)) { case (acc, ((name, _), bound)) =>
         when(slot < bound, lit(name)).otherwise(acc)

@@ -45,8 +45,7 @@ object Packing {
     // md5 text is engine-portable, so the oracle reproduces it).
     val shard: Column =
       if (shards == 0) lit(0L)
-      else pmod(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-                  .cast("long"), lit(shards.toLong))
+      else pmod(Curation.slot16(col(idCol)), lit(shards.toLong))
     val w = Window.partitionBy(col(groupCol), col("__shard"))
       .orderBy(col(idCol))
     val withTok = docs
@@ -55,9 +54,18 @@ object Packing {
       .withColumn("__shard", shard)
     val start = coalesce(
       sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L))
+    // seq_id must identify ONE physical sequence per (group, seq_id):
+    // with sharding, each shard numbers its own sequences 0,1,…, so
+    // the per-shard index is interleaved with the shard id — without
+    // this, `shards` different sequences would share (group, 0) and a
+    // consumer would concatenate them into one overlong sequence
+    val perShard = floor(start / budget)
+    val seqId =
+      if (shards == 0) perShard
+      else perShard * shards + col("__shard")
     withTok
-      .withColumn("seq_id", floor(start / budget))
-      .withColumn("seq_offset", start - col("seq_id") * budget)
+      .withColumn("seq_id", seqId)
+      .withColumn("seq_offset", start - perShard * budget)
       .drop("__shard")
   }
 

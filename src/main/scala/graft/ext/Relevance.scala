@@ -76,12 +76,19 @@ object Relevance {
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
+    // ONE regex split per row: the token array is projected into its
+    // own column first, then every per-term tf (and dl) reads it —
+    // inlining tokens(text) into each tf would re-split the full text
+    // once per query term in the scan stage
     val tfCol = (t: String) =>
-      size(filter(TextAnalysis.tokens(col(textCol)), x => x === lit(t)))
-    val base = docs.select(
-      col(idCol).as("doc_id") +:
-        TextAnalysis.tokenCount(col(textCol)).as("dl") +:
-        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+      size(filter(col("__tk"), x => x === lit(t)))
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(
+        col("doc_id") +:
+          size(col("__tk")).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
 
     // one-row corpus statistics: N, total token mass, df per term
     val stats = base.agg(

@@ -101,8 +101,16 @@ object TextAnalysis {
     * [[qualityScore]] before training-set admission. Deterministic
     * double arithmetic, rounded to 4dp, so it oracle-compares
     * exactly. */
-  def repetitionScore(text: Column, n: Int): Column = {
-    val ng = ngramArray(text, n)
+  def repetitionScore(text: Column, n: Int): Column =
+    repetitionScoreOfTokens(tokens(text), n)
+
+  /** [[repetitionScore]] over a pre-materialized token array — the
+    * hot-path form: callers project `tokens(text)` into a column
+    * first so the interpreted n-gram lambda reads the array instead
+    * of re-splitting the text per element (the
+    * [[ngramArrayOfTokens]] lesson). */
+  def repetitionScoreOfTokens(tk: Column, n: Int): Column = {
+    val ng = ngramArrayOfTokens(tk, n)
     graft.ops.Ops.roundDet(
       when(size(ng) === 0, lit(0.0)).otherwise(
         lit(1.0) - size(array_distinct(ng)).cast("double") /

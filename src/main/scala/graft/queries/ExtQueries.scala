@@ -63,9 +63,15 @@ object ExtQueries {
 
   /** Oracle-side twin of [[Curation.weightedMix]]'s per-class bound:
     * floor(rate·65536) as 4 lowercase hex digits, the fixed width at
-    * which lexicographic string compare equals integer compare. */
-  private def hex4(rate: Double): String =
-    f"${math.floor(rate * 65536.0).toLong}%04x"
+    * which lexicographic string compare equals integer compare. A
+    * rate of 1.0 would format as 5 digits ("10000"), which sorts
+    * BEFORE "ffff" and would keep ~nothing — so a full-keep bound
+    * becomes "g", which sorts after every hex string (the
+    * [[graft.ext.Curation.splitAssign]] boundary rule). */
+  private def hex4(rate: Double): String = {
+    val v = math.floor(rate * 65536.0).toLong
+    if (v >= 65536L) "g" else f"$v%04x"
+  }
 
   // DuckDB list literal of TextAnalysis.EnglishStopwords
   private val SqlStopList =
@@ -436,9 +442,13 @@ object ExtQueries {
     // Intra-document repetition: duplicated fraction of word 1-grams
     // and 3-grams — the boilerplate/looping-text quality gate.
     Q("t11_repetition",
-      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
-          TextAnalysis.repetitionScore(col("text"), 1).as("rep_token"),
-          TextAnalysis.repetitionScore(col("text"), 3).as("rep_3gram"))
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionScoreOfTokens(col("__tk"), 1)
+            .as("rep_token"),
+          TextAnalysis.repetitionScoreOfTokens(col("__tk"), 3)
+            .as("rep_3gram"))
         .orderBy("doc_id"),
       Some(s"""WITH tk AS (SELECT doc_id,
                       string_split_regex(text, '\\s+') AS t

@@ -75,6 +75,24 @@ class TrainingMixSpec extends SparkTestBase {
     assert(packed.filter($"seq_offset" < 0 || $"seq_offset" >= 128).isEmpty)
   }
 
+  test("sharded packing: (group, seq_id) identifies ONE physical sequence") {
+    // regression: seq_id used to restart at 0 per shard, so 4 shards'
+    // sequences collided on (lang, 0) and packStats read filled ~4.0
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val packed = Packing.packSequences(docs, budget = 128, shards = 4)
+    val stats = Packing.packStats(packed, budget = 128)
+    val maxFilled = stats.agg(max($"filled")).first().getDouble(0)
+    // one straddling doc can push a real sequence past 1.0, but a
+    // shard collision multiplies it toward ~shards
+    assert(maxFilled < 2.0, s"shard-collided sequences: filled=$maxFilled")
+    // shard interleaving: distinct seq ids ≈ total tokens / budget,
+    // not that number divided by shards
+    val nSeqs = stats.count()
+    val totalTokens = packed.agg(sum($"n_tokens")).first().getLong(0)
+    assert(nSeqs >= totalTokens / 128,
+      s"too few sequences ($nSeqs) for $totalTokens tokens")
+  }
+
   test("weightedMix: rate 1 keeps all, rate 0 keeps none, rates nest") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val n = docs.count()
