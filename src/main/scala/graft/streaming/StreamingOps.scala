@@ -278,11 +278,13 @@ object StreamingOps {
   /** Stream-static enrichment join — the standard "attach dimension
     * attributes to a live event stream" shape: the event stream joins
     * the static customer dimension per micro-batch and aggregates per
-    * segment. The static side is planned as a broadcast into every
-    * micro-batch (asserted by StreamingSpec), so the stream side never
-    * shuffles for the join — at 100 TB/day of events the only shuffle
-    * is the segment-count aggregation, whose cardinality is the
-    * dimension's, not the stream's. Complete output mode: the replay
+    * segment. The static side carries an explicit broadcast hint, so
+    * each micro-batch plans a broadcast hash join and the stream side
+    * never shuffles for the join — at 100 TB/day of events the only
+    * shuffle is the segment-count aggregation, whose cardinality is
+    * the dimension's, not the stream's. (StreamingSpec asserts
+    * stream==batch parity; the hint is part of the plan every
+    * micro-batch executes.) Complete output mode: the replay
     * is finite and every segment row is re-emitted at end-of-stream,
     * matching the batch join+group the DuckDB oracle runs. */
   def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {

@@ -338,4 +338,27 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"expected a range-partitioned global sort in:\n$plan")
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
+
+  test("drift PSI: every shuffle is bin-keyed; share totals broadcast (e8)") {
+    val plan = executed(graft.ext.Drift.psiBinned(
+      docs, docs.filter(col("lang") === "en"), col("n_chars"), 100))
+    // the per-side totals come back as 1-row broadcasts; the bin
+    // tables are the ONLY hash-partitioned exchanges — a corpus-keyed
+    // shuffle here would mean the report stopped being bounded
+    val keyed = "Exchange hashpartitioning\\(([^,]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.startsWith("bin")),
+      s"non-bin shuffle keys $keyed in:\n$plan")
+  }
+
+  test("bloom dedup: membership prefilter present, anti-join preserved (d10)") {
+    val corpus = docs.limit(100)
+    val batch = docs.select(col("doc_id") + 5000L as "doc_id", col("text"))
+    val plan = executed(graft.ext.Dedup.bloomIncrementalDedup(batch, corpus))
+    // the filter must actually gate rows (a broken literal would fall
+    // back to scanning everything into the join), and the exact
+    // verification anti-join must survive for the positives
+    assert(plan.contains("might_contain"), s"bloom filter missing:\n$plan")
+    assert(plan.contains("LeftAnti"), s"exact verify join missing:\n$plan")
+  }
 }
