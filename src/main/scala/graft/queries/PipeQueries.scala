@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Chunking, Curation, Dedup, Drift, TextAnalysis}
+import graft.ext.{Chunking, Curation, Dedup, Drift, Similarity, TextAnalysis}
 import graft.ops.{DeltaAgg, Expectations, Scd2}
 import graft.streaming.StreamingOps
 
@@ -344,6 +344,87 @@ object PipeQueries {
                         AS psi_term
                FROM p FULL OUTER JOIN q USING (bin)
                ORDER BY bin""")),
+
+    // ---- quantized search quality -------------------------------------
+
+    // Recall of int8-quantized search vs the exact top-5 (asymmetric:
+    // queries stay exact, corpus vectors are dequantized codes — the
+    // standard ADC setup). Closes the x4 → x1 loop: x4 proves the
+    // per-element reconstruction error bound, this proves the thing a
+    // user cares about — how many true neighbors the compressed
+    // corpus still returns. Whole chain deterministic (floor half-up
+    // codes, fixed-order cosine), so SQL replays it exactly.
+    Q("x5_quantized_recall",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val v = col("embedding").cast("array<double>")
+        val mn = array_min(v)
+        val mx = array_max(v)
+        val scale = (mx - mn) / 255.0
+        val deq = transform(v, x => when(mx === mn, mn).otherwise(
+          mn + floor((x - mn) / (mx - mn) * 255.0 + 0.5) * scale))
+        val corpusQ = embs.select(col("vec_id"), deq.as("embedding"))
+        val queries = embs.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(embs, queries, 5)
+          .select(col("qid"), col("nid"))
+        val quant = Similarity.bruteForceTopK(corpusQ, queries, 5)
+          .select(col("qid"), col("nid"))
+        val hits = exact.join(quant, Seq("qid", "nid"))
+          .agg(count(lit(1)).as("n_hits"))
+        exact.agg(count_distinct(col("qid")).as("n_queries"),
+            count(lit(1)).as("n_exact"))
+          .crossJoin(hits)
+          .select(col("n_queries"),
+            graft.ops.Ops.roundDet(
+              col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid,
+                        CAST(embedding AS DOUBLE[]) AS qvec
+                      FROM embeddings WHERE vec_id < 20),
+               c AS (SELECT vec_id AS nid,
+                       CAST(embedding AS DOUBLE[]) AS nvec
+                     FROM embeddings),
+               cd AS (SELECT nid,
+                        CASE WHEN list_max(nvec) = list_min(nvec)
+                          THEN list_transform(nvec, x -> list_min(nvec))
+                          ELSE list_transform(nvec, x ->
+                            list_min(nvec)
+                            + floor((x - list_min(nvec))
+                                    / (list_max(nvec) - list_min(nvec))
+                                    * 255.0 + 0.5)
+                              * ((list_max(nvec) - list_min(nvec))
+                                 / 255.0))
+                        END AS dvec
+                      FROM c),
+               er AS (SELECT qid, nid, ROW_NUMBER() OVER (
+                        PARTITION BY qid ORDER BY
+                          ${sqlRoundDet(
+                            """list_dot_product(qvec, nvec)
+                               / (sqrt(list_dot_product(qvec, qvec))
+                                  * sqrt(list_dot_product(nvec, nvec)))""",
+                            4)} DESC, nid) AS rank
+                      FROM q, c WHERE qid <> nid),
+               qr AS (SELECT qid, nid, ROW_NUMBER() OVER (
+                        PARTITION BY qid ORDER BY
+                          ${sqlRoundDet(
+                            """list_dot_product(qvec, dvec)
+                               / (sqrt(list_dot_product(qvec, qvec))
+                                  * sqrt(list_dot_product(dvec, dvec)))""",
+                            4)} DESC, nid) AS rank
+                      FROM q JOIN cd ON qid <> nid),
+               hits AS (SELECT COUNT(*) AS n_hits
+                        FROM (SELECT qid, nid FROM er WHERE rank <= 5) e
+                        JOIN (SELECT qid, nid FROM qr WHERE rank <= 5) s
+                          USING (qid, nid)),
+               tot AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT)
+                                AS n_queries,
+                              COUNT(*) AS n_exact
+                       FROM er WHERE rank <= 5)
+               SELECT n_queries,
+                      ${sqlRoundDet(
+                        "CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)",
+                        4)} AS recall
+               FROM tot, hits""")),
 
     // ---- held-out split integrity -------------------------------------
 
