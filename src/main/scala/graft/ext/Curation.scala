@@ -162,6 +162,40 @@ object Curation {
     df.withColumn("split", assign)
   }
 
+  /** Per-group winsorization (outlier clipping): clamp `valCol` into
+    * the group's [pLo, pHi] percentile band — the numeric-feature
+    * guard that keeps one pathological row (a 10 GB "document", a
+    * fat-finger price) from dragging a group mean or blowing a
+    * histogram's range before sampling/mixing decisions are made on
+    * those statistics.
+    *
+    * Two passes, join-free on the big side: pass 1 reduces the input
+    * to ONE (lo, hi) row per group — exact interpolated `percentile`
+    * when `exact` (the oracle-comparable form; Spark `percentile` and
+    * DuckDB `quantile_cont` share the lower+(upper-lower)*frac
+    * interpolation, proven hash-equal by a13), else
+    * `approx_percentile` (Greenwald-Khanna sketch, bounded memory per
+    * group) — the 100 TB route, since the exact form buffers every
+    * group value in the aggregation state. Pass 2 broadcast-joins the
+    * group-count-sized bounds table back and clips with
+    * least/greatest, riding the scan. The clip adds no FP noise:
+    * every output is either the original double or a bound verbatim,
+    * never arithmetic over them. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                pLo: Double, pHi: Double, exact: Boolean = true): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val v = col(valCol)
+    val (lo, hi) =
+      if (exact) (percentile(v, lit(pLo)), percentile(v, lit(pHi)))
+      else (approx_percentile(v, lit(pLo), lit(10000)),
+            approx_percentile(v, lit(pHi), lit(10000)))
+    val bounds = df.groupBy(col(groupCol)).agg(lo.as("__lo"), hi.as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(valCol, least(greatest(v, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Deterministic epoch shuffle: order the dataset by
     * `md5(key ":" epoch)` — a reproducible pseudorandom permutation
     * per training epoch, with no RNG state to coordinate across

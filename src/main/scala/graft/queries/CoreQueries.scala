@@ -943,6 +943,85 @@ object CoreQueries {
                       ${sqlAvg("minute_duration")} AS avg_trip_duration
                FROM f2 LEFT JOIN dim d ON f2.vendorid = d.vendorid
                GROUP BY d.vendor
-               ORDER BY total_revenue DESC, vendor ASC NULLS FIRST"""))
+               ORDER BY total_revenue DESC, vendor ASC NULLS FIRST""")),
+
+    // ---- nested / semi-structured columns ------------------------------
+
+    // Array-of-struct round trip: nest each order's lines into a
+    // linenumber-sorted array<struct>, then consume the nested column
+    // itself — element count, an exact decimal total folded with a
+    // higher-order aggregate lambda, positional head access, and a
+    // transform+array_max projection. This is the shape multimodal /
+    // document metadata ships in at 100 TB (one row per asset, nested
+    // per-part records), so the engine must build and consume it
+    // without re-flattening. One shuffle (groupBy orderkey), map-side
+    // partial collect. sort_array orders structs lexicographically by
+    // field position — (linenumber, quantity, price) — so head access
+    // is deterministic even though (orderkey, linenumber) is not
+    // unique in the fixture; the oracle mirrors that exact tie-break.
+    // Scale note: the higher-order lambdas evaluate interpreted (no
+    // codegen), but over per-order arrays (≤7 elements) bounded by
+    // the group — the data-sized work (shuffle, sort) stays codegen'd.
+    Q("n1_nested_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")))).as("items"))
+        .select(col("l_orderkey"),
+          size(col("items")).cast("long").as("n_items"),
+          Ops.roundDet(aggregate(col("items"),
+              lit(BigDecimal(0)).cast(Ops.MoneyDec),
+              (acc, x) => (acc + x.getField("l_extendedprice")
+                .cast(Ops.MoneyDec)).cast(Ops.MoneyDec))
+            .cast("double"), 2).as("total_price"),
+          element_at(col("items"), 1).getField("l_quantity").as("first_qty"),
+          array_max(transform(col("items"),
+            _.getField("l_quantity"))).as("max_qty"))
+        .orderBy("l_orderkey"),
+      Some(s"""WITH r AS (SELECT l_orderkey, l_quantity, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_quantity,
+                                  l_extendedprice) AS rn
+                     FROM lineitem)
+               SELECT l_orderkey,
+                      COUNT(*) AS n_items,
+                      ${sqlSum("l_extendedprice")} AS total_price,
+                      MAX(CASE WHEN rn = 1 THEN l_quantity END) AS first_qty,
+                      MAX(l_quantity) AS max_qty
+               FROM r GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // Map-typed per-entity profile: per user, an event_type→count map
+    // built with map_from_entries over grouped counts, consumed via
+    // element_at lookups and size — the sparse feature-bundle shape
+    // that carries per-key stats in ONE column instead of exploding
+    // the schema one-column-per-key (key domains at corpus scale are
+    // unbounded; schemas are not). Two keyed shuffles, both with
+    // map-side partial aggregation; the lookups are expression-level,
+    // no joins. The map column itself never leaves the plan — the
+    // compared output stays inside the proven {BIGINT, VARCHAR} set.
+    Q("n2_map_rollup",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("profile"))
+        .select(col("user_id"),
+          size(col("profile")).cast("long").as("n_types"),
+          coalesce(element_at(col("profile"), lit("click")), lit(0L))
+            .as("n_click"),
+          coalesce(element_at(col("profile"), lit("purchase")), lit(0L))
+            .as("n_purchase"))
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id,
+                      COUNT(DISTINCT event_type) AS n_types,
+                      ${sqlSumBigint(
+                        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")}
+                        AS n_click,
+                      ${sqlSumBigint(
+                        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")}
+                        AS n_purchase
+               FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -446,6 +446,41 @@ object PipeQueries {
                      COUNT(*) AS n
               FROM documents
               GROUP BY lang, split
-              ORDER BY lang, split"""))
+              ORDER BY lang, split""")),
+
+    // ---- outlier clipping ----------------------------------------------
+
+    // Per-flag winsorization of extended price at the [p05, p95]
+    // group band, summarized per group. Runs the operator's exact
+    // route (interpolated percentile — DuckDB quantile_cont twin,
+    // hash-proven by a13); the 100 TB route swaps in
+    // approx_percentile with the same two-pass broadcast plan shape
+    // (see Curation.winsorize scaladoc). min/max of the clipped
+    // column equal the bounds whenever any row clips, so this row
+    // also re-proves the cross-engine percentile interpolation match
+    // on values that flow onward, not just values that get reported.
+    Q("e9_winsorize",
+      (s, dir) => Curation.winsorize(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", 0.05, 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             graft.ops.Ops.avgMoney(col("l_extendedprice")).as("avg_price"),
+             graft.ops.Ops.roundDet(min(col("l_extendedprice")), 2)
+               .as("min_price"),
+             graft.ops.Ops.roundDet(max(col("l_extendedprice")), 2)
+               .as("max_price"))
+        .orderBy("l_returnflag"),
+      Some(s"""WITH b AS (SELECT l_returnflag AS g,
+                       quantile_cont(l_extendedprice, 0.05) AS lo,
+                       quantile_cont(l_extendedprice, 0.95) AS hi
+                     FROM lineitem GROUP BY 1),
+               c AS (SELECT l_returnflag,
+                       LEAST(GREATEST(l_extendedprice, lo), hi) AS v
+                     FROM lineitem JOIN b ON l_returnflag = g)
+               SELECT l_returnflag, COUNT(*) AS n_rows,
+                      ${sqlAvg("v")} AS avg_price,
+                      ${sqlRoundDet("MIN(v)", 2)} AS min_price,
+                      ${sqlRoundDet("MAX(v)", 2)} AS max_price
+               FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

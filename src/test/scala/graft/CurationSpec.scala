@@ -146,4 +146,50 @@ class CurationSpec extends SparkTestBase {
     assert(out == Seq((0L, 2L), (10L, 2L), (20L, 2L), (100L, 1L)))
     assert(out.map(_._2).sum == 7L)
   }
+
+  test("winsorize clamps to the exact group percentile band") {
+    // group a: 1..20 plus a fat-finger 1000; group b: all equal
+    val df = (((1 to 20).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0))).toDF("g", "v")
+    val out = Curation.winsorize(df, "g", "v", 0.05, 0.95)
+    // recompute the clip mechanically from the same percentile
+    // definition and compare multiset-exact
+    val bounds = df.groupBy("g")
+      .agg(percentile($"v", lit(0.05)).as("lo"),
+           percentile($"v", lit(0.95)).as("hi"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = df.as[(String, Double)].collect()
+      .map { case (g, v) =>
+        val (lo, hi) = bounds(g); (g, math.min(math.max(v, lo), hi)) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val got = out.as[(String, Double)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == expect)
+    // the outlier actually clipped, the degenerate group untouched
+    assert(got.keys.filter(_._1 == "a").map(_._2).max < 1000.0)
+    assert(got(("b", 5.0)) == 3)
+  }
+
+  test("winsorize approx route keeps count and tames the outlier") {
+    val df = ((1 to 200).map(i => ("a", i.toDouble)) :+ ("a", 1e9))
+      .toDF("g", "v")
+    val out = Curation.winsorize(df, "g", "v", 0.05, 0.95, exact = false)
+      .as[(String, Double)].collect()
+    assert(out.length == 201)
+    // GK bounds are dataset elements near the target rank, so the
+    // clipped max must be a value from the bulk, not the outlier
+    assert(out.map(_._2).max <= 200.0)
+    assert(out.map(_._2).min >= 1.0)
+    // interior values pass through untouched
+    assert(out.count(_._2 == 100.0) == 1)
+  }
+
+  test("winsorize rejects an inverted or out-of-range band") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException](
+      Curation.winsorize(df, "g", "v", 0.9, 0.5))
+    intercept[IllegalArgumentException](
+      Curation.winsorize(df, "g", "v", -0.1, 0.5))
+  }
 }

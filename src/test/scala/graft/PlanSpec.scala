@@ -361,4 +361,35 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(plan.contains("might_contain"), s"bloom filter missing:\n$plan")
     assert(plan.contains("LeftAnti"), s"exact verify join missing:\n$plan")
   }
+
+  test("winsorize: bounds re-attach via broadcast, clip rides the scan (e9)") {
+    val li = graft.queries.Q.t(spark, sf001, "lineitem")
+    val plan = executed(graft.ext.Curation.winsorize(
+      li, "l_returnflag", "l_extendedprice", 0.05, 0.95))
+    // the per-group bounds table is group-count-sized; shipping it
+    // back as a sort-merge join would re-shuffle the whole fact side
+    assert(plan.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact-side shuffle join:\n$plan")
+    // the only hash exchange is the percentile aggregation's group key
+    val keyed = "Exchange hashpartitioning\\(([^,#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keyed.forall(_.startsWith("l_returnflag")),
+      s"non-group shuffle keys $keyed in:\n$plan")
+  }
+
+  test("nested rollup: one key shuffle builds the array, no Window (n1)") {
+    val li = graft.queries.Q.t(spark, sf001, "lineitem")
+    val df = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice")))).as("items"))
+      .select(col("l_orderkey"), size(col("items")).as("n_items"))
+    val plan = executed(df)
+    // the nest is ONE exchange on the group key — a Window (the
+    // flatten-and-rank alternative) would add a per-partition sort of
+    // the whole fact table and a rank filter on top
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+  }
 }
