@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Ops
+import graft.ops.{Ops, TopKAgg}
 
 /** One driver-checkable query: a Spark implementation over the
   * /root/testdata tables plus (when SQL-expressible) a DuckDB oracle
@@ -313,6 +313,30 @@ object CoreQueries {
         .limit(100),
       Some("""SELECT o_orderkey, o_totalprice FROM orders
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // Per-group bounded top-k via the typed Aggregator — the
+    // aggregation-shaped alternative to the window cap (e4): map-side
+    // partials forward at most k rows per group per partition, so the
+    // shuffle carries ≤ k·partitions·groups rows instead of |corpus|,
+    // and no single task ever sorts a hot group (see TopKAgg scaladoc
+    // for when the window form still wins). Top 3 longest docs per
+    // lang, exploded back to ranked rows; both orders are total
+    // (n_chars desc, doc_id asc), so the window oracle is identical.
+    Q("o4_grouped_topk",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        // the Scored input encoder flattens to (score, id) arguments
+        .agg(TopKAgg.topK(3)(col("n_chars").cast("double"), col("doc_id"))
+          .as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "s")))
+        .select(col("lang"), (col("i") + 1).cast("long").as("rank"),
+          col("s.id").as("doc_id"), col("s.score").cast("long").as("n_chars"))
+        .orderBy("lang", "rank"),
+      Some("""SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id, n_chars
+              FROM (SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER (
+                      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+                    FROM documents)
+              WHERE rn <= 3 ORDER BY lang, rank""")),
 
     // Split completeness as a set operation: the union of the window
     // split's two branches is exactly the >watermark set (the closest

@@ -169,4 +169,37 @@ class OpsSpec extends SparkTestBase {
     val df = Seq(ts("2024-05-15 00:00:00")).toDF("t")
     assert(df.select(Ops.monthName($"t")).as[String].first() == "May")
   }
+
+  test("TopKAgg keeps the k best with deterministic ties, any layout") {
+    import graft.ops.TopKAgg
+    val df = Seq(
+      ("a", 5.0, 1L), ("a", 5.0, 0L), ("a", 9.0, 2L), ("a", 1.0, 3L),
+      ("b", 2.0, 4L),
+      ("c", 7.0, 5L), ("c", 7.0, 6L), ("c", 7.0, 7L), ("c", 7.0, 8L)
+    ).toDF("g", "score", "id").repartition(7) // force partial+merge
+    val out = df.groupBy($"g")
+      .agg(TopKAgg.topK(2)($"score", $"id").as("top"))
+      .select($"g", $"top")
+      .as[(String, Array[(Double, Long)])].collect()
+      .map { case (g, a) => g -> a.toSeq }.toMap
+    assert(out("a") == Seq((9.0, 2L), (5.0, 0L))) // tie → lower id
+    assert(out("b") == Seq((2.0, 4L)))            // under-full group
+    assert(out("c") == Seq((7.0, 5L), (7.0, 6L))) // all-tied group
+  }
+
+  test("TopKAgg matches the window form on real data (o4 contract)") {
+    import graft.ops.TopKAgg
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.queries.Q.t(spark, sf001, "documents")
+    val agg = docs.groupBy($"lang")
+      .agg(TopKAgg.topK(3)($"n_chars".cast("double"), $"doc_id").as("top"))
+      .select($"lang", explode($"top").as("s"))
+      .select($"lang", $"s.id".as("doc_id"))
+      .as[(String, Long)].collect().toSet
+    val win = docs.withColumn("rn", row_number().over(Window
+        .partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc)))
+      .filter($"rn" <= 3).select($"lang", $"doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(agg == win)
+  }
 }

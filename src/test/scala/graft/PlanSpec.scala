@@ -377,6 +377,19 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"non-group shuffle keys $keyed in:\n$plan")
   }
 
+  test("grouped top-k aggregates map-side before the shuffle (o4 plan)") {
+    val docs = graft.queries.Q.t(spark, sf001, "documents")
+    val plan = executed(docs.groupBy(col("lang"))
+      .agg(graft.ops.TopKAgg.topK(3)(
+        col("n_chars").cast("double"), col("doc_id")).as("top")))
+    // the whole point of the Aggregator form: a partial aggregate on
+    // the scan side bounds shuffle volume at k rows per (group,
+    // partition) — and no Window/rank machinery anywhere
+    assert(plan.toLowerCase.contains("partial_topkagg"),
+      s"no map-side partial aggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+  }
+
   test("nested rollup: one key shuffle builds the array, no Window (n1)") {
     val li = graft.queries.Q.t(spark, sf001, "lineitem")
     val df = li.groupBy(col("l_orderkey"))
