@@ -126,4 +126,34 @@ object Relevance {
       .select("rank", "doc_id", "score")
       .orderBy("rank")
   }
+
+  /** Vocabulary coverage: what fraction of token OCCURRENCES a
+    * top-`vocabSize` frequency vocabulary fails to cover (the OOV
+    * rate) — the number that decides whether a tokenizer's vocab
+    * budget fits a corpus before anyone trains with it. One bounded
+    * report row: total occurrences, distinct types, and the OOV rate
+    * at this budget.
+    *
+    * Plan: one (token)-keyed aggregation produces the frequency
+    * table; the top-`vocabSize` cut (count desc, token asc — total
+    * order, both engines agree on the boundary) stays
+    * vocabulary-sized and broadcasts back onto the token stream as a
+    * left join; the final global aggregate is partial+final. The
+    * token explode is the only corpus-sized relation, and it carries
+    * one string column. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int,
+                    textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token")).limit(vocabSize)
+      .select(col("token").as("__v"))
+    toks.join(broadcast(vocab), col("token") === col("__v"), "left")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("token")).as("n_types"),
+        graft.ops.Ops.roundDet(
+          coalesce(sum(when(col("__v").isNull, 1L).otherwise(0L)), lit(0L))
+            .cast("double") / count(lit(1)), 6).as("oov_rate"))
+  }
 }

@@ -76,6 +76,28 @@ object Expectations {
         col("n_violations"))
   }
 
+  /** k-anonymity: every combination of the quasi-identifier columns
+    * must describe at least k rows — rows in smaller groups are
+    * re-identifiable by those attributes alone, the gate a privacy-
+    * conscious pipeline runs before user-derived columns may enter a
+    * training mix. n_violations = rows living in groups of size < k.
+    * One partial+final aggregate on the quasi-identifier key, then a
+    * bounded aggregate over the per-group counts — nothing wider than
+    * the QI columns ever shuffles. NULL quasi-identifier values group
+    * like any other value (an absent attribute is itself a
+    * signature). */
+  def kAnonymityCheck(df: DataFrame, quasiIds: Seq[String], k: Int,
+                      ruleName: String = "k_anonymity"): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_checked"),
+        coalesce(sum(when(col("__n") < k, col("__n")).otherwise(0L)),
+          lit(0L)).as("n_violations"))
+      .select(lit(ruleName).as("rule"), col("n_checked"),
+        col("n_violations"))
+  }
+
   /** Union of check reports, deterministically ordered for compare. */
   def report(checks: Seq[DataFrame]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")

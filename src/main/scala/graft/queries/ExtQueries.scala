@@ -472,6 +472,27 @@ object ExtQueries {
                    AS rep_3gram
                FROM ng ORDER BY doc_id""")),
 
+    // Vocabulary coverage at a 50-term budget: the OOV rate that
+    // decides whether a tokenizer's vocab fits the corpus. The top-50
+    // cut is a total order (count desc, token asc — the t5 pattern),
+    // so both engines agree on the boundary; the vocab broadcasts
+    // back onto the token stream (see Relevance.vocabCoverage).
+    Q("t12_oov_rate",
+      (s, dir) => Relevance.vocabCoverage(t(s, dir, "documents"),
+        vocabSize = 50),
+      Some(s"""WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+'))
+                              AS token
+                            FROM documents),
+                    v AS (SELECT token AS vtok FROM tok GROUP BY token
+                          ORDER BY COUNT(*) DESC, token LIMIT 50)
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+                      ${sqlRoundDet(
+                        """CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END)
+                                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)""", 6)}
+                        AS oov_rate
+               FROM tok LEFT JOIN v ON token = vtok""")),
+
     // Deterministic hash sample (~10%): reproducible, re-partition-
     // stable held-out split — no RNG, rides the scan.
     Q("e3_deterministic_sample",
@@ -798,6 +819,36 @@ object ExtQueries {
                      CAST(NULL AS BIGINT) AS id_b,
                      CAST(NULL AS DOUBLE) AS cosine,
                      CAST(NULL AS DOUBLE) AS cosine_rec
+              WHERE FALSE""")),
+
+    // Heavy-hitters sketch contract (the stat-API sibling of the
+    // d2/d3/x3 precision rows): `stat.freqItems` (Karp-Papadimitriou-
+    // Shenker) guarantees NO FALSE NEGATIVES — every token whose
+    // occurrence share exceeds the support threshold must appear in
+    // the sketch output (false positives are allowed and expected).
+    // This query emits the exact-side heavy hitters the sketch
+    // MISSED, so the output is provably empty and the driver can
+    // judge a result no SQL engine can replay. The exact side is one
+    // token-keyed aggregation with the one-row total broadcast back;
+    // the sketch side is a single-pass bounded-state aggregate.
+    Q("t13_heavyhitters_contract",
+      (s, dir) => {
+        val support = 0.02
+        val toks = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val sketch = toks.stat.freqItems(Seq("token"), support)
+          .select(explode(col("token_freqItems")).as("fi_token"))
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        val heavy = counts
+          .crossJoin(broadcast(counts.agg(sum(col("n")).as("__total"))))
+          .filter(col("n").cast("double") > lit(support) * col("__total"))
+        heavy.join(broadcast(sketch),
+            col("token") === col("fi_token"), "left_anti")
+          .select("token", "n")
+          .orderBy("token")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS token,
+                     CAST(NULL AS BIGINT) AS n
               WHERE FALSE""")),
 
     // ---- multimodal plumbing -----------------------------------------

@@ -481,6 +481,23 @@ object PipeQueries {
                       ${sqlAvg("v")} AS avg_price,
                       ${sqlRoundDet("MIN(v)", 2)} AS min_price,
                       ${sqlRoundDet("MAX(v)", 2)} AS max_price
-               FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
+               FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // k-anonymity over the (nation, segment) quasi-identifier pair:
+    // rows whose attribute combination describes fewer than 5
+    // customers are re-identifiable and count as violations — the
+    // privacy gate before user-derived columns enter a training mix.
+    // Same (rule, n_checked, n_violations) shape as e7, so gates
+    // compose; only the two QI columns ever shuffle.
+    Q("e10_k_anonymity",
+      (s, dir) => Expectations.kAnonymityCheck(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                         FROM customer GROUP BY 1, 2)
+              SELECT 'k_anonymity' AS rule,
+                     CAST(SUM(n) AS BIGINT) AS n_checked,
+                     CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_violations
+              FROM g"""))
   )
 }

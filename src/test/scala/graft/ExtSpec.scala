@@ -277,4 +277,15 @@ class ExtSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       MediaContainers.decodeDims("not a container".getBytes("UTF-8")))
   }
+
+  test("freqItems sketch never misses a planted heavy hitter (t13)") {
+    // 100 distinct rare tokens + one token at 50% share: KPS must
+    // surface the heavy one at support 0.1 (false negatives are the
+    // contract violation; false positives are allowed)
+    val rows = (1 to 100).map(i => s"rare_$i") ++ Seq.fill(100)("heavy")
+    val df = rows.toDF("token").repartition(7)
+    val found = df.stat.freqItems(Seq("token"), 0.1)
+      .select(explode(col("token_freqItems"))).as[String].collect().toSet
+    assert(found.contains("heavy"), s"sketch missed the heavy hitter: $found")
+  }
 }

@@ -255,4 +255,39 @@ class PipeSpec extends SparkTestBase {
     assert(e1a.sorted === (1L to 100L))   // it is a permutation
     assert(e1a !== (1L to 100L).toSeq)    // and not the identity
   }
+
+  test("kAnonymityCheck counts rows in under-k groups, NULL is a value") {
+    import graft.ops.Expectations
+    val df = Seq(
+      ("us", "A"), ("us", "A"), ("us", "A"),   // group of 3: safe at k=3
+      ("de", "B"), ("de", "B"),                // group of 2: 2 violations
+      (null.asInstanceOf[String], "C")         // NULL group of 1: 1 violation
+    ).toDF("country", "seg")
+    val r = Expectations.kAnonymityCheck(df, Seq("country", "seg"), k = 3)
+      .as[(String, Long, Long)].first()
+    assert(r == ("k_anonymity", 6L, 3L))
+    // k=1 can never be violated; empty input checks nothing
+    val r1 = Expectations.kAnonymityCheck(df, Seq("country"), k = 1)
+      .as[(String, Long, Long)].first()
+    assert(r1 == ("k_anonymity", 6L, 0L))
+    val empty = df.filter(lit(false))
+    val r0 = Expectations.kAnonymityCheck(empty, Seq("country"), k = 3)
+      .as[(String, Long, Long)].first()
+    assert(r0 == ("k_anonymity", 0L, 0L))
+  }
+
+  test("vocabCoverage reports the OOV occurrence fraction at the budget") {
+    import graft.ext.Relevance
+    // 10 token occurrences, 4 types; top-2 vocab = {a (4x), b (3x)}
+    // (count desc). OOV occurrences = c(2) + d(1) = 3 → rate 0.3
+    val docs = Seq((0L, "a a b c"), (1L, "a b d"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val r = Relevance.vocabCoverage(docs, vocabSize = 2)
+      .as[(Long, Long, Double)].first()
+    assert(r == ((10L, 4L, 0.3)))
+    // a budget covering every type has zero OOV
+    val full = Relevance.vocabCoverage(docs, vocabSize = 10)
+      .as[(Long, Long, Double)].first()
+    assert(full == ((10L, 4L, 0.0)))
+  }
 }
