@@ -20,6 +20,7 @@ PAIR_FAMILIES = {
     "d4_dedup_ngram_jaccard", "d5_dedup_embedding_cos", "d6_dedup_components",
     "e2_corpus_neardup_clean", "x3_sim_lsh_pairs", "x3_precision",
     "d8_components_star", "d9_dedup_embedding_ivf",
+    "d11_dedup_minhash_incremental", "d11_precision",
     "st5_stream_interval_join",
 }
 

@@ -269,6 +269,72 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental MinHash+LSH near-dup detection: candidate pairs
+    * BETWEEN a new batch and the existing corpus only — corpus×corpus
+    * pairs are never generated (those were found when their docs were
+    * ingested), so per-increment cost tracks the batch's collision
+    * volume, not the corpus size. This is the near-dup sibling of
+    * [[incrementalDedup]]: together they are the ingest-time gate at
+    * 100 TB, where re-running [[minhashNearDups]] over the whole
+    * corpus per batch would be quadratic over the pipeline's life.
+    * At a real deployment the corpus band table is a precomputed
+    * signature store this join reads; computing it inline here (the
+    * fixture has no store) changes nothing downstream of the store.
+    *
+    * Plan: corpus bands group into maxBucket-capped buckets (the
+    * [[minhashNearDups]] rationale — one degenerate band value would
+    * otherwise emit |batch bucket| × |corpus bucket| pairs); batch
+    * bands equi-join the bucket table on (band, bhash) — only
+    * (band, bhash, id) ever shuffles — and each match explodes into
+    * (batch_id, corpus_id) candidates, distinct'd and then
+    * exact-Jaccard verified with shingles computed ONLY for candidate
+    * ids on each side. Returns (batch_id, corpus_id, jaccard ≥
+    * threshold), deterministically ordered. */
+  def minhashIncrementalNearDups(batch: DataFrame, corpus: DataFrame,
+                                 threshold: Double,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 broadcastVerify: Boolean = true,
+                                 maxBucket: Int = 1024): DataFrame = {
+    val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
+    def bands(df: DataFrame) = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions
+        .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams,
+          NumBands)
+        .as(Seq("band", "bhash")))
+    // singleton corpus buckets stay (a batch doc can match a lone
+    // corpus doc); only degenerate over-cap buckets drop
+    val corpusBuckets = bands(corpus).groupBy("band", "bhash")
+      .agg(array_sort(collect_list(col("id"))).as("cids"))
+      .filter(size(col("cids")) <= maxBucket)
+    val cands = bands(batch)
+      .join(corpusBuckets, Seq("band", "bhash"))
+      .select(col("id").as("batch_id"), explode(col("cids")).as("corpus_id"))
+      .distinct()
+      .localCheckpoint() // consumed 3× below; see minhashNearDups
+    def candShingles(df: DataFrame, ids: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol))
+      .join(hinted(ids), Seq("id"), "left_semi")
+      .select(col("id"),
+        shinglesOfTokens(TextAnalysis.tokens(col(textCol))).as("sh"))
+      .localCheckpoint()
+    val shB = candShingles(batch,
+      cands.select(col("batch_id").as("id")).distinct())
+    val shC = candShingles(corpus,
+      cands.select(col("corpus_id").as("id")).distinct())
+    cands
+      .join(hinted(shB.select(col("id").as("batch_id"),
+        col("sh").as("sh_a"))), "batch_id")
+      .join(hinted(shC.select(col("id").as("corpus_id"),
+        col("sh").as("sh_b"))), "corpus_id")
+      .withColumn("jaccard", graft.ops.Ops.roundDet(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** Exact shingle-Jaccard for a GIVEN pair list, recomputed through
     * the explode-and-count join path — deliberately NOT the
     * `array_intersect`/`array_union` route [[minhashNearDups]]'s

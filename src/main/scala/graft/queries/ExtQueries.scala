@@ -618,6 +618,46 @@ object ExtQueries {
                                  WHERE c.fp = s.fp)
                ORDER BY s.doc_id""")),
 
+    // Incremental NEAR-dup gate: batch (doc_id >= 300) vs corpus
+    // (doc_id < 300) — cross-boundary near-dup pairs only, the
+    // per-ingest path that never re-pairs the corpus with itself
+    // (see Dedup.minhashIncrementalNearDups). Banding is
+    // engine-specific → rows-only driver check; d11_precision below
+    // closes the contract with an empty-set oracle.
+    Q("d11_dedup_minhash_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.minhashIncrementalNearDups(
+          docs.filter(col("doc_id") >= 300),
+          docs.filter(col("doc_id") < 300), threshold = 0.4)
+      }, None),
+
+    // d11 contract: every emitted pair sits on the correct side of
+    // the batch/corpus boundary and its exact shingle-Jaccard —
+    // recomputed through the independent explode-count route —
+    // matches the reported value and the threshold.
+    Q("d11_precision",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashIncrementalNearDups(
+          docs.filter(col("doc_id") >= 300),
+          docs.filter(col("doc_id") < 300), threshold = 0.4)
+          .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"),
+            col("jaccard"))
+        Dedup.shingleJaccardFor(pairs, docs)
+          .join(pairs, Seq("id_a", "id_b"))
+          .filter(col("jaccard_exact") < 0.4 ||
+            col("jaccard_exact") =!= col("jaccard") ||
+            col("id_a") < 300 || col("id_b") >= 300)
+          .select("id_a", "id_b", "jaccard", "jaccard_exact")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS id_a,
+                     CAST(NULL AS BIGINT) AS id_b,
+                     CAST(NULL AS DOUBLE) AS jaccard,
+                     CAST(NULL AS DOUBLE) AS jaccard_exact
+              WHERE FALSE""")),
+
     // threshold 0.3 ≈ p99 of within-label cosine in the synthetic
     // embeddings — high enough to be selective, low enough that the
     // rows-only check sees output (real corpora would use ~0.95).

@@ -278,6 +278,33 @@ class ExtSpec extends SparkTestBase {
       MediaContainers.decodeDims("not a container".getBytes("UTF-8")))
   }
 
+  test("minhashIncrementalNearDups emits batch-vs-corpus pairs only") {
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet village and children watch from the window"
+    val corpus = Seq(
+      (0L, base),
+      (1L, base + " tonight"),                   // corpus-corpus near-dup
+      (2L, "completely different words about spark plans and shuffles " +
+        "with nothing shared at all in any shingle of this text here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " quietly"),                  // near-dup of corpus 0/1
+      (11L, "unrelated batch text goes here and repeats nothing from " +
+        "the corpus documents so it must never appear in any pair list"),
+      (12L, "unrelated batch text goes here and repeats nothing from " +
+        "the corpus documents so it must never appear in any pair here")
+    ).toDF("doc_id", "text")                     // 11~12: batch-batch dup
+    val got = graft.ext.Dedup
+      .minhashIncrementalNearDups(batch, corpus, threshold = 0.4)
+      .select("batch_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 0L)), s"missed the planted cross pair: $got")
+    // every pair crosses the boundary in the right direction
+    assert(got.forall { case (b, c) => b >= 10L && c < 10L }, got.toString)
+    // batch-batch and corpus-corpus similarity never surfaces
+    assert(!got.exists { case (b, c) => b == 11L || b == 12L }, got.toString)
+  }
+
   test("freqItems sketch never misses a planted heavy hitter (t13)") {
     // 100 distinct rare tokens + one token at 50% share: KPS must
     // surface the heavy one at support 0.1 (false negatives are the

@@ -121,4 +121,25 @@ class PipelineSpec extends SparkTestBase {
     intercept[Throwable] { p.bronzeLayer.ingest(bad) }
     assert(p.meta.ledger.filter(col("status") === "failed").count() == 1)
   }
+
+  test("schema evolution: widened batches merge; old rows read as NULL") {
+    // a long-lived bronze dir accumulates batches written under
+    // successive schema versions; readers must see the union schema
+    // with absent columns NULL — the ingest posture that lets a
+    // 100 TB table add columns without rewriting history
+    val dir = freshWarehouse() + "/evolving"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/b=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("b", "id", "v1", "v2"))
+    val rows = merged.select("id", "v1", "v2")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(9.5))))
+    // the default reader (no mergeSchema) picks ONE file's schema —
+    // pin the footgun this option exists to avoid
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length < merged.columns.length
+      || plain.columns.sorted.toSeq == merged.columns.sorted.toSeq)
+  }
 }
