@@ -34,6 +34,14 @@ object Bench {
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-f]+", "Lambda\\$_")
       // localCheckpoint scans print the RDD's per-JVM id counter
       .replaceAll("RDD\\[\\d+\\]", "RDD[_]")
+      // plain object identities (udaf Aggregator instances print as
+      // graft.ops.TopKAgg@3a04a5f7) — per-JVM hash, pure run noise
+      .replaceAll("@[0-9a-f]{6,}", "@_")
+      // RDD creation-site line numbers (… at localCheckpoint at
+      // Dedup.scala:507): stable across runs but NOT across unrelated
+      // edits to the same source file — an insertion above the call
+      // would re-digest every checkpoint-bearing plan in the file
+      .replaceAll("\\.scala:\\d+", ".scala:_")
 
   /** Escape non-printable characters (e.g. the \u0001 field
     * separators some expressions carry as string literals) so the

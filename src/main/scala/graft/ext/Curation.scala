@@ -177,10 +177,16 @@ object Curation {
     * `approx_percentile` (Greenwald-Khanna sketch, bounded memory per
     * group) — the 100 TB route, since the exact form buffers every
     * group value in the aggregation state. Pass 2 broadcast-joins the
-    * group-count-sized bounds table back and clips with
-    * least/greatest, riding the scan. The clip adds no FP noise:
-    * every output is either the original double or a bound verbatim,
-    * never arithmetic over them. */
+    * group-count-sized bounds table back — NULL-SAFE on the group key
+    * (a NULL group is a group, the same stance the k-anonymity check
+    * takes; a plain equi-join would silently DROP every NULL-group
+    * row) — and clips with least/greatest, riding the scan. The clip
+    * adds no FP noise: every output is either the original double or
+    * a bound verbatim, never arithmetic over them. NULL values stay
+    * NULL — least/greatest SKIP nulls, so the naive clip would turn a
+    * missing measurement into a concrete pLo bound — and an all-NULL
+    * group has NULL bounds, which pass values through by the same
+    * null-skipping semantics. */
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
                 pLo: Double, pHi: Double, exact: Boolean = true): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
@@ -190,10 +196,16 @@ object Curation {
       if (exact) (percentile(v, lit(pLo)), percentile(v, lit(pHi)))
       else (approx_percentile(v, lit(pLo), lit(10000)),
             approx_percentile(v, lit(pHi), lit(10000)))
+    // group on the caller's column, rename after: the aggregation
+    // exchange stays keyed on it (PlanSpec locks this) and the rename
+    // keeps the null-safe join condition unambiguous
     val bounds = df.groupBy(col(groupCol)).agg(lo.as("__lo"), hi.as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
-      .withColumn(valCol, least(greatest(v, col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .withColumnRenamed(groupCol, "__g")
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"), "left")
+      .withColumn(valCol,
+        when(v.isNull, v)
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .drop("__g", "__lo", "__hi")
   }
 
   /** Deterministic epoch shuffle: order the dataset by

@@ -201,16 +201,32 @@ object Dedup {
     *   findable through their other 15 bands, so the cap bounds the
     *   worst case without a silent recall cliff. A visible dial, not
     *   a hidden truncation. */
+  /** The per-row band projection every MinHash variant shares:
+    * (id, band, bhash) rows from the fused signature+banding
+    * generator. */
+  private def bandedOf(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions
+        .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams,
+          NumBands)
+        .as(Seq("band", "bhash")))
+
+  /** Exact shingle-set Jaccard between two shingle-array columns,
+    * rounded 4dp — the verification expression every MinHash variant
+    * shares. */
+  private def jaccardOf(shA: Column, shB: Column): Column =
+    graft.ops.Ops.roundDet(
+      size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB)).cast("double"), 4)
+
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       textCol: String = "text",
                       idCol: String = "doc_id",
                       broadcastVerify: Boolean = true,
                       maxBucket: Int = 1024): DataFrame = {
     val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
-    val banded = docs.select(col(idCol).as("id"),
-      graft.functions.GraftFunctions
-        .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams, NumBands)
-        .as(Seq("band", "bhash")))
+    val banded = bandedOf(docs, textCol, idCol)
 
     // Bucket-grouped pair generation instead of a bucket self-join:
     // ONE aggregation keyed on (band, hash) collects each bucket's
@@ -261,9 +277,7 @@ object Dedup {
     cands
       .join(hinted(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
       .join(hinted(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
-      .withColumn("jaccard", graft.ops.Ops.roundDet(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -281,15 +295,19 @@ object Dedup {
     * signature store this join reads; computing it inline here (the
     * fixture has no store) changes nothing downstream of the store.
     *
-    * Plan: corpus bands group into maxBucket-capped buckets (the
-    * [[minhashNearDups]] rationale — one degenerate band value would
-    * otherwise emit |batch bucket| × |corpus bucket| pairs); batch
-    * bands equi-join the bucket table on (band, bhash) — only
-    * (band, bhash, id) ever shuffles — and each match explodes into
-    * (batch_id, corpus_id) candidates, distinct'd and then
-    * exact-Jaccard verified with shingles computed ONLY for candidate
-    * ids on each side. Returns (batch_id, corpus_id, jaccard ≥
-    * threshold), deterministically ordered. */
+    * Plan: BOTH sides group into maxBucket-capped (band, bhash)
+    * buckets (the [[minhashNearDups]] rationale, applied
+    * symmetrically — capping only the corpus side would leave a
+    * boilerplate-heavy BATCH free to put B docs on one band value and
+    * emit B × |corpus bucket| candidates; with both caps a degenerate
+    * key is bounded at maxBucket² per band before `distinct`, and the
+    * dropped pairs remain findable through the other bands exactly as
+    * in the symmetric variant); the bucket tables equi-join on
+    * (band, bhash) — only (band, bhash, ids) ever shuffles — and each
+    * match explodes into (batch_id, corpus_id) candidates, distinct'd
+    * and then exact-Jaccard verified with shingles computed ONLY for
+    * candidate ids on each side. Returns (batch_id, corpus_id,
+    * jaccard ≥ threshold), deterministically ordered. */
   def minhashIncrementalNearDups(batch: DataFrame, corpus: DataFrame,
                                  threshold: Double,
                                  textCol: String = "text",
@@ -297,19 +315,16 @@ object Dedup {
                                  broadcastVerify: Boolean = true,
                                  maxBucket: Int = 1024): DataFrame = {
     val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
-    def bands(df: DataFrame) = df.select(col(idCol).as("id"),
-      graft.functions.GraftFunctions
-        .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams,
-          NumBands)
-        .as(Seq("band", "bhash")))
-    // singleton corpus buckets stay (a batch doc can match a lone
-    // corpus doc); only degenerate over-cap buckets drop
-    val corpusBuckets = bands(corpus).groupBy("band", "bhash")
-      .agg(array_sort(collect_list(col("id"))).as("cids"))
-      .filter(size(col("cids")) <= maxBucket)
-    val cands = bands(batch)
-      .join(corpusBuckets, Seq("band", "bhash"))
-      .select(col("id").as("batch_id"), explode(col("cids")).as("corpus_id"))
+    // singleton buckets stay on both sides (a lone batch doc can
+    // match a lone corpus doc); only degenerate over-cap buckets drop
+    def buckets(df: DataFrame, idsName: String) =
+      bandedOf(df, textCol, idCol).groupBy("band", "bhash")
+        .agg(array_sort(collect_list(col("id"))).as(idsName))
+        .filter(size(col(idsName)) <= maxBucket)
+    val cands = buckets(batch, "bids")
+      .join(buckets(corpus, "cids"), Seq("band", "bhash"))
+      .select(explode(col("bids")).as("batch_id"), col("cids"))
+      .select(col("batch_id"), explode(col("cids")).as("corpus_id"))
       .distinct()
       .localCheckpoint() // consumed 3× below; see minhashNearDups
     def candShingles(df: DataFrame, ids: DataFrame) = df
@@ -327,9 +342,7 @@ object Dedup {
         col("sh").as("sh_a"))), "batch_id")
       .join(hinted(shC.select(col("id").as("corpus_id"),
         col("sh").as("sh_b"))), "corpus_id")
-      .withColumn("jaccard", graft.ops.Ops.roundDet(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")
       .orderBy("batch_id", "corpus_id")

@@ -134,26 +134,37 @@ object Relevance {
     * report row: total occurrences, distinct types, and the OOV rate
     * at this budget.
     *
-    * Plan: one (token)-keyed aggregation produces the frequency
-    * table; the top-`vocabSize` cut (count desc, token asc — total
-    * order, both engines agree on the boundary) stays
-    * vocabulary-sized and broadcasts back onto the token stream as a
-    * left join; the final global aggregate is partial+final. The
-    * token explode is the only corpus-sized relation, and it carries
-    * one string column. */
+    * Plan: ONE corpus pass — a (token)-keyed aggregation — produces
+    * the frequency table, and everything else derives from that
+    * vocabulary-sized table alone: total occurrences = Σn, types =
+    * row count, and OOV occurrences = Σn − Σ(top-`vocabSize` n), so
+    * no second scan and no join back onto the token stream is ever
+    * needed. The top cut orders by (count desc, token asc) — a total
+    * order, so both engines agree on the boundary — and runs as a
+    * TakeOrderedAndProject over the frequency table, never a global
+    * sort. */
   def vocabCoverage(docs: DataFrame, vocabSize: Int,
                     textCol: String = "text"): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
-    val toks = docs.select(
-      explode(TextAnalysis.tokens(col(textCol))).as("token"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__n"))
+    // materialized executor-side: both consumers below would
+    // otherwise re-run the corpus-sized explode+aggregate (lazy
+    // lineage duplicates the subtree; exchange reuse is an AQE
+    // runtime maybe, not a guarantee) — the table itself is
+    // vocabulary-sized, so the checkpoint is cheap at any scale
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val totals = counts.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    val covered = counts
       .orderBy(col("__n").desc, col("token")).limit(vocabSize)
-      .select(col("token").as("__v"))
-    toks.join(broadcast(vocab), col("token") === col("__v"), "left")
-      .agg(count(lit(1)).as("n_tokens"),
-        count_distinct(col("token")).as("n_types"),
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__n_top"))
+    totals.crossJoin(covered)
+      .select(col("n_tokens"), col("n_types"),
         graft.ops.Ops.roundDet(
-          coalesce(sum(when(col("__v").isNull, 1L).otherwise(0L)), lit(0L))
-            .cast("double") / count(lit(1)), 6).as("oov_rate"))
+          (col("n_tokens") - col("__n_top")).cast("double") /
+            col("n_tokens"), 6).as("oov_rate"))
   }
 }

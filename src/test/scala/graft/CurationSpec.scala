@@ -185,6 +185,24 @@ class CurationSpec extends SparkTestBase {
     assert(out.count(_._2 == 100.0) == 1)
   }
 
+  test("winsorize keeps NULL groups and NULL values intact") {
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), Some(3.0)),
+      (Some("a"), None),                      // NULL value: must stay NULL
+      (None, Some(10.0)), (None, Some(20.0)), (None, Some(1000.0)),
+      (Some("b"), None), (Some("b"), None)    // all-NULL group: pass-through
+    ).toDF("g", "v")
+    val out = Curation.winsorize(df, "g", "v", 0.25, 0.75)
+      .as[(Option[String], Option[Double])].collect()
+    assert(out.length == 9, "winsorize must never drop rows")
+    // the NULL group is a group: its fat-finger 1000.0 clips to ITS
+    // own band, not to group a's and not to a pass-through
+    val nullGroup = out.filter(_._1.isEmpty).flatMap(_._2)
+    assert(nullGroup.length == 3 && nullGroup.max < 1000.0, nullGroup.toSeq)
+    // NULL values survive as NULL (not fabricated into the lo bound)
+    assert(out.count(_._2.isEmpty) == 3)
+  }
+
   test("winsorize rejects an inverted or out-of-range band") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException](

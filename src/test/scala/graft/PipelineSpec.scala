@@ -136,10 +136,12 @@ class PipelineSpec extends SparkTestBase {
     val rows = merged.select("id", "v1", "v2")
       .as[(Long, String, Option[Double])].collect().toSet
     assert(rows == Set((1L, "a", None), (2L, "b", Some(9.5))))
-    // the default reader (no mergeSchema) picks ONE file's schema —
-    // pin the footgun this option exists to avoid
+    // the default reader (no mergeSchema) takes its schema from one
+    // footer, so WHICH columns appear is file-order dependent — the
+    // only stable contract is that it never invents columns beyond
+    // the union the merged read proves
     val plain = spark.read.parquet(dir)
-    assert(plain.columns.length < merged.columns.length
-      || plain.columns.sorted.toSeq == merged.columns.sorted.toSeq)
+    assert(plain.columns.toSet.subsetOf(merged.columns.toSet),
+      s"plain read invented columns: ${plain.columns.mkString(",")}")
   }
 }

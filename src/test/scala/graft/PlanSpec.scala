@@ -267,6 +267,17 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     val r1 = "Scan ExistingRDD MapPartitionsRDD[364] at localCheckpoint"
     val r2 = "Scan ExistingRDD MapPartitionsRDD[512] at localCheckpoint"
     assert(Bench.digest(r1) == Bench.digest(r2))
+    // udaf Aggregator instances print as plain object identities
+    // (graft.ops.TopKAgg@3a04a5f7) — per-JVM hash, caused o4 churn
+    val u1 = "Functions: [partial_topkagg(x, graft.ops.TopKAgg@3a04a5f7)]"
+    val u2 = "Functions: [partial_topkagg(x, graft.ops.TopKAgg@3179f8eb)]"
+    assert(Bench.digest(u1) == Bench.digest(u2))
+    // RDD creation-site LINE numbers shift when unrelated code is
+    // added above the call — an edit to Dedup.scala re-digested every
+    // checkpoint-bearing plan in the file
+    val s1 = "MapPartitionsRDD[_] at localCheckpoint at Dedup.scala:507"
+    val s2 = "MapPartitionsRDD[_] at localCheckpoint at Dedup.scala:520"
+    assert(Bench.digest(s1) == Bench.digest(s2))
     // control-char string literals must not make the plans file binary
     assert(!Bench.compactPlan("concat_ws(" + 1.toChar + ", a, b)")
       .exists(c => c < ' ' && c != '\n' && c != '\t'))
