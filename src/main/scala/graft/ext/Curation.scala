@@ -90,6 +90,41 @@ object Curation {
     df.filter(slot16(col(keyCol)) < floor(rate * 65536.0).cast("long"))
   }
 
+  /** Temperature-based class resampling: sample class c at
+    * rate(c) ∝ p(c)^(α−1), normalized so the rarest class keeps 100%
+    * of its rows — the standard way a multilingual / multi-source
+    * training mix is flattened toward balance (α = 1 keeps the
+    * natural distribution, α → 0 approaches uniform over classes).
+    * Unlike [[weightedMix]] the rates are DERIVED from the corpus
+    * itself: one class-keyed count aggregate (bounded by the class
+    * domain) computes p(c) = n(c)/N, the per-class keep rate
+    * p(c)^(α−1) / max_k p(k)^(α−1) broadcasts back, and the row
+    * filter is the same deterministic 16-bit md5 slot as the other
+    * samplers — reproducible, layout-independent, stable under
+    * corpus growth (modulo the rates themselves shifting as counts
+    * change; pin rates via [[weightedMix]] when that matters).
+    * Every FP step (divide, power, divide, floor·65536) is
+    * IEEE-deterministic, so an oracle replays the chain bit-exactly.
+    */
+  def temperatureMix(df: DataFrame, classCol: String, alpha: Double,
+                     keyCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val weighted = counts.withColumn("__w",
+      pow(col("__n").cast("double"), lit(alpha - 1.0)))
+    val rates = weighted
+      .crossJoin(broadcast(weighted.agg(max(col("__w")).as("__wmax"))))
+      // p(c)^(α−1) / max p^(α−1) — the n/N divisions cancel, so the
+      // rate computes from raw counts and stays in (0, 1]
+      .select(col(classCol).as("__cls"),
+        (col("__w") / col("__wmax")).as("__rate"))
+    df.join(broadcast(rates), col(classCol) <=> col("__cls"), "left")
+      .filter(slot16(col(keyCol)) <
+        floor(col("__rate") * 65536.0).cast("long"))
+      .drop("__cls", "__rate")
+  }
+
   /** Key-skew profile: the distribution of per-key row counts that
     * decides whether a join/agg on `keyCol` needs salting
     * ([[graft.ops.Ops]]' salted variants) or AQE skew handling.

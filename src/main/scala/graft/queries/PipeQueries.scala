@@ -483,6 +483,34 @@ object PipeQueries {
                       ${sqlRoundDet("MAX(v)", 2)} AS max_price
                FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Temperature resampling of the language mix at α = 0.5: rarest
+    // language keeps 100%, dominant languages downsample toward
+    // balance — rates DERIVED from corpus counts (one bounded
+    // class-keyed aggregate broadcast back), rows kept by the same
+    // deterministic md5 slot as c3/e3/e6. The oracle replays the
+    // whole chain: counts → pow(n, −0.5) → rate/max → floor·65536
+    // hex bound → slot compare.
+    Q("e11_temperature_mix",
+      (s, dir) => Curation.temperatureMix(t(s, dir, "documents"), "lang",
+          alpha = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+                         GROUP BY lang),
+                   w AS (SELECT lang, pow(CAST(n AS DOUBLE), -0.5) AS w
+                         FROM c),
+                   m AS (SELECT MAX(w) AS wmax FROM w),
+                   r AS (SELECT lang AS cls,
+                           CAST(FLOOR((w / wmax) * 65536.0) AS BIGINT)
+                             AS bound
+                         FROM w, m)
+              SELECT lang, COUNT(*) AS n_after
+              FROM documents JOIN r ON lang = cls
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                    CASE WHEN bound >= 65536 THEN 'g'
+                         ELSE printf('%04x', bound) END
+              GROUP BY lang ORDER BY lang""")),
+
     // k-anonymity over the (nation, segment) quasi-identifier pair:
     // rows whose attribute combination describes fewer than 5
     // customers are re-identifiable and count as violations — the

@@ -185,6 +185,26 @@ class CurationSpec extends SparkTestBase {
     assert(out.count(_._2 == 100.0) == 1)
   }
 
+  test("temperatureMix keeps the rarest class whole; alpha=1 is identity") {
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 410L).map(i => (i, "small"))).toDF("doc_id", "cls")
+    // alpha = 1: natural distribution, every rate is exactly 1.0
+    assert(Curation.temperatureMix(df, "cls", alpha = 1.0).count() == 410L)
+    val out = Curation.temperatureMix(df, "cls", alpha = 0.5)
+      .groupBy("cls").count()
+      .as[(String, Long)].collect().toMap
+    // the rarest class's rate is exactly max/max = 1.0 → all 10 kept
+    assert(out("small") == 10L)
+    // the dominant class downsamples toward sqrt-flattening
+    // (expected keep rate sqrt(10/400) ≈ 0.158; md5 slots realize it
+    // up to sampling noise on 400 keys)
+    assert(out("big") < 200L && out("big") > 20L, out.toString)
+    intercept[IllegalArgumentException](
+      Curation.temperatureMix(df, "cls", alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Curation.temperatureMix(df, "cls", alpha = 1.5))
+  }
+
   test("winsorize keeps NULL groups and NULL values intact") {
     val df = Seq(
       (Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), Some(3.0)),
