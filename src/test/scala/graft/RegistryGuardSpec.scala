@@ -1,0 +1,58 @@
+package graft
+
+import graft.plans.PlanGuard
+
+/** Registry-wide scale-lint: every registered query's executed plan
+  * must be PlanGuard-clean, except a PINNED list of audited
+  * exceptions whose flagged relation is contract-bounded (each entry
+  * says why). A new query that introduces a cartesian product, a
+  * global window, or a conditionless nested loop — or an edit that
+  * sneaks one into an existing query — fails here with the query
+  * name and the guard's fix text, long before a bench or a cluster
+  * sees it. */
+class RegistryGuardSpec extends SparkTestBase {
+
+  // query -> rules it is allowed to trip, with the boundedness
+  // argument a reviewer should be able to check in the query source.
+  // This list is DISCOVERED, not guessed: the spec also fails when an
+  // entry stops firing, so it can never accrete stale allowances.
+  private val Audited: Map[String, Set[String]] = Map(
+    // one-row aggregate outputs (share totals / frequency totals /
+    // exact-hit counts) crossJoined back onto data — bounded by
+    // construction as single-row relations
+    "e8_drift_psi" -> Set("unconditional-nested-loop"),
+    "t12_oov_rate" -> Set("unconditional-nested-loop"),
+    "x5_quantized_recall" -> Set("unconditional-nested-loop"),
+    // one-row corpus stats (N, Σdl / doc count) attach the same way
+    // in the relevance scorers
+    "t6_tfidf_topterms" -> Set("unconditional-nested-loop"),
+    "t7_bm25_rank" ->
+      Set("unconditional-nested-loop", "global-window"),
+    // t7's final rank window is global BUT its input is the
+    // per-partition pre-truncated candidate set (≤ topN × partitions
+    // rows — the two-phase pattern PlanSpec locks for x1/t7)
+    // centroid-array / exact-top-k one-row sides in the ANN chain
+    "x2_sim_ivf_topk" -> Set("unconditional-nested-loop"),
+    "x2_recall" -> Set("unconditional-nested-loop")
+  )
+
+  test("every registry query is scale-lint-clean or audited") {
+    val dir = sf001
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val found = try PlanGuard.findings(fn(spark, dir))
+        catch { case e: Throwable =>
+          fail(s"$name failed to plan: $e")
+        }
+        val allowed = Audited.getOrElse(name, Set.empty)
+        val bad = found.filterNot(f => allowed.contains(f.rule))
+        val stale = allowed.diff(found.map(_.rule).toSet)
+        val msgs =
+          bad.map(f => s"$name: [${f.rule}] ${f.node} — ${f.fix}") ++
+            stale.map(r => s"$name: audited exception '$r' no longer " +
+              "fires — remove it so the audit stays tight")
+        msgs
+    }
+    assert(failures.isEmpty, failures.mkString("\n", "\n", ""))
+  }
+}
