@@ -177,4 +177,53 @@ class PropertySpec extends SparkTestBase {
       graft.ext.Dedup.shingles($"text")).as("s")).as[Seq[Long]].head()
     assert(sig == sig2 && sig.length == graft.ext.Dedup.NumHashes)
   }
+
+  test("TopKAgg == sort-take reference on random groups, any layout") {
+    import graft.ops.TopKAgg
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      s <- Gen.choose(0, 9).map(_.toDouble) // narrow range forces ties
+      id <- Gen.choose(0L, 500L)
+    } yield (g, s, id)
+    val data = sample(rowGen, 400)
+    val k = 5
+    // reference: plain Scala stable sort under the aggregator's total
+    // order (score desc, id asc); duplicate rows are legitimate input
+    val expect = data.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.map(r => (r._2, r._3))
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+    }
+    val got = data.toDF("g", "s", "id").repartition(13)
+      .groupBy($"g").agg(TopKAgg.topK(k)($"s", $"id").as("top"))
+      .as[(String, Array[(Double, Long)])].collect()
+      .map { case (g, a) => g -> a.toSeq }.toMap
+    expect.foreach { case (g, want) =>
+      assert(got(g) == want, s"group $g: got ${got(g)}, want $want")
+    }
+  }
+
+  test("temperatureMix realized counts equal the exact slot recompute") {
+    import graft.ext.Curation
+    val clsGen = Gen.frequency(8 -> Gen.const("big"), 2 -> Gen.const("mid"),
+      1 -> Gen.const("rare"))
+    val data = sample(clsGen, 300).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }
+    val df = data.toDF("doc_id", "cls")
+    val out = Curation.temperatureMix(df, "cls", alpha = 0.5)
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    // mechanical recompute: same rates, same md5 slot, plain Scala
+    val counts = data.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val wmax = counts.values.map(n => math.pow(n, -0.5)).max
+    def slot(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = data.filter { case (id, c) =>
+      val bound = math.floor(math.pow(counts(c), -0.5) / wmax * 65536.0).toLong
+      slot(id) < bound
+    }.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(out == expect)
+  }
 }
