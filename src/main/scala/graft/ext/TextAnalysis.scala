@@ -186,4 +186,53 @@ object TextAnalysis {
     * pattern classes count independently). */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Corpus-wide boilerplate line scrub (the C4 / RefinedWeb step):
+    * split every document into lines, drop each line that occurs in
+    * at least `minDocs` DISTINCT documents (nav bars, cookie
+    * banners, "subscribe" footers — the text that repeats across a
+    * crawl without being a duplicate document), and reassemble the
+    * survivors in original order. Returns (idCol, textCol) with the
+    * scrubbed text; a document whose every line was boilerplate
+    * keeps its row with empty text (dropping rows is a separate,
+    * explicit decision — compose with a length gate).
+    *
+    * Scale shape: the line explode is the only corpus-sized
+    * relation; the occurrence count and the scrub anti-join are both
+    * keyed on md5(line) — fingerprints, never line bodies, cross the
+    * wire for counting; reassembly is one id-keyed aggregate with
+    * order restored by position
+    * (array_sort over (pos, line) structs). The boilerplate set
+    * itself (lines in ≥ minDocs docs) is crawl-template-sized, not
+    * corpus-sized.
+    *
+    * Spec-verified (PipeSpec) rather than driver-queried: the
+    * synthetic documents fixture carries no newlines, so a registry
+    * row would only re-test whole-document dedup (d1's job). */
+  def scrubBoilerplateLines(docs: DataFrame, minDocs: Long,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val boiler = lines
+      .groupBy(md5(col("line")).as("__lf"))
+      .agg(count_distinct(col("id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__lf")
+    lines
+      .join(boiler, md5(col("line")) === col("__lf"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as(textCol))
+      .withColumnRenamed("id", idCol)
+      // left join back so all-boilerplate docs keep a row (the
+      // aggregate above only sees docs with surviving lines)
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

@@ -276,6 +276,37 @@ class PipeSpec extends SparkTestBase {
     assert(r0 == ("k_anonymity", 0L, 0L))
   }
 
+  test("scrubBoilerplateLines drops shared lines, keeps order and rows") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (0L, "unique intro zero\nsubscribe to our newsletter\nreal body zero"),
+      (1L, "subscribe to our newsletter\nreal body one\ncookie banner text"),
+      (2L, "cookie banner text\nsubscribe to our newsletter"),
+      (3L, "totally unique document with one line")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplateLines(docs, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    // boilerplate ("subscribe…" in 3 docs, "cookie…" in 2) gone;
+    // unique lines survive in original order
+    assert(out(0L) == "unique intro zero\nreal body zero")
+    assert(out(1L) == "real body one")
+    assert(out(3L) == "totally unique document with one line")
+    // a doc that was ALL boilerplate keeps its row, empty text
+    assert(out(2L) == "")
+    assert(out.size == 4)
+    // threshold respected: at minDocs = 4 nothing repeats enough
+    val loose = TextAnalysis.scrubBoilerplateLines(docs, minDocs = 4)
+      .as[(Long, String)].collect().toMap
+    assert(loose == docs.as[(Long, String)].collect().toMap)
+    // repeats WITHIN one doc do not make a line boilerplate
+    // (count is distinct docs, not occurrences)
+    val intra = Seq((0L, "same line\nsame line\nother"), (1L, "unrelated"))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.scrubBoilerplateLines(intra, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(kept(0L) == "same line\nsame line\nother")
+  }
+
   test("vocabCoverage reports the OOV occurrence fraction at the budget") {
     import graft.ext.Relevance
     // 10 token occurrences, 4 types; top-2 vocab = {a (4x), b (3x)}
