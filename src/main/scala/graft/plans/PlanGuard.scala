@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -29,6 +30,17 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    join condition compares every pair (a cross join in broadcast
   *    clothing). Conditioned nested loops are allowed — they are how
   *    legitimate small-side inequality joins execute.
+  *  - `lambda-invariant-recompute`: a higher-order-function lambda
+  *    whose body contains an O(array)-cost subexpression (array
+  *    min/max/sort/…, or a nested HOF) that references NO lambda
+  *    variable — so it is loop-INVARIANT yet re-evaluated per
+  *    ELEMENT, because a lambda body sits outside project-level
+  *    subexpression elimination. `transform(v, x -> … array_min(v)
+  *    …)` is O(d²) per row — measured 28× slower than the hoisted
+  *    form at d=64. Fix: alias the invariant in its OWN projection
+  *    (multi-use non-trivial aliases survive CollapseProject) and
+  *    reference the resulting attribute from the lambda — the
+  *    [[graft.ext.Similarity.quantize]] discipline.
   *
   * Bounded relations are invisible at plan level, so callers joining
   * a KNOWN-tiny frame crosswise (a one-row totals broadcast — the e8
@@ -41,7 +53,8 @@ object PlanGuard {
   final case class Finding(rule: String, node: String, fix: String)
 
   val Rules: Set[String] =
-    Set("cartesian-product", "global-window", "unconditional-nested-loop")
+    Set("cartesian-product", "global-window", "unconditional-nested-loop",
+      "lambda-invariant-recompute")
 
   /** All findings in df's executed plan (empty = scale-safe). */
   def findings(df: DataFrame): Seq[Finding] =
@@ -66,9 +79,70 @@ object PlanGuard {
             "contract-small side"))
       case _ => Seq.empty
     }
-    here ++ plan.children.flatMap(scan) ++
+    here ++ plan.expressions.flatMap(lambdaFindings) ++
+      plan.children.flatMap(scan) ++
       plan.subqueries.flatMap(scan)
   }
+
+  // ---- lambda-invariant-recompute ------------------------------------
+
+  /** O(array-length) evaluation cost by expression class name — the
+    * things that hurt when re-run once per element of an enclosing
+    * lambda. Size is absent on purpose (array length is O(1)). */
+  private val ExpensivePerElement = Set(
+    "ArrayMin", "ArrayMax", "SortArray", "ArraySort", "ArrayDistinct",
+    "ArrayIntersect", "ArrayUnion", "ArrayExcept", "ArraysOverlap",
+    "ArrayPosition", "ArrayContains", "ArrayJoin", "ArraysZip", "Reverse")
+
+  private def isExpensive(e: Expression): Boolean =
+    e.exists(x => x.isInstanceOf[HigherOrderFunction] ||
+      ExpensivePerElement.contains(x.getClass.getSimpleName))
+
+  /** Lambda-variable ids referenced by `e` but not bound by a
+    * LambdaFunction INSIDE `e` — nonempty means the subtree actually
+    * varies with some enclosing lambda's element. */
+  private def freeLambdaVars(e: Expression): Set[Long] = {
+    val used = e.collect {
+      case v: NamedLambdaVariable => v.exprId.id
+    }.toSet
+    val bound = e.collect { case f: LambdaFunction =>
+      f.arguments.collect { case v: NamedLambdaVariable => v.exprId.id }
+    }.flatten.toSet
+    used -- bound
+  }
+
+  /** For every HOF lambda body in `root`: the OUTERMOST subtrees that
+    * are expensive yet reference no enclosing lambda variable, i.e.
+    * per-element recomputation of a per-row constant. (Structured as
+    * flat helper methods, not nested partial-function literals —
+    * scalac 2.13's backend asserts emitting the nested-anonfun form.) */
+  private def lambdaFindings(root: Expression): Seq[Finding] = {
+    val hofs = root.collect { case hof: HigherOrderFunction => hof }
+    hofs.flatMap(hofFindings)
+  }
+
+  private def hofFindings(hof: HigherOrderFunction): Seq[Finding] =
+    hof.functions.flatMap { f =>
+      f match {
+        case LambdaFunction(body, _, _) =>
+          invariantExpensive(body).map(t => mkFinding(hof, t))
+        case _ => Seq.empty
+      }
+    }
+
+  private def mkFinding(hof: HigherOrderFunction, t: Expression): Finding =
+    Finding("lambda-invariant-recompute",
+      s"${hof.prettyName}(…, ${t.toString.take(80)} …)",
+      "alias the invariant into its own projection and reference " +
+        "the attribute from the lambda (Similarity.quantize shape)")
+
+  /** Outermost invariant-expensive subtrees of a lambda body. Does
+    * not descend into a hit (one finding per hoistable unit) but DOES
+    * descend into variant subtrees to find invariant islands. */
+  private def invariantExpensive(e: Expression): Seq[Expression] =
+    if (freeLambdaVars(e).isEmpty) {
+      if (isExpensive(e)) Seq(e) else Seq.empty
+    } else e.children.flatMap(invariantExpensive)
 
   /** Throw unless every finding's rule is in `allow`. The message
     * lists each offending node with its fix, so the failure is

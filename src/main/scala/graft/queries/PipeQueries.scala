@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.ext.{Chunking, Curation, Dedup, Drift, Similarity, TextAnalysis}
-import graft.ops.{DeltaAgg, Expectations, Scd2}
+import graft.ops.{DeltaAgg, Expectations, Scd2, TopKAgg}
 import graft.streaming.StreamingOps
 
 /** Pipeline-lifecycle queries: SCD2 dimension versioning (u*), the
@@ -358,25 +359,56 @@ object PipeQueries {
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
         val v = col("embedding").cast("array<double>")
-        val mn = array_min(v)
-        val mx = array_max(v)
+        // mn/mx hoisted into their own projection (the
+        // Similarity.quantize discipline): referenced from inside
+        // the transform lambda they are re-evaluated per ELEMENT —
+        // O(d²) per corpus row, measured 28× slower at d=64
+        val (mn, mx) = (col("__mn"), col("__mx"))
         val scale = (mx - mn) / 255.0
-        val deq = transform(v, x => when(mx === mn, mn).otherwise(
-          mn + floor((x - mn) / (mx - mn) * 255.0 + 0.5) * scale))
-        val corpusQ = embs.select(col("vec_id"), deq.as("embedding"))
-        val queries = embs.filter(col("vec_id") < 20)
-        val exact = Similarity.bruteForceTopK(embs, queries, 5)
-          .select(col("qid"), col("nid"))
-        val quant = Similarity.bruteForceTopK(corpusQ, queries, 5)
-          .select(col("qid"), col("nid"))
-        val hits = exact.join(quant, Seq("qid", "nid"))
-          .agg(count(lit(1)).as("n_hits"))
-        exact.agg(count_distinct(col("qid")).as("n_queries"),
-            count(lit(1)).as("n_exact"))
-          .crossJoin(hits)
+        val deq = transform(col("nvec"), x => when(mx === mn, mn)
+          .otherwise(
+            mn + floor((x - mn) / (mx - mn) * 255.0 + 0.5) * scale))
+        // ONE corpus x queries pass scoring BOTH representations
+        // (dvec projects under the join, so dequantization runs once
+        // per corpus row), then a bounded top-k AGGREGATE per
+        // ranking instead of rank windows: TopKAgg keeps <=5
+        // (score desc, id asc) candidates map-side, so the only
+        // post-join shuffle moves <= 2*5*|queries| rows per input
+        // partition and no task ever sorts a per-qid candidate set
+        // (the window form's hot partition — and its measured
+        // super-linear leg in SCALING.md). Both rankings live in the
+        // same aggregate row, so recall is an array intersection —
+        // no exact-vs-quant join at all. Ordering is total (score
+        // desc, id asc — TopKAgg's contract), so the result matches
+        // the oracle's ROW_NUMBER ranking exactly.
+        val c = embs
+          .select(col("vec_id").as("nid"), v.as("nvec"),
+            array_min(v).as("__mn"), array_max(v).as("__mx"))
+          .select(col("nid"), col("nvec"), deq.as("dvec"))
+        val q = embs.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), v.as("qvec"))
+        // the fused codegen CosineSimilarity — the interpreted HOF
+        // dot here would evaluate per pair per array element outside
+        // whole-stage codegen (the r2 ivfAssign regression pattern)
+        def cosine(a: Column, b: Column): Column =
+          graft.ops.Ops.roundDet(Similarity.cosine(a, b), 4)
+        def ids(a: Column): Column = transform(a, x => x.getField("id"))
+        c.join(broadcast(q), col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            cosine(col("qvec"), col("nvec")).as("ce"),
+            cosine(col("qvec"), col("dvec")).as("cq"))
+          .groupBy(col("qid"))
+          .agg(TopKAgg.topK(5)(col("ce"), col("nid")).as("te"),
+               TopKAgg.topK(5)(col("cq"), col("nid")).as("tq"))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(size(col("te"))).as("__n_exact"),
+            sum(size(array_intersect(ids(col("te")), ids(col("tq")))))
+              .as("__n_hits"))
           .select(col("n_queries"),
             graft.ops.Ops.roundDet(
-              col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+              col("__n_hits").cast("double") / col("__n_exact"), 4)
+              .as("recall"))
       },
       Some(s"""WITH q AS (SELECT vec_id AS qid,
                         CAST(embedding AS DOUBLE[]) AS qvec

@@ -57,6 +57,41 @@ class PlanGuardSpec extends SparkTestBase {
         $"n_chars" >= $"lo" && $"n_chars" < $"hi"))
   }
 
+  test("flags an expensive loop-invariant inside a HOF lambda") {
+    // the exact x5/quantize bug: array_min(v) referenced from inside
+    // transform's lambda is re-evaluated per ELEMENT — O(d²) per row
+    val v = col("embedding")
+    val embs = graft.queries.Q.t(spark, sf001, "embeddings")
+    val bad = embs.select(
+      transform(v, x => x - array_min(v)).as("centered"))
+    val rules = PlanGuard.findings(bad).map(_.rule).toSet
+    assert(rules == Set("lambda-invariant-recompute"), rules.toString)
+
+    // hoisted form (the Similarity.quantize discipline): quiet.
+    // NOTE the alias must be MULTI-use — CollapseProject inlines a
+    // single-use alias straight back into the lambda, re-creating
+    // the recompute (this rule catches exactly that regression).
+    val good = embs.select(v.as("__arr"), array_min(v).as("__mn"))
+      .select(transform(col("__arr"),
+        x => when(col("__mn") === 0.0, x).otherwise(x - col("__mn")))
+        .as("centered"))
+    assert(PlanGuard.findings(good).isEmpty)
+
+    // single-use hoist: CollapseProject undoes it — the rule fires,
+    // proving it audits the OPTIMIZED plan, not the author's intent
+    val undone = embs.select(v.as("__arr"), array_min(v).as("__mn"))
+      .select(transform(col("__arr"), x => x - col("__mn")).as("centered"))
+    assert(PlanGuard.findings(undone).map(_.rule).toSet ==
+      Set("lambda-invariant-recompute"))
+
+    // a nested HOF that READS the outer lambda variable is variant —
+    // genuinely per-element work, not a hoistable constant, no finding
+    val variant = embs.select(
+      filter(v, x => exists(v, y => y > x)).as("f"))
+    val vr = PlanGuard.findings(variant).map(_.rule).toSet
+    assert(!vr.contains("lambda-invariant-recompute"), vr.toString)
+  }
+
   test("rejects unknown allow spellings instead of silently ignoring") {
     intercept[IllegalArgumentException](
       PlanGuard.assertScaleSafe(docs, allow = Set("cartesian_product")))

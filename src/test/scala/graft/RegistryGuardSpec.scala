@@ -22,7 +22,9 @@ class RegistryGuardSpec extends SparkTestBase {
     // construction as single-row relations
     "e8_drift_psi" -> Set("unconditional-nested-loop"),
     "t12_oov_rate" -> Set("unconditional-nested-loop"),
-    "x5_quantized_recall" -> Set("unconditional-nested-loop"),
+    // x5 was on this list until its single-pass rewrite removed the
+    // exact-vs-quant hit join entirely — the audit's staleness check
+    // forced this removal, exactly as designed
     // one-row corpus stats (N, Σdl / doc count) attach the same way
     // in the relevance scorers
     "t6_tfidf_topterms" -> Set("unconditional-nested-loop"),
