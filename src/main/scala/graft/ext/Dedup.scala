@@ -466,6 +466,81 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------- exact substring spans
+
+  /** Cross-document repeated SPAN detection — the exact-substring
+    * dedup signal ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022): long verbatim passages shared between
+    * documents, which set-based Jaccard ([[ngramJaccardPairs]]) cannot
+    * see (a 50-token quote inside two otherwise-unrelated 1000-token
+    * docs is ~5% Jaccard but 100% memorization risk).
+    *
+    * A shared run of s consecutive tokens appears as s-n+1 positional
+    * n-gram matches on one DIAGONAL (pos_a - pos_b constant — the
+    * dot-plot diagonal of sequence alignment), so spans fall out of a
+    * gaps-and-islands pass over the match positions:
+    *
+    *  1. positional n-grams per doc (one narrow projection — tokens
+    *     materialized first, the HOF discipline);
+    *  2. equi-join on (block, gram) — the shuffle is keyed by the
+    *     n-gram, never by document pair, exactly like
+    *     [[ngramJaccardPairs]]; `maxDf` drops grams appearing in more
+    *     than that many documents (boilerplate n-grams — a gram shared
+    *     by hundreds of docs identifies no PAIR; the cap is the skew
+    *     dial, same contract as minhashNearDups' maxBucket, and
+    *     dropped grams cost at most n-1 tokens off a true span's ends
+    *     unless the whole span is corpus-wide boilerplate);
+    *  3. per (pair, diagonal): row_number gaps-and-islands keyed by
+    *     (id_a, id_b, diag) — a bounded-width window, no global sort;
+    *  4. keep islands of ≥ minSpan-n+1 matches (= spans of ≥ minSpan
+    *     tokens), aggregate per pair.
+    *
+    * Returns (id_a, id_b, n_spans, max_span) with id_a < id_b,
+    * max_span in tokens, ordered. A span the OTHER doc contains twice
+    * counts once per diagonal — each verbatim occurrence is a span.
+    * Output is pair-family (~N² under exact replication). */
+  def duplicateSpans(docs: DataFrame, minSpan: Int = 10, n: Int = 5,
+                     maxDf: Int = 128,
+                     blockCol: String = "lang",
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(minSpan >= n, s"minSpan ($minSpan) must be >= n ($n): a " +
+      "span shorter than one n-gram has no n-gram evidence")
+    val grams = docs
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col("id"), col("blk"),
+        posexplode(transform(sequence(lit(0), size(col("__tk")) - n),
+          i => concat_ws(" ",
+            (1 to n).map(j => element_at(col("__tk"), i + j)): _*)))
+          .as(Seq("pos", "gram")))
+    // boilerplate grams: the df aggregate shares the join's
+    // (blk, gram) key, so the anti-join co-partitions with it
+    val hot = grams.groupBy("blk", "gram")
+      .agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("blk", "gram")
+    val pruned = grams.join(hot, Seq("blk", "gram"), "left_anti")
+
+    val m = pruned.select(col("blk"), col("gram"),
+        col("id").as("id_a"), col("pos").as("pos_a"))
+      .join(pruned.select(col("blk"), col("gram"),
+        col("id").as("id_b"), col("pos").as("pos_b")), Seq("blk", "gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    m.withColumn("__island", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "__island")
+      .agg((count(lit(1)) + (n - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_spans"), max(col("span_tokens")).as("max_span"))
+      .orderBy("id_a", "id_b")
+  }
+
   // --------------------------------------------- components / canonical
 
   /** Connected components over a near-duplicate pair list — the step

@@ -555,6 +555,49 @@ object ExtQueries {
               WHERE $SqlJaccard >= 0.4
               ORDER BY id_a, id_b""")),
 
+    // Exact-substring spans: verbatim passages ≥ 10 tokens shared
+    // between documents — the memorization-risk signal Jaccard can't
+    // see (a long quote inside two otherwise-unrelated docs). The
+    // oracle recomputes the identical diagonal gaps-and-islands chain
+    // in SQL; COUNT(*) arithmetic casts to BIGINT (HUGEINT discipline).
+    Q("d12_duplicate_spans",
+      (s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"),
+        minSpan = 10, n = 5, maxDf = 128),
+      Some(s"""WITH toks AS (
+                SELECT doc_id, lang, string_split_regex(text, '\\s+') AS tk
+                FROM documents),
+              grams AS (
+                SELECT doc_id, lang, i AS pos,
+                       array_to_string(tk[i+1:i+5], ' ') AS gram
+                FROM toks, UNNEST(range(0, GREATEST(len(tk)-5+1, 0))) AS u(i)
+                WHERE len(tk) >= 5),
+              hot AS (
+                SELECT lang, gram FROM grams GROUP BY lang, gram
+                HAVING COUNT(DISTINCT doc_id) > 128),
+              pruned AS (
+                SELECT g.* FROM grams g ANTI JOIN hot h
+                ON g.lang = h.lang AND g.gram = h.gram),
+              m AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.pos AS pos_a, a.pos - b.pos AS diag
+                FROM pruned a JOIN pruned b
+                  ON a.lang = b.lang AND a.gram = b.gram
+                 AND a.doc_id < b.doc_id),
+              isl AS (
+                SELECT id_a, id_b, diag,
+                       pos_a - ROW_NUMBER() OVER (
+                         PARTITION BY id_a, id_b, diag
+                         ORDER BY pos_a) AS island
+                FROM m),
+              spans AS (
+                SELECT id_a, id_b, COUNT(*) + 5 - 1 AS span_tokens
+                FROM isl GROUP BY id_a, id_b, diag, island
+                HAVING COUNT(*) + 5 - 1 >= 10)
+              SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                     CAST(MAX(span_tokens) AS BIGINT) AS max_span
+              FROM spans GROUP BY id_a, id_b
+              ORDER BY id_a, id_b""")),
+
     // Near-dup pairs → dedup GROUPS: connected components by min-label
     // propagation over the (hash-exact, see d4) jaccard pair list. The
     // oracle computes the same components with a recursive reachability

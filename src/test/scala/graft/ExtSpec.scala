@@ -77,6 +77,37 @@ class ExtSpec extends SparkTestBase {
     assert(p01.isDefined && p01.get._3 > 0.5)
   }
 
+  test("duplicateSpans finds verbatim passages with exact token lengths") {
+    // a 20-token verbatim passage inside otherwise-unrelated docs:
+    // span boundaries are exact because the surrounding tokens are
+    // unique per doc, so no straddling n-gram matches
+    val span = (0 until 20).map(i => s"shared$i").mkString(" ")
+    val eight = (0 until 8).map(i => s"shared$i").mkString(" ")
+    def uniq(p: String, k: Int) = (0 until k).map(i => s"$p$i").mkString(" ")
+    val spanDocs = Seq(
+      (0L, s"${uniq("a", 10)} $span ${uniq("b", 10)}"),
+      (1L, s"${uniq("c", 12)} $span ${uniq("d", 8)}"),
+      // contains the passage TWICE → two diagonals → two spans vs doc 0
+      (2L, s"$span ${uniq("e", 6)} $span"),
+      // only 8 shared tokens — below minSpan=10, must not pair
+      (3L, s"${uniq("f", 15)} $eight ${uniq("g", 15)}")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = Dedup.duplicateSpans(spanDocs, minSpan = 10, n = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byPair((0L, 1L)) == (1L, 20L), byPair.toString) // one 20-token span
+    assert(byPair((0L, 2L)) == (2L, 20L)) // both occurrences counted
+    assert(!byPair.contains((0L, 3L)) && !byPair.contains((1L, 3L)))
+    // jaccard blindness check: the signal d4 can't see — doc 0 vs 1
+    // share 16/64 distinct shingles (~0.25), below d4's 0.4 gate
+    assert(Dedup.ngramJaccardPairs(spanDocs, threshold = 0.4)
+      .filter($"id_a" === 0L && $"id_b" === 1L).count() == 0)
+    // maxDf: the passage lives in 3 docs; capping df at 2 drops every
+    // span gram, so no pairs survive — the boilerplate dial
+    assert(Dedup.duplicateSpans(spanDocs, minSpan = 10, n = 5, maxDf = 2)
+      .count() == 0)
+  }
+
   test("kmeans-refined IVF clears 0.8 recall and beats stride seeds") {
     // bench config (stride=20, nprobe=12) on the sf0.001 fixture:
     // measured stride recall 0.79, kmeans(2) 0.90 — assert the refined
