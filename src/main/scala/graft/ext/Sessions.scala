@@ -54,4 +54,37 @@ object Sessions {
            count(lit(1)).as("n_events"),
            graft.ops.Ops.sumMoney(col(valueCol)).as("sum_value"))
       .orderBy(col(userCol), col("session_id"))
+
+  /** Cumulative distinct keys by period — "total unique users through
+    * day D", the growth curve every event pipeline reports. The naive
+    * formulation is a running COUNT(DISTINCT key) window, which must
+    * hold every key ever seen in one ordered partition's state — the
+    * exact shape that cannot scale. The identity that fixes it: a key
+    * is new exactly once (at its MIN ts), so the cumulative distinct
+    * count is a running SUM of first-seen counts:
+    *
+    *  1. groupBy(key) → min(ts): one key-hashed shuffle with map-side
+    *     partial mins — events never sort, keys never co-reside;
+    *  2. bucket first-seen ts by `period`, count: a shuffle of ONE
+    *     row per key;
+    *  3. running sum over periods: a global window, but over one row
+    *     per period — calendar-bounded (a decade of days is ~3.7 k
+    *     rows), which is why RegistryGuardSpec pins it as an audited
+    *     global-window exception rather than a violation.
+    *
+    * Returns (period, new_keys, cum_keys), ordered. */
+  def cumulativeNewKeys(events: DataFrame, period: String = "day",
+                        keyCol: String = "user_id",
+                        tsCol: String = "ts"): DataFrame = {
+    val firstSeen = events.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__first_ts"))
+    val perPeriod = firstSeen
+      .groupBy(date_trunc(period, col("__first_ts")).as("period"))
+      .agg(count(lit(1)).as("new_keys"))
+    val w = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perPeriod
+      .withColumn("cum_keys", sum(col("new_keys")).over(w))
+      .orderBy("period")
+  }
 }

@@ -1120,6 +1120,26 @@ object ExtQueries {
                FROM g GROUP BY user_id, sid
                ORDER BY user_id, session_start""")),
 
+    // Cumulative distinct users by day — the scalable rewrite of a
+    // running COUNT(DISTINCT) window: first-seen per user (key-hashed
+    // shuffle), day buckets, then a running sum over one row per DAY
+    // (the audited, calendar-bounded global window). DuckDB's running
+    // SUM(BIGINT) yields HUGEINT → cast.
+    Q("w4_cumulative_users",
+      (s, dir) => graft.ext.Sessions.cumulativeNewKeys(
+        t(s, dir, "events"), period = "hour"),
+      Some("""WITH fs AS (
+                SELECT user_id, MIN(ts) AS first_ts
+                FROM events GROUP BY user_id),
+              d AS (
+                SELECT date_trunc('hour', first_ts) AS period,
+                       COUNT(*) AS new_keys
+                FROM fs GROUP BY 1)
+              SELECT CAST(period AS TIMESTAMP) AS period, new_keys,
+                     CAST(SUM(new_keys) OVER (ORDER BY period
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_keys
+              FROM d ORDER BY period""")),
+
     // streaming twin: flatMapGroupsWithState over a replayed stream.
     // A session is emitted when a later event closes it or when the
     // final watermark (max ts - 1 min, ms precision) passes its

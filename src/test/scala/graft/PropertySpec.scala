@@ -168,6 +168,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("cumulativeNewKeys: prefix-sum of first-seen == running distinct") {
+    val evGen = for {
+      u <- Gen.choose(0L, 25L); t <- tsGen; v <- Gen.choose(0.0, 1.0)
+    } yield (u, t, v)
+    val events = sample(evGen, 400).toDF("user_id", "ts", "value")
+    val out = graft.ext.Sessions.cumulativeNewKeys(events)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    // cum is the prefix sum of new_keys, rows ordered by period
+    assert(out.map(_._1.getTime).sameElements(
+      out.map(_._1.getTime).sorted))
+    assert(out.map(_._2).scanLeft(0L)(_ + _).tail.sameElements(
+      out.map(_._3)))
+    // the last cumulative value is the corpus-wide distinct count, and
+    // a key returning on later days never recounts
+    val distinctUsers = events.select("user_id").distinct().count()
+    assert(out.last._3 == distinctUsers)
+    // each day's new_keys equals the brute-force "users whose MIN ts
+    // falls on that day" recompute
+    val brute = events.groupBy("user_id").agg(min("ts").as("f"))
+      .groupBy(date_trunc("day", $"f").as("d")).count()
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    out.foreach { case (d, nk, _) => assert(brute(d) == nk, d.toString) }
+  }
+
   test("minhash signature: jaccard-similar sets collide more (LSH property)") {
     // identical token arrays → identical signature
     val df = Seq("a b c d e f g h i j").toDF("text")

@@ -35,7 +35,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // rows — the two-phase pattern PlanSpec locks for x1/t7)
     // centroid-array / exact-top-k one-row sides in the ANN chain
     "x2_sim_ivf_topk" -> Set("unconditional-nested-loop"),
-    "x2_recall" -> Set("unconditional-nested-loop")
+    "x2_recall" -> Set("unconditional-nested-loop"),
+    // w4's running sum windows over ONE ROW PER DAY (first-seen
+    // counts, pre-aggregated) — calendar-bounded, see
+    // Sessions.cumulativeNewKeys
+    "w4_cumulative_users" -> Set("global-window")
   )
 
   test("every registry query is scale-lint-clean or audited") {
