@@ -1252,6 +1252,45 @@ object ExtQueries {
                 AND b.ts <= a.ts + INTERVAL 10 MINUTE
               ORDER BY imp_id, click_id""")),
 
+    // left-outer stream-stream join: matched pairs plus null-extended
+    // impressions whose attribution window the FINAL watermark
+    // (min of both sides' max ts − 1 h) has passed — the oracle
+    // applies exactly that filter to the batch left join. NULLS FIRST
+    // pins DuckDB's default null order to Spark's asc_nulls_first.
+    Q("st9_stream_left_outer_join",
+      (s, dir) => StreamingOps.streamStreamLeftOuterJoin(s, dir),
+      Some("""WITH imp AS (
+                SELECT event_id AS imp_id, user_id, ts AS imp_ts
+                FROM events WHERE event_id % 2 = 0),
+              click AS (
+                SELECT event_id AS click_id, user_id AS cu, ts AS click_ts
+                FROM events WHERE event_id % 2 = 1),
+              wm AS (
+                SELECT LEAST((SELECT MAX(imp_ts) FROM imp),
+                             (SELECT MAX(click_ts) FROM click))
+                       - INTERVAL 1 HOUR AS w),
+              m AS (
+                SELECT i.imp_id, c.click_id, i.user_id,
+                       i.imp_ts, c.click_ts
+                FROM imp i JOIN click c ON i.user_id = c.cu
+                 AND c.click_ts >= i.imp_ts
+                 AND c.click_ts <= i.imp_ts + INTERVAL 10 MINUTE),
+              um AS (
+                SELECT i.imp_id, CAST(NULL AS BIGINT) AS click_id,
+                       i.user_id, i.imp_ts,
+                       CAST(NULL AS TIMESTAMP_NS) AS click_ts
+                FROM imp i
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM click c WHERE c.cu = i.user_id
+                      AND c.click_ts >= i.imp_ts
+                      AND c.click_ts <= i.imp_ts + INTERVAL 10 MINUTE)
+                  AND i.imp_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm))
+              SELECT imp_id, click_id, user_id,
+                     CAST(imp_ts AS TIMESTAMP) AS imp_ts,
+                     CAST(click_ts AS TIMESTAMP) AS click_ts
+              FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
+              ORDER BY imp_id, click_id NULLS FIRST""")),
+
     // bounded-state dedup: the key carries the event day, so every
     // duplicate pair is < 24 h apart and the 2-day watermark delay
     // guarantees the dedup — completed replay == batch DISTINCT

@@ -199,6 +199,67 @@ object StreamingOps {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[streamStreamIntervalJoin]]
+    * plus the semantics only a stateful streaming engine can provide:
+    * an impression with NO click inside its attribution window is
+    * still emitted (null-extended) — but only once the event-time
+    * watermark proves no matching click can arrive anymore. A batch
+    * left join gets that answer for free by seeing all data; a stream
+    * must hold each impression in state until `watermark >
+    * imp_ts + window`, then emit the null row exactly once.
+    *
+    * Replay determinism differs from st5's 35-day-delay trick on
+    * purpose: a 1-hour delay means the final no-data micro-batch
+    * (AvailableNow) advances the watermark to max(ts) − 1 h and
+    * FLUSHES the unmatched rows — with a 35-day delay no null row
+    * would ever emit on the fixture and left-outer would degenerate to
+    * inner. Correctness still holds because the whole single-file
+    * replay lands in micro-batch 1 while the watermark is still at
+    * zero (nothing is ever late); the delay only gates the final
+    * flush. The emitted set is: all matched pairs, plus every
+    * unmatched impression whose window end the final watermark
+    * (min of the two sides' max ts, − 1 h) has passed — exactly the
+    * filter the DuckDB oracle applies to the batch left join.
+    * Unmatched impressions younger than that stay in state unemitted,
+    * as they must on a stream that could still receive their click. */
+  def streamStreamLeftOuterJoin(spark: SparkSession, sfDir: String,
+                                windowMinutes: Int = 10): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_stream_left_outer_join"
+    withFewShufflePartitions(spark) {
+
+    def side(parity: Int, prefix: String): DataFrame = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .filter(pmod(col("event_id"), lit(2)) === parity)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+
+    val joined = side(0, "imp").join(side(1, "click"),
+      expr(s"""imp_user = click_user
+               AND click_ts >= imp_ts
+               AND click_ts <= imp_ts + interval $windowMinutes minutes"""),
+      "left_outer")
+      .select(col("imp_id"), col("click_id"),
+        col("imp_user").as("user_id"), col("imp_ts"), col("click_ts"))
+
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sinkName)
+      .orderBy(col("imp_id"), col("click_id").asc_nulls_first)
+
+    }
+  }
+
   /** Streaming native session windows — the built-in operator twin of
     * [[StatefulSessions]]' flatMapGroupsWithState formulation (same
     * trade as batch w2 vs w3: explicit state machine vs declarative

@@ -65,6 +65,40 @@ class StreamingSpec extends SparkTestBase {
       expected.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER join == batch left join + watermark filter (st9)") {
+    val events = graft.queries.Q.t(spark, sf001, "events")
+    val imp = events.filter($"event_id" % 2 === 0)
+      .select($"event_id".as("imp_id"), $"user_id", $"ts".as("imp_ts"))
+    val click = events.filter($"event_id" % 2 === 1)
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("click_ts"))
+    // final watermark: min of the two sides' max ts, minus the 1 h
+    // delay — a null-extended impression may only emit once its
+    // 10-minute window closed before that watermark
+    val wm = math.min(
+      imp.agg(max($"imp_ts")).first().getTimestamp(0).getTime,
+      click.agg(max($"click_ts")).first().getTimestamp(0).getTime
+    ) - 3600 * 1000L
+    val matched = imp.join(click,
+      $"user_id" === $"c_user" && $"click_ts" >= $"imp_ts" &&
+        $"click_ts" <= $"imp_ts" + expr("interval 10 minutes"))
+      .select("imp_id", "click_id", "user_id", "imp_ts", "click_ts")
+    val unmatched = imp.join(click,
+        $"user_id" === $"c_user" && $"click_ts" >= $"imp_ts" &&
+          $"click_ts" <= $"imp_ts" + expr("interval 10 minutes"),
+        "left_anti")
+      .filter(unix_millis($"imp_ts") + 10 * 60000L < wm)
+      .select($"imp_id", lit(null).cast("long").as("click_id"),
+        $"user_id", $"imp_ts", lit(null).cast("timestamp").as("click_ts"))
+    val expected = matched.unionByName(unmatched)
+
+    val streamed = StreamingOps.streamStreamLeftOuterJoin(spark, sf001)
+    assert(streamed.filter($"click_id".isNull).count() > 0,
+      "no null-extended rows — left-outer degenerated to inner")
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-static enrich == batch join+group (st8)") {
     val events = graft.queries.Q.t(spark, sf001, "events")
     val dim = spark.read.parquet(s"$sf001/customer.parquet")
