@@ -160,6 +160,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Shannon entropy (bits) of the text's code-point distribution —
+    * the cheap junk detector run alongside the quality gates:
+    * near-zero flags degenerate repetition ("aaaa…"), ~log2(alphabet)
+    * flags random noise (base64 blobs, hash dumps); prose sits in a
+    * stable mid band. One codegen'd pass per row
+    * ([[graft.functions.CharEntropy]]), no shuffle. */
+  def charEntropy(text: Column): Column =
+    graft.functions.GraftFunctions.char_entropy(text)
+
   /** PII redaction patterns, applied in order — URLs first so an
     * address embedded in a URL is consumed as part of the URL, not
     * matched again by a later pattern. Every pattern is valid in both

@@ -668,6 +668,65 @@ object TextStatsKernel {
   }
 }
 
+/** Kernel for [[CharEntropy]]: Shannon entropy (bits) of a text's
+  * code-point distribution in one imperative pass. The fold iterates
+  * code points ASCENDING (TreeMap) — the same order the DuckDB oracle
+  * pins with `list(... ORDER BY c)` under its binary UTF-8 collation
+  * (byte order = code-point order), so the two engines accumulate the
+  * non-associative double sum identically up to the 1-ulp libm
+  * `log2` spread the caller's 4-dp rounding absorbs. */
+object CharEntropyKernel {
+  private val Ln2 = Math.log(2.0)
+
+  def entropy(s: UTF8String): Double = {
+    val str = s.toString
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var total = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      total += 1
+      i += Character.charCount(cp)
+    }
+    if (total == 0L) return 0.0
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / total
+      h += p * (Math.log(p) / Ln2)
+    }
+    // single-distinct-char text: h is -0.0; normalize so the parquet
+    // hash cannot split on the sign of zero
+    if (h == 0.0) 0.0 else -h
+  }
+}
+
+/** Per-row character-entropy — the cheap junk detector corpus
+  * pipelines run alongside length/punctuation gates: near-zero bits
+  * flags degenerate repetition ("aaaa…", padding), ~log2(alphabet)
+  * flags random noise (minified blobs, base64, hash dumps); prose
+  * sits in a stable mid band. One codegen'd pass per row (the
+  * [[TextStats]] pattern — no shuffle, no UDF), so it rides the scan
+  * at any corpus size. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with UserDefinedExpression {
+
+  override def name: String = "char_entropy"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyKernel.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropyKernel.entropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Fused per-row text statistics: token count (Java `\s+` split
   * semantics), BPE-ish token count, punctuation count, code-point
   * length, English-stopword hits and the five language-marker scores
@@ -845,6 +904,9 @@ object GraftFunctions {
   def text_stats(text: Column): Column =
     column(TextStats(expression(text)))
 
+  def char_entropy(text: Column): Column =
+    column(CharEntropy(expression(text)))
+
   def media_wrap(docId: Column, mediaType: Column, data: Column): Column =
     column(MediaWrap(expression(docId), expression(mediaType),
       expression(data)))
@@ -885,6 +947,8 @@ object GraftFunctions {
         graft.ext.Dedup.NumBands), "built-in")
     reg.createOrReplaceTempFunction("text_stats",
       es => TextStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("char_entropy",
+      es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("byte_stats",
       es => { arity(2, "byte_stats")(es); ByteStats(es.head, es(1)) },
       "built-in")

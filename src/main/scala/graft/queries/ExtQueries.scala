@@ -934,6 +934,38 @@ object ExtQueries {
                      CAST(NULL AS BIGINT) AS n
               WHERE FALSE""")),
 
+    // Character-entropy junk signal: one codegen'd pass per row (the
+    // CharEntropy expression). The oracle rebuilds the identical fold:
+    // per-codepoint counts listed ASCENDING (DuckDB's binary UTF-8
+    // collation = codepoint order, the kernel's TreeMap order), summed
+    // left-to-right; 4-dp rounding absorbs the 1-ulp libm log2 spread.
+    Q("t14_char_entropy",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Ops.roundDet(
+            TextAnalysis.charEntropy(col("text")), 4).as("char_entropy"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents),
+              cnt AS (
+                SELECT doc_id, c, COUNT(*) AS n
+                FROM ch GROUP BY doc_id, c),
+              agg AS (
+                SELECT doc_id,
+                       list(CAST(n AS DOUBLE) ORDER BY c) AS ns,
+                       SUM(n) AS total
+                FROM cnt GROUP BY doc_id),
+              h AS (
+                SELECT doc_id,
+                       list_sum(list_transform(ns,
+                         n -> (n / total) * log2(n / total))) AS s
+                FROM agg)
+              SELECT doc_id,
+                     ${sqlRoundDet("CASE WHEN s = 0 THEN 0.0 ELSE -s END", 4)}
+                       AS char_entropy
+              FROM h ORDER BY doc_id""")),
+
     // ---- multimodal plumbing -----------------------------------------
 
     // container sizes: PNG = 8 signature + 25 IHDR chunk; WAVE = 44

@@ -129,6 +129,27 @@ class ExtSpec extends SparkTestBase {
     assert(kmeans >= stride - 0.02, s"kmeans $kmeans < stride $stride")
   }
 
+  test("charEntropy: repetition scores 0, uniform alphabets score log2(k)") {
+    val rows = Seq(
+      (0L, "aaaaaaaa"),          // one symbol → 0 bits (and not -0.0)
+      (1L, "abababab"),          // two symbols, uniform → 1 bit
+      (2L, "abcdefghijklmnop"),  // 16 distinct, uniform → 4 bits
+      (3L, ""),                  // empty → 0 by definition
+      (4L, "héλ🚀héλ🚀")          // code-point alphabet: 4 symbols → 2 bits
+    ).toDF("doc_id", "text")
+    val out = rows.select($"doc_id",
+        graft.ops.Ops.roundDet(TextAnalysis.charEntropy($"text"), 4)
+          .as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) == 0.0 && !(1.0 / out(0L) < 0), out.toString) // not -0.0
+    assert(out(1L) == 1.0 && out(2L) == 4.0 && out(3L) == 0.0 && out(4L) == 2.0)
+    // prose sits between the degenerate poles on the real fixture
+    val fixture = graft.queries.Q.t(spark, sf001, "documents")
+      .select(TextAnalysis.charEntropy($"text").as("h"))
+      .agg(min($"h"), max($"h")).as[(Double, Double)].head()
+    assert(fixture._1 > 2.0 && fixture._2 < 6.5, fixture.toString)
+  }
+
   test("langId picks the language with most marker hits") {
     val d = Seq("the cat and the dog is here", "der hund und die katze ist nicht da")
       .toDF("text")
