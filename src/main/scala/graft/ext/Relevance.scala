@@ -167,4 +167,62 @@ object Relevance {
           (col("n_tokens") - col("__n_top")).cast("double") /
             col("n_tokens"), 6).as("oov_rate"))
   }
+
+  /** Per-document character-bigram cross-entropy against a model
+    * trained on the corpus itself — the in-engine analog of the
+    * perplexity filter (CCNet-style) corpus pipelines run before
+    * training: typical prose scores low bits-per-char, junk (base64,
+    * foreign scripts, boilerplate markup) scores high. No external LM
+    * is involved; the "model" is conditional bigram frequencies
+    * P(c₂|c₁) = C(c₁c₂)/C(c₁·), which the corpus teaches in one
+    * aggregation pass.
+    *
+    * score(d) = −(1/|bigrams(d)|) · Σ n_b · log2 P(b)  over d's
+    * DISTINCT bigram types b. Self-scoring needs no smoothing: every
+    * bigram a document contains is, by construction, in the model.
+    *
+    * Scale posture: the (doc, bigram)-keyed count is the only
+    * corpus-sized shuffle; the model is alphabet²-bounded (one row per
+    * observed bigram TYPE), so it re-attaches via broadcast. The
+    * per-doc sum folds a sort_array'd collect_list ASCENDING BY BIGRAM
+    * — bounded by the doc's distinct-bigram count, and the same binary
+    * string order DuckDB's `list(... ORDER BY b)` pins, so both
+    * engines accumulate the non-associative double sum identically
+    * (the t14/charEntropy discipline); 4-dp rounding absorbs the
+    * 1-ulp libm log2 spread. Docs shorter than 2 chars are skipped
+    * (no bigrams — a 0/0 score would be undefined, not 0). */
+  def charBigramCrossEntropy(docs: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    // chars materialized in their own projection before the bigram
+    // lambda (the HOF discipline — PlanGuard's recompute rule)
+    val bigrams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "").as("__cs"))
+      .filter(size(col("__cs")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__cs")) - 2),
+          i => concat(element_at(col("__cs"), i + 1),
+            element_at(col("__cs"), i + 2)))).as("b"))
+    val db = bigrams.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumed twice: model build + scoring join
+    val c12 = db.groupBy("b").agg(sum(col("n")).as("c12"))
+    val model = c12
+      .withColumn("__c1key", substring(col("b"), 1, 1))
+      .withColumn("c1", sum(col("c12"))
+        .over(Window.partitionBy(col("__c1key"))))
+      .select("b", "c12", "c1")
+    val terms = db.join(broadcast(model), Seq("b"))
+      .withColumn("__term", col("n").cast("double") *
+        log2(col("c12").cast("double") / col("c1").cast("double")))
+    terms.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("b"), col("__term"))))
+          .as("__ts"),
+        sum(col("n")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.ops.Ops.roundDet(
+          -aggregate(col("__ts"), lit(0.0),
+            (acc, s) => acc + s.getField("__term")) /
+            col("n_bigrams"), 4).as("bits_per_char"))
+      .orderBy("doc_id")
+  }
 }

@@ -966,6 +966,43 @@ object ExtQueries {
                        AS char_entropy
               FROM h ORDER BY doc_id""")),
 
+    // Character-bigram cross-entropy vs the corpus's own bigram model
+    // — the perplexity-filter proxy. The oracle rebuilds the identical
+    // model (C(c1c2)/C(c1·)) and folds each doc's terms ascending by
+    // bigram, the same order as the Spark side's sort_array'd fold.
+    Q("t15_bigram_xent",
+      (s, dir) => Relevance.charBigramCrossEntropy(t(s, dir, "documents")),
+      Some(s"""WITH chs AS (
+                SELECT doc_id, string_split(text, '') AS cs
+                FROM documents),
+              bg AS (
+                SELECT doc_id, cs[i+1] || cs[i+2] AS b
+                FROM chs, UNNEST(range(0, GREATEST(len(cs)-1, 0))) u(i)
+                WHERE len(cs) >= 2),
+              db AS (
+                SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY doc_id, b),
+              m AS (
+                SELECT b, CAST(SUM(n) AS BIGINT) AS c12 FROM db GROUP BY b),
+              m2 AS (
+                SELECT b, c12,
+                       CAST(SUM(c12) OVER (PARTITION BY b[1:1]) AS BIGINT)
+                         AS c1
+                FROM m),
+              t AS (
+                SELECT d.doc_id, d.b, d.n,
+                       CAST(d.n AS DOUBLE)
+                         * log2(CAST(m2.c12 AS DOUBLE)
+                                / CAST(m2.c1 AS DOUBLE)) AS term
+                FROM db d JOIN m2 ON d.b = m2.b),
+              agg AS (
+                SELECT doc_id, list(term ORDER BY b) AS ts,
+                       CAST(SUM(n) AS BIGINT) AS n_bigrams
+                FROM t GROUP BY doc_id)
+              SELECT doc_id, n_bigrams,
+                     ${sqlRoundDet("-list_sum(ts) / n_bigrams", 4)}
+                       AS bits_per_char
+              FROM agg ORDER BY doc_id""")),
+
     // ---- multimodal plumbing -----------------------------------------
 
     // container sizes: PNG = 8 signature + 25 IHDR chunk; WAVE = 44

@@ -150,6 +150,26 @@ class ExtSpec extends SparkTestBase {
     assert(fixture._1 > 2.0 && fixture._2 < 6.5, fixture.toString)
   }
 
+  test("bigram cross-entropy ranks atypical text above corpus-typical text") {
+    // corpus dominated by one prose pattern; one doc of line-noise.
+    // The model learns the prose bigrams, so the junk doc's bits/char
+    // must come out strictly higher — the perplexity-filter contract.
+    val prose = "the quick brown fox jumps over the lazy dog and runs away"
+    val junk = "qz9#kx7!vw3$mj5%bn1&qz8*kx2(vw6)mj4@bn0qzkxvwmjbn"
+    val docs = ((0L to 8L).map(i => (i, prose + " " + prose)) :+
+      (9L, junk)).toDF("doc_id", "text")
+    val out = graft.ext.Relevance.charBigramCrossEntropy(docs)
+      .select("doc_id", "bits_per_char").as[(Long, Double)].collect().toMap
+    assert(out.size == 10 && out.values.forall(_ >= 0.0), out.toString)
+    // junk still teaches the model its OWN bigrams (self-scoring), so
+    // the separation is a solid margin, not orders of magnitude
+    val proseBits = out(0L)
+    assert(out(9L) > proseBits * 1.5,
+      s"junk ${out(9L)} not well above prose $proseBits")
+    // identical docs score identically (model + fold fully determined)
+    assert((1L to 8L).forall(i => out(i) == proseBits))
+  }
+
   test("langId picks the language with most marker hits") {
     val d = Seq("the cat and the dog is here", "der hund und die katze ist nicht da")
       .toDF("text")
