@@ -1253,6 +1253,53 @@ object ExtQueries {
                FROM events GROUP BY 1, 2
                ORDER BY window_start, event_type""")),
 
+    // streaming drift monitor: the stream owns the windowed bin
+    // counts; the PSI arithmetic is a batch epilogue over the
+    // (windows × bins)-bounded sink. The oracle recomputes both the
+    // full-corpus reference shares and the per-day-window shares, with
+    // the same every-(window, ref-bin) frame (an absent bin IS the
+    // drift signal) and the same eps floor.
+    Q("st10_stream_drift_psi",
+      (s, dir) => StreamingOps.streamingDriftPsi(s, dir),
+      Some(s"""WITH rr AS (
+                SELECT CAST(FLOOR(value/20)*20 AS BIGINT) AS bin,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1),
+              rt AS (SELECT SUM(n) AS t FROM rr),
+              ref AS (
+                SELECT bin, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p_ref
+                FROM rr CROSS JOIN rt),
+              wr AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS window_start,
+                       CAST(FLOOR(value/20)*20 AS BIGINT) AS bin,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+              wt AS (
+                SELECT window_start, SUM(n) AS wt
+                FROM wr GROUP BY window_start),
+              ws AS (
+                SELECT wr.window_start, wr.bin,
+                       CAST(n AS DOUBLE) / CAST(wt AS DOUBLE) AS p_win
+                FROM wr JOIN wt ON wr.window_start = wt.window_start),
+              frame AS (
+                SELECT window_start, bin, p_ref
+                FROM (SELECT DISTINCT window_start FROM wt) CROSS JOIN ref)
+              SELECT COALESCE(f.window_start, w.window_start)
+                       AS window_start,
+                     COALESCE(f.bin, w.bin) AS bin,
+                     ${sqlRoundDet("COALESCE(f.p_ref, 0)", 6)} AS p_ref,
+                     ${sqlRoundDet("COALESCE(w.p_win, 0)", 6)} AS p_win,
+                     ${sqlRoundDet(
+                       """(GREATEST(COALESCE(f.p_ref, 0), 1e-4)
+                           - GREATEST(COALESCE(w.p_win, 0), 1e-4))
+                          * ln(GREATEST(COALESCE(f.p_ref, 0), 1e-4)
+                               / GREATEST(COALESCE(w.p_win, 0), 1e-4))""", 4)}
+                       AS psi_term
+              FROM frame f FULL OUTER JOIN ws w
+                ON f.window_start = w.window_start AND f.bin = w.bin
+              ORDER BY window_start, bin""")),
+
     // streaming native session windows (see sessionWindowStream):
     // append mode emits sessions the final watermark (max ts − 1 h)
     // has closed; the oracle is the batch w3 chain with that filter

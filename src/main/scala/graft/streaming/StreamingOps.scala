@@ -301,6 +301,104 @@ object StreamingOps {
     }
   }
 
+  /** Streaming drift monitor — per-window PSI of the value
+    * distribution against a static full-corpus reference: the
+    * continuous form of [[graft.ext.Drift.psiBinned]], answering "is
+    * TODAY's traffic drifting from the corpus we trained on" while
+    * the stream runs, rather than at batch admission time.
+    *
+    * Structured Streaming allows one stateful aggregation per query,
+    * so the split is: the STREAM owns the windowed (window, bin)
+    * counts — the only corpus-sized, stateful work — and the PSI
+    * arithmetic over the finished count table is a batch epilogue on
+    * the sink (windows × bins rows, config-bounded; the same
+    * bounded-table argument as psiBinned's bin join). Bins are
+    * floor(value / width) · width — float floor is exact in both
+    * engines, so the DuckDB oracle bins identically without the
+    * double→long cast divergence (Spark truncates, DuckDB rounds).
+    * Missing bins inside a window floor at `eps` exactly as in
+    * psiBinned: a reference bin absent from a day's traffic is
+    * maximal drift evidence, not a division error.
+    *
+    * Returns (window_start, bin, p_ref, p_win, psi_term) ordered. */
+  def streamingDriftPsi(spark: SparkSession, sfDir: String,
+                        width: Int = 20, windowDuration: String = "1 day",
+                        eps: Double = 1e-4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_stream_drift_psi"
+    withFewShufflePartitions(spark) {
+
+    def binOf(v: org.apache.spark.sql.Column) =
+      (floor(v / width) * width).cast("long")
+
+    // static reference: full-corpus bin shares (batch read of the
+    // same table the stream replays)
+    val refRaw = spark.read.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val refBins = refRaw.select(binOf(col("value")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("__n"))
+    val refTotal = refBins.agg(sum(col("__n")).as("__t"))
+    val ref = refBins.crossJoin(broadcast(refTotal))
+      .select(col("bin"),
+        (col("__n").cast("double") / col("__t").cast("double")).as("p_ref"))
+
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowDuration),
+        binOf(col("value")).as("bin"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("window.start").as("window_start"), col("bin"), col("__n"))
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // batch epilogue over the (windows × bins)-bounded sink table.
+    // Per-window totals come from a window function, not a groupBy
+    // re-joined onto the same memory-sink view — that self-join
+    // carries the view's fixed attribute ids on both sides and fails
+    // analysis with conflicting references
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+    val winShares = spark.table(sinkName)
+      .withColumn("p_win", col("__n").cast("double") /
+        sum(col("__n")).over(byWin).cast("double"))
+      .select("window_start", "bin", "p_win")
+    // every (window, reference bin) pair must appear — an absent bin
+    // IS the drift signal — plus window-only bins via the outer join.
+    // The window list derives from the BATCH read (a lineage disjoint
+    // from the sink view, dodging the same self-join trap): complete
+    // mode emits exactly the windows with ≥ 1 event, which is exactly
+    // the distinct day-truncs of the data
+    val frame = refRaw
+      .select(date_trunc("day",
+        timestamp_micros(expr("ts div 1000"))).as("window_start"))
+      .distinct().crossJoin(ref)
+    val eps_ = lit(eps)
+    frame.join(winShares, Seq("window_start", "bin"), "full_outer")
+      .select(col("window_start"), col("bin"),
+        graft.ops.Ops.roundDet(coalesce(col("p_ref"), lit(0.0)), 6)
+          .as("p_ref"),
+        graft.ops.Ops.roundDet(coalesce(col("p_win"), lit(0.0)), 6)
+          .as("p_win"),
+        greatest(coalesce(col("p_ref"), lit(0.0)), eps_).as("__p"),
+        greatest(coalesce(col("p_win"), lit(0.0)), eps_).as("__q"))
+      .withColumn("psi_term", graft.ops.Ops.roundDet(
+        (col("__p") - col("__q")) * log(col("__p") / col("__q")), 4))
+      .select("window_start", "bin", "p_ref", "p_win", "psi_term")
+      .orderBy("window_start", "bin")
+
+    }
+  }
+
   /** Streaming exact dedup: `dropDuplicates` over the replayed event
     * stream — the stateful streaming twin of batch DISTINCT (W1), and
     * the building block of exactly-once ingestion from at-least-once
