@@ -21,6 +21,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // exact-hit counts) crossJoined back onto data — bounded by
     // construction as single-row relations
     "e8_drift_psi" -> Set("unconditional-nested-loop"),
+    // st10: e8's pattern twice — the one-row reference total
+    // broadcast, and the (distinct windows × reference bins) frame,
+    // both config-bounded (calendar × bin width), never corpus-sized
+    "st10_stream_drift_psi" -> Set("unconditional-nested-loop"),
     "t12_oov_rate" -> Set("unconditional-nested-loop"),
     // x5 was on this list until its single-pass rewrite removed the
     // exact-vs-quant hit join entirely — the audit's staleness check
