@@ -22,6 +22,9 @@ PAIR_FAMILIES = {
     "d8_components_star", "d9_dedup_embedding_ivf",
     "d11_dedup_minhash_incremental", "d11_precision",
     "st5_stream_interval_join",
+    # every replica doc's 9 identical twins share whole-document spans,
+    # so the span pair list itself scales ~copies^2
+    "d12_duplicate_spans",
 }
 
 
