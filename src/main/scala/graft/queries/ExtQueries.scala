@@ -162,13 +162,11 @@ object ExtQueries {
   // pairs → undirected edges → reachability components (comp = min
   // reachable id, the SQL twin of Dedup.connectedComponents' min-label
   // propagation). Requires WITH RECURSIVE; follows sqlShinglePairCtes.
-  private def sqlComponentCtes(threshold: Double): String =
-    s"""pairs AS (
-          SELECT id_a, id_b FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE $SqlJaccard >= $threshold),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+  /** Generic recursive-reachability components over an upstream CTE
+    * named `pairs(id_a, id_b)`: comp = min reachable id. Shared by
+    * the shingle-pair chain (d6/d8) and the embedding chain (d13). */
+  private val SqlComponentsFromPairs: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
         verts AS (SELECT DISTINCT src AS id FROM edges),
         reach(src, dst) AS (
@@ -176,6 +174,14 @@ object ExtQueries {
           UNION
           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
         comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)"""
+
+  private def sqlComponentCtes(threshold: Double): String =
+    s"""pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE $SqlJaccard >= $threshold),
+        $SqlComponentsFromPairs"""
 
   val all: Seq[Q] = Seq(
 
@@ -720,6 +726,29 @@ object ExtQueries {
                            ON a.blk = b.blk AND a.id < b.id)
               SELECT id_a, id_b, cosine FROM p
               WHERE cosine >= 0.3 ORDER BY id_a, id_b""")),
+
+    // Semantic dedup GROUPS: components over the embedding-cosine
+    // pair list — the vector-space twin of d6's text components
+    // ("these N documents say the same thing" even with disjoint
+    // wording, the dedup signal MinHash/shingles cannot see). Pure
+    // composition of two oracled operators; the oracle chains d5's
+    // pair SQL into the shared recursive-reachability CTE.
+    Q("d13_semantic_groups",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)),
+      Some(s"""WITH RECURSIVE v AS (
+                SELECT vec_id AS id, label AS blk,
+                       CAST(embedding AS DOUBLE[]) AS vec
+                FROM embeddings),
+              pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
+                WHERE ${sqlRoundDet("""list_dot_product(a.vec, b.vec)
+                        / (sqrt(list_dot_product(a.vec, a.vec))
+                           * sqrt(list_dot_product(b.vec, b.vec)))""", 4)}
+                      >= 0.3),
+              $SqlComponentsFromPairs
+              SELECT id, comp FROM comp ORDER BY id""")),
 
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
