@@ -168,6 +168,57 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("duplicateSpans == brute-force diagonal scan on random phrase docs") {
+    // docs assembled from a shared phrase pool + unique filler, so
+    // real multi-token spans occur; uncapped maxDf (no pruning) makes
+    // the operator's contract exactly "maximal common token runs
+    // >= minSpan per diagonal"
+    val minSpan = 8; val n = 4
+    val rnd = new scala.util.Random(42)
+    val phrases = Vector.tabulate(5)(p =>
+      Vector.tabulate(6 + rnd.nextInt(6))(i => s"p${p}_$i"))
+    var uid = 0
+    val docs = (0L until 12L).map { id =>
+      val parts = Vector.fill(3)(phrases(rnd.nextInt(phrases.length))) :+
+        Vector.tabulate(5) { _ => uid += 1; s"u$uid" }
+      (id, rnd.shuffle(parts).flatten.mkString(" "))
+    }.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+    val out = graft.ext.Dedup.duplicateSpans(docs, minSpan = minSpan, n = n,
+        maxDf = Int.MaxValue)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    // driver-side brute force: maximal equal-token runs per diagonal
+    val toks = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+") }.sortBy(_._1)
+    val expected = (for {
+      (ia, a) <- toks; (ib, b) <- toks if ia < ib
+    } yield {
+      val runs = for {
+        d <- -(b.length - 1) to (a.length - 1)
+        runLen <- {
+          var spans = List.empty[Int]
+          var i = math.max(d, 0); var run = 0
+          while (i <= a.length) { // one past the end flushes the run
+            val j = i - d
+            if (i < a.length && j >= 0 && j < b.length && a(i) == b(j)) run += 1
+            else { if (run >= minSpan) spans ::= run; run = 0 }
+            i += 1
+          }
+          spans
+        }
+      } yield runLen
+      (ia, ib) -> runs
+    }).filter(_._2.nonEmpty)
+      .map { case (k, runs) => k -> (runs.size.toLong, runs.max.toLong) }
+      .toMap
+
+    assert(expected.nonEmpty, "fixture produced no spans — regenerate")
+    assert(out == expected,
+      s"operator ${out.toSeq.sorted} != brute ${expected.toSeq.sorted}")
+  }
+
   test("cumulativeNewKeys: prefix-sum of first-seen == running distinct") {
     val evGen = for {
       u <- Gen.choose(0L, 25L); t <- tsGen; v <- Gen.choose(0.0, 1.0)
