@@ -401,6 +401,31 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
   }
 
+  test("duplicateSpans: gram-keyed match join, pair-keyed islands (d12)") {
+    val plan = executed(graft.ext.Dedup.duplicateSpans(docs))
+    // the candidate join must shuffle on the n-gram, never on doc pairs
+    assert(plan.contains("hashpartitioning(blk"),
+      s"match join not (blk, gram)-keyed in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join leaked in:\n$plan")
+    // gaps-and-islands windows are (pair, diagonal)-keyed, not global
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition"),
+      s"window shape unexpected in:\n$plan")
+    assert("hashpartitioning\\(id_a".r.findAllIn(plan).nonEmpty,
+      s"island window not pair-keyed in:\n$plan")
+  }
+
+  test("bigram cross-entropy: model broadcasts, one doc-keyed fold (t15)") {
+    val plan = executed(graft.ext.Relevance.charBigramCrossEntropy(docs))
+    // the alphabet²-bounded model re-attaches by broadcast — the
+    // corpus-sized (doc, bigram) table must never shuffle for the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus re-shuffled for the model join in:\n$plan")
+  }
+
   test("nested rollup: one key shuffle builds the array, no Window (n1)") {
     val li = graft.queries.Q.t(spark, sf001, "lineitem")
     val df = li.groupBy(col("l_orderkey"))
