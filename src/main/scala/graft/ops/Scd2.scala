@@ -134,4 +134,18 @@ object Scd2 {
       .filter(col("change").isNotNull)
       .select(coalesce(col("__bk"), col("__ak")).as(key), col("change"))
   }
+
+  /** Point-in-time (AS OF) lookup over an SCD2 version table: the one
+    * version of each key valid at `at` — the read side every SCD2
+    * write path ([[fromLog]]/[[applyChanges]]) exists to serve
+    * ("which vendor name did the model see when this training row was
+    * built"). A pure scan-side filter on the half-open interval
+    * `[valid_from, valid_to)` with NULL valid_to = open: no shuffle,
+    * no window — version tables are read far more often than rebuilt,
+    * so the lookup must ride the scan (and any partition/row-group
+    * pruning on valid_from) untouched. Keys born after `at` simply
+    * have no row. */
+  def asOf(versions: DataFrame, at: Column): DataFrame =
+    versions.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
 }

@@ -283,6 +283,39 @@ object PipeQueries {
                      OR b.c_mktsegment <> a.c_mktsegment)
               ORDER BY c_custkey, change""")),
 
+    // Point-in-time (AS OF) read over the u1-built version table: the
+    // one version per user valid at the probe instant — the read side
+    // SCD2 exists to serve. The oracle chains u1's version SQL into
+    // the same half-open-interval filter.
+    Q("u4_scd2_asof",
+      (s, dir) => Scd2.asOf(
+          Scd2.fromLog(t(s, dir, "events"), key = "user_id", tsCol = "ts",
+            attr = "event_type", tieCol = "event_id"),
+          lit("2024-01-15 12:00:00").cast("timestamp"))
+        .orderBy("user_id"),
+      Some("""WITH ordered AS (
+                SELECT user_id, ts, event_type, event_id,
+                       LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events),
+              changes AS (
+                SELECT user_id, event_type, ts, event_id FROM ordered
+                WHERE prev IS NULL OR prev <> event_type),
+              versions AS (
+                SELECT user_id, event_type, ts AS valid_from,
+                       LEAD(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS valid_to
+                FROM changes)
+              SELECT user_id, event_type,
+                     CAST(valid_from AS TIMESTAMP) AS valid_from,
+                     CAST(valid_to AS TIMESTAMP) AS valid_to
+              FROM versions
+              WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+                AND (valid_to IS NULL
+                     OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+              ORDER BY user_id""")),
+
     // Incremental gold maintenance: per-segment order metrics built
     // by aggregating TWO disjoint halves separately and merging the
     // monoid state — the oracle computes the one-shot aggregate, so a

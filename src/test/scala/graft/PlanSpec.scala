@@ -426,6 +426,24 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"corpus re-shuffled for the model join in:\n$plan")
   }
 
+  test("scd2 asOf rides the scan: valid_from filter pushes to parquet (u4)") {
+    // the read-side contract: over a MATERIALIZED version table the
+    // point-in-time lookup is a pure scan filter — valid_from <= at
+    // must reach the parquet reader (row-group pruning at scale)
+    val events = graft.queries.Q.t(spark, sf001, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scd2_asof").toString
+    graft.ops.Scd2.fromLog(events, "user_id", "ts", "event_type", "event_id")
+      .write.mode("overwrite").parquet(dir)
+    val versions = spark.read.parquet(dir)
+    val plan = executed(graft.ops.Scd2.asOf(versions,
+      lit("2024-01-15 12:00:00").cast("timestamp")))
+    assert(plan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*valid_from".r.findFirstIn(plan).isDefined,
+      s"valid_from not pushed to the scan in:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("nested rollup: one key shuffle builds the array, no Window (n1)") {
     val li = graft.queries.Q.t(spark, sf001, "lineitem")
     val df = li.groupBy(col("l_orderkey"))
