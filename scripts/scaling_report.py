@@ -25,6 +25,9 @@ PAIR_FAMILIES = {
     # every replica doc's 9 identical twins share whole-document spans,
     # so the span pair list itself scales ~copies^2
     "d12_duplicate_spans",
+    # components over the embedding pair list — the pair mass itself
+    # is ~copies^2 under exact vector replication
+    "d13_semantic_groups",
 }
 
 

@@ -733,8 +733,13 @@ object ExtQueries {
     // wording, the dedup signal MinHash/shingles cannot see). Pure
     // composition of two oracled operators; the oracle chains d5's
     // pair SQL into the shared recursive-reachability CTE.
+    // Star contraction, NOT label propagation: the 0.3-threshold
+    // embedding graph chains through vector space (a ~ b ~ c with
+    // a !~ c), and at sf0.1 its diameter already exceeds propagation's
+    // 20-round bound — the bench caught exactly the deep-chain case
+    // connectedComponentsStar's O(log n) rounds exist for.
     Q("d13_semantic_groups",
-      (s, dir) => Dedup.connectedComponents(
+      (s, dir) => Dedup.connectedComponentsStar(
         Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)),
       Some(s"""WITH RECURSIVE v AS (
                 SELECT vec_id AS id, label AS blk,
