@@ -63,10 +63,23 @@ def main(p001, p01, p1):
           f"sf1synth {b1['value']:.1f} s.")
     if flagged:
         print(f"FLAGGED super-linear: {', '.join(flagged)}")
+    # ERRORS is ALWAYS printed and derived ONLY from the three inputs
+    # being rendered — round 4 shipped a SCALING.md whose table came
+    # from the fixed sweep but whose ERRORS line was spliced in from a
+    # pre-fix leg, i.e. the file contradicted itself. An uncondition-
+    # ally printed line cannot be silently inherited from an older
+    # splice. The -1.0 timing sentinel (Bench's failed-query marker)
+    # counts as an error even if the errors map was lost.
     errs = {k: v for b in (b001, b01, b1) for k, v in b.get("errors", {}).items()}
-    if errs:
-        print(f"ERRORS: {errs}")
+    for tag, b in (("sf0.01", b001), ("sf0.1", b01), ("sf1synth", b1)):
+        for n, t in b["queries"].items():
+            if t is not None and t < 0 and n not in errs:
+                errs[n] = f"timing sentinel -1 at {tag} (failed, no message)"
+    print(f"ERRORS: {errs}")
+    # round-close gate: a sweep with ANY failed query must not render
+    # a shippable report — exit nonzero so the close script stops
+    return 1 if errs else 0
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    sys.exit(main(*sys.argv[1:4]))

@@ -113,10 +113,9 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$digests,"sf":"$sfDir"}"""
-    println(line)
-    // sbt prefixes stdout with [info], which broke the driver's JSON
-    // parse in round 1 — also write the bare line to known file paths
-    // (BENCH.json is gitignored; see .gitignore)
+    // the bare line also goes to known file paths (BENCH.json is
+    // gitignored; see .gitignore) — belt and braces for any consumer
+    // whose stdout capture is decorated by the build tool
     for (p <- Seq(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
                   Some("BENCH.json")).flatten.distinct) {
       try {
@@ -136,5 +135,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $plansOut: $e") }
     spark.stop()
+    // the JSON payload is the FINAL stdout line (after spark.stop()'s
+    // shutdown chatter, which goes to stderr): machine consumers can
+    // parse the last line of stdout without scanning. build.sbt sets
+    // run/outputStrategy := StdoutOutput so sbt passes it through
+    // un-prefixed.
+    println(line)
+    System.out.flush()
   }
 }

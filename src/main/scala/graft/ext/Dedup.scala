@@ -487,9 +487,12 @@ object Dedup {
     *     [[ngramJaccardPairs]]; `maxDf` drops grams appearing in more
     *     than that many documents (boilerplate n-grams — a gram shared
     *     by hundreds of docs identifies no PAIR; the cap is the skew
-    *     dial, same contract as minhashNearDups' maxBucket, and
-    *     dropped grams cost at most n-1 tokens off a true span's ends
-    *     unless the whole span is corpus-wide boilerplate);
+    *     dial, same contract as minhashNearDups' maxBucket. Precision
+    *     caveat: an over-df gram at a span's EDGE only trims it, but
+    *     one in the span's MIDDLE splits the diagonal island in two —
+    *     and if both fragments fall below minSpan the span is missed
+    *     entirely, so maxDf trades recall on boilerplate-straddling
+    *     spans, not just span length);
     *  3. per (pair, diagonal): row_number gaps-and-islands keyed by
     *     (id_a, id_b, diag) — a bounded-width window, no global sort;
     *  4. keep islands of ≥ minSpan-n+1 matches (= spans of ≥ minSpan

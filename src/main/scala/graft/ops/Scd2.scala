@@ -75,16 +75,24 @@ object Scd2 {
     *    (`valid_to = effTs`) and a new open row is appended;
     *  - no update, or an update equal to the current value (no-op
     *    churn rows — real CDC feeds are full of them): the open row
-    *    passes through untouched.
+    *    passes through untouched;
+    *  - update whose key has NO open row (a new entity in the CDC
+    *    feed — the "not matched by target" arm of MERGE): a new open
+    *    row is inserted with `valid_from = effTs`.
     *
     * Each joined row emits its 1 (pass-through) or 2 (close-out +
     * reopen) output rows through a single generate — NOT three
     * filtered branches unioned, which would scan and join the whole
     * snapshot three times. The update batch is broadcast
     * (config-small by contract: one increment vs the whole
-    * dimension), so the big snapshot is never shuffled; with a
-    * genuinely big batch callers pre-partition both sides on `key`
-    * and drop the broadcast instead.
+    * dimension), so the big snapshot is never shuffled. The insert
+    * arm costs one extra KEYS-ONLY pass over the snapshot: a
+    * broadcast semi join finds which update keys already exist
+    * (result ≤ the batch, so it broadcasts in turn), and the batch
+    * anti-joins that small set — broadcast joins throughout, zero
+    * hash-partition exchanges (PlanSpec locks this). With a genuinely
+    * big batch callers pre-partition both sides on `key` and drop the
+    * broadcasts instead.
     */
   def applyChanges(current: DataFrame, updates: DataFrame, key: String,
                    attr: String, effTs: Column): DataFrame = {
@@ -95,7 +103,7 @@ object Scd2 {
     val openTo = lit(null).cast("timestamp")
     def version(a: Column, from: Column, to: Column) =
       struct(a.as("__a"), from.as("__f"), to.as("__t"))
-    current.join(upd, col(key) === col("__uk"), "left")
+    val merged = current.join(upd, col(key) === col("__uk"), "left")
       .select(col(key), explode(when(changed,
           array(version(col(attr), col("valid_from"), effTs),
             version(col("__uv"), effTs, openTo)))
@@ -104,6 +112,21 @@ object Scd2 {
         .as("__v"))
       .select(col(key), col("__v.__a").as(attr),
         col("__v.__f").as("valid_from"), col("__v.__t").as("valid_to"))
+    // insert arm: update keys with no open row become new open
+    // versions. current has one open row per key by contract, so the
+    // semi join output is ≤ |updates| rows — small enough to
+    // broadcast into the anti join; the snapshot side is a
+    // column-pruned keys-only scan, never shuffled.
+    val matchedKeys = current.select(col(key).as("__mk"))
+      .join(upd.select(col("__uk")), col("__mk") === col("__uk"),
+        "left_semi")
+    val inserts = upd
+      .join(broadcast(matchedKeys), col("__uk") === col("__mk"),
+        "left_anti")
+      .select(col("__uk").as(key), col("__uv").as(attr),
+        effTs.cast("timestamp").as("valid_from"),
+        openTo.as("valid_to"))
+    merged.unionByName(inserts)
   }
 
   /** Snapshot diff — the change-data feed between two versions of a

@@ -376,11 +376,14 @@ object StreamingOps {
     // IS the drift signal — plus window-only bins via the outer join.
     // The window list derives from the BATCH read (a lineage disjoint
     // from the sink view, dodging the same self-join trap): complete
-    // mode emits exactly the windows with ≥ 1 event, which is exactly
-    // the distinct day-truncs of the data
+    // mode emits exactly the windows with ≥ 1 event. The batch side
+    // uses the SAME window(ts, windowDuration) bucketing as the
+    // stream — batch and streaming `window()` share tumbling-origin
+    // alignment, so the frame keys match the sink for ANY duration,
+    // not just "1 day"
     val frame = refRaw
-      .select(date_trunc("day",
-        timestamp_micros(expr("ts div 1000"))).as("window_start"))
+      .select(window(timestamp_micros(expr("ts div 1000")),
+        windowDuration).getField("start").as("window_start"))
       .distinct().crossJoin(ref)
     val eps_ = lit(eps)
     frame.join(winShares, Seq("window_start", "bin"), "full_outer")

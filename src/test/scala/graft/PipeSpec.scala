@@ -45,11 +45,13 @@ class PipeSpec extends SparkTestBase {
     assert(got.count(_.isNullAt(3)) === 1)
   }
 
-  test("scd2 applyChanges closes, opens, and passes through") {
+  test("scd2 applyChanges closes, opens, passes through, and inserts") {
     val cur = Seq((1L, "GOLD"), (2L, "SILVER"), (3L, "GOLD"))
       .toDF("k", "seg")
       .withColumn("valid_from", lit(tsv("2024-01-01 00:00:00")))
-    // key 1 changes, key 2 no-op churn (same value), key 4 unknown key
+    // key 1 changes, key 2 no-op churn (same value), key 4 is a NEW
+    // entity (no open row) — the "not matched by target" MERGE arm:
+    // it must surface as a fresh open version, not be silently dropped
     val upd = Seq((1L, "BRONZE"), (2L, "SILVER"), (4L, "NEW"))
       .toDF("k", "seg")
     val eff = lit(tsv("2024-02-01 00:00:00"))
@@ -61,7 +63,8 @@ class PipeSpec extends SparkTestBase {
       (1L, "GOLD", tsv("2024-01-01 00:00:00"), Some(tsv("2024-02-01 00:00:00"))),
       (1L, "BRONZE", tsv("2024-02-01 00:00:00"), None),
       (2L, "SILVER", tsv("2024-01-01 00:00:00"), None),
-      (3L, "GOLD", tsv("2024-01-01 00:00:00"), None)))
+      (3L, "GOLD", tsv("2024-01-01 00:00:00"), None),
+      (4L, "NEW", tsv("2024-02-01 00:00:00"), None)))
   }
 
   test("chunk windows overlap, cover every token, no redundant tails") {
