@@ -39,12 +39,56 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  /** Learned merge table after `numMerges` rounds:
-    * (round, left, right, pair_count), round 1-based in learn order. */
+  /** Drop the block-manager storage behind a `localCheckpoint()`ed
+    * frame once the NEXT round's checkpoint has materialized — without
+    * this, O(rounds) checkpointed RDDs accumulate for the life of the
+    * session (each one a full copy of the vocab table). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
+
+  /** [[trainWithStats]] result: the learned merge table plus the
+    * number of Spark aggregation rounds it cost — the scheduler-
+    * overhead number the batch dial exists to cut. */
+  case class TrainResult(merges: DataFrame, aggregationRounds: Int)
+
+  /** Learned merge table after `numMerges` merges:
+    * (round, left, right, pair_count), round 1-based in learn order.
+    *
+    * ROUNDS BUDGET: each aggregation round is one full pair-count
+    * aggregate over the vocabulary table plus one bounded driver read,
+    * so training costs ceil(numMerges / merges-accepted-per-round)
+    * Spark jobs. At `batch = 1` (the default) that is numMerges jobs —
+    * exact Sennrich BPE, but a real 32k-merge vocabulary would be 32k
+    * jobs of pure scheduler overhead. `batch = B` accepts up to B
+    * NON-INTERACTING merges per aggregation (classic batched BPE):
+    * candidates are taken in (count desc, left, right) order and
+    * accepted only if none of {left, right, left+right} was touched
+    * by an earlier acceptance this round — so no accepted merge can
+    * create or destroy occurrences of a later one, every accepted
+    * pair's recorded count is still exact, and the fold application
+    * order within the round cannot change any applied merge's effect.
+    *
+    * The trade (standard for batched BPE trainers): pairs CREATED by
+    * this round's merges only become candidates next round, so when a
+    * follow-on pair (e.g. ("xy", "</w>") right after x+y merges)
+    * would outrank a later batch pick, the learned ORDER differs from
+    * batch=1 — same greedy family, coarser horizon. BpeSpec pins the
+    * regimes: exact equality batch=1 vs batch=8 on a fixture with no
+    * in-round follow-ons, and the rounds cut on a corpus where
+    * batching engages. */
   def train(spark: SparkSession, docs: DataFrame, numMerges: Int,
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text", batch: Int = 1): DataFrame =
+    trainWithStats(spark, docs, numMerges, textCol, batch).merges
+
+  /** [[train]], also reporting the aggregation-round count. */
+  def trainWithStats(spark: SparkSession, docs: DataFrame, numMerges: Int,
+                     textCol: String = "text",
+                     batch: Int = 1): TrainResult = {
     import spark.implicits._
     require(numMerges >= 1, s"need numMerges >= 1, got $numMerges")
+    require(batch >= 1, s"need batch >= 1, got $batch")
 
     // initial symbolization: one single-char symbol per character,
     // "</w>" end-of-word marker so merges can't cross word boundaries
@@ -55,38 +99,65 @@ object Bpe {
       .localCheckpoint()
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var round = 1
+    var learned = 0
+    var rounds = 0
     var exhausted = false
-    while (round <= numMerges && !exhausted) {
-      // adjacent pair counts, weighted by word frequency
-      val best = vocab
+    while (learned < numMerges && !exhausted) {
+      // adjacent pair counts, weighted by word frequency; the driver
+      // read stays bounded — enough ranked candidates to usually fill
+      // the batch after the non-interaction filter, never the table
+      val want = math.min(batch, numMerges - learned)
+      val cands = vocab
         .select(col("n"), col("syms"), posexplode(slice(col("syms"), lit(1),
           greatest(size(col("syms")) - 1, lit(0)))).as(Seq("i", "left")))
         .withColumn("right", element_at(col("syms"), col("i") + 2))
         .groupBy("left", "right").agg(sum(col("n")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("left"), col("right"))
-        .limit(1) // bounded driver read: the ONE winning pair
-        .as[(String, String, Long)].collect().headOption
-      best match {
-        case None => exhausted = true
-        case Some((l, r, c)) =>
-          merges += ((round, l, r, c))
-          val merged = lit(l + r)
-          // left-to-right fold: if the accumulator ends with `l` and
-          // the next symbol is `r`, replace the tail with the merged
-          // symbol — reference BPE's sequential overlap semantics
-          vocab = vocab.select(col("n"), aggregate(
-            col("syms"),
-            array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
-              .otherwise(concat(acc, array(x)))).as("syms"))
-            .localCheckpoint()
-          round += 1
+        .limit(math.max(4 * want, 8)) // bounded driver read
+        .as[(String, String, Long)].collect()
+      rounds += 1
+      if (cands.isEmpty) exhausted = true
+      else {
+        // greedy non-interacting selection in rank order: a candidate
+        // is safe iff none of its symbols — nor the symbol it would
+        // mint — collides with anything an earlier acceptance touched
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var nAccepted = 0
+        for ((l, r, c) <- cands if nAccepted < want) {
+          if (!Seq(l, r, l + r).exists(used)) {
+            accepted += ((l, r, c))
+            used ++= Seq(l, r, l + r)
+            nAccepted += 1
+          }
+        }
+        // apply the round's merges IN RANK ORDER, each as the same
+        // left-to-right fold as batch=1 (reference BPE's sequential
+        // overlap semantics); non-interaction makes the chain exact
+        val prev = vocab
+        val folded = accepted.result().foldLeft(prev) {
+          case (df, (l, r, c)) =>
+            learned += 1
+            merges += ((learned, l, r, c))
+            val merged = lit(l + r)
+            df.select(col("n"), aggregate(
+              col("syms"),
+              array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+                  x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+        }
+        vocab = folded
+          .localCheckpoint() // eager: materialized before prev is dropped
+        dropCheckpoint(prev)
       }
     }
-    merges.result().toDF("round", "left", "right", "pair_count")
+    dropCheckpoint(vocab) // the merge table lives driver-side; the
+    // final vocab frame is not returned, so free its blocks too
+    TrainResult(
+      merges.result().toDF("round", "left", "right", "pair_count"), rounds)
   }
 
   /** Apply a learned merge table to text — the encode side: each word

@@ -63,6 +63,33 @@ object Curation {
       .filter(col("rank") <= k)
   }
 
+  /** Global top-k under a per-domain quota: the k best rows by
+    * (`scoreCol` desc, `idCol` asc) with at most `m` rows from any
+    * one `domCol` value — the selection pass that keeps a dominant
+    * crawl domain from filling a score-ordered training slice.
+    * Equivalent to (and oracled as) "within-domain rank ≤ m, then
+    * global top-k", but runs as ONE bounded aggregation
+    * ([[graft.ops.QuotaTopKAgg]]): each input partition forwards at
+    * most k quota-valid rows map-side, so neither window's full-data
+    * shuffle ever happens — the same posture as [[graft.ops.TopKAgg]]
+    * vs `row_number()`, with the quota folded into the buffer rather
+    * than bolted on as a second window. Ids must be unique (they are
+    * the tie-break that makes selection total). Emits
+    * (rank, idCol, domCol, scoreCol), rank 1-based in selection
+    * order. */
+  def domainQuotaTopK(df: DataFrame, k: Int, m: Int,
+                      scoreCol: String, idCol: String,
+                      domCol: String): DataFrame = {
+    val agg = graft.ops.TopKAgg.quotaTopK(k, m)
+    df.agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long"),
+        col(domCol)).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__row")))
+      .select((col("__pos") + 1).as("rank"),
+        col("__row.id").as(idCol), col("__row.dom").as(domCol),
+        col("__row.score").as(scoreCol))
+      .orderBy("rank")
+  }
+
   /** Weighted dataset mix: per-class deterministic sampling rates —
     * the knob that turns a raw crawl into a recipe ("20% of src0,
     * 90% of wikipedia, 5% of everything else"). Same md5-threshold

@@ -261,6 +261,109 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): for each
+    * query, greedily select k results from a score-ordered candidate
+    * pool, each step maximizing
+    * `λ·score(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance
+    * traded against redundancy, the curation pass that stops a
+    * score-only top-k from returning k near-copies of one document.
+    *
+    * Structure at scale: the EXPENSIVE part — scoring the corpus per
+    * query — is exactly [[bruteForceTopK]] (swap in [[ivfTopK]]'s
+    * chain for the approximate path) run at `poolSize`; the greedy
+    * re-rank then touches only the pooled candidates. Pools are
+    * collected per query (one shuffle keyed on qid, each group
+    * bounded by poolSize), and the selection runs as a per-row HOF
+    * fold over that bounded array — interpreted, but O(k·poolSize·d)
+    * on poolSize rows per query, a rounding error next to the corpus
+    * scan that built the pool.
+    *
+    * Determinism contract (what x6_precision re-verifies through the
+    * independent join/window formulation): every pairwise cosine is
+    * rounded to 4dp BEFORE the max (max of rounded = rounded max,
+    * order-free), score is the pool's 4dp cosine, and the gain is
+    * `roundDet(λ·score − (1−λ)·maxSim, 4)` — one fixed expression
+    * tree, so any recomputation is bit-identical; ties break to the
+    * lower neighbor id. The first pick (empty selected set) has
+    * maxSim 0, so it is the pool's top-scored row.
+    *
+    * Emits (qid, sel_rank, nid, score, gain), sel_rank 1-based in
+    * selection order; gain is the MMR objective AT SELECTION TIME. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              poolSize: Int = 20, lambdaDiv: Double = 0.7,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    require(lambdaDiv >= 0.0 && lambdaDiv <= 1.0,
+      s"lambda must be in [0,1], got $lambdaDiv")
+    val lam = lit(lambdaDiv)
+    val oneMinusLam = lit(1.0 - lambdaDiv)
+
+    val pool = bruteForceTopK(corpus, queries, poolSize, vecCol, idCol)
+    val vecs = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    // attach candidate vectors (pool is |q|·poolSize rows — the small
+    // side, broadcast onto the corpus scan), then collect each
+    // query's pool sorted by (score desc, nid): qid-keyed shuffle,
+    // every group bounded by poolSize
+    val pooled = vecs.join(broadcast(pool), "nid")
+      .groupBy("qid")
+      .agg(array_sort(collect_list(struct(
+        (-col("cosine")).as("ns"), col("nid"),
+        col("cosine").as("score"), col("nvec").as("vec")))).as("pool"))
+
+    // greedy fold: state = (sel: picked-so-far with gains, rem: the
+    // rest). k fixed iterations; steps past pool exhaustion no-op
+    // (empty rem → empty sorted → both arrays pass through). Each
+    // step re-scores rem once into a (−gain, nid)-sorted array and
+    // derives BOTH the pick (head) and the survivors (tail) from it —
+    // expression land has no let-binding, so the sorted subtree is
+    // inlined twice (the minimum; a named `best` referenced per
+    // output field would inline the scoring pass five times).
+    val emptySel = array().cast(
+      "array<struct<nid:bigint,score:double,gain:double,vec:array<double>>>")
+    val selected = aggregate(
+      sequence(lit(1), lit(k)),
+      struct(emptySel.as("sel"), col("pool").as("rem")),
+      (st, _) => {
+        val sel = st.getField("sel")
+        val rem = st.getField("rem")
+        // argmax gain with ties to lower nid = ascending sort on
+        // (−gain, nid); nid is unique so the order is total
+        val sorted = array_sort(transform(rem, c => {
+          val maxSim = coalesce(
+            array_max(transform(sel, s => graft.ops.Ops.roundDet(
+              cosine(c.getField("vec"), s.getField("vec")), 4))),
+            lit(0.0))
+          val gain = graft.ops.Ops.roundDet(
+            lam * c.getField("score") - oneMinusLam * maxSim, 4)
+          struct((-gain).as("ng"), c.getField("nid").as("nid"),
+            c.getField("score").as("score"), gain.as("gain"),
+            c.getField("vec").as("vec"))
+        }))
+        struct(
+          concat(sel, transform(slice(sorted, 1, 1), b =>
+            struct(b.getField("nid").as("nid"),
+              b.getField("score").as("score"),
+              b.getField("gain").as("gain"),
+              b.getField("vec").as("vec")))).as("sel"),
+          transform(slice(sorted, lit(2), greatest(size(sorted) - 1, lit(0))),
+            b => struct((-b.getField("score")).as("ns"),
+              b.getField("nid").as("nid"),
+              b.getField("score").as("score"),
+              b.getField("vec").as("vec"))).as("rem"))
+      })
+
+    pooled
+      .select(col("qid"), posexplode(selected.getField("sel"))
+        .as(Seq("__pos", "__s")))
+      .select(col("qid"), (col("__pos") + 1).as("sel_rank"),
+        col("__s.nid").as("nid"), col("__s.score").as("score"),
+        col("__s.gain").as("gain"))
+      .orderBy("qid", "sel_rank")
+  }
+
   // ------------------------------------------------------------ quantize
 
   /** Int8 scalar quantization of an embedding column — the storage

@@ -27,16 +27,21 @@ case class Scored(score: Double, id: Long)
   * The buffer is a best-first sorted List bounded at k; insert is a
   * single O(k) splice per row (no per-row re-sort) and merge replays
   * the smaller side into the larger. Ordering is total — score desc
-  * then id asc — so results are deterministic under any partitioning
-  * and match a `ROW_NUMBER() OVER (ORDER BY score DESC, id)` oracle
-  * exactly.
+  * then id asc, compared via `java.lang.Double.compare` so NaN has a
+  * fixed rank (above +∞, matching Spark SQL's sort order for NaN)
+  * instead of primitive `>`/`==` both answering false and silently
+  * breaking the bounded-insert invariant — so results are
+  * deterministic under any partitioning and match a
+  * `ROW_NUMBER() OVER (ORDER BY score DESC, id)` oracle exactly.
   */
 class TopKAgg(k: Int)
     extends Aggregator[Scored, List[Scored], Array[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: List[Scored], x: Scored): List[Scored] = {
     // buf invariant: best-first, length <= k. Skip the splice when the
@@ -69,4 +74,96 @@ object TopKAgg {
     * `agg(...)` over a `struct(score, id)` input column. */
   def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+
+  /** [[QuotaTopKAgg]] as an untyped column function over a
+    * `struct(score, id, dom)` input column. */
+  def quotaTopK(k: Int, m: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new QuotaTopKAgg(k, m), ExpressionEncoder[DomScored]())
+}
+
+/** One (score, id, domain) candidate flowing into [[QuotaTopKAgg]]. */
+case class DomScored(score: Double, id: Long, dom: String)
+
+/** Bounded top-k aggregation under a per-domain quota: keep the k
+  * best rows (score desc, id asc — [[TopKAgg]]'s total order) subject
+  * to AT MOST `m` rows per domain — the curation pass that stops one
+  * crawl domain from monopolizing a score-ordered selection.
+  *
+  * Semantics are exactly the greedy score-ordered scan that skips
+  * domain-exhausted rows, which is equivalent to (and oracled as):
+  * rows whose within-domain rank ≤ m, re-ranked globally, top k —
+  * two window functions in SQL. The aggregator form exists for the
+  * same reason [[TopKAgg]] does: windows have no partial aggregation,
+  * so at 100 TB every row crosses the wire; here each input partition
+  * forwards at most k quota-valid rows, so the shuffle carries
+  * ≤ k·partitions rows and the domain counting state is a bounded
+  * map inside the buffer.
+  *
+  * Buffer invariant: the quota-valid top-k of every row seen — ≤ m
+  * per domain, ≤ k total, best-first. Truncating at k loses nothing:
+  * a row outside its partial's top-k can only re-enter the merged
+  * top-k if rows above it are quota-evicted at merge, but each
+  * quota-eviction is caused by ≥ m higher-scoring same-domain rows,
+  * all of which also outrank the dropped row — so ≥ k rows still
+  * outrank it (the per-domain s_d counting argument in
+  * PropertySpec's reference check).
+  */
+class QuotaTopKAgg(k: Int, m: Int)
+    extends Aggregator[DomScored, List[DomScored], Array[DomScored]] {
+  require(k > 0, s"k must be positive, got $k")
+  require(m > 0, s"per-domain quota m must be positive, got $m")
+
+  private def better(a: DomScored, b: DomScored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
+
+  /** Drop the first row of `dom` past the quota (the (m+1)-th best —
+    * at most one exists right after an insert). */
+  private def dropBeyondQuota(buf: List[DomScored],
+                              dom: String): List[DomScored] = {
+    var seen = 0
+    val out = List.newBuilder[DomScored]
+    var rest = buf
+    var dropped = false
+    while (rest.nonEmpty) {
+      val h = rest.head
+      if (!dropped && h.dom == dom) {
+        seen += 1
+        if (seen > m) dropped = true else out += h
+      } else out += h
+      rest = rest.tail
+    }
+    out.result()
+  }
+
+  private def insert(buf: List[DomScored], x: DomScored): List[DomScored] =
+    // full buffer and x loses to the worst kept row: x is outside the
+    // quota-valid top-k regardless of its domain (the hot path)
+    if (buf.lengthCompare(k) >= 0 && better(buf.last, x)) buf
+    else {
+      val (pre, post) = buf.span(better(_, x))
+      // every quota-valid row above x is in the buffer (x outranks
+      // buf.last here), so this count alone decides x's validity:
+      // m same-domain rows above x ⇒ x is not in its domain's top-m
+      if (pre.count(_.dom == x.dom) >= m) buf
+      else {
+        val merged = dropBeyondQuota(pre ::: (x :: post), x.dom)
+        if (merged.lengthCompare(k) > 0) merged.init else merged
+      }
+    }
+
+  override def zero: List[DomScored] = Nil
+  override def reduce(buf: List[DomScored], in: DomScored): List[DomScored] =
+    insert(buf, in)
+  override def merge(a: List[DomScored], b: List[DomScored]): List[DomScored] =
+    if (a.lengthCompare(b.length) >= 0) b.foldLeft(a)(insert)
+    else a.foldLeft(b)(insert)
+  override def finish(buf: List[DomScored]): Array[DomScored] = buf.toArray
+
+  override def bufferEncoder: ExpressionEncoder[List[DomScored]] =
+    ExpressionEncoder[List[DomScored]]()
+  override def outputEncoder: ExpressionEncoder[Array[DomScored]] =
+    ExpressionEncoder[Array[DomScored]]()
 }

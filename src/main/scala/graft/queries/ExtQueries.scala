@@ -529,6 +529,34 @@ object ExtQueries {
                SELECT lang, rank, doc_id, quality FROM ranked
                WHERE rank <= 25 ORDER BY lang, rank""")),
 
+    // Global top-k under a per-domain quota: the 30 best-quality docs
+    // with at most 3 from any one source — greedy score-ordered
+    // selection that skips domain-exhausted rows, equivalent to the
+    // two-window SQL the oracle runs. The Spark side is ONE bounded
+    // aggregation (QuotaTopKAgg): map-side partials forward ≤ k
+    // quota-valid rows per partition, so neither window's full-data
+    // shuffle happens — the x5/TopKAgg posture with the quota folded
+    // into the buffer.
+    Q("e12_domain_quota",
+      (s, dir) => Curation.domainQuotaTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        k = 30, m = 3, scoreCol = "quality", idCol = "doc_id",
+        domCol = "source"),
+      Some(s"""WITH scored AS (SELECT doc_id, source, $SqlQuality AS quality
+                               FROM documents),
+               dr AS (SELECT doc_id, source, quality,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY quality DESC, doc_id)
+                          AS drank
+                      FROM scored),
+               g AS (SELECT doc_id, source, quality,
+                       ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id)
+                         AS rank
+                     FROM dr WHERE drank <= 3)
+               SELECT rank, doc_id, source, quality FROM g
+               WHERE rank <= 30 ORDER BY rank""")),
+
     // ---- dedup family -------------------------------------------------
 
     Q("d1_dedup_exact",
@@ -936,6 +964,86 @@ object ExtQueries {
                      CAST(NULL AS BIGINT) AS id_b,
                      CAST(NULL AS DOUBLE) AS cosine,
                      CAST(NULL AS DOUBLE) AS cosine_rec
+              WHERE FALSE""")),
+
+    // MMR-diversified top-k: relevance traded against redundancy over
+    // the x1 candidate pool. Iterative greedy state is not one SQL
+    // query (k chained argmax steps, each conditioned on the previous
+    // picks) → rows-only check, with the full selection contract
+    // closed by x6_precision below — the d2/d3/x3 playbook.
+    Q("x6_mmr_topk",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        Similarity.mmrTopK(embs, embs.filter(col("vec_id") < 20),
+          k = 5, poolSize = 20, lambdaDiv = 0.7)
+      }, None),
+
+    // x6 contract: greedy optimality AT EVERY STEP — no candidate
+    // still open at step i (in the pool, not yet selected) may beat
+    // the step-i pick's gain, where gain is recomputed through an
+    // INDEPENDENT formulation: join/group-by over the (step ×
+    // candidate) grid with the interpreted HOF cosine
+    // (Similarity.dot), vs the fold's fused codegen cosine — so the
+    // row also cross-checks the custom expression, like x3_precision.
+    // Bit-parity holds because every pairwise cosine is rounded 4dp
+    // BEFORE the max (max of rounded is order-free) and the gain tree
+    // λ·score − (1−λ)·maxSim is the same fixed double expression on
+    // both sides. Provably empty → empty-set oracle.
+    Q("x6_precision",
+      (s, dir) => {
+        val lam = 0.7
+        val embs = t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") < 20)
+        val sel = Similarity.mmrTopK(embs, q, k = 5, poolSize = 20,
+          lambdaDiv = lam)
+        val vecs = embs.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        def cosRec(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+          graft.ops.Ops.roundDet(
+            Similarity.dot(a, b) /
+              (sqrt(Similarity.dot(a, a)) * sqrt(Similarity.dot(b, b))), 4)
+        val cands = Similarity.bruteForceTopK(embs, q, 20)
+          .select(col("qid").as("cqid"), col("nid").as("cid"),
+            col("cosine").as("cscore"))
+          .join(vecs.select(col("id").as("cid"), col("vec").as("cvec")),
+            "cid")
+        val steps = sel.select(col("qid").as("sqid"), col("sel_rank"),
+          col("nid").as("sel_nid"), col("gain").as("sel_gain"))
+        val prior = sel.select(col("qid").as("pqid"),
+            col("sel_rank").as("j"), col("nid").as("pnid"))
+          .join(vecs.select(col("id").as("pnid"), col("vec").as("pvec")),
+            "pnid")
+        // (step × candidate) grid — bounded: |q|·k·poolSize rows —
+        // left-joined to the strictly-earlier picks that define the
+        // step's diversity penalty (step 1 joins nothing: maxSim 0)
+        cands.join(steps, col("cqid") === col("sqid"))
+          .join(prior, col("cqid") === col("pqid") &&
+            col("j") < col("sel_rank"), "left")
+          .groupBy(col("cqid").as("qid"), col("sel_rank"), col("cid"),
+            col("cscore"), col("sel_nid"), col("sel_gain"))
+          .agg(
+            max(when(col("pvec").isNotNull,
+              cosRec(col("cvec"), col("pvec")))).as("max_sim"),
+            max(when(col("pnid") === col("cid"), lit(1))
+              .otherwise(lit(0))).as("taken"))
+          .filter(col("taken") === 0) // candidate still open at step i
+          .withColumn("gain_rec", graft.ops.Ops.roundDet(
+            lit(lam) * col("cscore") -
+              lit(1.0 - lam) * coalesce(col("max_sim"), lit(0.0)), 4))
+          .filter(col("gain_rec") > col("sel_gain") ||
+            (col("gain_rec") === col("sel_gain") &&
+              col("cid") < col("sel_nid")))
+          .select(col("qid"), col("sel_rank").cast("long").as("sel_rank"),
+            col("cid").as("nid"), col("gain_rec"),
+            col("sel_gain"))
+          .orderBy("qid", "sel_rank", "nid")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS qid,
+                     CAST(NULL AS BIGINT) AS sel_rank,
+                     CAST(NULL AS BIGINT) AS nid,
+                     CAST(NULL AS DOUBLE) AS gain_rec,
+                     CAST(NULL AS DOUBLE) AS sel_gain
               WHERE FALSE""")),
 
     // Heavy-hitters sketch contract (the stat-API sibling of the

@@ -64,6 +64,45 @@ class BpeSpec extends SparkTestBase {
     assert(padded === Seq("low</w>"))
   }
 
+  test("batch=8 equals batch=1 when no in-round follow-on can form") {
+    // single-char words: each word is [c, </w>], so a merge completes
+    // the word outright — no pair is CREATED inside a round, which is
+    // exactly the regime where batched and sequential BPE provably
+    // agree. All candidates share </w>, so the non-interaction filter
+    // admits one merge per round and the batched path must reproduce
+    // the batch=1 table bit-for-bit, counts included.
+    val docs = Seq((1L, ("x " * 9 + "p " * 7 + "m " * 5).trim))
+      .toDF("doc_id", "text")
+    val seq1 = Bpe.train(spark, docs, numMerges = 3, batch = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val seq8 = Bpe.train(spark, docs, numMerges = 3, batch = 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(seq1 === seq8)
+    assert(seq1.map(m => (m._2, m._3, m._4)) ===
+      Seq(("x", "</w>", 9L), ("p", "</w>", 7L), ("m", "</w>", 5L)))
+  }
+
+  test("batching cuts aggregation rounds >=5x where merges are disjoint") {
+    // many words over pairwise-disjoint alphabets: each round's
+    // candidate list holds many non-interacting pairs, so batch=8
+    // accepts ~8 merges per aggregation pass
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+      "qr", "st", "uv", "wx")
+    val text = words.zipWithIndex
+      .map { case (w, i) => (w + " ") * (20 - i) }.mkString.trim
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val batched = Bpe.trainWithStats(spark, docs, numMerges = 12, batch = 8)
+    assert(batched.merges.count() === 12L)
+    assert(batched.aggregationRounds * 5 <= 12,
+      s"expected >=5x rounds cut, got ${batched.aggregationRounds} rounds " +
+        "for 12 merges")
+    // batched learn order is still deterministic across runs
+    val again = Bpe.train(spark, docs, numMerges = 12, batch = 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(again === batched.merges
+      .as[(Int, String, String, Long)].collect().toSeq)
+  }
+
   test("deterministic across repeated runs and stops when exhausted") {
     val docs = graft.queries.Q.t(spark, sf001, "documents").limit(50)
     val a = Bpe.train(spark, docs, 3).collect().toSeq

@@ -189,6 +189,39 @@ class ExtSpec extends SparkTestBase {
     assert(top == 1L)
   }
 
+  test("mmr topk trades score for diversity; lambda=1 is plain topk") {
+    // query 100 at (1,0); a≈b both near the query, c off-axis with a
+    // lower score. Pure top-k order: a, b, c. MMR at λ=0.3 must pick
+    // a first (max score), then c: hand math at step 2 —
+    // gain(b) = 0.3·0.9926 − 0.7·sim(b,a ≈ 0.9998) ≈ −0.402,
+    // gain(c) = 0.3·0.6    − 0.7·sim(c,a ≈ 0.6774) ≈ −0.294 — the
+    // near-copy's penalty outweighs its score edge only when the
+    // diversity weight dominates (λ=0.5 still picks b: score gap
+    // 0.39 > 0.5-weighted sim gap 0.32).
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f)),  // a: best score
+      (2L, Array(0.98f, 0.12f)), // b: near-copy of a
+      (3L, Array(0.6f, 0.8f))    // c: diverse, lower score
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 100L)
+    val mmr = Similarity.mmrTopK(vecs, q, k = 3, poolSize = 3,
+      lambdaDiv = 0.3)
+      .select("sel_rank", "nid").as[(Int, Long)].collect().toSeq
+    assert(mmr == Seq((1, 1L), (2, 3L), (3, 2L)), s"got $mmr")
+    // λ=1 removes the diversity term: selection order = score order
+    val pure = Similarity.mmrTopK(vecs, q, k = 3, poolSize = 3,
+      lambdaDiv = 1.0)
+      .select("sel_rank", "nid").as[(Int, Long)].collect().toSeq
+    assert(pure == Seq((1, 1L), (2, 2L), (3, 3L)), s"got $pure")
+    // first pick always equals the pool's top-scored row, and emitted
+    // gains are non-increasing in selection order (the greedy
+    // objective can only shrink as the penalty set grows)
+    val gains = Similarity.mmrTopK(vecs, q, k = 3, poolSize = 3,
+      lambdaDiv = 0.3).select("gain").as[Double].collect().toSeq
+    assert(gains == gains.sorted.reverse, s"gains not monotone: $gains")
+  }
+
   test("ivf topk with full probing matches brute force") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))

@@ -277,6 +277,36 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("QuotaTopKAgg == two-window reference on random rows, any layout") {
+    import graft.ops.TopKAgg
+    // ids made unique via zipWithIndex: uniqueness is the aggregator's
+    // stated contract (the (score, id) tie-break must be total — two
+    // rows differing only in domain would otherwise be order-dependent)
+    val rowGen = for {
+      d <- Gen.oneOf("w", "x", "y", "z")
+      s <- Gen.choose(0, 9).map(_.toDouble) // narrow range forces ties
+    } yield (s, d)
+    val data = sample(rowGen, 400).zipWithIndex
+      .map { case ((s, d), i) => (s, i.toLong, d) }
+    val (k, m) = (10, 3)
+    // reference: within-domain rank <= m under (score desc, id asc),
+    // then global top-k of the survivors — the e12 oracle formulation
+    val sorted = data.sortBy { case (s, id, _) => (-s, id) }
+    val domSeen = scala.collection.mutable.Map[String, Int]()
+    val expect = sorted.flatMap { case r @ (_, _, d) =>
+      val c = domSeen.getOrElse(d, 0)
+      if (c < m) { domSeen(d) = c + 1; Some(r) } else None
+    }.take(k)
+    val got = data.toDF("s", "id", "d").repartition(13)
+      .agg(TopKAgg.quotaTopK(k, m)($"s", $"id", $"d").as("top"))
+      .as[Array[(Double, Long, String)]].collect().head.toSeq
+    assert(got == expect, s"got $got\nwant $expect")
+    // quota actually binds on this distribution: without it the pure
+    // top-k would differ (guards against a vacuous test)
+    val pure = sorted.take(k)
+    assert(pure != expect, "fixture too easy: quota never bound")
+  }
+
   test("temperatureMix realized counts equal the exact slot recompute") {
     import graft.ext.Curation
     val clsGen = Gen.frequency(8 -> Gen.const("big"), 2 -> Gen.const("mid"),
