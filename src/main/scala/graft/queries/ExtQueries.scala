@@ -810,6 +810,70 @@ object ExtQueries {
               SELECT id_a, id_b, cosine FROM dp
               WHERE cosine >= 0.3 ORDER BY id_a, id_b""")),
 
+    // d9 recall instrumentation (the x2_recall of the near-dup
+    // blocking dial): what fraction of TRUE ≥0.3 pairs does IVF
+    // blocking actually find? Full exact all-pairs mining is the O(n²)
+    // job the operator exists to avoid, so the reference set is the
+    // exact pairs whose LOWER id falls in a deterministic query
+    // sample (vec_id < 50) — the sample side broadcasts, the corpus
+    // never shuffles, and the d9 side composes the already-green IVF
+    // chain. Fully SQL-expressible, so unlike the sketch rows this
+    // recall is hash-exact oracled. Measured 0.2368 (45/190) at
+    // sf0.01: mining this near-orthogonal synthetic corpus at cosine
+    // 0.3 is the same hostile regime x2_recall documents — single-
+    // probe bucket blocking sees only same-bucket pairs. The dial is
+    // multi-probe assignment / more centroids; production near-dup
+    // mining at ≥0.9 concentrates pairs into one bucket and recalls
+    // far higher.
+    Q("d9_recall",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val assigned = Similarity.ivfAssign(embs,
+          Similarity.centroids(embs, stride = 20))
+        val approx = Dedup.embeddingNearDups(
+          assigned.select(col("nid").as("vec_id"), col("cid").as("label"),
+            col("nvec").as("embedding")),
+          threshold = 0.3)
+          .select(col("id_a"), col("id_b")).withColumn("m", lit(1))
+        val c = embs.select(col("vec_id").as("nid"),
+          col("embedding").cast("array<double>").as("nvec"))
+        val q = embs.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qvec"))
+        val exact = c.join(broadcast(q), col("qid") < col("nid"))
+          .withColumn("cosine", graft.ops.Ops.roundDet(
+            Similarity.cosine(col("qvec"), col("nvec")), 4))
+          .filter(col("cosine") >= 0.3)
+          .select(col("qid").as("id_a"), col("nid").as("id_b"))
+        exact.join(approx, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_matched"))
+          .withColumn("recall", graft.ops.Ops.roundDet(
+            col("n_matched").cast("double") / col("n_exact").cast("double"),
+            4))
+      },
+      Some(s"""WITH $SqlIvfCtes,
+                 dp AS (SELECT a.nid AS id_a, b.nid AS id_b,
+                          ${sqlRoundDet(sqlCosRaw("a.nvec", "b.nvec"), 4)}
+                            AS cosine
+                        FROM iasg a JOIN iasg b
+                          ON a.cid = b.cid AND a.nid < b.nid),
+                 ap AS (SELECT id_a, id_b, 1 AS m FROM dp
+                        WHERE cosine >= 0.3),
+                 sq AS (SELECT vec_id AS qid,
+                          CAST(embedding AS DOUBLE[]) AS qvec
+                        FROM embeddings WHERE vec_id < 50),
+                 ex AS (SELECT qid AS id_a, iv.nid AS id_b
+                        FROM sq, iv
+                        WHERE qid < iv.nid
+                          AND ${sqlRoundDet(sqlCosRaw("qvec", "iv.nvec"), 4)}
+                              >= 0.3)
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      CAST(COUNT(ap.m) AS BIGINT) AS n_matched,
+                      ${sqlRoundDet(
+                        "CAST(COUNT(ap.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+                        4)} AS recall
+               FROM ex LEFT JOIN ap USING (id_a, id_b)""")),
+
     // ---- similarity search -------------------------------------------
 
     Q("x1_sim_bruteforce_topk",
