@@ -42,6 +42,14 @@ object Bench {
       // edits to the same source file — an insertion above the call
       // would re-digest every checkpoint-bearing plan in the file
       .replaceAll("\\.scala:\\d+", ".scala:_")
+      // HOF lambda variables print as `lambda x_6#` — the 6 is a
+      // per-JVM NamedLambdaVariable counter embedded in the NAME, so
+      // it survives the #\d+ exprId rule and shifts with the number
+      // of HOF plans built earlier in the session. Same-plan digests
+      // matched across Bench sweeps only because sorted-name order
+      // made the counters line up; any other execution order (e.g.
+      // ScalingProbe on a subset) re-digested every HOF-bearing plan.
+      .replaceAll("\\blambda ([A-Za-z0-9]+)_\\d+#", "lambda $1_#")
 
   /** Escape non-printable characters (e.g. the \u0001 field
     * separators some expressions carry as string literals) so the

@@ -140,6 +140,33 @@ object Similarity {
           col("nvec"), col("__cents")).as("cid"))
   }
 
+  /** Multi-probe IVF assignment: every corpus vector is indexed under
+    * its `nprobe` nearest centroids (by cosine, ties to lower cid) —
+    * the standard recall dial for bucket-blocked near-dup mining:
+    * a true pair straddling a single-probe bucket boundary is still
+    * found when ANY of the two vectors' probe sets intersect.
+    * Output is one row per (vector, probed centroid): ~nprobe× the
+    * single-probe index size, the explicit storage-for-recall trade.
+    *
+    * Same zero-shuffle posture as [[ivfAssign]]: the centroid set
+    * collapses to one broadcast array row and the bounded top-p
+    * selection runs inside whole-stage codegen
+    * ([[graft.functions.ArgTopCosine]]); the explode multiplies rows
+    * in the scan stage without any exchange. nprobe=1 reproduces
+    * [[ivfAssign]]'s assignment exactly (same comparator). */
+  def ivfAssignMulti(corpus: DataFrame, cents: DataFrame, nprobe: Int,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val v = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val centArr = cents.agg(
+      collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
+    v.join(broadcast(centArr))
+      .select(col("nid"), col("nvec"),
+        explode(graft.functions.GraftFunctions.arg_top_cosine(
+          col("nvec"), col("__cents"), nprobe)).as("cid"))
+  }
+
   /** Cosine-LSH near-neighbor pairs over the whole corpus — the
     * bucketed scale path when there is no query set (all-pairs
     * near-dup mining over embeddings without a blocking column).

@@ -184,6 +184,142 @@ case class ArgMaxCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** arg_top_cosine(vec, cents, p): the ids of the `p` centroids most
+  * cosine-similar to `vec`, ordered (cosine desc, cid asc) — the
+  * multi-probe generalization of [[ArgMaxCosine]] (p=1 yields the
+  * same head id). Same zero-shuffle posture: the centroid set is one
+  * broadcast array row and the bounded top-p insertion runs inside
+  * whole-stage codegen, so multi-probe IVF assignment (each corpus
+  * vector indexed under its p nearest buckets — the standard recall
+  * dial for IVF near-dup mining, see d9_recall_mp) costs one fused
+  * projection pass over the corpus, never a per-(row, centroid)
+  * explode + window rank (which would shuffle |corpus| rows keyed on
+  * id to rank |cents| candidates each).
+  *
+  * `p` is a construction-time constant (like MinHashBands' band
+  * count): the insertion buffers are stack-sized by it in both eval
+  * paths. Fewer than p valid centroids → a shorter array; zero →
+  * NULL (the ArgMaxCosine contract). NaN cosines rank greatest
+  * (java.lang.Double.compare), ties toward the lower cid. */
+case class ArgTopCosine(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(p >= 1, s"p must be >= 1, got $p")
+
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType),
+    ArrayType(StructType(Seq(
+      StructField("cid", LongType),
+      StructField("cvec", ArrayType(DoubleType))))))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val cosArr = new Array[Double](p)
+    val cidArr = new Array[Long](p)
+    var cnt = 0
+    var j = 0
+    val m = cs.numElements()
+    while (j < m) {
+      if (!cs.isNullAt(j)) {
+        val cent = cs.getStruct(j, 2)
+        val cid = cent.getLong(0)
+        val cvec = cent.getArray(1)
+        val n = math.min(vec.numElements(), cvec.numElements())
+        var ab = 0.0; var aa = 0.0; var bb = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = vec.getDouble(i); val yi = cvec.getDouble(i)
+          ab += xi * yi; aa += xi * xi; bb += yi * yi
+          i += 1
+        }
+        val c = ab / (math.sqrt(aa) * math.sqrt(bb))
+        // bounded insertion: first slot where (c, cid) outranks the
+        // incumbent; everything below shifts down, the last falls off
+        var pos = cnt
+        var k = 0
+        while (k < cnt && pos == cnt) {
+          val cmp = java.lang.Double.compare(c, cosArr(k))
+          if (cmp > 0 || (cmp == 0 && cid < cidArr(k))) pos = k
+          k += 1
+        }
+        if (pos < p) {
+          var t = math.min(cnt, p - 1)
+          while (t > pos) {
+            cosArr(t) = cosArr(t - 1); cidArr(t) = cidArr(t - 1); t -= 1
+          }
+          cosArr(pos) = c; cidArr(pos) = cid
+          if (cnt < p) cnt += 1
+        }
+      }
+      j += 1
+    }
+    if (cnt == 0) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(cidArr, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cs) => {
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      val cosArr = ctx.freshName("cosArr")
+      val cidArr = ctx.freshName("cidArr")
+      val cent = ctx.freshName("cent")
+      val cid = ctx.freshName("cid"); val cvec = ctx.freshName("cvec")
+      val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb"); val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val pos = ctx.freshName("pos"); val k = ctx.freshName("k")
+      val t = ctx.freshName("t")
+      s"""
+        double[] $cosArr = new double[$p];
+        long[] $cidArr = new long[$p];
+        int $cnt = 0;
+        int $m = $cs.numElements();
+        for (int $j = 0; $j < $m; $j++) {
+          if (!$cs.isNullAt($j)) {
+            InternalRow $cent = $cs.getStruct($j, 2);
+            long $cid = $cent.getLong(0);
+            ArrayData $cvec = $cent.getArray(1);
+            int $n = java.lang.Math.min($vec.numElements(), $cvec.numElements());
+            double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $xi = $vec.getDouble($i);
+              double $yi = $cvec.getDouble($i);
+              $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+            }
+            double $c = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+            int $pos = $cnt;
+            for (int $k = 0; $k < $cnt && $pos == $cnt; $k++) {
+              int $cmp = java.lang.Double.compare($c, $cosArr[$k]);
+              if ($cmp > 0 || ($cmp == 0 && $cid < $cidArr[$k])) $pos = $k;
+            }
+            if ($pos < $p) {
+              for (int $t = java.lang.Math.min($cnt, $p - 1); $t > $pos; $t--) {
+                $cosArr[$t] = $cosArr[$t - 1]; $cidArr[$t] = $cidArr[$t - 1];
+              }
+              $cosArr[$pos] = $c; $cidArr[$pos] = $cid;
+              if ($cnt < $p) $cnt++;
+            }
+          }
+        }
+        if ($cnt == 0) { ${ev.isNull} = true; }
+        else {
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray(java.util.Arrays.copyOf($cidArr, $cnt));
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgTopCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** K-slot MinHash signature of an array<string> shingle column in one
   * pass: base = pmod(xxhash64(s), P) (identical bits to the built-in
   * `xxhash64` — same XXH64 kernel, same seed 42), then
@@ -884,6 +1020,9 @@ object GraftFunctions {
   def argmax_cosine(vec: Column, cents: Column): Column =
     column(ArgMaxCosine(expression(vec), expression(cents)))
 
+  def arg_top_cosine(vec: Column, cents: Column, p: Int): Column =
+    column(ArgTopCosine(expression(vec), expression(cents), p))
+
   def minhash_sig(shingles: Column, params: Seq[(Long, Long)]): Column =
     column(MinHashSignature(expression(shingles), params))
 
@@ -937,6 +1076,16 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("argmax_cosine",
       es => { arity(2, "argmax_cosine")(es); ArgMaxCosine(es.head, es(1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction("arg_top_cosine",
+      es => { arity(3, "arg_top_cosine")(es)
+        val p = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"arg_top_cosine p must be a literal int, got $other")
+        }
+        ArgTopCosine(es.head, es(1), p) },
       "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")

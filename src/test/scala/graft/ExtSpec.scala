@@ -129,6 +129,31 @@ class ExtSpec extends SparkTestBase {
     assert(kmeans >= stride - 0.02, s"kmeans $kmeans < stride $stride")
   }
 
+  test("multi-probe IVF assignment contains single-probe; pairs are a superset") {
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cents = Similarity.centroids(embs, stride = 20)
+    val single = Similarity.ivfAssign(embs, cents).select("nid", "cid")
+    // nprobe=1 reproduces ivfAssign bit-exactly (same comparator)
+    val head1 = Similarity.ivfAssignMulti(embs, cents, 1).select("nid", "cid")
+    assert(single.except(head1).count() == 0 && head1.except(single).count() == 0)
+    // every single-probe assignment appears in the nprobe=2 probe set,
+    // and each vector probes at most 2 buckets
+    val multi2 = Similarity.ivfAssignMulti(embs, cents, 2)
+    assert(single.except(multi2.select("nid", "cid")).count() == 0)
+    assert(multi2.groupBy("nid").count().filter($"count" > 2).count() == 0)
+    // near-dup pairs mined under multi-probe are a superset of the
+    // single-probe pairs (a shared first-choice bucket stays shared)
+    def pairs(asg: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingNearDups(
+        asg.select($"nid".as("vec_id"), $"cid".as("label"),
+          $"nvec".as("embedding")), threshold = 0.3)
+        .select("id_a", "id_b").distinct().localCheckpoint()
+    val sp = pairs(Similarity.ivfAssign(embs, cents))
+    val mp = pairs(multi2)
+    assert(sp.except(mp).count() == 0)
+    assert(mp.count() >= sp.count())
+  }
+
   test("charEntropy: repetition scores 0, uniform alphabets score log2(k)") {
     val rows = Seq(
       (0L, "aaaaaaaa"),          // one symbol → 0 bits (and not -0.0)
