@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   * operators must stay ~linear; pair-emitting sketches are expected
   * super-linear in wall-clock because their OUTPUT is super-linear.
   *
-  * `events.ts` is written as raw nanosecond longs (the source
-  * TIMESTAMP(NANOS) column read via nanosAsLong), so the replica goes
-  * through exactly the same [[graft.queries.Q.t]] read path as the
-  * shipped fixtures.
+  * `events.ts` is written in whatever physical form the source
+  * fixture carries (raw nanosecond longs under nanosAsLong for the
+  * TIMESTAMP(NANOS) generation; TIMESTAMP_NTZ for the microsecond
+  * one) — either way the replica round-trips through the same
+  * type-adaptive [[graft.queries.Q.t]] read path as the shipped
+  * fixtures.
   *
   * Layout matters: each table is written as ONE PLAIN FILE
   * `<dst>/<name>.parquet` — the shipped fixtures' layout — because the

@@ -16,19 +16,34 @@ final case class Q(name: String,
 object Q {
   /** Load one driver testdata table.
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. We read nanos as long
-    * (legacy.parquet.nanosAsLong) and truncate to microsecond
-    * TimestampType — the same truncation DuckDB applies when it coerces
-    * TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle comparisons
-    * see identical values. */
+    * `events.parquet` has shipped `ts` in two physical forms across
+    * fixture generations: parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read as raw longs under
+    * legacy.parquet.nanosAsLong and truncated to microseconds, the
+    * same truncation DuckDB applies coercing TIMESTAMP_NS to its
+    * microsecond TIMESTAMP) and plain microsecond TIMESTAMP with
+    * isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ and
+    * DuckDB as its naive TIMESTAMP). [[normalizeEventsTs]] maps both
+    * to session-zone TimestampType — the session zone is pinned UTC,
+    * so the NTZ→LTZ cast is value-identical to DuckDB's naive read
+    * and every downstream query sees one stable ts type. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Normalize the events `ts` column to microsecond TimestampType
+    * regardless of which physical fixture form was read (see [[t]]). */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP_NS as raw nanos
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType => // micros, naive
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already session-zone TimestampType
+    }
 
   /** Timestamp literal parsed in the session time zone (UTC), matching
     * DuckDB's naive `TIMESTAMP '…'` literal. Avoids

@@ -118,22 +118,10 @@ object StatefulSessions {
     StreamingOps.withFewShufflePartitions(spark) {
 
     val events = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("props",
-          org.apache.spark.sql.types.StringType))))
+      .schema(StreamingOps.eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(StreamingOps.normalizeEventsTs)
       .withWatermark("ts", "1 minute")
       .select("user_id", "ts", "value")
       .as[SessionEvent]

@@ -28,16 +28,37 @@ object StreamingOps {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** events.parquet schema for the streaming reader: parquet stores
-    * ts as TIMESTAMP(NANOS) which Spark reads as long under
-    * nanosAsLong (see graft.queries.Q.t). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet schema for the streaming reader. The fixture has
+    * shipped `ts` in two physical forms (see graft.queries.Q.t):
+    * TIMESTAMP(NANOS), readable only as raw longs under nanosAsLong,
+    * and plain microsecond TIMESTAMP (isAdjustedToUTC=false → Spark
+    * TIMESTAMP_NTZ). The file stream source needs the schema up
+    * front, so probe the batch footer once (metadata-only, no data
+    * read) and declare whichever ts type the file actually carries;
+    * [[normalizeEventsTs]] then maps either to session-zone
+    * TimestampType downstream. */
+  private[streaming] def eventsRawSchema(spark: SparkSession,
+                                         sfDir: String): StructType = {
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
+  /** Streaming twin of [[graft.queries.Q.normalizeEventsTs]]. */
+  private[streaming] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP_NS read as raw nanos
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // microsecond TIMESTAMP, naive
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Tumbling-window aggregation over the events table, executed as a
     * genuine streaming query: file source → event-time watermark →
@@ -79,10 +100,10 @@ object StreamingOps {
     // the file stream source requires a directory: point it at the sf
     // dir and glob-filter down to the events table
     val stream = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(normalizeEventsTs)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -123,10 +144,10 @@ object StreamingOps {
     withFewShufflePartitions(spark) {
 
     val stream = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(normalizeEventsTs)
       .withWatermark("ts", "2 days")
       .select(col("user_id"), col("event_type"),
         date_trunc("day", col("ts")).as("ts_day"), col("ts"))
@@ -170,11 +191,11 @@ object StreamingOps {
     withFewShufflePartitions(spark) {
 
     def side(parity: Int, prefix: String): DataFrame = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+      .transform(normalizeEventsTs)
       .filter(pmod(col("event_id"), lit(2)) === parity)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id").as(s"${prefix}_id"),
         col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "35 days")
@@ -229,11 +250,11 @@ object StreamingOps {
     withFewShufflePartitions(spark) {
 
     def side(parity: Int, prefix: String): DataFrame = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+      .transform(normalizeEventsTs)
       .filter(pmod(col("event_id"), lit(2)) === parity)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id").as(s"${prefix}_id"),
         col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
@@ -275,10 +296,10 @@ object StreamingOps {
     withFewShufflePartitions(spark) {
 
     val stream = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(normalizeEventsTs)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -333,8 +354,9 @@ object StreamingOps {
 
     // static reference: full-corpus bin shares (batch read of the
     // same table the stream replays)
-    val refRaw = spark.read.schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val refRaw = normalizeEventsTs(
+      spark.read.schema(eventsRawSchema(spark, sfDir))
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
     val refBins = refRaw.select(binOf(col("value")).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("__n"))
     val refTotal = refBins.agg(sum(col("__n")).as("__t"))
@@ -343,10 +365,10 @@ object StreamingOps {
         (col("__n").cast("double") / col("__t").cast("double")).as("p_ref"))
 
     val stream = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(normalizeEventsTs)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowDuration),
         binOf(col("value")).as("bin"))
@@ -382,7 +404,7 @@ object StreamingOps {
     // alignment, so the frame keys match the sink for ANY duration,
     // not just "1 day"
     val frame = refRaw
-      .select(window(timestamp_micros(expr("ts div 1000")),
+      .select(window(col("ts"),
         windowDuration).getField("start").as("window_start"))
       .distinct().crossJoin(ref)
     val eps_ = lit(eps)
@@ -418,9 +440,10 @@ object StreamingOps {
     withFewShufflePartitions(spark) {
 
     val stream = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+      .transform(normalizeEventsTs)
       .select("user_id", "event_type")
       .dropDuplicates("user_id", "event_type")
 
@@ -458,9 +481,10 @@ object StreamingOps {
       .select(col("c_custkey"), col("c_mktsegment")))
 
     val stream = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+      .transform(normalizeEventsTs)
       .select(col("user_id"), col("value"))
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))

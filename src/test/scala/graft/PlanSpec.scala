@@ -285,8 +285,10 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     // in the NAME (`lambda x_6#` vs `lambda x_14#`), which the exprId
     // rule does not touch — caused t15 to re-digest whenever probe
     // order differed from Bench's sorted sweep order
-    val l1 = "aggregate(__ts#, 0.0, lambdafunction((lambda x_6# + lambda y_7#.__term), lambda x_6#, lambda y_7#, false))"
-    val l2 = "aggregate(__ts#, 0.0, lambdafunction((lambda x_14# + lambda y_15#.__term), lambda x_14#, lambda y_15#, false))"
+    val l1 = "aggregate(__ts#, 0.0, lambdafunction((lambda x_6# + " +
+      "lambda y_7#.__term), lambda x_6#, lambda y_7#, false))"
+    val l2 = "aggregate(__ts#, 0.0, lambdafunction((lambda x_14# + " +
+      "lambda y_15#.__term), lambda x_14#, lambda y_15#, false))"
     assert(Bench.digest(l1) == Bench.digest(l2))
     // …while a genuinely different lambda body still re-digests
     assert(Bench.digest(l1) !=

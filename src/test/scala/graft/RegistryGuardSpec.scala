@@ -40,6 +40,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // centroid-array / exact-top-k one-row sides in the ANN chain
     "x2_sim_ivf_topk" -> Set("unconditional-nested-loop"),
     "x2_recall" -> Set("unconditional-nested-loop"),
+    // d9_recall_mp: the same one-row centroid-array broadcast, on
+    // BOTH sides of the near-dup self-join (the multi-probe explode
+    // sits between the join and the aggregate that lets the
+    // single-probe variant's one-row side be optimized away)
+    "d9_recall_mp" -> Set("unconditional-nested-loop"),
     // w4's running sum windows over ONE ROW PER DAY (first-seen
     // counts, pre-aggregated) — calendar-bounded, see
     // Sessions.cumulativeNewKeys
