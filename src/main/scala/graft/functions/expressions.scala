@@ -79,6 +79,65 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** l2_normalize(v): v / ‖v‖₂ in ONE fused, whole-stage-codegen'd
+  * pass (sum of squares in index order, then one divide per
+  * element). The declarative form — `transform(v, x -> x / nrm)`
+  * with nrm aliased in its own projection — is defeated by
+  * CollapseProject whenever nrm has a SINGLE consumer: the alias is
+  * inlined back into the lambda and the O(d) norm re-evaluates per
+  * ELEMENT (O(d²) per row — exactly the lambda-invariant-recompute
+  * anti-pattern PlanGuard flags; it flagged this very helper's HOF
+  * draft). Bit-compatible with DuckDB's
+  * `list_transform(v, x -> x / sqrt(list_dot_product(v, v)))`:
+  * identical accumulation order, identical per-element divide.
+  * Empty array → empty array; a zero vector yields NaNs (the
+  * caller's lookout, as with [[CosineSimilarity]]). */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getDouble(i); ss += xi * xi; i += 1 }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = x.getDouble(i) / nrm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val ss = ctx.freshName("ss"); val xi = ctx.freshName("xi")
+      val nrm = ctx.freshName("nrm"); val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        double $ss = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          $ss += $xi * $xi;
+        }
+        double $nrm = java.lang.Math.sqrt($ss);
+        double[] $out = new double[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = $a.getDouble($i) / $nrm;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): L2Normalize = copy(child = newChild)
+}
+
 /** argmax_cosine(vec, cents): the id of the centroid most cosine-
   * similar to `vec`, ties toward the LOWER id. `cents` is an
   * array<struct<cid: bigint, cvec: array<double>>> — the whole
@@ -1016,6 +1075,9 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  def l2_normalize(v: Column): Column =
+    column(L2Normalize(expression(v)))
 
   def argmax_cosine(vec: Column, cents: Column): Column =
     column(ArgMaxCosine(expression(vec), expression(cents)))

@@ -159,6 +159,57 @@ object ExtQueries {
                                     ORDER BY cosine DESC, nid) AS rank
                FROM ipairs)"""
 
+  // Product-quantization chain (x7): L2-normalize, stride codebook
+  // per 16-dim subspace (cid = vec_id // 20, dense), encode by
+  // per-subspace argmax cosine (ties to lower cid — ArgMaxCosine's
+  // comparator), LUT dots rounded 6dp, score = the EXPLICIT
+  // subspace-ordered 4-term sum rounded 4dp (an unordered SUM could
+  // re-associate the FP adds), rank ties to lower nid. Every step
+  // deterministic → plain SQL replays the whole pipeline.
+  // list_dot_product and DuckDB list slicing are bit-compatible with
+  // the Spark-side index-ordered fold and `slice` (1-based, same
+  // elements), so hash-exact comparison holds end to end.
+  private val SqlPqCtes =
+    s"""pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+        pn AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS vn
+               FROM pv),
+        pmsub AS (SELECT UNNEST([0, 1, 2, 3]) AS m),
+        pcb AS (SELECT m, CAST(vec_id // 20 AS BIGINT) AS cid,
+                  vn[m * 16 + 1 : m * 16 + 16] AS cvec
+                FROM pn, pmsub WHERE vec_id % 20 = 0),
+        psub AS (SELECT vec_id AS nid, m,
+                   vn[m * 16 + 1 : m * 16 + 16] AS sv
+                 FROM pn, pmsub),
+        penc AS (SELECT nid, m, cid FROM (
+            SELECT psub.nid, psub.m, pcb.cid,
+              ROW_NUMBER() OVER (PARTITION BY psub.nid, psub.m ORDER BY
+                ${sqlCosRaw("psub.sv", "pcb.cvec")} DESC, pcb.cid) AS rk
+            FROM psub JOIN pcb ON psub.m = pcb.m) WHERE rk = 1),
+        pq AS (SELECT vec_id AS qid, vn AS qvn FROM pn
+               WHERE vec_id < 20),
+        plut AS (SELECT qid, pcb.m, pcb.cid,
+                   ${sqlRoundDet(
+                     "list_dot_product(qvn[pcb.m * 16 + 1 : pcb.m * 16 + 16]," +
+                       " pcb.cvec)", 6)} AS v
+                 FROM pq, pcb),
+        pterm AS (SELECT l.qid, e.nid, e.m, l.v
+                  FROM penc e JOIN plut l ON e.m = l.m AND e.cid = l.cid
+                  WHERE l.qid <> e.nid),
+        pscore AS (SELECT qid, nid,
+                     ${sqlRoundDet(
+                       "MAX(CASE WHEN m = 0 THEN v END)" +
+                         " + MAX(CASE WHEN m = 1 THEN v END)" +
+                         " + MAX(CASE WHEN m = 2 THEN v END)" +
+                         " + MAX(CASE WHEN m = 3 THEN v END)", 4)} AS score
+                   FROM pterm GROUP BY qid, nid),
+        pr AS (SELECT qid, nid, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, nid) AS rank
+               FROM pscore)"""
+
   // pairs → undirected edges → reachability components (comp = min
   // reachable id, the SQL twin of Dedup.connectedComponents' min-label
   // propagation). Requires WITH RECURSIVE; follows sqlShinglePairCtes.
@@ -1173,6 +1224,53 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS gain_rec,
                      CAST(NULL AS DOUBLE) AS sel_gain
               WHERE FALSE""")),
+
+    // Product-quantization ADC top-k (Jégou et al.'s PQ re-expressed
+    // declaratively): codes = 4 codeword ids per vector (16× cheaper
+    // per-pair scoring than the dim-wide dot, 64× smaller searchable
+    // form), scoring = 4 positional LUT lookups per pair. The whole
+    // chain — normalize, stride codebook, argmax-cosine encode, LUT,
+    // explicit ordered 4-term sum — is deterministic, so unlike the
+    // hash-family sketches (d2/d3/x3) this approximate index is
+    // hash-exact ORACLED, not just contract-bounded. k=5 over the
+    // same query slice as x1/x2 for cross-family comparability.
+    Q("x7_pq_topk",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        Similarity.pqTopK(embs, embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH $SqlPqCtes
+               SELECT qid, rank, nid, score
+               FROM pr WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // PQ recall against the exact brute-force top-k (the x2_recall
+    // pattern): how much of the true top-5 the 4×16-dim spherical
+    // codebook retains on this corpus. Both chains deterministic →
+    // the recall VALUE itself is hash-oracled, so the quality of the
+    // compression dial is pinned, not asserted.
+    Q("x7_recall",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(embs, q, k = 5)
+          .select("qid", "nid")
+        val approx = Similarity.pqTopK(embs, q, k = 5)
+          .select("qid", "nid").withColumn("m", lit(1))
+        exact.join(approx, Seq("qid", "nid"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_matched"))
+          .withColumn("recall", graft.ops.Ops.roundDet(
+            col("n_matched").cast("double") / col("n_exact").cast("double"),
+            4))
+      },
+      Some(s"""WITH $SqlBruteCtes, $SqlPqCtes,
+                 e AS (SELECT qid, nid FROM br WHERE rank <= 5),
+                 a AS (SELECT qid, nid, 1 AS m FROM pr WHERE rank <= 5)
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      CAST(COUNT(a.m) AS BIGINT) AS n_matched,
+                      ${sqlRoundDet(
+                        "CAST(COUNT(a.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+                        4)} AS recall
+               FROM e LEFT JOIN a USING (qid, nid)""")),
 
     // Heavy-hitters sketch contract (the stat-API sibling of the
     // d2/d3/x3 precision rows): `stat.freqItems` (Karp-Papadimitriou-

@@ -445,4 +445,36 @@ class ExtSpec extends SparkTestBase {
       .select(explode(col("token_freqItems"))).as[String].collect().toSet
     assert(found.contains("heavy"), s"sketch missed the heavy hitter: $found")
   }
+
+  test("PQ on a codeword-only corpus reconstructs exact cosine ranking") {
+    // Take exactly the stride sample as the corpus: every vector's
+    // subvectors ARE codewords, so encoding loses nothing and the ADC
+    // score must equal the true cosine of normalized vectors (dot
+    // decomposes exactly over subspaces) up to the LUT's 6dp + final
+    // 4dp rounding. Ranks then match brute force wherever the 4dp
+    // scores are tie-free.
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter($"vec_id" % 20 === 0)
+    val q = embs.filter($"vec_id" < 60) // 3 query vectors
+    val pq = Similarity.pqTopK(embs, q, k = 3, stride = 20)
+    val bf = Similarity.bruteForceTopK(embs, q, k = 3)
+    val joined = pq.join(
+      bf.select($"qid", $"rank", $"nid".as("bf_nid"), $"cosine"),
+      Seq("qid", "rank"))
+    assert(joined.count() == pq.count(), "rank sets diverge")
+    val bad = joined.filter(
+      abs($"score" - $"cosine") > 0.001 || $"nid" =!= $"bf_nid")
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+  }
+
+  test("PQ codes are bounded by the codebook and cover all subspaces") {
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cb = Similarity.pqCodebook(embs, stride = 20)
+    val k = cb.select(size(element_at($"cb", 1))).as[Int].head()
+    val enc = Similarity.pqEncode(embs, cb)
+    assert(enc.count() == embs.count())
+    val flat = enc.select($"nid", explode($"codes").as("code"))
+    assert(flat.filter($"code" < 0 || $"code" >= k).count() == 0)
+    assert(flat.groupBy("nid").count().filter($"count" =!= 4).count() == 0)
+  }
 }

@@ -45,6 +45,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // sits between the join and the aggregate that lets the
     // single-probe variant's one-row side be optimized away)
     "d9_recall_mp" -> Set("unconditional-nested-loop"),
+    // x7: the one-row PQ codebook broadcast (encode pass + per-query
+    // LUT build) — 25 KB by construction, the asset PQ exists to
+    // broadcast; the corpus-side scoring join is conditioned
+    "x7_pq_topk" -> Set("unconditional-nested-loop"),
+    "x7_recall" -> Set("unconditional-nested-loop"),
     // w4's running sum windows over ONE ROW PER DAY (first-seen
     // counts, pre-aggregated) — calendar-bounded, see
     // Sessions.cumulativeNewKeys
