@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: z-order clustering keys, zone maps
+  * (per-file min/max statistics), and the file-pruning arithmetic
+  * that turns the two into skipped I/O (extension beyond the
+  * reference — its warehouse is a single-node Postgres where layout
+  * is the planner's problem; on a 100 TB lake the TABLE LAYOUT is
+  * the first query optimizer).
+  *
+  * The mechanism, end to end:
+  *  - [[zorderKey2]] interleaves the bits of two bucketized
+  *    dimensions so that rows close in BOTH dimensions get close
+  *    keys (Morton order). Sorting/range-partitioning by that key
+  *    and chunking into files gives every file a tight 2-D bounding
+  *    box instead of a full-width stripe.
+  *  - A zone map ([[zonemap2]]) is the per-file (min, max) of each
+  *    dimension — the footer statistics every modern columnar format
+  *    (parquet row groups, Iceberg/Delta file stats) already keeps.
+  *  - A 2-D range predicate then scans ONLY files whose box
+  *    intersects the predicate box ([[pruneStats2]]). Under a linear
+  *    (x-major) layout the y-dimension bounds are full-width in
+  *    every file, so y-predicates prune nothing; under z-order both
+  *    dimensions prune — the measured gap is the point of the z3 row.
+  *
+  * Everything here is plain codegen'd integer arithmetic (shifts and
+  * masks — the standard two-dimension Morton spread), deterministic,
+  * and therefore DuckDB-oracle-able bit for bit. Files are modeled
+  * as equal-WIDTH key ranges (key >> shift), the idealization of a
+  * range-partitioned write; production uses repartitionByRange
+  * (sampled splits) to get equal-SIZE files, which only tightens the
+  * boxes further. No global window, no shuffle beyond the per-file
+  * aggregation itself.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of x to even bit positions 0,2,4,…,30
+    * (the classic mask-doubling sequence). Input must already be
+    * bucketized to [0, 2^16); the caller picks the bucketing. */
+  private def spread16(x: Column): Column = {
+    val v0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val v1 = (v0.bitwiseOR(shiftleft(v0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = (v1.bitwiseOR(shiftleft(v1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = (v2.bitwiseOR(shiftleft(v2, 2))).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (z-order) key of two dimensions bucketized to
+    * [0, 2^16): bit i of `a` lands at position 2i+1, bit i of `b`
+    * at 2i — a 2-D space-filling curve in one codegen'd projection
+    * (10 shifts + 10 masks, no custom expression, no shuffle). */
+  def zorderKey2(a: Column, b: Column): Column =
+    shiftleft(spread16(a), 1).bitwiseOR(spread16(b))
+
+  /** X-major linear key over the same bucket space — the layout a
+    * plain `ORDER BY x` write produces, kept on the identical
+    * key-width so file chunking (key >> shift) is comparable. */
+  def linearKey2(a: Column, b: Column, bBits: Int): Column =
+    shiftleft(a.cast("long"), bBits).bitwiseOR(b.cast("long"))
+
+  /** Zone map of a keyed layout: chunk rows into files by the top
+    * key bits (file = key >> shift) and record each file's per-
+    * dimension (min, max) plus row count — one key-ranged
+    * aggregation, the file-footer statistics a lake write produces
+    * for free. */
+  def zonemap2(df: DataFrame, key: Column, shift: Int,
+               xb: Column, yb: Column): DataFrame =
+    df.select(shiftrightunsigned(key, shift).as("file_id"),
+        xb.as("xb"), yb.as("yb"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
+        min(col("yb")).as("min_y"), max(col("yb")).as("max_y"))
+
+  /** Files a 2-D range predicate must scan given a zone map: the
+    * box-intersection test every stats-based file pruner runs. */
+  def scannedFiles(zm: DataFrame, x1: Int, x2: Int,
+                   y1: Int, y2: Int): DataFrame =
+    zm.filter(col("min_x") <= x2 && col("max_x") >= x1 &&
+      col("min_y") <= y2 && col("max_y") >= y1)
+
+  /** One-row pruning report for a predicate box under BOTH layouts:
+    * files/rows scanned linear vs z-order, plus the true selected
+    * row count (the lower bound any layout must read). The z-order
+    * win is (rows_linear − rows_zorder) of avoided I/O per query —
+    * at 100 TB the difference between a stripe scan and a quadrant
+    * read. */
+  def pruneStats2(df: DataFrame, xb: Column, yb: Column, bits: Int,
+                  filesShift: Int, x1: Int, x2: Int, y1: Int,
+                  y2: Int): DataFrame = {
+    val base = df.select(xb.as("xb"), yb.as("yb"))
+    val zm = zonemap2(base, zorderKey2(col("xb"), col("yb")),
+      filesShift, col("xb"), col("yb"))
+    val lm = zonemap2(base, linearKey2(col("xb"), col("yb"), bits),
+      filesShift, col("xb"), col("yb"))
+    val zs = scannedFiles(zm, x1, x2, y1, y2)
+      .agg(count(lit(1)).as("files_zorder"),
+        sum(col("n_rows")).as("rows_zorder"))
+    val ls = scannedFiles(lm, x1, x2, y1, y2)
+      .agg(count(lit(1)).as("files_linear"),
+        sum(col("n_rows")).as("rows_linear"))
+    val hits = base.filter(col("xb").between(x1, x2) &&
+        col("yb").between(y1, y2))
+      .agg(count(lit(1)).as("rows_selected"))
+    // three one-row aggregates side by side (the audited e8 shape)
+    ls.crossJoin(zs).crossJoin(hits)
+      .select(col("files_linear"), col("rows_linear"),
+        col("files_zorder"), col("rows_zorder"), col("rows_selected"))
+  }
+}

@@ -467,6 +467,60 @@ class ExtSpec extends SparkTestBase {
     assert(bad.count() == 0, bad.collect().mkString("\n"))
   }
 
+  test("zorderKey2 matches a bit-by-bit reference interleave") {
+    // reference: plain Scala loop interleave of the low 16 bits
+    def ref(a: Int, b: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (2 * i + 1)
+        z |= ((b >> i) & 1L) << (2 * i)
+      }
+      z
+    }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (1023, 1023), (512, 7),
+      (65535, 65535), (40000, 123), (321, 54321))
+    val df = cases.toDF("a", "b")
+      .withColumn("z", ext.Layout.zorderKey2($"a", $"b"))
+    val got = df.select("a", "b", "z").as[(Int, Int, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == ref(a, b), s"interleave($a, $b): got $z want ${ref(a, b)}")
+    }
+    // Morton keys preserve quadrant containment: the top 2k bits of
+    // the key are the interleaved top k bits of each dim
+    val (a, b) = (777, 333)
+    val z = ref(a, b)
+    assert((z >> 14) == ref(a >> 7, b >> 7), "quadrant bits differ")
+  }
+
+  test("z-order zone maps bound both dims; linear stripes only one") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val base = li.select(
+      pmod($"l_orderkey" * 2654435761L, lit(1024)).as("xb"),
+      pmod($"l_partkey" * 2246822519L, lit(1024)).as("yb"))
+    val zm = ext.Layout.zonemap2(base,
+      ext.Layout.zorderKey2($"xb", $"yb"), 12, $"xb", $"yb")
+    val lm = ext.Layout.zonemap2(base,
+      ext.Layout.linearKey2($"xb", $"yb", 10), 12, $"xb", $"yb")
+    // every z file's box fits a 64×64 quadrant; every full linear
+    // file spans (nearly) the whole y range
+    val zBad = zm.filter($"max_x" - $"min_x" >= 64 ||
+      $"max_y" - $"min_y" >= 64)
+    assert(zBad.count() == 0, zBad.collect().mkString("\n"))
+    val yWidths = lm.agg(max($"max_y" - $"min_y")).as[Long].head()
+    assert(yWidths > 512, s"linear y-width unexpectedly tight: $yWidths")
+    // pruning superiority on the registered z3 predicate box
+    val row = ext.Layout.pruneStats2(li,
+      pmod($"l_orderkey" * 2654435761L, lit(1024)),
+      pmod($"l_partkey" * 2246822519L, lit(1024)),
+      bits = 10, filesShift = 12,
+      x1 = 100, x2 = 160, y1 = 300, y2 = 360).head()
+    val (rowsLin, rowsZ, hits) =
+      (row.getAs[Long]("rows_linear"), row.getAs[Long]("rows_zorder"),
+        row.getAs[Long]("rows_selected"))
+    assert(rowsZ < rowsLin, s"z-order did not prune better: $row")
+    assert(rowsZ >= hits && rowsLin >= hits, s"scan below true hits: $row")
+  }
+
   test("PQ codes are bounded by the codebook and cover all subspaces") {
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cb = Similarity.pqCodebook(embs, stride = 20)

@@ -50,6 +50,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // broadcast; the corpus-side scoring join is conditioned
     "x7_pq_topk" -> Set("unconditional-nested-loop"),
     "x7_recall" -> Set("unconditional-nested-loop"),
+    // z3: three one-row pruning aggregates (linear scan stats,
+    // z-order scan stats, true hit count) side by side — the e8
+    // one-row-totals shape
+    "z3_prune_fraction" -> Set("unconditional-nested-loop"),
     // w4's running sum windows over ONE ROW PER DAY (first-seen
     // counts, pre-aggregated) — calendar-bounded, see
     // Sessions.cumulativeNewKeys
