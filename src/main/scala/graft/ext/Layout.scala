@@ -109,4 +109,29 @@ object Layout {
       .select(col("files_linear"), col("rows_linear"),
         col("files_zorder"), col("rows_zorder"), col("rows_selected"))
   }
+
+  /** Compaction / split plan for a small-file inventory: within each
+    * table partition, files are walked in id order and assigned to
+    * bins by cumulative size — bin = floor(exclusive-running-sum /
+    * target) — so every bin holds ~target bytes and the thousand
+    * 1 MB files a streaming ingest leaves behind become a handful of
+    * rewrite groups. This is the offset-packing idealization of
+    * Spark's own FilePartition planning (maxPartitionBytes): a bin
+    * may overflow by less than one file, never undershoot-fragment.
+    * One window per PARTITION (never global — the plan parallelizes
+    * across partitions exactly like the rewrite it schedules) and
+    * fully deterministic, so the DuckDB oracle replays it.
+    *
+    * Returns one row per file: (partition, file_id, size, bin). */
+  def compactionPlan(files: DataFrame, partCol: Column, fileIdCol: Column,
+                     sizeCol: Column, target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy(col("part")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.select(partCol.as("part"), fileIdCol.as("file_id"),
+        sizeCol.as("size"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("size")).over(prior), lit(0L)) / target)
+          .cast("long"))
+  }
 }

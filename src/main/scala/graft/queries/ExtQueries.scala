@@ -2001,7 +2001,48 @@ object ExtQueries {
                          AND yb BETWEEN 300 AND 360)
                SELECT files_linear, rows_linear, files_zorder,
                       rows_zorder, rows_selected
-               FROM ls, zs, h"""))
+               FROM ls, zs, h""")),
+
+    // z4: compaction planning over a small-file inventory (files =
+    // 128 orderkey-hash buckets per l_returnflag partition, sized in
+    // rows): per partition, walk files in id order and cut bins at
+    // the 4000-row target by exclusive running sum — the offset-
+    // packing idealization of Spark's own FilePartition/
+    // maxPartitionBytes split planning, and the rewrite schedule an
+    // OPTIMIZE/compact job would execute. Output = per-bin summary;
+    // the window is partition-scoped, never global.
+    Q("z4_compaction_plan",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val inventory = li.groupBy(col("l_returnflag").as("part"),
+            pmod(col("l_orderkey") * lit(2654435761L), lit(128))
+              .as("file_id"))
+          .agg(count(lit(1)).as("size"))
+        Layout.compactionPlan(inventory, col("part"), col("file_id"),
+            col("size"), target = 4000L)
+          .groupBy("part", "bin")
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("size")).cast("long").as("total_rows"),
+            min(col("file_id")).as("first_file"),
+            max(col("file_id")).as("last_file"))
+          .orderBy("part", "bin")
+      },
+      Some("""WITH inv AS (SELECT l_returnflag AS part,
+                             (l_orderkey * 2654435761) % 128 AS file_id,
+                             CAST(COUNT(*) AS BIGINT) AS size
+                           FROM lineitem GROUP BY 1, 2),
+                 planned AS (SELECT part, file_id, size,
+                               CAST(FLOOR(COALESCE(SUM(size) OVER (
+                                   PARTITION BY part ORDER BY file_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) / 4000.0)
+                                 AS BIGINT) AS bin
+                             FROM inv)
+              SELECT part, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+                     CAST(SUM(size) AS BIGINT) AS total_rows,
+                     MIN(file_id) AS first_file,
+                     MAX(file_id) AS last_file
+              FROM planned GROUP BY part, bin ORDER BY part, bin"""))
   )
 
   // DuckDB twin of Layout.spread16/zorderKey2: the identical

@@ -521,6 +521,39 @@ class ExtSpec extends SparkTestBase {
     assert(rowsZ >= hits && rowsLin >= hits, s"scan below true hits: $row")
   }
 
+  test("compactionPlan matches a driver-side running-sum fold") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val inv = li.groupBy($"l_returnflag".as("part"),
+        pmod($"l_orderkey" * 2654435761L, lit(128)).as("file_id"))
+      .agg(count(lit(1)).as("size"))
+    val got = ext.Layout.compactionPlan(inv, $"part", $"file_id",
+        $"size", target = 4000L)
+      .select("part", "file_id", "bin")
+      .as[(String, Long, Long)].collect().toSet
+    // reference: per-partition fold in file_id order
+    val want = inv.as[(String, Long, Long)].collect()
+      .groupBy(_._1).iterator.flatMap { case (p, fs) =>
+        var cum = 0L
+        fs.sortBy(_._2).map { case (_, fid, sz) =>
+          val bin = cum / 4000L
+          cum += sz
+          (p, fid, bin)
+        }
+      }.toSet
+    assert(got == want,
+      s"diff: ${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    // bins are contiguous file ranges per partition
+    val bins = ext.Layout.compactionPlan(inv, $"part", $"file_id",
+        $"size", 4000L)
+      .groupBy("part", "bin")
+      .agg(min($"file_id").as("lo"), max($"file_id").as("hi"),
+        count(lit(1)).as("n"))
+    val overlaps = bins.as("a").join(bins.as("b"),
+      $"a.part" === $"b.part" && $"a.bin" < $"b.bin" &&
+        $"a.hi" > $"b.lo")
+    assert(overlaps.count() == 0, "bins overlap in file_id ranges")
+  }
+
   test("PQ codes are bounded by the codebook and cover all subspaces") {
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cb = Similarity.pqCodebook(embs, stride = 20)
