@@ -593,4 +593,74 @@ object Similarity {
       .select("qid", "rank", "nid", "score")
       .orderBy("qid", "rank")
   }
+
+  /** IVF×PQ composed top-k — the production ANN shape: IVF bucketing
+    * prunes pair COUNT (each query scores only its nprobe probed
+    * buckets' members, |corpus|·nprobe/ncentroids candidates instead
+    * of |corpus|), PQ ADC prunes pair COST (m LUT lookups instead of
+    * a dim-wide dot, and only the m-int codes column moves — the
+    * full embedding is never read past the one-time assign+encode
+    * passes). Both index sides are build-once/reusable; the
+    * per-query work is the product of the two reductions, which is
+    * why this composition (IVFADC) is the standard billion-scale
+    * layout. The candidate join is the same equi-join on cid as
+    * [[ivfTopK]] — keyed, broadcast-probed, no corpus shuffle.
+    *
+    * Same determinism contract as [[pqTopK]]/[[ivfTopK]]
+    * (stride centroids, roundDet'd LUT + score, ties to lower
+    * cid/nid), so the composed pipeline is DuckDB-oracle-able. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                stride: Int = 20, nprobe: Int = 12, m: Int = 4,
+                dim: Int = 64, vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val sub = dim / m
+    val cents = centroids(corpus, stride, vecCol, idCol)
+    val assigned = ivfAssign(corpus, cents, vecCol, idCol)
+      .select("nid", "cid")
+    val cb = pqCodebook(corpus, stride, m, dim, vecCol, idCol)
+    val enc = pqEncode(corpus, cb, m, dim, vecCol, idCol)
+      .join(assigned, "nid") // (nid, codes, cid) — the stored index row
+
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cid").asc)
+    val probed = q.join(broadcast(cents))
+      .withColumn("qcos", cosine(col("qvec"), col("cvec")))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= nprobe)
+      .select("qid", "cid")
+
+    val lut = normalized(queries, vecCol, idCol)
+      .join(broadcast(cb))
+      .select(col("id").as("qid"), col("vn"),
+        posexplode(col("cb")).as(Seq("mi", "cands")))
+      .select(col("qid"), col("mi"),
+        explode(col("cands")).as("c"), col("vn"))
+      .withColumn("v", graft.ops.Ops.roundDet(
+        dot(slice(col("vn"), col("mi") * sub + 1, lit(sub)),
+          col("c.cvec")), 6))
+      .groupBy("qid", "mi")
+      .agg(transform(
+        array_sort(collect_list(struct(col("c.cid").as("cid"), col("v")))),
+        s => s.getField("v")).as("lv"))
+      .groupBy("qid")
+      .agg(transform(array_sort(collect_list(struct(col("mi"), col("lv")))),
+        s => s.getField("lv")).as("lut"))
+
+    val score = (0 until m).map(i =>
+      element_at(element_at(col("lut"), i + 1),
+        element_at(col("codes"), i + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    probed.join(enc, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(lut), Seq("qid"))
+      .withColumn("score", graft.ops.Ops.roundDet(score, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+      .orderBy("qid", "rank")
+  }
 }

@@ -1910,6 +1910,89 @@ object ExtQueries {
                         AS avg_err
                FROM r ORDER BY vec_id""")),
 
+    // IVF×PQ composition (IVFADC — the billion-scale production
+    // layout): IVF prunes pair COUNT (nprobe/ncentroids of the
+    // corpus per query), PQ prunes pair COST (4 LUT lookups, codes
+    // only — the embedding column never moves after the build
+    // passes). Deterministic end to end → the composed chain is
+    // hash-exact oracled by joining the two CTE families.
+    Q("x8_ivfpq_topk",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                 x8cand AS (SELECT ipr.qid, iasg.nid
+                            FROM ipr JOIN iasg ON ipr.cid = iasg.cid
+                              AND ipr.qid <> iasg.nid),
+                 x8term AS (SELECT c.qid, c.nid, e.m, l.v
+                            FROM x8cand c
+                            JOIN penc e ON e.nid = c.nid
+                            JOIN plut l ON l.qid = c.qid AND l.m = e.m
+                              AND l.cid = e.cid),
+                 x8score AS (SELECT qid, nid,
+                               ${sqlRoundDet(
+                                 "MAX(CASE WHEN m = 0 THEN v END)" +
+                                   " + MAX(CASE WHEN m = 1 THEN v END)" +
+                                   " + MAX(CASE WHEN m = 2 THEN v END)" +
+                                   " + MAX(CASE WHEN m = 3 THEN v END)", 4)}
+                                 AS score
+                             FROM x8term GROUP BY qid, nid),
+                 x8r AS (SELECT qid, nid, score,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score DESC, nid) AS rank
+                         FROM x8score)
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x8 recall vs exact: what the composed pruning keeps of the
+    // true top-5 — compare x7_recall (PQ alone, all pairs scored)
+    // and x2_recall (IVF alone, full dots) to read the two dials'
+    // separate and joint costs.
+    Q("x8_recall",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(embs, q, k = 5)
+          .select("qid", "nid")
+        val approx = Similarity.ivfPqTopK(embs, q, k = 5)
+          .select("qid", "nid").withColumn("m", lit(1))
+        exact.join(approx, Seq("qid", "nid"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_matched"))
+          .withColumn("recall", graft.ops.Ops.roundDet(
+            col("n_matched").cast("double") / col("n_exact").cast("double"),
+            4))
+      },
+      Some(s"""WITH $SqlBruteCtes, $SqlIvfCtes, $SqlPqCtes,
+                 x8cand AS (SELECT ipr.qid, iasg.nid
+                            FROM ipr JOIN iasg ON ipr.cid = iasg.cid
+                              AND ipr.qid <> iasg.nid),
+                 x8term AS (SELECT c.qid, c.nid, e.m, l.v
+                            FROM x8cand c
+                            JOIN penc e ON e.nid = c.nid
+                            JOIN plut l ON l.qid = c.qid AND l.m = e.m
+                              AND l.cid = e.cid),
+                 x8score AS (SELECT qid, nid,
+                               ${sqlRoundDet(
+                                 "MAX(CASE WHEN m = 0 THEN v END)" +
+                                   " + MAX(CASE WHEN m = 1 THEN v END)" +
+                                   " + MAX(CASE WHEN m = 2 THEN v END)" +
+                                   " + MAX(CASE WHEN m = 3 THEN v END)", 4)}
+                                 AS score
+                             FROM x8term GROUP BY qid, nid),
+                 x8r AS (SELECT qid, nid, score,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score DESC, nid) AS rank
+                         FROM x8score),
+                 e AS (SELECT qid, nid FROM br WHERE rank <= 5),
+                 a AS (SELECT qid, nid, 1 AS m FROM x8r WHERE rank <= 5)
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      CAST(COUNT(a.m) AS BIGINT) AS n_matched,
+                      ${sqlRoundDet(
+                        "CAST(COUNT(a.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+                        4)} AS recall
+               FROM e LEFT JOIN a USING (qid, nid)""")),
+
     // ---- data layout: z-order + zone maps -----------------------------
     // (Morton-key clustering and per-file min/max stats — the layout
     // side of the 100 TB posture, oracled as plain bit arithmetic.)

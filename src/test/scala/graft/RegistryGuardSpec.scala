@@ -50,6 +50,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // broadcast; the corpus-side scoring join is conditioned
     "x7_pq_topk" -> Set("unconditional-nested-loop"),
     "x7_recall" -> Set("unconditional-nested-loop"),
+    // x8: IVF's one-row centroid broadcast + PQ's one-row codebook
+    // broadcast, composed (the candidate/scoring joins are keyed)
+    "x8_ivfpq_topk" -> Set("unconditional-nested-loop"),
+    "x8_recall" -> Set("unconditional-nested-loop"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
