@@ -521,6 +521,63 @@ class ExtSpec extends SparkTestBase {
     assert(rowsZ >= hits && rowsLin >= hits, s"scan below true hits: $row")
   }
 
+  test("z-order parquet layout physically prunes row groups; linear does not") {
+    // The z3 row models zone-map pruning; this test proves the same
+    // effect at the parquet layer: identical data written in linear
+    // vs z-order row order with small row groups, scanned with the
+    // same 2-D predicate. Parquet keeps per-row-group min/max for
+    // xb/yb; the pushed filters skip groups whose stats exclude the
+    // box. The scan operator's numOutputRows counts rows in the
+    // groups that SURVIVED skipping (the vectorized reader emits
+    // them all, the Filter node prunes after), so it measures
+    // physical I/O, not selectivity. The predicate is the shape
+    // z-order exists for — WIDE in x (linear prunes half), NARROW in
+    // y (linear stripes span all of y, so y prunes nothing there;
+    // z-order's quadrants bound y and skip most groups). ~12 row
+    // groups at 6 k rows (1 KB blocks, flush-checked every ~100
+    // rows): enough granularity for the dyadic cells covering the
+    // box to separate from the 50% stripe.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val base = li.select(
+      pmod($"l_orderkey" * 2654435761L, lit(1024)).cast("int").as("xb"),
+      pmod($"l_partkey" * 2246822519L, lit(1024)).cast("int").as("yb"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zlay").toString
+    def writeLayout(key: org.apache.spark.sql.Column, path: String): Unit =
+      base.withColumn("__k", key)
+        .repartition(1).sortWithinPartitions("__k").drop("__k")
+        .write.option("parquet.block.size", 1024)
+        .mode("overwrite").parquet(path)
+    writeLayout(ext.Layout.linearKey2($"xb", $"yb", 10), s"$dir/linear")
+    writeLayout(ext.Layout.zorderKey2($"xb", $"yb"), s"$dir/zorder")
+
+    def scannedRows(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter($"xb".between(0, 511) && $"yb".between(300, 360))
+      // execute THIS queryExecution (count() would plan afresh and
+      // leave these metrics untouched)
+      val plan = df.queryExecution.executedPlan
+      val hits = plan.executeCollect().length.toLong
+      val executed = plan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = executed.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      (scan.metrics("numOutputRows").value, hits)
+    }
+    val (linScanned, linHits) = scannedRows(s"$dir/linear")
+    val (zScanned, zHits) = scannedRows(s"$dir/zorder")
+    assert(linHits == zHits, s"selectivity differs: $linHits vs $zHits")
+    assert(zScanned < linScanned,
+      s"z-order scan not smaller: z=$zScanned linear=$linScanned")
+    // the win must be structural, not noise: at least 2× fewer rows
+    // surface from surviving row groups under z-order
+    assert(zScanned * 2 <= linScanned,
+      s"z-order pruning below 2x: z=$zScanned linear=$linScanned")
+  }
+
   test("compactionPlan matches a driver-side running-sum fold") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val inv = li.groupBy($"l_returnflag".as("part"),
