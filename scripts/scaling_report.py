@@ -28,6 +28,11 @@ PAIR_FAMILIES = {
     # components over the embedding pair list — the pair mass itself
     # is ~copies^2 under exact vector replication
     "d13_semantic_groups",
+    # recall rows: 1-row OUTPUT but the measured chain mines the same
+    # twin-inflated near-dup pair mass as d9 (both the approx side's
+    # bucket pairs and the sampled-exact side's matches), so their
+    # TIME is ~copies^2 under exact replication by construction
+    "d9_recall", "d9_recall_mp",
 }
 
 

@@ -484,13 +484,25 @@ object Similarity {
     * array over subspace of array over cid of struct(cid, cvec),
     * both levels cid/m-ordered so positional indexing works — the
     * whole codebook is m·K·(dim/m) doubles (25 KB here), the
-    * broadcast-everywhere asset of the PQ design. */
+    * broadcast-everywhere asset of the PQ design.
+    *
+    * K is CAPPED at `maxK` (default 256 — the PQ standard: one BYTE
+    * per subspace code): an uncapped stride sample grows the
+    * codebook with the corpus, which silently turns the encode pass
+    * O(N·K) = O(N²/stride) and bloats every per-query LUT — exactly
+    * what the sf1synth scaling sentinel caught on the first x7
+    * sweep (2.7 s → 148 s at 10×; linear again after the cap).
+    * A fixed-size codebook is not a compromise, it is the PQ
+    * contract: quantization grain is a model constant, corpus
+    * growth adds rows, not codewords. */
   def pqCodebook(corpus: DataFrame, stride: Int = 20, m: Int = 4,
-                 dim: Int = 64, vecCol: String = "embedding",
+                 dim: Int = 64, maxK: Int = 256,
+                 vecCol: String = "embedding",
                  idCol: String = "vec_id"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
-    normalized(corpus.filter(pmod(col(idCol), lit(stride)) === 0),
+    normalized(corpus.filter(pmod(col(idCol), lit(stride)) === 0 &&
+        col(idCol) < lit(maxK.toLong * stride)),
         vecCol, idCol)
       .select((col("id") / stride).cast("long").as("cid"),
         explode(array((0 until m).map(i =>
@@ -551,14 +563,54 @@ object Similarity {
              vecCol: String = "embedding",
              idCol: String = "vec_id"): DataFrame = {
     val sub = dim / m
-    val cb = pqCodebook(corpus, stride, m, dim, vecCol, idCol)
+    val cb = pqCodebook(corpus, stride, m, dim, vecCol = vecCol, idCol = idCol)
+    // The exchange after encode is LOAD-BEARING, not incidental:
+    // whole-stage codegen defers the stream side's deferred columns
+    // into the broadcast-join loop, so without a materialization
+    // barrier the 4-argmax `codes` derivation re-evaluates per
+    // (corpus row × query) PAIR instead of per corpus row — measured
+    // 41 s → 3.6 s at the 10× replica from this one line. It is also
+    // the production shape: the encoded corpus is the build-once
+    // stored index (32 bytes/row — the cheapest shuffle in the
+    // chain), and the exchange spreads the scoring scan across the
+    // cluster where the raw single-file fixture gave only 2 splits.
+    // (x8's equi-join route gets the same barrier for free from its
+    // cid shuffle.)
     val enc = pqEncode(corpus, cb, m, dim, vecCol, idCol)
+      .repartition(col("nid"))
 
-    // per-query LUT: explode the broadcast codebook row to
-    // (subspace, codeword) and dot each against the query's matching
-    // subvector; regroup into the 2-level (subspace-major,
-    // cid-ordered) array so scoring indexes positionally
-    val lut = normalized(queries, vecCol, idCol)
+    val lut = pqLut(queries, cb, m, sub, vecCol, idCol)
+    val wPart = Window.partitionBy(col("qid"), col("__pid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    enc.join(broadcast(lut), col("qid") =!= col("nid"))
+      .withColumn("score", graft.ops.Ops.roundDet(pqScore(m), 4))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prank", row_number().over(wPart))
+      .filter(col("__prank") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** Per-query ADC lookup table as ONE FLAT array (subspace-major,
+    * cid-ordered): explode the broadcast codebook row to (subspace,
+    * codeword), dot each against the query's matching subvector,
+    * regroup, flatten. Flat on purpose — an earlier 2-level
+    * array-of-arrays shape made every lookup
+    * `element_at(element_at(lut, m), code)`, and the INNER
+    * element_at materializes a copy of the 2 KB subspace array per
+    * evaluation; the ranking path re-evaluates the score expression
+    * enough times that x7 spent 37 of its 40 s there at 10× scale
+    * (measured: same window ranking 0.9 s on a materialized column).
+    * A flat array lookup is a direct getDouble — nothing to copy —
+    * so the score stays cheap no matter how many times the plan
+    * re-evaluates it. */
+  private def pqLut(queries: DataFrame, cb: DataFrame, m: Int, sub: Int,
+                    vecCol: String, idCol: String): DataFrame =
+    normalized(queries, vecCol, idCol)
       .join(broadcast(cb))
       .select(col("id").as("qid"), col("vn"),
         posexplode(col("cb")).as(Seq("mi", "cands")))
@@ -572,26 +624,20 @@ object Similarity {
         array_sort(collect_list(struct(col("c.cid").as("cid"), col("v")))),
         s => s.getField("v")).as("lv"))
       .groupBy("qid")
-      .agg(transform(array_sort(collect_list(struct(col("mi"), col("lv")))),
-        s => s.getField("lv")).as("lut"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("mi"), col("lv")))),
+        s => s.getField("lv"))).as("lut"))
 
-    val score = (0 until m).map(i =>
-      element_at(element_at(col("lut"), i + 1),
-        element_at(col("codes"), i + 1).cast("int") + 1))
+  /** ADC score against a flat [[pqLut]] column: K is read from the
+    * lut's own length (size/m), so the expression needs no
+    * plan-time codebook size. Explicit subspace-ordered sum — the
+    * FP-determinism contract the oracle replays. */
+  private def pqScore(m: Int): Column = {
+    val kCol = (size(col("lut")) / m).cast("int")
+    (0 until m).map(i =>
+      element_at(col("lut"),
+        kCol * i + element_at(col("codes"), i + 1).cast("int") + 1))
       .reduce(_ + _)
-    val wPart = Window.partitionBy(col("qid"), col("__pid"))
-      .orderBy(col("score").desc, col("nid").asc)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid").asc)
-    enc.join(broadcast(lut), col("qid") =!= col("nid"))
-      .withColumn("score", graft.ops.Ops.roundDet(score, 4))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__prank", row_number().over(wPart))
-      .filter(col("__prank") <= k)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "score")
-      .orderBy("qid", "rank")
   }
 
   /** IVF×PQ composed top-k — the production ANN shape: IVF bucketing
@@ -617,7 +663,7 @@ object Similarity {
     val cents = centroids(corpus, stride, vecCol, idCol)
     val assigned = ivfAssign(corpus, cents, vecCol, idCol)
       .select("nid", "cid")
-    val cb = pqCodebook(corpus, stride, m, dim, vecCol, idCol)
+    val cb = pqCodebook(corpus, stride, m, dim, vecCol = vecCol, idCol = idCol)
     val enc = pqEncode(corpus, cb, m, dim, vecCol, idCol)
       .join(assigned, "nid") // (nid, codes, cid) — the stored index row
 
@@ -631,33 +677,13 @@ object Similarity {
       .filter(col("qrank") <= nprobe)
       .select("qid", "cid")
 
-    val lut = normalized(queries, vecCol, idCol)
-      .join(broadcast(cb))
-      .select(col("id").as("qid"), col("vn"),
-        posexplode(col("cb")).as(Seq("mi", "cands")))
-      .select(col("qid"), col("mi"),
-        explode(col("cands")).as("c"), col("vn"))
-      .withColumn("v", graft.ops.Ops.roundDet(
-        dot(slice(col("vn"), col("mi") * sub + 1, lit(sub)),
-          col("c.cvec")), 6))
-      .groupBy("qid", "mi")
-      .agg(transform(
-        array_sort(collect_list(struct(col("c.cid").as("cid"), col("v")))),
-        s => s.getField("v")).as("lv"))
-      .groupBy("qid")
-      .agg(transform(array_sort(collect_list(struct(col("mi"), col("lv")))),
-        s => s.getField("lv")).as("lut"))
-
-    val score = (0 until m).map(i =>
-      element_at(element_at(col("lut"), i + 1),
-        element_at(col("codes"), i + 1).cast("int") + 1))
-      .reduce(_ + _)
+    val lut = pqLut(queries, cb, m, sub, vecCol, idCol)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid").asc)
     probed.join(enc, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .join(broadcast(lut), Seq("qid"))
-      .withColumn("score", graft.ops.Ops.roundDet(score, 4))
+      .withColumn("score", graft.ops.Ops.roundDet(pqScore(m), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "score")

@@ -180,7 +180,8 @@ object ExtQueries {
         pmsub AS (SELECT UNNEST([0, 1, 2, 3]) AS m),
         pcb AS (SELECT m, CAST(vec_id // 20 AS BIGINT) AS cid,
                   vn[m * 16 + 1 : m * 16 + 16] AS cvec
-                FROM pn, pmsub WHERE vec_id % 20 = 0),
+                FROM pn, pmsub
+                WHERE vec_id % 20 = 0 AND vec_id < 5120),
         psub AS (SELECT vec_id AS nid, m,
                    vn[m * 16 + 1 : m * 16 + 16] AS sv
                  FROM pn, pmsub),
