@@ -66,4 +66,46 @@ object Decontaminate {
       flagged(docs, evalDocs, n, textCol, idCol, broadcastEval)
         .select(idCol),
       Seq(idCol), "left_anti")
+
+  /** Embedding-route decontamination — the paraphrase-leakage
+    * complement to the n-gram route above: an eval prompt reworded
+    * past any shared 3-gram still sits next to its source in
+    * embedding space, so flag every corpus vector whose cosine
+    * against ANY eval vector reaches `threshold`. Returns
+    * (idCol, n_matched, max_cosine) — hit count and strongest match,
+    * the two columns a leakage-review queue sorts by.
+    *
+    * Scale posture: the eval side is contract-small (benchmarks are
+    * thousands of prompts) and broadcasts; the corpus streams
+    * through ONE conditioned broadcast join scoring |corpus|·|eval|
+    * pairs with the fused codegen cosine, and only (id, cosine)
+    * survive the threshold filter — embeddings never shuffle. For
+    * corpora where even that pair count bites, pre-block with
+    * [[Similarity.ivfAssign]] and join per bucket (the d9 route). */
+  def semanticFlagged(corpus: DataFrame, evalEmb: DataFrame,
+                      threshold: Double, vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("__cid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val e = evalEmb.select(col(idCol).as("__eid"),
+      col(vecCol).cast("array<double>").as("__ev"))
+    c.join(broadcast(e), col("__cid") =!= col("__eid"))
+      .withColumn("cosine", graft.ops.Ops.roundDet(
+        Similarity.cosine(col("__cv"), col("__ev")), 4))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_matched"),
+        max(col("cosine")).as("max_cosine"))
+      .select(col("__cid").as(idCol), col("n_matched"), col("max_cosine"))
+  }
+
+  /** The semantically-clean corpus: `corpus` minus every
+    * [[semanticFlagged]] vector — same anti-join shape as [[clean]]. */
+  def semanticClean(corpus: DataFrame, evalEmb: DataFrame,
+                    threshold: Double, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame =
+    corpus.join(
+      semanticFlagged(corpus, evalEmb, threshold, vecCol, idCol)
+        .select(idCol),
+      Seq(idCol), "left_anti")
 }

@@ -1911,6 +1911,37 @@ object ExtQueries {
                         AS avg_err
                FROM r ORDER BY vec_id""")),
 
+    // Embedding-route benchmark decontamination — the paraphrase-
+    // leakage complement to c1's n-gram route: eval = the first 30
+    // vectors (contract-small, broadcast), corpus = the rest; any
+    // corpus vector within cosine 0.3 of an eval vector is scrubbed.
+    // One conditioned broadcast join with the fused codegen cosine;
+    // embeddings never shuffle. Hash-exact oracled (deterministic
+    // chain, rounded cosines).
+    Q("e13_semantic_decontaminate",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        graft.ext.Decontaminate.semanticClean(
+            embs.filter(col("vec_id") >= 30),
+            embs.filter(col("vec_id") < 30), threshold = 0.3)
+          .select("vec_id", "label")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ce AS (SELECT vec_id,
+                             CAST(embedding AS DOUBLE[]) AS v, label
+                           FROM embeddings),
+                 ev AS (SELECT vec_id AS eid, v AS evv FROM ce
+                        WHERE vec_id < 30),
+                 tr AS (SELECT vec_id, v, label FROM ce
+                        WHERE vec_id >= 30),
+                 fl AS (SELECT DISTINCT tr.vec_id
+                        FROM tr JOIN ev ON tr.vec_id <> ev.eid
+                          AND ${sqlRoundDet(sqlCosRaw("tr.v", "ev.evv"), 4)}
+                              >= 0.3)
+               SELECT vec_id, label FROM tr
+               WHERE vec_id NOT IN (SELECT vec_id FROM fl)
+               ORDER BY vec_id""")),
+
     // IVF×PQ composition (IVFADC — the billion-scale production
     // layout): IVF prunes pair COUNT (nprobe/ncentroids of the
     // corpus per query), PQ prunes pair COST (4 LUT lookups, codes

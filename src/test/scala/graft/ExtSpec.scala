@@ -467,6 +467,26 @@ class ExtSpec extends SparkTestBase {
     assert(bad.count() == 0, bad.collect().mkString("\n"))
   }
 
+  test("semantic decontamination scrubs the planted eval twin only") {
+    // eval vector e0; corpus holds an exact twin (cosine 1.0), a
+    // negated copy (cosine -1.0) and an orthogonal vector (cosine 0)
+    val rows = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),  // eval
+      (10L, Array(1.0f, 0f, 0f, 0f), 0), // twin -> scrubbed
+      (11L, Array(-1.0f, 0f, 0f, 0f), 0), // negated -> kept
+      (12L, Array(0f, 1.0f, 0f, 0f), 0)  // orthogonal -> kept
+    ).toDF("vec_id", "embedding", "label")
+    val cleaned = ext.Decontaminate.semanticClean(
+      rows.filter($"vec_id" >= 10), rows.filter($"vec_id" < 10),
+      threshold = 0.9)
+    assert(cleaned.select("vec_id").as[Long].collect().toSet ==
+      Set(11L, 12L))
+    val fl = ext.Decontaminate.semanticFlagged(
+      rows.filter($"vec_id" >= 10), rows.filter($"vec_id" < 10), 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(fl.toSeq == Seq((10L, 1L, 1.0)))
+  }
+
   test("zorderKey2 matches a bit-by-bit reference interleave") {
     // reference: plain Scala loop interleave of the low 16 bits
     def ref(a: Int, b: Int): Long = {
