@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable}
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -41,6 +42,20 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    (multi-use non-trivial aliases survive CollapseProject) and
   *    reference the resulting attribute from the lambda — the
   *    [[graft.ext.Similarity.quantize]] discipline.
+  *  - `bnlj-deferred-derivation`: an expensive derived column (a
+  *    fused graft expression or a HOF) projected on the STREAM side
+  *    of a BroadcastNestedLoopJoin with no materialization boundary
+  *    between — whole-stage codegen defers the derivation into the
+  *    join loop, so it re-evaluates once per OUTPUT PAIR instead of
+  *    per stream row. Found the hard way: x7's PQ encode ran 41 s
+  *    instead of 3.6 s at the 10× replica, single-tasked inside the
+  *    generated loop, and the rule then caught the SAME latent bug
+  *    in x5's dequantization — whose scaladoc claimed per-row
+  *    evaluation. Fix: one exchange (repartition on the row key)
+  *    between derivation and join — the
+  *    [[graft.ext.Similarity.pqTopK]] shape. One-row build sides
+  *    (pair multiplier exactly 1) are the benign case the audit
+  *    list carries.
   *
   * Bounded relations are invisible at plan level, so callers joining
   * a KNOWN-tiny frame crosswise (a one-row totals broadcast — the e8
@@ -54,7 +69,7 @@ object PlanGuard {
 
   val Rules: Set[String] =
     Set("cartesian-product", "global-window", "unconditional-nested-loop",
-      "lambda-invariant-recompute")
+      "lambda-invariant-recompute", "bnlj-deferred-derivation")
 
   /** All findings in df's executed plan (empty = scale-safe). */
   def findings(df: DataFrame): Seq[Finding] =
@@ -73,16 +88,71 @@ object PlanGuard {
         Seq(Finding("global-window", w.nodeName,
           "partition the window, or use a bounded top-k aggregate / " +
             "orderBy+limit instead of rank-then-filter"))
-      case j: BroadcastNestedLoopJoinExec if j.condition.isEmpty =>
-        Seq(Finding("unconditional-nested-loop", j.nodeName,
-          "give the join a condition, or accept it explicitly for a " +
-            "contract-small side"))
+      case j: BroadcastNestedLoopJoinExec =>
+        val uncond =
+          if (j.condition.isEmpty)
+            Seq(Finding("unconditional-nested-loop", j.nodeName,
+              "give the join a condition, or accept it explicitly for a " +
+                "contract-small side"))
+          else Seq.empty
+        uncond ++ deferredDerivationFindings(j)
       case _ => Seq.empty
     }
     here ++ plan.expressions.flatMap(lambdaFindings) ++
       plan.children.flatMap(scan) ++
       plan.subqueries.flatMap(scan)
   }
+
+  // ---- bnlj-deferred-derivation --------------------------------------
+
+  /** Whole-stage codegen defers STREAM-side derived columns into a
+    * broadcast-nested-loop join's inner loop: a Project pipelined
+    * under the join (no materialization boundary between) has its
+    * expressions re-evaluated once per OUTPUT PAIR, not per stream
+    * row. Harmless for casts; catastrophic for per-row-expensive
+    * derivations — the x7 PQ encode (a 4-argmax codes array) ran
+    * 41 s instead of 3.6 s at the 10× replica from exactly this,
+    * single-tasked inside the generated loop. The fix is one
+    * exchange (e.g. `repartition(key)`) between the derivation and
+    * the join — which is also the production posture, since such a
+    * derived column is usually the stored index. */
+  private def deferredDerivationFindings(
+      j: BroadcastNestedLoopJoinExec): Seq[Finding] = {
+    val streamed = j.buildSide match {
+      case BuildRight => j.left
+      case BuildLeft => j.right
+    }
+    pipelinedProjects(streamed).flatMap { pr =>
+      pr.projectList.filter(isCostlyDerivation).map(e =>
+        Finding("bnlj-deferred-derivation",
+          s"${j.nodeName} ← Project[${e.toString.take(60)} …]",
+          "materialize the derived column behind an exchange (e.g. " +
+            "repartition) before the broadcast join — codegen defers " +
+            "stream-side derivations into the join loop, re-evaluating " +
+            "them per PAIR (Similarity.pqTopK shape)"))
+    }
+  }
+
+  /** Projects pipelined with the consumer above them: Filter and the
+    * codegen wrapper pass rows through without materializing;
+    * InputAdapter is a codegen-stage boundary (its child's rows ARE
+    * materialized) and everything else (exchange, sort, aggregate,
+    * scan) materializes — both stop the walk. */
+  private def pipelinedProjects(p: SparkPlan): Seq[ProjectExec] = p match {
+    case pr: ProjectExec => pr +: pipelinedProjects(pr.child)
+    case f: FilterExec => pipelinedProjects(f.child)
+    case w: WholeStageCodegenExec => pipelinedProjects(w.child)
+    case _: InputAdapter => Seq.empty
+    case _ => Seq.empty
+  }
+
+  /** Expensive enough that a per-pair re-evaluation is a plan bug:
+    * any of this library's fused expressions (each is an O(array) or
+    * worse loop — that is why they exist) or a higher-order function
+    * (interpreted per-element lambda). */
+  private def isCostlyDerivation(e: Expression): Boolean =
+    e.exists(x => x.getClass.getName.startsWith("graft.functions.") ||
+      x.isInstanceOf[HigherOrderFunction])
 
   // ---- lambda-invariant-recompute ------------------------------------
 

@@ -401,9 +401,8 @@ object PipeQueries {
         val deq = transform(col("nvec"), x => when(mx === mn, mn)
           .otherwise(
             mn + floor((x - mn) / (mx - mn) * 255.0 + 0.5) * scale))
-        // ONE corpus x queries pass scoring BOTH representations
-        // (dvec projects under the join, so dequantization runs once
-        // per corpus row), then a bounded top-k AGGREGATE per
+        // ONE corpus x queries pass scoring BOTH representations,
+        // then a bounded top-k AGGREGATE per
         // ranking instead of rank windows: TopKAgg keeps <=5
         // (score desc, id asc) candidates map-side, so the only
         // post-join shuffle moves <= 2*5*|queries| rows per input
@@ -414,10 +413,17 @@ object PipeQueries {
         // no exact-vs-quant join at all. Ordering is total (score
         // desc, id asc — TopKAgg's contract), so the result matches
         // the oracle's ROW_NUMBER ranking exactly.
+        // the repartition is the bnlj-deferred-derivation barrier:
+        // without it, codegen defers the dvec transform into the
+        // broadcast-join loop and dequantization re-runs per
+        // (corpus row × query) PAIR — PlanGuard's rule (born from
+        // x7's 41 s version of the same bug) flagged this plan's
+        // own scaladoc claim that dvec ran once per row
         val c = embs
           .select(col("vec_id").as("nid"), v.as("nvec"),
             array_min(v).as("__mn"), array_max(v).as("__mx"))
           .select(col("nid"), col("nvec"), deq.as("dvec"))
+          .repartition(col("nid"))
         val q = embs.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), v.as("qvec"))
         // the fused codegen CosineSimilarity — the interpreted HOF

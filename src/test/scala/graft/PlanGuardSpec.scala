@@ -37,6 +37,26 @@ class PlanGuardSpec extends SparkTestBase {
       allow = Set("unconditional-nested-loop"))
   }
 
+  test("flags an expensive stream derivation pipelined under a BNLJ") {
+    // the x7 shape: a fused-expression column derived on the stream
+    // side of a broadcast join re-evaluates per PAIR (41 s → 3.6 s at
+    // the 10× replica); a repartition barrier between derivation and
+    // join materializes it per row and clears the finding
+    import graft.functions.GraftFunctions
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val derived = embs.select($"vec_id",
+      GraftFunctions.l2_normalize($"embedding".cast("array<double>"))
+        .as("vn"))
+    val q = embs.filter($"vec_id" < 3).select($"vec_id".as("qid"))
+    val joined = derived.join(broadcast(q), $"qid" =!= $"vec_id")
+    val rules = PlanGuard.findings(joined).map(_.rule).toSet
+    assert(rules.contains("bnlj-deferred-derivation"), rules.toString)
+    val barriered = derived.repartition($"vec_id")
+      .join(broadcast(q), $"qid" =!= $"vec_id")
+    val after = PlanGuard.findings(barriered).map(_.rule).toSet
+    assert(!after.contains("bnlj-deferred-derivation"), after.toString)
+  }
+
   test("flags the partitionless window Spark itself only warns about") {
     val ranked = docs.withColumn("rn",
       row_number().over(Window.orderBy($"doc_id")))

@@ -33,10 +33,13 @@ class RegistryGuardSpec extends SparkTestBase {
     // in the relevance scorers
     "t6_tfidf_topterms" -> Set("unconditional-nested-loop"),
     "t7_bm25_rank" ->
-      Set("unconditional-nested-loop", "global-window"),
+      Set("unconditional-nested-loop", "global-window",
+        "bnlj-deferred-derivation"),
     // t7's final rank window is global BUT its input is the
     // per-partition pre-truncated candidate set (≤ topN × partitions
-    // rows — the two-phase pattern PlanSpec locks for x1/t7)
+    // rows — the two-phase pattern PlanSpec locks for x1/t7); its
+    // deferred HOF term counts sit under the ONE-ROW stats join, so
+    // the per-pair multiplier is exactly 1 — benign by construction
     // centroid-array / exact-top-k one-row sides in the ANN chain
     "x2_sim_ivf_topk" -> Set("unconditional-nested-loop"),
     "x2_recall" -> Set("unconditional-nested-loop"),
@@ -47,13 +50,21 @@ class RegistryGuardSpec extends SparkTestBase {
     "d9_recall_mp" -> Set("unconditional-nested-loop"),
     // x7: the one-row PQ codebook broadcast (encode pass + per-query
     // LUT build) — 25 KB by construction, the asset PQ exists to
-    // broadcast; the corpus-side scoring join is conditioned
-    "x7_pq_topk" -> Set("unconditional-nested-loop"),
-    "x7_recall" -> Set("unconditional-nested-loop"),
+    // broadcast; the corpus-side scoring join is conditioned and
+    // BARRIERED (the repartition after encode). The deferred
+    // l2normalize flagged under the CODEBOOK joins is benign: their
+    // build side is one row, so the per-pair multiplier is 1
+    "x7_pq_topk" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    "x7_recall" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // x8: IVF's one-row centroid broadcast + PQ's one-row codebook
-    // broadcast, composed (the candidate/scoring joins are keyed)
-    "x8_ivfpq_topk" -> Set("unconditional-nested-loop"),
-    "x8_recall" -> Set("unconditional-nested-loop"),
+    // broadcast, composed (the candidate/scoring joins are keyed);
+    // same one-row-side argument for the deferred l2normalize
+    "x8_ivfpq_topk" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    "x8_recall" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
