@@ -284,4 +284,57 @@ object Curation {
     val k = md5(concat_ws(":", col(keyCol).cast("string"), lit(epoch)))
     df.withColumn("shuffle_key", k).orderBy(col("shuffle_key"), col(keyCol))
   }
+
+  /** Elementwise MEDIAN centroid per group over an embedding column —
+    * the deterministic centroid for semantic pruning. A mean over a
+    * shuffle is FP-order-dependent (see
+    * [[graft.ext.Similarity.kmeansCentroids]], which accepts that
+    * because it only feeds recall counts); the exact interpolated
+    * median of each coordinate is a pure function of the value
+    * multiset, so the whole pruning chain downstream stays
+    * DuckDB-oracle-able bit for bit (the e9 winsorize parity). The
+    * shuffle is keyed on bounded (group, dim) — never corpus-sized —
+    * and the centroid table is ≤ |groups| rows, a broadcast asset. */
+  def medianCentroids(embs: DataFrame, groupCol: String = "label",
+                      vecCol: String = "embedding"): DataFrame =
+    embs.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("grp", "pos")
+      .agg(percentile(col("x"), lit(0.5)).as("m"))
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+
+  /** Semantic outlier pruning (the SemDeDup/prototype-pruning family
+    * member that removes the far tail): rank every vector by cosine
+    * to its group's [[medianCentroids]] centroid, ascending — the
+    * least-typical first — and flag the bottom `fraction` per group.
+    * Returns the flagged rows (idCol, groupCol, cosine, rank, n_grp)
+    * — the review-queue shape, like [[Decontaminate.semanticFlagged]].
+    *
+    * Plan: one bounded (group, dim) shuffle for the centroid, one
+    * broadcast join to attach it, cosine in the scan-stage
+    * projection (fused codegen), one group-keyed rank window. The
+    * embedding column never shuffles. */
+  def semanticOutliers(embs: DataFrame, fraction: Double,
+                       groupCol: String = "label",
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    require(0.0 < fraction && fraction <= 1.0, s"bad fraction $fraction")
+    val cents = medianCentroids(embs, groupCol, vecCol)
+    val sizes = embs.groupBy(col(groupCol).as("__sg"))
+      .agg(count(lit(1)).as("n_grp"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cosine").asc, col(idCol).asc)
+    embs.select(col(idCol), col(groupCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(cents), col(groupCol) <=> col("grp"))
+      .withColumn("cosine", graft.ops.Ops.roundDet(
+        Similarity.cosine(col("__v"), col("cvec")), 4))
+      .join(broadcast(sizes), col(groupCol) <=> col("__sg"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ceil(col("n_grp") * fraction))
+      .select(col(idCol), col(groupCol), col("cosine"),
+        col("rank").cast("long").as("rank"), col("n_grp"))
+  }
 }

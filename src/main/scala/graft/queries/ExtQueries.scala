@@ -1942,6 +1942,41 @@ object ExtQueries {
                WHERE vec_id NOT IN (SELECT vec_id FROM fl)
                ORDER BY vec_id""")),
 
+    // Semantic outlier pruning (SemDeDup-family data pruning): rank
+    // every vector by cosine to its label's elementwise-MEDIAN
+    // centroid (deterministic, unlike a mean over a shuffle — the
+    // exact interpolated percentile both engines share, see a13/e9)
+    // and flag the least-typical 10% per label. One bounded
+    // (label, dim) shuffle + a label-keyed rank window; embeddings
+    // never shuffle. Hash-exact oracled.
+    Q("e14_semantic_outliers",
+      (s, dir) => Curation.semanticOutliers(
+          t(s, dir, "embeddings"), fraction = 0.1)
+        .orderBy("label", "rank"),
+      Some(s"""WITH se AS (SELECT vec_id, label,
+                             CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings),
+                 sx AS (SELECT label AS grp, g.i AS pos, v[g.i] AS x
+                        FROM se, generate_series(1, 64) g(i)),
+                 cm AS (SELECT grp, pos, quantile_cont(x, 0.5) AS m
+                        FROM sx GROUP BY grp, pos),
+                 cv AS (SELECT grp, list(m ORDER BY pos) AS cvec
+                        FROM cm GROUP BY grp),
+                 sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_grp
+                        FROM se GROUP BY label),
+                 sc AS (SELECT se.vec_id, se.label,
+                          ${sqlRoundDet(sqlCosRaw("se.v", "cv.cvec"), 4)}
+                            AS cosine, sz.n_grp
+                        FROM se JOIN cv ON se.label = cv.grp
+                        JOIN sz ON se.label = sz.label),
+                 sr AS (SELECT vec_id, label, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY cosine, vec_id) AS rank, n_grp
+                        FROM sc)
+               SELECT vec_id, label, cosine, rank, n_grp FROM sr
+               WHERE rank <= CEIL(n_grp * 0.1)
+               ORDER BY label, rank""")),
+
     // IVF×PQ composition (IVFADC — the billion-scale production
     // layout): IVF prunes pair COUNT (nprobe/ncentroids of the
     // corpus per query), PQ prunes pair COST (4 LUT lookups, codes

@@ -467,6 +467,27 @@ class ExtSpec extends SparkTestBase {
     assert(bad.count() == 0, bad.collect().mkString("\n"))
   }
 
+  test("semantic outlier pruning flags the planted outlier first") {
+    // label 0: three near-identical vectors + one near-opposite; the
+    // elementwise median tracks the majority, so the opposite vector
+    // is the least-cosine member and must be rank 1 of the flagged set
+    val rows = Seq(
+      (0L, Array(1.0f, 0.1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0f, 0.1f, 0f), 0),
+      (2L, Array(1.0f, 0f, 0f, 0.1f), 0),
+      (3L, Array(-1.0f, 0f, 0f, 0f), 0),
+      (10L, Array(0f, 1.0f, 0f, 0f), 1),
+      (11L, Array(0f, 0.9f, 0.1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val flagged = ext.Curation.semanticOutliers(rows, fraction = 0.25)
+      .as[(Long, Int, Double, Long, Long)].collect()
+    // 25% of 4 → 1 flagged in label 0; 25% of 2 → 1 in label 1
+    val byLabel = flagged.groupBy(_._2)
+    assert(byLabel(0).map(_._1).toSeq == Seq(3L), flagged.mkString(","))
+    assert(byLabel(0).head._3 < 0, "outlier cosine should be negative")
+    assert(flagged.forall(_._4 == 1L))
+  }
+
   test("semantic decontamination scrubs the planted eval twin only") {
     // eval vector e0; corpus holds an exact twin (cosine 1.0), a
     // negated copy (cosine -1.0) and an orthogonal vector (cosine 0)
