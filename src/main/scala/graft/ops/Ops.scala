@@ -190,45 +190,89 @@ object Ops {
 
   /** As-of join: for every left row, attach the single right row with
     * the greatest `rightTs <= leftTs` within the same key (ties on
-    * rightTs broken by the greatest `tieBreak`). The classic
-    * point-in-time enrichment (trades→quotes, events→dimensions).
+    * rightTs broken by the greatest `tieBreak`) — or, per
+    * `direction`, the pandas merge_asof family's other members:
+    * `"forward"` (smallest `rightTs >= leftTs`) and `"nearest"`
+    * (whichever of the two is closer in time; exact ties go
+    * backward, the pandas rule). Equal-rightTs candidates resolve
+    * to the greatest tieBreak in backward and forward mode; in
+    * nearest mode the forward LEG takes the smallest instead — the
+    * price of sharing one sort between both legs (first() reads the
+    * tie-ascending order the backward last() needs) — encoded
+    * identically in the j10 oracle. The classic point-in-time
+    * enrichment (trades→quotes, events→dimensions).
     *
     * Implemented by composing built-ins (preference (a) of the
     * project brief — no custom SparkPlan needed): tag and union both
-    * sides, one shuffle keyed on `key`, sort within partitions by
-    * (ts, side, tieBreak), and carry the latest right payload forward
-    * with `last(_, ignoreNulls = true)` over an unbounded-preceding
-    * frame. Cost: ONE shuffle + per-partition sort — the same plan a
-    * hand-written SortMergeAsofJoinExec would produce, with AQE and
-    * codegen intact. Right rows sort before left rows at equal ts, so
-    * `<=` (not `<`) semantics hold.
-    */
+    * sides, ONE shuffle keyed on `key`, sort within partitions by
+    * (ts, side, tieBreak), then carry the right payload across the
+    * left rows with `last(_, ignoreNulls)` over an
+    * unbounded-preceding frame (backward), `first(_, ignoreNulls)`
+    * over an unbounded-following frame (forward), or both at once
+    * plus a distance compare (nearest — still one sort: rights at
+    * EQUAL ts sort before the left row, so the following frame sees
+    * only strictly-later rights, and the equal-ts match arrives via
+    * the backward leg, which also wins the tie). Cost: one shuffle +
+    * per-partition sort in every direction — the plan a hand-written
+    * SortMergeAsofJoinExec would produce, with AQE and codegen
+    * intact. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               payloadCols: Seq[String], tieBreak: String): DataFrame = {
+               payloadCols: Seq[String], tieBreak: String,
+               direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
-    // side flag: 0 = right (sorts first at equal ts), 1 = left
+    // side flag: rights sort first at equal ts for backward/nearest
+    // (`<=` semantics); lefts sort first for forward (`>=` semantics)
+    val (rightSide, leftSide) =
+      if (direction == "forward") (1, 0) else (0, 1)
     val taggedRight = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+      (col(key) +: col(rightTs).as("__ts") +: lit(rightSide).as("__side") +:
         col(tieBreak).cast("long").as("__tie") +:
         payloadCols.map(col)) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(
           left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        lit(Long.MaxValue).as("__tie") +:
+      (col(key) +: col(leftTs).as("__ts") +: lit(leftSide).as("__side") +:
+        lit(if (direction == "forward") Long.MinValue else Long.MaxValue)
+          .as("__tie") +:
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))) ++
         leftCols.filterNot(_ == key).map(col): _*)
+    val union = taggedRight.unionByName(taggedLeft)
 
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+    // greatest tieBreak wins in every direction: backward reads the
+    // LAST right in (ts, tie) order; forward reads the FIRST right
+    // in (ts, tie DESC) order
+    val ord =
+      if (direction == "forward")
+        Seq(col("__ts"), col("__side"), col("__tie").desc)
+      else Seq(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    val wBack = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
 
-    taggedRight.unionByName(taggedLeft)
-      .select((col(key) +: col("__side") +:
-        leftCols.filterNot(_ == key).map(col)) ++
-        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-      .filter(col("__side") === 1)
+    val attached = direction match {
+      case "backward" =>
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(wBack).as(c))
+      case "forward" =>
+        payloadCols.map(c => first(col(c), ignoreNulls = true).over(wFwd).as(c))
+      case "nearest" =>
+        // right-row ts carried through both legs for the distance
+        val rts = when(col("__side") === rightSide, col("__ts"))
+        val backTs = last(rts, ignoreNulls = true).over(wBack)
+        val fwdTs = first(rts, ignoreNulls = true).over(wFwd)
+        val useBack = backTs.isNotNull && (fwdTs.isNull ||
+          (col("__ts").cast("double") - backTs.cast("double")) <=
+            (fwdTs.cast("double") - col("__ts").cast("double")))
+        payloadCols.map(c => when(useBack,
+            last(col(c), ignoreNulls = true).over(wBack))
+          .otherwise(first(col(c), ignoreNulls = true).over(wFwd)).as(c))
+    }
+    union.select((col(key) +: col("__side") +:
+        leftCols.filterNot(_ == key).map(col)) ++ attached: _*)
+      .filter(col("__side") === leftSide)
       .drop("__side")
   }
 

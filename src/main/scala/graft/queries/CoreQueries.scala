@@ -462,6 +462,72 @@ object CoreQueries {
               SELECT event_id, ts, user_id, o_orderkey, o_totalprice
               FROM m WHERE rn = 1 ORDER BY event_id""")),
 
+    // merge_asof direction family, completing j4's backward join:
+    // forward = the next order at-or-after the event; nearest = the
+    // closer of the two, exact ties backward (the pandas rule).
+    // Same one-shuffle union-sort-carry plan in every direction.
+    Q("j9_asof_forward",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+          .select("event_id", "ts", "user_id")
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+                  col("o_orderkey"), col("o_totalprice"))
+        Ops.asofJoin(events, orders, key = "user_id",
+            leftTs = "ts", rightTs = "o_orderdate",
+            payloadCols = Seq("o_orderkey", "o_totalprice"),
+            tieBreak = "o_orderkey", direction = "forward")
+          .select("event_id", "ts", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+                                o_totalprice FROM orders),
+                   e AS (SELECT event_id, ts, user_id FROM events),
+                   m AS (SELECT e.event_id, e.ts, e.user_id, o.o_orderkey,
+                                o.o_totalprice,
+                                ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+                         FROM e LEFT JOIN o
+                           ON e.user_id = o.user_id AND o.o_orderdate >= e.ts)
+              SELECT event_id, ts, user_id, o_orderkey, o_totalprice
+              FROM m WHERE rn = 1 ORDER BY event_id""")),
+
+    // nearest: rank candidates by |ts − o_orderdate| (seconds as
+    // double — identical arithmetic both engines), backward wins
+    // exact distance ties; within a side at equal distance the tie
+    // rule is direction-asymmetric by construction of the one-sort
+    // plan (backward = greatest orderkey, forward = smallest), so
+    // the oracle encodes exactly that.
+    Q("j10_asof_nearest",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+          .select("event_id", "ts", "user_id")
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+                  col("o_orderkey"), col("o_totalprice"))
+        Ops.asofJoin(events, orders, key = "user_id",
+            leftTs = "ts", rightTs = "o_orderdate",
+            payloadCols = Seq("o_orderkey", "o_totalprice"),
+            tieBreak = "o_orderkey", direction = "nearest")
+          .select("event_id", "ts", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+                                o_totalprice FROM orders),
+                   e AS (SELECT event_id, ts, user_id FROM events),
+                   m AS (SELECT e.event_id, e.ts, e.user_id, o.o_orderkey,
+                                o.o_totalprice,
+                                ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY ABS(epoch(e.ts) - epoch(o.o_orderdate)),
+                                    CASE WHEN o.o_orderdate <= e.ts
+                                      THEN 0 ELSE 1 END,
+                                    CASE WHEN o.o_orderdate <= e.ts
+                                      THEN -o.o_orderkey
+                                      ELSE o.o_orderkey END) AS rn
+                         FROM e LEFT JOIN o ON e.user_id = o.user_id)
+              SELECT event_id, ts, user_id, o_orderkey, o_totalprice
+              FROM m WHERE rn = 1 ORDER BY event_id""")),
+
     // Approximate COUNT(DISTINCT) — the HLL sketch path for 100 TB
     // cardinalities. Sketch bits are engine-specific → rows-only check.
     Q("a11_approx_distinct",
