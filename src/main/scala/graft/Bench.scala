@@ -113,6 +113,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // compact per-query map for the stdout line: 3dp is plenty for a
+    // wall-clock second and keeps 139 entries ~3 KB, not ~10
+    val qsCompact = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.3f")
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val digests = plans.map { case (k, v) => "\"" + k + "\":\"" + digest(v) + "\"" }
@@ -121,6 +126,13 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$digests,"sf":"$sfDir"}"""
+    // the stdout line is the COMPACT form: total + 3dp per-query
+    // seconds + errors, NO plan digests (those live in BENCH.json and
+    // BENCH_PLANS.txt). Round 5 proved the full ~10 KB payload
+    // overflows the driver's stdout tail capture ("parsed": null in
+    // BENCH_r05.json); everything a sweep consumer needs fits in ~3 KB.
+    val lineCompact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,"errors":$errs,"sf":"$sfDir"}"""
     // the bare line also goes to known file paths (BENCH.json is
     // gitignored; see .gitignore) — belt and braces for any consumer
     // whose stdout capture is decorated by the build tool
@@ -147,8 +159,9 @@ object Bench {
     // shutdown chatter, which goes to stderr): machine consumers can
     // parse the last line of stdout without scanning. build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt passes it through
-    // un-prefixed.
-    println(line)
+    // un-prefixed. The line is the compact form — small enough for a
+    // tail capture; the full payload (with plan digests) is BENCH.json.
+    println(lineCompact)
     System.out.flush()
   }
 }

@@ -76,13 +76,37 @@ object Similarity {
 
   /** Deterministic IVF centroid set: every strideth corpus vector.
     * (A k-means refinement would drop in here; centroid choice only
-    * affects recall, not the mechanism.) */
+    * affects recall, not the mechanism.)
+    *
+    * The set is CAPPED at `maxCentroids` (default 4096) by WIDENING
+    * the effective stride: stride' = max(stride,
+    * ceil((max_id + 1) / maxCentroids)), computed as a one-row
+    * aggregate the filter joins against (the predicate references
+    * both sides, so Catalyst plans it as a CONDITIONED broadcast
+    * nested loop — keyless but filtered, never a cross product).
+    * Uncapped, K = |corpus| / stride makes every [[ivfAssign]] pass
+    * O(N·K) = O(N²/stride) and grows the broadcast centroid row with
+    * the corpus — the exact asymptote class whose PQ twin cost x7 a
+    * measured 55× wall before [[pqCodebook]]'s maxK cap. Like there,
+    * a fixed centroid budget is the IVF contract, not a compromise:
+    * corpus growth widens the sample stride (coarser buckets, more
+    * rows per probe — linear work), it never adds codebook entries
+    * (quadratic work). Below the cap the widened stride equals
+    * `stride`, so small-corpus results are unchanged bit-for-bit. */
   def centroids(corpus: DataFrame, stride: Int,
                 vecCol: String = "embedding",
-                idCol: String = "vec_id"): DataFrame =
-    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+                idCol: String = "vec_id",
+                maxCentroids: Int = 4096): DataFrame = {
+    require(maxCentroids >= 1, s"maxCentroids must be >= 1, got $maxCentroids")
+    val bound = corpus.agg(
+      greatest(lit(stride.toLong),
+        ceil((max(col(idCol)).cast("double") + 1.0) / maxCentroids))
+        .as("__cstride"))
+    corpus.join(broadcast(bound),
+        pmod(col(idCol), col("__cstride")) === 0)
       .select(col(idCol).as("cid"),
         col(vecCol).cast("array<double>").as("cvec"))
+  }
 
   /** Lloyd-refined (k-means) centroids, seeded from the deterministic
     * stride set: each iteration is one broadcast argmax assignment
@@ -96,8 +120,9 @@ object Similarity {
     * because recall is a count, not a hash-compared value. */
   def kmeansCentroids(corpus: DataFrame, stride: Int, iters: Int = 2,
                       vecCol: String = "embedding",
-                      idCol: String = "vec_id"): DataFrame = {
-    var cents = centroids(corpus, stride, vecCol, idCol)
+                      idCol: String = "vec_id",
+                      maxCentroids: Int = 4096): DataFrame = {
+    var cents = centroids(corpus, stride, vecCol, idCol, maxCentroids)
     for (_ <- 1 to iters) {
       cents = ivfAssign(corpus, cents, vecCol, idCol)
         .select(col("cid"), posexplode(col("nvec")).as(Seq("pos", "x")))
@@ -261,10 +286,12 @@ object Similarity {
               stride: Int = 20, nprobe: Int = 4,
               vecCol: String = "embedding",
               idCol: String = "vec_id",
-              kmeansIters: Int = 0): DataFrame = {
+              kmeansIters: Int = 0,
+              maxCentroids: Int = 4096): DataFrame = {
     val cents =
-      if (kmeansIters > 0) kmeansCentroids(corpus, stride, kmeansIters, vecCol, idCol)
-      else centroids(corpus, stride, vecCol, idCol)
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, stride, kmeansIters, vecCol, idCol, maxCentroids)
+      else centroids(corpus, stride, vecCol, idCol, maxCentroids)
     val assigned = ivfAssign(corpus, cents, vecCol, idCol)
 
     val q = queries.select(col(idCol).as("qid"),
@@ -658,9 +685,10 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 stride: Int = 20, nprobe: Int = 12, m: Int = 4,
                 dim: Int = 64, vecCol: String = "embedding",
-                idCol: String = "vec_id"): DataFrame = {
+                idCol: String = "vec_id",
+                maxCentroids: Int = 4096): DataFrame = {
     val sub = dim / m
-    val cents = centroids(corpus, stride, vecCol, idCol)
+    val cents = centroids(corpus, stride, vecCol, idCol, maxCentroids)
     val assigned = ivfAssign(corpus, cents, vecCol, idCol)
       .select("nid", "cid")
     val cb = pqCodebook(corpus, stride, m, dim, vecCol = vecCol, idCol = idCol)

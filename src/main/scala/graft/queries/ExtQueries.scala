@@ -134,9 +134,16 @@ object ExtQueries {
   // 12 is the measured knee of the recall curve on this corpus
   // (stride recall 0.75-0.79 vs 0.43 at nprobe=4; see x2_recall and
   // ExtSpec's k-means assertion for the ≥0.8 refined path).
+  // ist mirrors Similarity.centroids' maxCentroids cap: the effective
+  // stride widens to ceil((max_id+1)/4096) once the corpus outgrows
+  // 4096 stride-20 samples — below the cap (every shipped fixture)
+  // st = 20 and the CTE is byte-identical to the uncapped form.
   private val SqlIvfCtes =
-    s"""ic AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-               FROM embeddings WHERE vec_id % 20 = 0),
+    s"""ist AS (SELECT GREATEST(20, CAST(CEIL((MAX(vec_id) + 1.0) / 4096)
+                                        AS BIGINT)) AS st
+                FROM embeddings),
+        ic AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings, ist WHERE vec_id % ist.st = 0),
         iv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec
                FROM embeddings),
         iasg AS (SELECT nid, nvec, cid FROM (
