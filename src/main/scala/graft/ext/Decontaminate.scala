@@ -75,13 +75,24 @@ object Decontaminate {
     * (idCol, n_matched, max_cosine) — hit count and strongest match,
     * the two columns a leakage-review queue sorts by.
     *
+    * EVERY (corpus, eval) pair is scored — ids never gate the join:
+    * corpus and eval ids generally come from unrelated namespaces,
+    * so an id-equality skip would silently suppress a contamination
+    * hit on an accidental collision (a false negative in the safety
+    * direction). A document present in BOTH frames therefore flags
+    * itself at cosine 1.0 — the right answer for leakage review;
+    * callers carving eval out of the corpus anti-join the eval ids
+    * out first if self-hits are unwanted (the e13 query's split).
+    *
     * Scale posture: the eval side is contract-small (benchmarks are
     * thousands of prompts) and broadcasts; the corpus streams
-    * through ONE conditioned broadcast join scoring |corpus|·|eval|
-    * pairs with the fused codegen cosine, and only (id, cosine)
-    * survive the threshold filter — embeddings never shuffle. For
-    * corpora where even that pair count bites, pre-block with
-    * [[Similarity.ivfAssign]] and join per bucket (the d9 route). */
+    * through ONE broadcast nested-loop join (keyless by design —
+    * the e8 one-row-totals audit shape, bounded by the eval
+    * contract) scoring |corpus|·|eval| pairs with the fused codegen
+    * cosine, and only (id, cosine) survive the threshold filter —
+    * embeddings never shuffle. For corpora where even that pair
+    * count bites, pre-block with [[Similarity.ivfAssign]] and join
+    * per bucket (the d9 route). */
   def semanticFlagged(corpus: DataFrame, evalEmb: DataFrame,
                       threshold: Double, vecCol: String = "embedding",
                       idCol: String = "vec_id"): DataFrame = {
@@ -89,7 +100,7 @@ object Decontaminate {
       col(vecCol).cast("array<double>").as("__cv"))
     val e = evalEmb.select(col(idCol).as("__eid"),
       col(vecCol).cast("array<double>").as("__ev"))
-    c.join(broadcast(e), col("__cid") =!= col("__eid"))
+    c.join(broadcast(e))
       .withColumn("cosine", graft.ops.Ops.roundDet(
         Similarity.cosine(col("__cv"), col("__ev")), 4))
       .filter(col("cosine") >= threshold)

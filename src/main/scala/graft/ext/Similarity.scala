@@ -504,10 +504,16 @@ object Similarity {
   /** Product-quantization codebook over the L2-normalized corpus:
     * the vector space is split into `m` contiguous subspaces of
     * dim/m dims, and each subspace gets the deterministic stride
-    * sample of corpus subvectors as its codewords (cid = vec_id /
-    * stride — dense 0..K-1; the spherical analog of [[centroids]],
-    * and like there, a per-subspace k-means refinement would drop in
-    * without changing the mechanism). Returns ONE ROW with `cb`:
+    * sample of corpus subvectors as its codewords (cid = the
+    * codeword's RANK in id order, 0..K-1 — dense by CONSTRUCTION,
+    * never derived from the id value: [[pqScore]] indexes the flat
+    * ADC LUT positionally, so a value-derived cid (the old
+    * vec_id/stride) was only correct for corpora whose ids are
+    * contiguous multiples of stride from 0, and silently misranked
+    * neighbors on any gapped frame, e.g. a [[graft.ext.Decontaminate
+    * .semanticClean]] output. The spherical analog of [[centroids]];
+    * a per-subspace k-means refinement would drop in without
+    * changing the mechanism). Returns ONE ROW with `cb`:
     * array over subspace of array over cid of struct(cid, cvec),
     * both levels cid/m-ordered so positional indexing works — the
     * whole codebook is m·K·(dim/m) doubles (25 KB here), the
@@ -528,18 +534,26 @@ object Similarity {
                  idCol: String = "vec_id"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
-    normalized(corpus.filter(pmod(col(idCol), lit(stride)) === 0 &&
-        col(idCol) < lit(maxK.toLong * stride)),
-        vecCol, idCol)
-      .select((col("id") / stride).cast("long").as("cid"),
+    // first maxK sampled vectors in id order: orderBy+limit plans as
+    // TakeOrderedAndProject (distributed partial top-k — no global
+    // window, no unbounded collect), so the cap is scale-safe even on
+    // a corpus whose stride sample alone is huge
+    val sample = normalized(
+        corpus.filter(pmod(col(idCol), lit(stride)) === 0), vecCol, idCol)
+      .orderBy(col("id")).limit(maxK)
+    sample
+      .select(col("id"),
         explode(array((0 until m).map(i =>
           struct(lit(i).as("mi"),
             slice(col("vn"), i * sub + 1, sub).as("cvec"))): _*)).as("s"))
-      .select(col("cid"), col("s.mi").as("mi"), col("s.cvec").as("cvec"))
+      .select(col("id"), col("s.mi").as("mi"), col("s.cvec").as("cvec"))
       .groupBy("mi")
+      // dense cid = position in the id-sorted collect (0-based): the
+      // two-arg transform lambda's index IS the rank, so density holds
+      // for any id distribution — gapped, sparse, or shifted
       .agg(transform(
-        array_sort(collect_list(struct(col("cid"), col("cvec")))),
-        s => struct(s.getField("cid").as("cid"),
+        array_sort(collect_list(struct(col("id"), col("cvec")))),
+        (s, i) => struct(i.cast("long").as("cid"),
           s.getField("cvec").as("cvec"))).as("cands"))
       .agg(transform(array_sort(collect_list(struct(col("mi"), col("cands")))),
         s => s.getField("cands")).as("cb"))

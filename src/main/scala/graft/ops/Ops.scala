@@ -197,7 +197,13 @@ object Ops {
     * backward, the pandas rule). Equal-rightTs candidates resolve
     * to the greatest tieBreak in backward and forward mode; in
     * nearest mode the forward LEG takes the smallest instead — the
-    * price of sharing one sort between both legs (first() reads the
+    * DELIBERATE published contract, pinned by PropertySpec's
+    * constructed-fixture case: equal-distance→backward matches
+    * pandas `merge_asof(direction="nearest")`, while the per-leg
+    * tieBreak rule is this library's own total order (pandas has no
+    * tie column — it keeps whichever candidate is last in input
+    * order, which is not reproducible on a distributed shuffle) —
+    * the price of sharing one sort between both legs (first() reads the
     * tie-ascending order the backward last() needs) — encoded
     * identically in the j10 oracle. The classic point-in-time
     * enrichment (trades→quotes, events→dimensions).

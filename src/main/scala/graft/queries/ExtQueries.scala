@@ -168,7 +168,8 @@ object ExtQueries {
                FROM ipairs)"""
 
   // Product-quantization chain (x7): L2-normalize, stride codebook
-  // per 16-dim subspace (cid = vec_id // 20, dense), encode by
+  // per 16-dim subspace (cid = rank of the sampled vec_id — dense for
+  // ANY id distribution, mirroring pqCodebook's positional rank), encode by
   // per-subspace argmax cosine (ties to lower cid — ArgMaxCosine's
   // comparator), LUT dots rounded 6dp, score = the EXPLICIT
   // subspace-ordered 4-term sum rounded 4dp (an unordered SUM could
@@ -185,10 +186,12 @@ object ExtQueries {
                    AS vn
                FROM pv),
         pmsub AS (SELECT UNNEST([0, 1, 2, 3]) AS m),
-        pcb AS (SELECT m, CAST(vec_id // 20 AS BIGINT) AS cid,
-                  vn[m * 16 + 1 : m * 16 + 16] AS cvec
-                FROM pn, pmsub
-                WHERE vec_id % 20 = 0 AND vec_id < 5120),
+        pcs AS (SELECT vec_id, vn, rn - 1 AS cid FROM (
+                  SELECT vec_id, vn,
+                    ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                  FROM pn WHERE vec_id % 20 = 0) WHERE rn <= 256),
+        pcb AS (SELECT m, cid, vn[m * 16 + 1 : m * 16 + 16] AS cvec
+                FROM pcs, pmsub),
         psub AS (SELECT vec_id AS nid, m,
                    vn[m * 16 + 1 : m * 16 + 16] AS sv
                  FROM pn, pmsub),
@@ -1942,8 +1945,8 @@ object ExtQueries {
                  tr AS (SELECT vec_id, v, label FROM ce
                         WHERE vec_id >= 30),
                  fl AS (SELECT DISTINCT tr.vec_id
-                        FROM tr JOIN ev ON tr.vec_id <> ev.eid
-                          AND ${sqlRoundDet(sqlCosRaw("tr.v", "ev.evv"), 4)}
+                        FROM tr JOIN ev
+                          ON ${sqlRoundDet(sqlCosRaw("tr.v", "ev.evv"), 4)}
                               >= 0.3)
                SELECT vec_id, label FROM tr
                WHERE vec_id NOT IN (SELECT vec_id FROM fl)

@@ -467,6 +467,51 @@ class ExtSpec extends SparkTestBase {
     assert(bad.count() == 0, bad.collect().mkString("\n"))
   }
 
+  test("pqTopK on a GAPPED corpus: flat-LUT scores match the explicit " +
+      "(m,cid)-join formulation") {
+    // The round-5 advice bug: pqScore indexes the flat LUT by cid
+    // VALUE while pqLut orders entries by cid RANK — they only agree
+    // when cids are dense. Codebook cids are now the sample's rank by
+    // construction; this test proves alignment on a corpus whose
+    // SAMPLED ids are gapped (drop vec_id 40 and 200: the old
+    // value-derived cids {0,1,3,…} would misindex every LUT lookup
+    // past the first gap), by recomputing each ADC score through an
+    // explicit (m, cid) equi-join — positional indexing never used.
+    val m = 4; val sub = 16
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val corpus = embs.filter($"vec_id" =!= 40 && $"vec_id" =!= 200)
+    val queries = corpus.filter($"vec_id" < 8)
+    val got = Similarity.pqTopK(corpus, queries, k = 5)
+
+    val cb = Similarity.pqCodebook(corpus, stride = 20, m = m, dim = 64)
+    val enc = Similarity.pqEncode(corpus, cb, m = m, dim = 64)
+    val norm = (df: org.apache.spark.sql.DataFrame) => df.select(
+      $"vec_id".as("qid"),
+      graft.functions.GraftFunctions.l2_normalize(
+        $"embedding".cast("array<double>")).as("vn"))
+    val lutRows = norm(queries).join(broadcast(cb))
+      .select($"qid", posexplode($"cb").as(Seq("mi", "cands")), $"vn")
+      .select($"qid", $"mi", explode($"cands").as("c"), $"vn")
+      .select($"qid", $"mi", $"c.cid".as("cid"),
+        graft.ops.Ops.roundDet(Similarity.dot(
+          slice($"vn", $"mi" * sub + 1, lit(sub)), $"c.cvec"), 6).as("v"))
+    val terms = enc.select($"nid", posexplode($"codes").as(Seq("mi", "code")))
+      .join(lutRows, Seq("mi"))
+      .filter($"code" === $"cid" && $"qid" =!= $"nid")
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"score".desc, $"nid".asc)
+    val want = terms.groupBy("qid", "nid")
+      .agg(graft.ops.Ops.roundDet(
+        max(when($"mi" === 0, $"v")) + max(when($"mi" === 1, $"v")) +
+        max(when($"mi" === 2, $"v")) + max(when($"mi" === 3, $"v")), 4)
+        .as("score"))
+      .withColumn("rank", row_number().over(wq))
+      .filter($"rank" <= 5)
+      .select("qid", "rank", "nid", "score")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      s"flat-LUT vs explicit-join diverge:\n got=${got.collect().mkString(",")}\nwant=${want.collect().mkString(",")}")
+  }
+
   test("semantic outlier pruning flags the planted outlier first") {
     // label 0: three near-identical vectors + one near-opposite; the
     // elementwise median tracks the majority, so the opposite vector
@@ -506,6 +551,23 @@ class ExtSpec extends SparkTestBase {
       rows.filter($"vec_id" >= 10), rows.filter($"vec_id" < 10), 0.9)
       .as[(Long, Long, Double)].collect()
     assert(fl.toSeq == Seq((10L, 1L, 1.0)))
+  }
+
+  test("semantic decontamination ignores id collisions across namespaces") {
+    // corpus and eval ids come from unrelated spaces: a corpus vector
+    // whose id happens to EQUAL an eval id must still be scored
+    // against it (the round-5 advice bug: an id-inequality join
+    // condition silently suppressed exactly this hit)
+    val corpus = Seq((7L, Array(1.0f, 0f, 0f, 0f)),
+      (8L, Array(0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val eval = Seq((7L, Array(1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding") // same id 7, unrelated namespace
+    val fl = ext.Decontaminate.semanticFlagged(corpus, eval, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(fl.toSeq == Seq((7L, 1L, 1.0)),
+      s"colliding-id contamination hit suppressed: ${fl.mkString(",")}")
+    assert(ext.Decontaminate.semanticClean(corpus, eval, 0.9)
+      .select("vec_id").as[Long].collect().toSeq == Seq(8L))
   }
 
   test("zorderKey2 matches a bit-by-bit reference interleave") {

@@ -21,6 +21,44 @@ class PropertySpec extends SparkTestBase {
   private val tsGen: Gen[Timestamp] = Gen.choose(0L, 365L * 24 * 3600)
     .map(s => new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + s * 1000))
 
+  test("asofJoin nearest tie contract: equal distance → backward; " +
+      "backward ties → greatest tieBreak; nearest-forward ties → smallest") {
+    // the published rule (asofJoin's scaladoc), pinned on constructed
+    // fixtures so any re-derivation of the shared-sort trick that
+    // silently flips a leg's tie order fails here:
+    //  id 1: rights at ±10 s           → equal distance, backward wins
+    //  id 2: right at EXACTLY left ts  → distance 0 via the backward leg
+    //  id 3: two backward rights, same ts → greatest tieBreak
+    //  id 4: two forward rights, same ts  → smallest tieBreak (nearest
+    //        mode only; standalone forward mode takes the greatest)
+    val left = Seq((1L, "k", 100L), (2L, "k", 200L),
+        (3L, "k", 300L), (4L, "k", 400L))
+      .toDF("id", "key", "s")
+      .select($"id", $"key", timestamp_seconds($"s").as("ts"))
+    val right = Seq(
+        ("k", 90L, 1L, "b90"), ("k", 110L, 1L, "f110"),
+        ("k", 200L, 1L, "x200"), ("k", 205L, 2L, "f205"),
+        ("k", 290L, 1L, "t1"), ("k", 290L, 2L, "t2"),
+        ("k", 410L, 1L, "u1"), ("k", 410L, 2L, "u2"))
+      .toDF("key", "s", "tb", "payload")
+      .select($"key", timestamp_seconds($"s").as("rts"), $"tb", $"payload")
+    def run(direction: String): Map[Long, String] =
+      Ops.asofJoin(left, right, "key", "ts", "rts",
+          Seq("payload"), "tb", direction)
+        .select("id", "payload").as[(Long, String)].collect().toMap
+    val nearest = run("nearest")
+    assert(nearest(1L) == "b90", s"equal distance must go backward: $nearest")
+    assert(nearest(2L) == "x200", s"exact-ts match must win at distance 0: $nearest")
+    assert(nearest(3L) == "t2", s"backward-leg ties take the GREATEST tieBreak: $nearest")
+    assert(nearest(4L) == "u1", s"nearest-forward-leg ties take the SMALLEST tieBreak: $nearest")
+    // the asymmetry is nearest-mode-only: standalone forward keeps
+    // the greatest-tieBreak rule
+    assert(run("forward")(4L) == "u2",
+      "standalone forward mode must take the GREATEST tieBreak")
+    assert(run("backward")(3L) == "t2",
+      "backward mode must take the GREATEST tieBreak")
+  }
+
   test("windowSplit: in ∪ out == (> lld), disjoint — for random windows") {
     val rows = sample(tsGen, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = rows.toDF("id", "ts")

@@ -26,6 +26,12 @@ class RegistryGuardSpec extends SparkTestBase {
     // both config-bounded (calendar × bin width), never corpus-sized
     "st10_stream_drift_psi" -> Set("unconditional-nested-loop"),
     "t12_oov_rate" -> Set("unconditional-nested-loop"),
+    // (e13 is keyless by design — every (corpus, eval) pair is scored,
+    // so an accidental cross-namespace id collision cannot suppress a
+    // hit — yet needs NO allowance here: Catalyst pushes the cosine
+    // threshold filter into the broadcast nested loop as its
+    // condition, so the plan is conditioned-BNLJ, the audited-benign
+    // shape.)
     // x5 was on this list until its single-pass rewrite removed the
     // exact-vs-quant hit join entirely — the audit's staleness check
     // forced this removal, exactly as designed
