@@ -649,8 +649,8 @@ object Similarity {
     * A flat array lookup is a direct getDouble — nothing to copy —
     * so the score stays cheap no matter how many times the plan
     * re-evaluates it. */
-  private def pqLut(queries: DataFrame, cb: DataFrame, m: Int, sub: Int,
-                    vecCol: String, idCol: String): DataFrame =
+  private[ext] def pqLut(queries: DataFrame, cb: DataFrame, m: Int, sub: Int,
+                         vecCol: String, idCol: String): DataFrame =
     normalized(queries, vecCol, idCol)
       .join(broadcast(cb))
       .select(col("id").as("qid"), col("vn"),
@@ -701,14 +701,30 @@ object Similarity {
                 dim: Int = 64, vecCol: String = "embedding",
                 idCol: String = "vec_id",
                 maxCentroids: Int = 4096): DataFrame = {
-    val sub = dim / m
     val cents = centroids(corpus, stride, vecCol, idCol, maxCentroids)
     val assigned = ivfAssign(corpus, cents, vecCol, idCol)
       .select("nid", "cid")
     val cb = pqCodebook(corpus, stride, m, dim, vecCol = vecCol, idCol = idCol)
     val enc = pqEncode(corpus, cb, m, dim, vecCol, idCol)
       .join(assigned, "nid") // (nid, codes, cid) — the stored index row
+    ivfPqProbe(cents, cb, enc, queries, k, nprobe, m, dim, vecCol, idCol)
+  }
 
+  /** The QUERY side of [[ivfPqTopK]], taking the three index assets
+    * as frames: probe the nprobe nearest centroids per query, ADC-
+    * score only the probed buckets' postings, rank. Factored out so
+    * the in-query path (x8) and the stored-index path
+    * ([[AnnIndex.probeTopK]], x9) run LITERALLY the same chain — the
+    * build-once/serve-many split is a storage decision, never a
+    * semantics fork. `index` rows are (nid, codes, cid) — the
+    * [[pqEncode]]×[[ivfAssign]] join, whether computed in-query or
+    * read back from parquet. */
+  def ivfPqProbe(cents: DataFrame, cb: DataFrame, index: DataFrame,
+                 queries: DataFrame, k: Int, nprobe: Int = 12,
+                 m: Int = 4, dim: Int = 64,
+                 vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    val sub = dim / m
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
     val wq = Window.partitionBy(col("qid"))
@@ -722,7 +738,7 @@ object Similarity {
     val lut = pqLut(queries, cb, m, sub, vecCol, idCol)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid").asc)
-    probed.join(enc, Seq("cid"))
+    probed.join(index, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .join(broadcast(lut), Seq("qid"))
       .withColumn("score", graft.ops.Ops.roundDet(pqScore(m), 4))

@@ -138,10 +138,15 @@ object ExtQueries {
   // stride widens to ceil((max_id+1)/4096) once the corpus outgrows
   // 4096 stride-20 samples — below the cap (every shipped fixture)
   // st = 20 and the CTE is byte-identical to the uncapped form.
-  private val SqlIvfCtes =
-    s"""ist AS (SELECT GREATEST(20, CAST(CEIL((MAX(vec_id) + 1.0) / 4096)
+  // (Standalone val: x9_ann_index_build's inventory oracle needs just
+  // the capped sample COUNT without the rest of the IVF chain.)
+  private val SqlIvfStrideCte =
+    """ist AS (SELECT GREATEST(20, CAST(CEIL((MAX(vec_id) + 1.0) / 4096)
                                         AS BIGINT)) AS st
-                FROM embeddings),
+                FROM embeddings)"""
+
+  private val SqlIvfCtes =
+    s"""$SqlIvfStrideCte,
         ic AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
                FROM embeddings, ist WHERE vec_id % ist.st = 0),
         iv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec
@@ -221,6 +226,34 @@ object ExtQueries {
                  ROW_NUMBER() OVER (PARTITION BY qid
                                     ORDER BY score DESC, nid) AS rank
                FROM pscore)"""
+
+  // IVF×PQ composition (shared by x8_ivfpq_topk, x8_recall and the
+  // stored-index x9_ann_index_probe — the stored path serves the
+  // SAME neighbors, so it replays the same SQL): candidates from the
+  // IVF probe join, ADC terms from the per-(m, cid) LUT, explicit
+  // subspace-ordered 4-term sum, rank ties to lower nid. Requires
+  // $SqlIvfCtes and $SqlPqCtes upstream.
+  private val SqlIvfPqRankCtes =
+    s"""x8cand AS (SELECT ipr.qid, iasg.nid
+                   FROM ipr JOIN iasg ON ipr.cid = iasg.cid
+                     AND ipr.qid <> iasg.nid),
+        x8term AS (SELECT c.qid, c.nid, e.m, l.v
+                   FROM x8cand c
+                   JOIN penc e ON e.nid = c.nid
+                   JOIN plut l ON l.qid = c.qid AND l.m = e.m
+                     AND l.cid = e.cid),
+        x8score AS (SELECT qid, nid,
+                      ${sqlRoundDet(
+                        "MAX(CASE WHEN m = 0 THEN v END)" +
+                          " + MAX(CASE WHEN m = 1 THEN v END)" +
+                          " + MAX(CASE WHEN m = 2 THEN v END)" +
+                          " + MAX(CASE WHEN m = 3 THEN v END)", 4)}
+                        AS score
+                    FROM x8term GROUP BY qid, nid),
+        x8r AS (SELECT qid, nid, score,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, nid) AS rank
+                FROM x8score)"""
 
   // pairs → undirected edges → reachability components (comp = min
   // reachable id, the SQL twin of Dedup.connectedComponents' min-label
@@ -1998,27 +2031,7 @@ object ExtQueries {
         val embs = t(s, dir, "embeddings")
         Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 20), k = 5)
       },
-      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
-                 x8cand AS (SELECT ipr.qid, iasg.nid
-                            FROM ipr JOIN iasg ON ipr.cid = iasg.cid
-                              AND ipr.qid <> iasg.nid),
-                 x8term AS (SELECT c.qid, c.nid, e.m, l.v
-                            FROM x8cand c
-                            JOIN penc e ON e.nid = c.nid
-                            JOIN plut l ON l.qid = c.qid AND l.m = e.m
-                              AND l.cid = e.cid),
-                 x8score AS (SELECT qid, nid,
-                               ${sqlRoundDet(
-                                 "MAX(CASE WHEN m = 0 THEN v END)" +
-                                   " + MAX(CASE WHEN m = 1 THEN v END)" +
-                                   " + MAX(CASE WHEN m = 2 THEN v END)" +
-                                   " + MAX(CASE WHEN m = 3 THEN v END)", 4)}
-                                 AS score
-                             FROM x8term GROUP BY qid, nid),
-                 x8r AS (SELECT qid, nid, score,
-                           ROW_NUMBER() OVER (PARTITION BY qid
-                             ORDER BY score DESC, nid) AS rank
-                         FROM x8score)
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
@@ -2040,27 +2053,7 @@ object ExtQueries {
             col("n_matched").cast("double") / col("n_exact").cast("double"),
             4))
       },
-      Some(s"""WITH $SqlBruteCtes, $SqlIvfCtes, $SqlPqCtes,
-                 x8cand AS (SELECT ipr.qid, iasg.nid
-                            FROM ipr JOIN iasg ON ipr.cid = iasg.cid
-                              AND ipr.qid <> iasg.nid),
-                 x8term AS (SELECT c.qid, c.nid, e.m, l.v
-                            FROM x8cand c
-                            JOIN penc e ON e.nid = c.nid
-                            JOIN plut l ON l.qid = c.qid AND l.m = e.m
-                              AND l.cid = e.cid),
-                 x8score AS (SELECT qid, nid,
-                               ${sqlRoundDet(
-                                 "MAX(CASE WHEN m = 0 THEN v END)" +
-                                   " + MAX(CASE WHEN m = 1 THEN v END)" +
-                                   " + MAX(CASE WHEN m = 2 THEN v END)" +
-                                   " + MAX(CASE WHEN m = 3 THEN v END)", 4)}
-                                 AS score
-                             FROM x8term GROUP BY qid, nid),
-                 x8r AS (SELECT qid, nid, score,
-                           ROW_NUMBER() OVER (PARTITION BY qid
-                             ORDER BY score DESC, nid) AS rank
-                         FROM x8score),
+      Some(s"""WITH $SqlBruteCtes, $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes,
                  e AS (SELECT qid, nid FROM br WHERE rank <= 5),
                  a AS (SELECT qid, nid, 1 AS m FROM x8r WHERE rank <= 5)
                SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
@@ -2069,6 +2062,45 @@ object ExtQueries {
                         "CAST(COUNT(a.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
                         4)} AS recall
                FROM e LEFT JOIN a USING (qid, nid)""")),
+
+    // Stored-index IVFADC (x9) — the build-once / serve-many split:
+    // x8 measures the whole pipeline in-query; x9 splits it into the
+    // one-time index build (assign + encode + cid-sorted postings,
+    // written to parquet with a corpus-fingerprint meta row) and the
+    // per-query probe that reads the stored assets. Same arithmetic,
+    // same oracle SQL as x8 — the stored path must serve IDENTICAL
+    // neighbors, and the bench rows make the build-vs-serve cost
+    // split measurable (the probe never touches the embeddings).
+    Q("x9_ann_index_build",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        // unconditional rebuild: this row MEASURES the build cost
+        graft.ext.AnnIndex.build(embs, graft.ext.AnnIndex.dirFor(dir))
+        graft.ext.AnnIndex.summary(s, graft.ext.AnnIndex.dirFor(dir))
+      },
+      Some(s"""WITH $SqlIvfStrideCte,
+                 inv AS (
+                   SELECT 'centroids' AS part,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings, ist
+                      WHERE vec_id % ist.st = 0) AS n_rows
+                   UNION ALL SELECT 'codebook', 1
+                   UNION ALL SELECT 'postings',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings))
+               SELECT part, n_rows FROM inv ORDER BY part""")),
+
+    Q("x9_ann_index_probe",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir)
+        // serve path: validate-or-build once, then top-k from the
+        // stored form only
+        graft.ext.AnnIndex.ensure(embs, ix)
+        graft.ext.AnnIndex.probeTopK(s, ix,
+          embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
     // ---- data layout: z-order + zone maps -----------------------------
     // (Morton-key clustering and per-file min/max stats — the layout

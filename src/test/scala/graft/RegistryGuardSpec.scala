@@ -71,6 +71,14 @@ class RegistryGuardSpec extends SparkTestBase {
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     "x8_recall" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x9 probe: the SAME query-side chain as x8 (it IS
+    // Similarity.ivfPqProbe) over the stored assets — the centroid
+    // and codebook broadcasts are one-row/cap-bounded parquet reads,
+    // so the keyless joins and the deferred l2normalize under them
+    // keep x8's one-row-side benign argument; the postings join is
+    // keyed on cid
+    "x9_ann_index_probe" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
