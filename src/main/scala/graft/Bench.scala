@@ -73,6 +73,12 @@ object Bench {
       .take(6).map(b => f"$b%02x").mkString
   }
 
+  /** Locale-fixed 3dp formatter: the f"" interpolator uses the JVM
+    * default locale, which in a comma-decimal locale (de_DE) would
+    * print "0,123" and break the machine-parsed JSON line. */
+  private[graft] def fmt3(v: Double): String =
+    java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSpark.session("graft-bench",
@@ -116,7 +122,7 @@ object Bench {
     // compact per-query map for the stdout line: 3dp is plenty for a
     // wall-clock second and keeps 139 entries ~3 KB, not ~10
     val qsCompact = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.3f")
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else fmt3(v))
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -126,13 +132,17 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"plans":$digests,"sf":"$sfDir"}"""
-    // the stdout line is the COMPACT form: total + 3dp per-query
-    // seconds + errors, NO plan digests (those live in BENCH.json and
-    // BENCH_PLANS.txt). Round 5 proved the full ~10 KB payload
-    // overflows the driver's stdout tail capture ("parsed": null in
-    // BENCH_r05.json); everything a sweep consumer needs fits in ~3 KB.
+    // two stdout payloads. The FINAL line is a ~150-byte SUMMARY that
+    // always fits any tail capture (rounds 5 AND 6 proved that even a
+    // ~3.5 KB per-query line overflows the driver's capture window —
+    // BENCH_r06.json's tail opened mid-payload). The full compact
+    // per-query map goes one line EARLIER plus into BENCH.json.
     val lineCompact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"errors":$errs,"sf":"$sfDir"}"""
+    val lineSummary =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_failed":${errors.size},""" +
+        s""""errors":$errs,"sf":"$sfDir"}"""
     // the bare line also goes to known file paths (BENCH.json is
     // gitignored; see .gitignore) — belt and braces for any consumer
     // whose stdout capture is decorated by the build tool
@@ -155,13 +165,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $plansOut: $e") }
     spark.stop()
-    // the JSON payload is the FINAL stdout line (after spark.stop()'s
-    // shutdown chatter, which goes to stderr): machine consumers can
-    // parse the last line of stdout without scanning. build.sbt sets
-    // run/outputStrategy := StdoutOutput so sbt passes it through
-    // un-prefixed. The line is the compact form — small enough for a
-    // tail capture; the full payload (with plan digests) is BENCH.json.
+    // stdout contract (after spark.stop()'s shutdown chatter, which
+    // goes to stderr): second-to-last line = compact per-query map;
+    // FINAL line = tiny summary that fits ANY tail capture. build.sbt
+    // sets run/outputStrategy := StdoutOutput so sbt passes both
+    // through un-prefixed. Full payload (plan digests) is BENCH.json.
     println(lineCompact)
+    println(lineSummary)
     System.out.flush()
   }
 }

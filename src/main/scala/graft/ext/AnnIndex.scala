@@ -37,9 +37,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** Deterministic per-corpus index location for a testdata sf dir. */
+  /** Deterministic per-corpus index location for a testdata sf dir.
+    * Repo-local (target/ is gitignored and owned by this checkout)
+    * rather than a predictable world-shared /tmp path: on a
+    * multi-user machine /tmp's sticky bit still lets any user
+    * pre-create a known name, and two checkouts racing a bench +
+    * verify run would overwrite each other mid-build. Overridable
+    * for deployments that manage index storage explicitly. */
   def dirFor(sfDir: String): String =
-    "/tmp/graft_x9_index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
+      new java.io.File("target/x9-index").getAbsolutePath) +
+      "/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Corpus identity row: row count, max id, and an order-insensitive
     * content fingerprint (XOR fold of per-row xxhash64 over
@@ -61,7 +69,17 @@ object AnnIndex {
   def build(corpus: DataFrame, dir: String, stride: Int = 20,
             m: Int = 4, dim: Int = 64, maxCentroids: Int = 4096,
             vecCol: String = "embedding",
-            idCol: String = "vec_id"): Unit = {
+            idCol: String = "vec_id",
+            version: Option[String] = None): Unit = {
+    // invalidate FIRST: meta-written-last is the commit marker, so a
+    // rebuild must delete the PREVIOUS meta before touching any other
+    // asset — otherwise a crash mid-rebuild leaves stale-but-valid
+    // meta beside partially overwritten centroids/codebook/postings,
+    // and ensure() would serve the broken index
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    metaPath
+      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
     val cents = Similarity.centroids(corpus, stride, vecCol, idCol,
       maxCentroids).localCheckpoint()
     val cb = Similarity.pqCodebook(corpus, stride, m, dim,
@@ -75,27 +93,44 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/postings")
     // meta last: its presence marks a complete build
     identity(corpus, vecCol, idCol)
+      .withColumn("version", lit(version.orNull).cast("string"))
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Validate the stored index against the live corpus; build when
-    * missing or stale. Returns true when a build ran. The validation
-    * cost is one corpus scan (the fingerprint) — intentionally paid
-    * on the serve path at this library's test scale; a production
-    * deployment versions indexes explicitly and skips the scan. */
+    * missing or stale. Returns true when a build ran.
+    *
+    * Two validation postures, by `version`:
+    *  - `None` (the registry queries' choice): content validation —
+    *    one corpus scan recomputes the fingerprint and compares it to
+    *    the stored meta. Right when the corpus at a path can silently
+    *    change under you (regenerated fixtures, a shared test dir).
+    *  - `Some(v)` (the production posture): explicit versioning — the
+    *    caller names the corpus version it indexed ("2026-08-14" or a
+    *    snapshot id), and validation is ONE 1-row meta read, zero
+    *    corpus scans on the serve path. The caller owns the contract
+    *    that a version string never maps to two different corpora —
+    *    exactly the contract a catalog/snapshot store provides. */
   def ensure(corpus: DataFrame, dir: String, stride: Int = 20,
              m: Int = 4, dim: Int = 64, maxCentroids: Int = 4096,
              vecCol: String = "embedding",
-             idCol: String = "vec_id"): Boolean = {
+             idCol: String = "vec_id",
+             version: Option[String] = None): Boolean = {
     val spark = corpus.sparkSession
     val fresh =
       try {
-        val stored = spark.read.parquet(s"$dir/meta").head
-        val live = identity(corpus, vecCol, idCol).head
-        stored == live
+        val meta = spark.read.parquet(s"$dir/meta")
+        version match {
+          case Some(v) =>
+            meta.select("version").head.getString(0) == v
+          case None =>
+            val stored =
+              meta.select("n_rows", "max_id", "fingerprint").head
+            stored == identity(corpus, vecCol, idCol).head
+        }
       } catch { case _: Throwable => false }
     if (!fresh) build(corpus, dir, stride, m, dim, maxCentroids,
-      vecCol, idCol)
+      vecCol, idCol, version)
     !fresh
   }
 

@@ -39,6 +39,33 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
+  /** Initial symbolization of a word-frequency table: one single-char
+    * symbol per character plus the `</w>` end-of-word marker, so
+    * merges can't cross word boundaries. */
+  private def symbolize(wc: DataFrame): DataFrame =
+    wc.select(col("n"), concat(
+      transform(split(col("word"), ""), c => c),
+      array(lit("</w>"))).as("syms"))
+
+  /** Adjacent symbol-pair counts over a symbolized vocabulary,
+    * weighted by word frequency — the per-round aggregate every merge
+    * round runs. (left, right, pair_count), unordered. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("n"), col("syms"), posexplode(slice(col("syms"), lit(1),
+        greatest(size(col("syms")) - 1, lit(0)))).as(Seq("i", "left")))
+      .withColumn("right", element_at(col("syms"), col("i") + 2))
+      .groupBy("left", "right").agg(sum(col("n")).as("pair_count"))
+
+  /** Round-1 pair counts straight from text — the SQL-oracle-able
+    * slice of training (a plain tokenize → char-pair → weighted
+    * count, no iterative state), registered as driver row
+    * b1_bpe_pair_counts with a DuckDB oracle. By construction the
+    * top-ranked row here IS the first merge [[train]] learns. */
+  def initialPairCounts(docs: DataFrame,
+                        textCol: String = "text"): DataFrame =
+    pairCounts(symbolize(wordCounts(docs, textCol)))
+
   /** Drop the block-manager storage behind a `localCheckpoint()`ed
     * frame once the NEXT round's checkpoint has materialized — without
     * this, O(rounds) checkpointed RDDs accumulate for the life of the
@@ -92,11 +119,7 @@ object Bpe {
 
     // initial symbolization: one single-char symbol per character,
     // "</w>" end-of-word marker so merges can't cross word boundaries
-    var vocab = wordCounts(docs, textCol)
-      .select(col("n"), concat(
-        transform(split(col("word"), ""), c => c),
-        array(lit("</w>"))).as("syms"))
-      .localCheckpoint()
+    var vocab = symbolize(wordCounts(docs, textCol)).localCheckpoint()
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var learned = 0
@@ -107,11 +130,7 @@ object Bpe {
       // read stays bounded — enough ranked candidates to usually fill
       // the batch after the non-interaction filter, never the table
       val want = math.min(batch, numMerges - learned)
-      val cands = vocab
-        .select(col("n"), col("syms"), posexplode(slice(col("syms"), lit(1),
-          greatest(size(col("syms")) - 1, lit(0)))).as(Seq("i", "left")))
-        .withColumn("right", element_at(col("syms"), col("i") + 2))
-        .groupBy("left", "right").agg(sum(col("n")).as("pair_count"))
+      val cands = pairCounts(vocab)
         .orderBy(col("pair_count").desc, col("left"), col("right"))
         .limit(math.max(4 * want, 8)) // bounded driver read
         .as[(String, String, Long)].collect()

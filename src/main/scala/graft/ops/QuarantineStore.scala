@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's one OBSERVED pathology, made measurable: its
+  * bronze proc anti-joins every monthly batch against the whole
+  * ever-growing `meta.invalid_records` quarantine, and the run ledger
+  * in logs/pipeline.log shows the proc degrading 3.2 s → 83.5 s over
+  * twelve months as the quarantine accumulates (BASELINE.md). Our
+  * ingest path fixes that with a month-partitioned quarantine store
+  * and a partition-pruned anti-join (bronze/BronzeIngest.scala,
+  * locked by PlanSpec) — but until round 7 the fix was exercised only
+  * by taxi-fixture specs, never as a registered, per-round-benched
+  * query over the driver's testdata.
+  *
+  * This object stages the same shape over `orders` (80 months of
+  * o_orderdate — a longer history than the reference's 12): the
+  * "quarantine" is every third order (by key mod), written
+  * month-partitioned; the probe anti-joins ONE month's candidate
+  * batch against it. Registered as p7_quarantine_seed (the store
+  * build, with a month-count oracle) and p8_quarantine_probe (the
+  * pruned anti-join, with a plain NOT EXISTS oracle — pruning is a
+  * physical detail, so the oracle needs no partition awareness).
+  * Because the store is month-partitioned and the probe's filter is
+  * on the partition key, the probe's scan carries PartitionFilters:
+  * its cost is O(candidate months), flat in the total quarantine
+  * size — the 83.5 s curve flattened. The reference's quarantine key
+  * is a 7-column composite PK (src/db_setup.py:127-139); the orders
+  * analog is the natural composite (o_orderkey, o_custkey,
+  * o_orderdate).
+  */
+object QuarantineStore {
+
+  /** Anti-join key — the invalid_records composite-PK analog. */
+  val key: Seq[String] = Seq("o_orderkey", "o_custkey", "o_orderdate")
+
+  /** Probe month: mid-history, so ~40 months of quarantine precede it
+    * and the pruned scan demonstrably skips them. */
+  val probeMonth = "1997-03"
+
+  /** Repo-local per-checkout store location (same rationale as
+    * [[graft.ext.AnnIndex.dirFor]]: predictable /tmp paths race
+    * across checkouts and are poisonable on multi-user machines). */
+  def dirFor(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
+      new java.io.File("target/x9-index").getAbsolutePath) +
+      "/quarantine_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build the month-partitioned quarantine store: every third order
+    * (deterministic by key, so the oracle can reproduce membership),
+    * partitioned by order month like bronze's quarantine is by
+    * pickup month. One shuffle-free pass over orders. */
+  def build(orders: DataFrame, dir: String): Unit =
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("order_month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("order_month").parquet(dir)
+
+  /** Build when the store is missing (sorted-name query order runs
+    * the seed first, but the probe must not depend on it). */
+  def ensure(orders: DataFrame, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(
+      orders.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) build(orders, dir)
+  }
+
+  /** Read-back month inventory of the store: (order_month, n) — what
+    * the build durably wrote, reproducible from orders in SQL. */
+  def monthSummary(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("order_month").agg(count(lit(1)).as("n"))
+      .orderBy("order_month")
+
+  /** The pruned anti-join: one month's candidate batch against ONLY
+    * that month's quarantine partitions. The filter on the partition
+    * key becomes PartitionFilters at the scan (locked by PlanSpec),
+    * so probe cost doesn't grow with quarantine history; the pruned
+    * slice is one month of rejects — bounded, so broadcast, exactly
+    * like the bronze ingest's candMonths anti-join. Semantically
+    * equal to the full anti-join because the key contains
+    * o_orderdate: out-of-month quarantine rows can never match an
+    * in-month candidate. */
+  def probe(spark: SparkSession, dir: String, orders: DataFrame,
+            month: String = probeMonth): DataFrame = {
+    val candidates = orders.filter(
+      date_format(col("o_orderdate"), "yyyy-MM") === month)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("order_month") === month)
+    Ops.insertIfAbsent(candidates, pruned, key, broadcastExisting = true)
+  }
+}

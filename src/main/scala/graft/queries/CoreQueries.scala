@@ -1127,6 +1127,50 @@ object CoreQueries {
                       ${sqlSumBigint(
                         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")}
                         AS n_purchase
-               FROM events GROUP BY user_id ORDER BY user_id"""))
+               FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // C4/J3 at scale — the reference's one observed pathology (proc
+    // 3.2 s → 83.5 s as meta.invalid_records grew, BASELINE.md) as a
+    // registered, per-round-measured pair: seed a month-partitioned
+    // quarantine over orders' 80-month history, then anti-join ONE
+    // month's candidate batch against it. The probe's scan is
+    // partition-pruned (PlanSpec locks PartitionFilters), so its
+    // bench time stays flat however long the history grows — the
+    // curve the reference couldn't flatten. See
+    // graft.ops.QuarantineStore.
+    Q("p7_quarantine_seed",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        graft.ops.QuarantineStore.build(orders,
+          graft.ops.QuarantineStore.dirFor(dir))
+        graft.ops.QuarantineStore.monthSummary(s,
+          graft.ops.QuarantineStore.dirFor(dir))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                     COUNT(*) AS n
+              FROM orders WHERE o_orderkey % 3 = 0
+              GROUP BY 1 ORDER BY order_month""")),
+
+    Q("p8_quarantine_probe",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val store = graft.ops.QuarantineStore.dirFor(dir)
+        graft.ops.QuarantineStore.ensure(orders, store)
+        graft.ops.QuarantineStore.probe(s, store, orders)
+          .select("o_orderkey", "o_custkey", "o_orderdate",
+            "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                     o.o_totalprice
+              FROM orders o
+              WHERE strftime(o.o_orderdate, '%Y-%m') = '1997-03'
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders q
+                  WHERE q.o_orderkey % 3 = 0
+                    AND q.o_orderkey = o.o_orderkey
+                    AND q.o_custkey = o.o_custkey
+                    AND q.o_orderdate = o.o_orderdate)
+              ORDER BY o.o_orderkey"""))
   )
 }

@@ -2234,7 +2234,82 @@ object ExtQueries {
                      CAST(SUM(size) AS BIGINT) AS total_rows,
                      MIN(file_id) AS first_file,
                      MAX(file_id) AS last_file
-              FROM planned GROUP BY part, bin ORDER BY part, bin"""))
+              FROM planned GROUP BY part, bin ORDER BY part, bin""")),
+
+    // BPE tokenizer training driver rows (ext/Bpe.scala; spec-deep
+    // coverage in BpeSpec). b1 is the SQL-oracle-able slice: round-1
+    // adjacent-pair counts (tokenize → chars+</w> → weighted pair
+    // count), hash-exact against a DuckDB substr/generate_series
+    // twin. b2 is the iterative trainer itself — state evolves across
+    // rounds, so no SQL form exists; it ships rows-only plus the
+    // b2_bpe_contract empty-set twin that checks the learnable
+    // invariants: (a) the first learned merge IS b1's argmax, (b) at
+    // batch=1, learned pair counts never increase with round (a new
+    // pair's occurrences each come from an occurrence of the pair
+    // just merged, so its count is bounded by the earlier max; all
+    // pre-existing counts only shrink), (c) rounds are dense 1..n.
+    Q("b1_bpe_pair_counts",
+      (s, dir) => graft.ext.Bpe.initialPairCounts(t(s, dir, "documents"))
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(50)
+        .select(col("left").as("left_sym"), col("right").as("right_sym"),
+          col("pair_count")),
+      Some("""WITH wc AS (
+                SELECT word, COUNT(*) AS n
+                FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+                      FROM documents)
+                WHERE length(word) > 0 GROUP BY word
+              ),
+              pairs AS (
+                SELECT substr(word, CAST(i AS INTEGER), 1) AS left_sym,
+                       CASE WHEN i < length(word)
+                            THEN substr(word, CAST(i AS INTEGER) + 1, 1)
+                            ELSE '</w>' END AS right_sym,
+                       n
+                FROM wc, unnest(generate_series(1, length(word))) AS t(i)
+              )
+              SELECT left_sym, right_sym,
+                     CAST(SUM(n) AS BIGINT) AS pair_count
+              FROM pairs GROUP BY left_sym, right_sym
+              ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50""")),
+
+    Q("b2_bpe_train",
+      (s, dir) => graft.ext.Bpe.train(s, t(s, dir, "documents"), 12)
+        .select(col("round"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("pair_count"))
+        .orderBy("round"),
+      None),
+
+    Q("b2_bpe_contract",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m = graft.ext.Bpe.train(s, docs, 12)
+        val first = graft.ext.Bpe.initialPairCounts(docs)
+          .orderBy(col("pair_count").desc, col("left"), col("right"))
+          .limit(1)
+        val firstViol = m.filter(col("round") === 1)
+          .join(broadcast(first), Seq("left", "right", "pair_count"),
+            "left_anti")
+          .select(lit("first_merge_not_argmax").as("chk"), col("round"))
+        // adjacent-round comparison as an equi self-join on round
+        // (the merge table is a 12-row local frame; a global lag
+        // window would trip the registry's global-window lint)
+        val prev = m.select((col("round") + 1).as("round"),
+          col("pair_count").as("c_prev"))
+        val monoViol = m.join(broadcast(prev), Seq("round"))
+          .filter(col("pair_count") > col("c_prev"))
+          .select(lit("pair_count_increased").as("chk"), col("round"))
+        val denseViol = m.agg(count(lit(1)).as("c"), max(col("round")).as("r"),
+            min(col("round")).as("lo"))
+          .filter(col("c") =!= 12 || col("r") =!= 12 || col("lo") =!= 1)
+          .select(lit("rounds_not_dense").as("chk"),
+            col("r").cast("int").as("round"))
+        firstViol.unionByName(monoViol).unionByName(denseViol)
+          .orderBy("chk", "round")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS chk,
+                     CAST(NULL AS INTEGER) AS round
+              WHERE FALSE"""))
   )
 
   // DuckDB twin of Layout.spread16/zorderKey2: the identical

@@ -27,6 +27,17 @@ class BpeSpec extends SparkTestBase {
     assert(merges(3) === ((4, "e", "r", 2L)))
   }
 
+  test("initialPairCounts matches the hand-computed round-1 table") {
+    // the b1_bpe_pair_counts driver row's engine side, on the classic
+    // corpus whose pair table is written out above
+    val docs = Seq((1L, ("low " * 5 + "lower " * 2).trim))
+      .toDF("doc_id", "text")
+    val got = Bpe.initialPairCounts(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("l", "o", 7L), ("o", "w", 7L), ("w", "</w>", 5L),
+      ("w", "e", 2L), ("e", "r", 2L), ("r", "</w>", 2L)))
+  }
+
   test("overlap merges apply left-to-right like reference BPE") {
     // "aaaa": pairs (a,a)x3 -> merge a+a; sequential application
     // yields [aa, aa, </w>], NOT [aa, a, a...] or a triple overlap

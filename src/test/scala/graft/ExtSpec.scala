@@ -129,6 +129,40 @@ class ExtSpec extends SparkTestBase {
     assert(kmeans >= stride - 0.02, s"kmeans $kmeans < stride $stride")
   }
 
+  test("AnnIndex: build/ensure lifecycle, versioned serve path, probe parity") {
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annix_").toString + "/ix"
+
+    // content posture (version=None): builds when missing, is a no-op
+    // when the corpus fingerprint matches, rebuilds when it doesn't
+    assert(graft.ext.AnnIndex.ensure(embs, dir))
+    assert(!graft.ext.AnnIndex.ensure(embs, dir))
+    val shrunk = embs.filter($"vec_id" < 100).localCheckpoint()
+    assert(graft.ext.AnnIndex.ensure(shrunk, dir))
+
+    // versioned posture: validation reads ONLY the 1-row meta — prove
+    // it by handing ensure a DIFFERENT corpus under the same version
+    // string (a fingerprint check would rebuild; the version check
+    // must not)
+    val vdir = dir + "_v"
+    assert(graft.ext.AnnIndex.ensure(embs, vdir, version = Some("v1")))
+    assert(!graft.ext.AnnIndex.ensure(shrunk, vdir, version = Some("v1")))
+    // a new version string is a new corpus: rebuild
+    assert(graft.ext.AnnIndex.ensure(shrunk, vdir, version = Some("v2")))
+
+    // the stored probe serves the same neighbors as the in-query
+    // IVFADC chain it persists (same deterministic arithmetic)
+    val q = embs.filter($"vec_id" < 5)
+    assert(graft.ext.AnnIndex.ensure(embs, dir))
+    val stored = graft.ext.AnnIndex.probeTopK(spark, dir, q, k = 3)
+      .select("qid", "nid", "rank").collect().toSet
+    val inQuery = Similarity.ivfPqTopK(embs, q, k = 3)
+      .select("qid", "nid", "rank").collect().toSet
+    assert(stored == inQuery)
+  }
+
   test("multi-probe IVF assignment contains single-probe; pairs are a superset") {
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cents = Similarity.centroids(embs, stride = 20)

@@ -314,6 +314,24 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(pf.contains("2024-01"), s"month predicate missing:\n$pf")
   }
 
+  test("p8 quarantine probe scan is partition-pruned to its month") {
+    // the registered form of the pruning lock above: the reference's
+    // proc degraded 3.2 s → 83.5 s because each month re-scanned the
+    // whole quarantine; p8's scan must carry PartitionFilters on
+    // order_month so probe cost is flat in quarantine history
+    val orders = graft.queries.Q.t(spark, sf001, "orders")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_q_").toString + "/store"
+    graft.ops.QuarantineStore.build(orders, dir)
+    val plan = executed(
+      graft.ops.QuarantineStore.probe(spark, dir, orders))
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("order_month"),
+      s"quarantine store scan not partition-pruned:\n$plan")
+    assert(pf.contains("1997-03"), s"month predicate missing:\n$pf")
+  }
+
   test("sessionize: two user-keyed shuffles, no self-join (W2 plan)") {
     val events = graft.queries.Q.t(spark, sf001, "events")
     val plan = executed(graft.ext.Sessions.sessionize(events, 30))
