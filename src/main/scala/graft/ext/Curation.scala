@@ -312,6 +312,18 @@ object Curation {
     * Returns the flagged rows (idCol, groupCol, cosine, rank, n_grp)
     * — the review-queue shape, like [[Decontaminate.semanticFlagged]].
     *
+    * SHARP EDGE — small groups always flag: the cut is
+    * `rank <= ceil(n_grp * fraction)`, and ceil of any positive value
+    * is ≥ 1, so EVERY group flags at least one row — a singleton
+    * group flags its only member (which is also its own centroid,
+    * cosine 1.0). That is the intended review-queue semantics ("show
+    * me the least-typical member of every group, however small"), not
+    * a keep/drop decision: a caller pruning by these flags should
+    * first filter groups below a minimum size (e.g.
+    * `n_grp >= ceil(1/fraction)`, below which the quota rounds up
+    * from zero) or treat tiny groups as un-prunable. e14's oracle
+    * pins the ceil contract exactly as written here.
+    *
     * Plan: one bounded (group, dim) shuffle for the centroid, one
     * broadcast join to attach it, cosine in the scan-stage
     * projection (fused codegen), one group-keyed rank window. The
