@@ -134,6 +134,81 @@ object AnnIndex {
     !fresh
   }
 
+  /** Incremental index maintenance: append a batch of NEW vectors to
+    * a stored index WITHOUT rebuilding. The batch is encoded and
+    * assigned against the STORED centroids/codebook (append cost
+    * O(batch·K), batch-sized shuffle only), its posting rows are
+    * appended, and the meta row is updated in O(batch) — no full
+    * corpus scan, because the content fingerprint is an XOR fold:
+    * fingerprint(old ∪ batch) = fingerprint(old) XOR
+    * fingerprint(batch) by commutativity/associativity of XOR (this
+    * algebra is WHY [[identity]] folds with bit_xor rather than a
+    * hash-of-sorted-hashes). So after any append chain, a content
+    * [[ensure]] over the union corpus still validates as fresh.
+    *
+    * Contracts and trade-offs, stated plainly:
+    *  - Batch ids must be NEW. A re-appended id would double its
+    *    posting row AND cancel its fingerprint term (x XOR x = 0),
+    *    silently corrupting both. `checkIds = true` (default)
+    *    enforces this with a keys-only anti-check against the
+    *    stored postings' nid column (the compact codes table, never
+    *    the embeddings) and throws on overlap; callers that already
+    *    route batches through an incremental-dedup gate
+    *    ([[Dedup]]'s d7 anti-join) can disable it.
+    *  - Appended vectors are quantized with the ORIGINAL codebook
+    *    and bucketed by the ORIGINAL centroids — standard IVF
+    *    serving practice. Drift from a shifting data distribution
+    *    degrades recall gradually; the remedy is a periodic
+    *    [[build]] re-train, which this split makes cheap to
+    *    schedule (serve from the old index until the new one's
+    *    meta lands).
+    *  - Each append writes new posting files (cid-sorted within the
+    *    batch); a long append chain accumulates small files — the
+    *    same pressure [[graft.ext.Layout]]'s compaction planner
+    *    (z4) measures, and the same fix: periodically rewrite the
+    *    postings dir clustered by cid.
+    *  - Meta is deleted first / written last, the same commit-marker
+    *    invariant as [[build]]: a crash mid-append leaves a
+    *    validation-failing index (extra posting files but no meta),
+    *    and the next ensure() rebuilds — never serves half a batch. */
+  def append(batch: DataFrame, dir: String, m: Int = 4, dim: Int = 64,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             checkIds: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val storedMeta = spark.read.parquet(s"$dir/meta").head
+    if (checkIds) {
+      val clash = spark.read.parquet(s"$dir/postings").select("nid")
+        .join(batch.select(col(idCol).cast("long").as("nid")), "nid")
+        .count()
+      require(clash == 0L,
+        s"append batch re-uses $clash id(s) already in the index at " +
+          s"$dir — route the batch through an incremental dedup " +
+          "anti-join first, or rebuild")
+    }
+    val batchMeta = identity(batch, vecCol, idCol).head
+    // commit marker: invalidate before touching postings (see build)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    metaPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
+    Similarity.pqEncode(batch, cb, m, dim, vecCol, idCol)
+      .join(Similarity.ivfAssign(batch, cents, vecCol, idCol)
+        .select("nid", "cid"), "nid")
+      .repartition(col("cid")).sortWithinPartitions("cid")
+      .write.mode("append").parquet(s"$dir/postings")
+    val union = spark.range(1).select(
+      lit(storedMeta.getLong(0) + batchMeta.getLong(0)).as("n_rows"),
+      lit(math.max(storedMeta.getLong(1), batchMeta.getLong(1)))
+        .as("max_id"),
+      lit(storedMeta.getLong(2) ^ batchMeta.getLong(2))
+        .as("fingerprint"),
+      lit(if (storedMeta.size < 4 || storedMeta.isNullAt(3)) null
+          else storedMeta.getString(3)).cast("string").as("version"))
+    union.write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   /** Serve top-k from the stored form: reads the three assets and
     * runs [[Similarity.ivfPqProbe]] — the cheap side of the split
     * (per-query cost |corpus|·nprobe/K ADC lookups; the embeddings

@@ -140,15 +140,24 @@ object ExtQueries {
   // st = 20 and the CTE is byte-identical to the uncapped form.
   // (Standalone val: x9_ann_index_build's inventory oracle needs just
   // the capped sample COUNT without the rest of the IVF chain.)
-  private val SqlIvfStrideCte =
-    """ist AS (SELECT GREATEST(20, CAST(CEIL((MAX(vec_id) + 1.0) / 4096)
+  // The IVF/PQ oracle CTEs are parameterized on the CENTROID/CODEBOOK
+  // sample source (`centPred`, a predicate over embeddings): "TRUE"
+  // replays build-from-the-whole-corpus (x2/x7/x8/x9); x10 passes
+  // "vec_id % 2 = 0" to replay an index whose assets were trained on
+  // the even half and then had the odd half APPENDED — the corpus
+  // side (iv/pn/penc/iasg) always spans all of embeddings.
+  private def sqlIvfStrideCteFor(centPred: String) =
+    s"""ist AS (SELECT GREATEST(20, CAST(CEIL((MAX(vec_id) + 1.0) / 4096)
                                         AS BIGINT)) AS st
-                FROM embeddings)"""
+                FROM embeddings WHERE $centPred)"""
 
-  private val SqlIvfCtes =
-    s"""$SqlIvfStrideCte,
+  private val SqlIvfStrideCte = sqlIvfStrideCteFor("TRUE")
+
+  private def sqlIvfCtesFor(centPred: String) =
+    s"""${sqlIvfStrideCteFor(centPred)},
         ic AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-               FROM embeddings, ist WHERE vec_id % ist.st = 0),
+               FROM embeddings, ist
+               WHERE ($centPred) AND vec_id % ist.st = 0),
         iv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec
                FROM embeddings),
         iasg AS (SELECT nid, nvec, cid FROM (
@@ -172,6 +181,8 @@ object ExtQueries {
                                     ORDER BY cosine DESC, nid) AS rank
                FROM ipairs)"""
 
+  private val SqlIvfCtes = sqlIvfCtesFor("TRUE")
+
   // Product-quantization chain (x7): L2-normalize, stride codebook
   // per 16-dim subspace (cid = rank of the sampled vec_id — dense for
   // ANY id distribution, mirroring pqCodebook's positional rank), encode by
@@ -183,7 +194,7 @@ object ExtQueries {
   // list_dot_product and DuckDB list slicing are bit-compatible with
   // the Spark-side index-ordered fold and `slice` (1-based, same
   // elements), so hash-exact comparison holds end to end.
-  private val SqlPqCtes =
+  private def sqlPqCtesFor(centPred: String) =
     s"""pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
         pn AS (SELECT vec_id,
@@ -194,7 +205,8 @@ object ExtQueries {
         pcs AS (SELECT vec_id, vn, rn - 1 AS cid FROM (
                   SELECT vec_id, vn,
                     ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-                  FROM pn WHERE vec_id % 20 = 0) WHERE rn <= 256),
+                  FROM pn WHERE ($centPred) AND vec_id % 20 = 0)
+                WHERE rn <= 256),
         pcb AS (SELECT m, cid, vn[m * 16 + 1 : m * 16 + 16] AS cvec
                 FROM pcs, pmsub),
         psub AS (SELECT vec_id AS nid, m,
@@ -226,6 +238,8 @@ object ExtQueries {
                  ROW_NUMBER() OVER (PARTITION BY qid
                                     ORDER BY score DESC, nid) AS rank
                FROM pscore)"""
+
+  private val SqlPqCtes = sqlPqCtesFor("TRUE")
 
   // IVF×PQ composition (shared by x8_ivfpq_topk, x8_recall and the
   // stored-index x9_ann_index_probe — the stored path serves the
@@ -2099,6 +2113,33 @@ object ExtQueries {
           embs.filter(col("vec_id") < 20), k = 5)
       },
       Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x10: incremental index maintenance — build the stored index on
+    // the EVEN half of the corpus, AnnIndex.append the odd half
+    // (encoded/assigned against the STORED assets, meta updated in
+    // O(batch) via the XOR-fold fingerprint algebra), then probe.
+    // Hash-exact oracle: the same IVFADC SQL with the centroid/
+    // codebook CTEs sourced from the even half only (centPred) while
+    // the corpus side spans all of embeddings — exactly what an
+    // append-without-retrain must serve. The appended index also
+    // passes a content ensure() over the union corpus without
+    // rebuilding (ExtSpec pins that, plus the duplicate-id guard).
+    Q("x10_ann_index_append",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_append"
+        graft.ext.AnnIndex.build(
+          embs.filter(col("vec_id") % 2 === 0), ix)
+        graft.ext.AnnIndex.append(
+          embs.filter(col("vec_id") % 2 =!= 0), ix)
+        graft.ext.AnnIndex.probeTopK(s, ix,
+          embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH ${sqlIvfCtesFor("vec_id % 2 = 0")},
+                    ${sqlPqCtesFor("vec_id % 2 = 0")},
+                    $SqlIvfPqRankCtes
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 

@@ -163,6 +163,37 @@ class ExtSpec extends SparkTestBase {
     assert(stored == inQuery)
   }
 
+  test("AnnIndex.append: O(batch) meta stays content-valid; dup ids throw") {
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annap_").toString + "/ix"
+    val even = embs.filter($"vec_id" % 2 === 0)
+    val odd = embs.filter($"vec_id" % 2 =!= 0)
+    graft.ext.AnnIndex.build(even, dir, version = Some("v1"))
+
+    // the postings must grow by exactly the batch, and the XOR-fold
+    // meta update must make a content ensure() over the UNION corpus
+    // a no-op — no full-corpus scan happened at append time, yet the
+    // fingerprint algebra (xor of per-row hashes) makes the
+    // incrementally-maintained meta indistinguishable from a rebuild
+    val before = spark.read.parquet(s"$dir/postings").count()
+    graft.ext.AnnIndex.append(odd, dir)
+    val after = spark.read.parquet(s"$dir/postings").count()
+    assert(after - before == odd.count())
+    assert(!graft.ext.AnnIndex.ensure(embs, dir),
+      "content ensure() rebuilt an index whose meta was appended")
+    // the version survives the append untouched
+    assert(!graft.ext.AnnIndex.ensure(embs, dir, version = Some("v1")))
+
+    // re-appending ids already in the index would double postings AND
+    // cancel fingerprint terms — the guard must refuse
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.AnnIndex.append(odd.limit(3), dir)
+    }
+    assert(ex.getMessage.contains("re-uses"))
+  }
+
   test("multi-probe IVF assignment contains single-probe; pairs are a superset") {
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cents = Similarity.centroids(embs, stride = 20)

@@ -79,6 +79,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // keyed on cid
     "x9_ann_index_probe" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x10: the returned frame is the SAME ivfPqProbe chain as x9
+    // (the build/append side effects run eagerly and are not part of
+    // the probed plan) — x9's one-row-asset argument verbatim
+    "x10_ann_index_append" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
