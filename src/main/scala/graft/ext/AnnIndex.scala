@@ -209,6 +209,37 @@ object AnnIndex {
     union.write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Rewrite the postings clustered by cid into fresh, full-size
+    * files — the remedy for the small-file accumulation a long
+    * [[append]] chain causes (each append adds its own cid-sorted
+    * files; probes then open many footers and lose row-group cid
+    * locality ACROSS files). Content is untouched, so the meta row
+    * is preserved verbatim — but under the same commit-marker
+    * discipline as build/append: meta is deleted BEFORE the postings
+    * swap and restored after, so a crash mid-compaction leaves a
+    * validation-failing index (next ensure() rebuilds), never a
+    * valid meta over a half-swapped postings dir. The swap itself is
+    * stage-then-rename: the clustered rewrite lands in
+    * `postings_compact`, and only after it is fully written do the
+    * two renames run — the unreadable window is two metadata ops,
+    * not the rewrite. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val meta = spark.read.parquet(s"$dir/meta").localCheckpoint()
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/postings_compact")
+    spark.read.parquet(s"$dir/postings")
+      .repartition(col("cid")).sortWithinPartitions("cid")
+      .write.mode("overwrite").parquet(staged.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    fs.delete(metaPath, true) // invalidate first
+    fs.delete(live, true)
+    require(fs.rename(staged, live),
+      s"compact: rename $staged -> $live failed")
+    meta.write.mode("overwrite").parquet(metaPath.toString)
+  }
+
   /** Serve top-k from the stored form: reads the three assets and
     * runs [[Similarity.ivfPqProbe]] — the cheap side of the split
     * (per-query cost |corpus|·nprobe/K ADC lookups; the embeddings

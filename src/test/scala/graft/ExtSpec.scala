@@ -192,6 +192,21 @@ class ExtSpec extends SparkTestBase {
       graft.ext.AnnIndex.append(odd.limit(3), dir)
     }
     assert(ex.getMessage.contains("re-uses"))
+
+    // compaction: same content in fewer, cid-clustered files — probe
+    // results identical, content ensure() still a no-op
+    def partFiles() = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val q = embs.filter($"vec_id" < 5)
+    val preProbe = graft.ext.AnnIndex.probeTopK(spark, dir, q, k = 3)
+      .collect().toSet
+    val preFiles = partFiles()
+    graft.ext.AnnIndex.compact(spark, dir)
+    assert(partFiles() < preFiles,
+      s"compact did not reduce files: $preFiles -> ${partFiles()}")
+    assert(graft.ext.AnnIndex.probeTopK(spark, dir, q, k = 3)
+      .collect().toSet == preProbe)
+    assert(!graft.ext.AnnIndex.ensure(embs, dir))
   }
 
   test("multi-probe IVF assignment contains single-probe; pairs are a superset") {

@@ -5,7 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.ext.Sessions
-import graft.streaming.{StatefulSessions, StreamingBronzeIngest, StreamingOps}
+import graft.streaming.{StatefulSessions, StreamingAnnIngest,
+  StreamingBronzeIngest, StreamingOps}
 import graft.taxi.TaxiFixtures
 
 /** Streaming surface tests: batch/stream parity for the stateful
@@ -241,5 +242,55 @@ class StreamingSpec extends SparkTestBase {
     ingest.ingestAvailable(staging, ckpt)
     assert(spark.read.parquet(s"$wh/bronze/yellow_taxi_raw").count()
       == bronze.count())
+  }
+
+  test("streaming ANN ingest: build, append-only-new, restart no-op") {
+    val ix = Files.createTempDirectory("graft_stann_").toString + "/ix"
+    val staging = Files.createTempDirectory("graft_stann_stg_").toString
+    val ckpt = Files.createTempDirectory("graft_stann_ck_").toString
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val even = embs.filter($"vec_id" % 2 === 0)
+    val odd = embs.filter($"vec_id" % 2 =!= 0)
+
+    // single uniquely-named top-level files, like the bronze spec
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_stann_p_")
+      df.coalesce(1).write.parquet(s"$tmp/out")
+      val part = new java.io.File(s"$tmp/out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(staging, s"$name.parquet"))
+    }
+    def postings() = spark.read.parquet(s"$ix/postings").count()
+
+    val ingest = new StreamingAnnIngest(spark, ix)
+    stage(even, "drop1")
+    ingest.ingestAvailable(staging, ckpt)
+    assert(postings() == even.count(), "first drop should BUILD")
+
+    // second drop carries the odd half PLUS a re-delivered slice of
+    // the even half: the already-indexed gate must skip the repeats
+    stage(odd.unionByName(even.limit(7)), "drop2")
+    ingest.ingestAvailable(staging, ckpt)
+    assert(postings() == embs.count(), "append should index only new ids")
+
+    // the streamed index is content-valid over the full corpus and
+    // serves the same neighbors as a batch build(even)+append(odd)
+    assert(!graft.ext.AnnIndex.ensure(embs, ix))
+    val batchIx = Files.createTempDirectory("graft_stann_b_")
+      .toString + "/ix"
+    graft.ext.AnnIndex.build(even, batchIx)
+    graft.ext.AnnIndex.append(odd, batchIx)
+    val q = embs.filter($"vec_id" < 5)
+    assert(
+      graft.ext.AnnIndex.probeTopK(spark, ix, q, k = 3).collect().toSet ==
+        graft.ext.AnnIndex.probeTopK(spark, batchIx, q, k = 3)
+          .collect().toSet)
+
+    // restart with nothing staged: checkpoint makes it a no-op
+    ingest.ingestAvailable(staging, ckpt)
+    assert(postings() == embs.count())
   }
 }
