@@ -146,6 +146,12 @@ object ExtQueries {
   // "vec_id % 2 = 0" to replay an index whose assets were trained on
   // the even half and then had the odd half APPENDED — the corpus
   // side (iv/pn/penc/iasg) always spans all of embeddings.
+  // the lower-id half of embeddings — x10's asset-training slice
+  // ((max+1)/2 with floor division, matching the Spark side's
+  // (max(vec_id)+1)/2 toLong)
+  private val SqlLowerHalfPred =
+    "vec_id < (SELECT (MAX(vec_id) + 1) // 2 FROM embeddings)"
+
   private def sqlIvfStrideCteFor(centPred: String) =
     s"""ist AS (SELECT GREATEST(20, CAST(CEIL((MAX(vec_id) + 1.0) / 4096)
                                         AS BIGINT)) AS st
@@ -2117,31 +2123,76 @@ object ExtQueries {
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
     // x10: incremental index maintenance — build the stored index on
-    // the EVEN half of the corpus, AnnIndex.append the odd half
-    // (encoded/assigned against the STORED assets, meta updated in
-    // O(batch) via the XOR-fold fingerprint algebra), then probe.
-    // Hash-exact oracle: the same IVFADC SQL with the centroid/
-    // codebook CTEs sourced from the even half only (centPred) while
-    // the corpus side spans all of embeddings — exactly what an
-    // append-without-retrain must serve. The appended index also
-    // passes a content ensure() over the union corpus without
-    // rebuilding (ExtSpec pins that, plus the duplicate-id guard).
+    // the LOWER id half of the corpus, AnnIndex.append the upper
+    // half (encoded/assigned against the STORED assets, meta updated
+    // in O(batch) via the XOR-fold fingerprint algebra), then probe.
+    // The lower/upper split is deliberate: a parity split would be
+    // vacuous here, because the stride sample (multiples of 20) is
+    // entirely even — "half-trained" assets would coincide with the
+    // full-corpus assets. Splitting at (max+1)/2 halves the centroid
+    // set and codebook for real. Hash-exact oracle: the same IVFADC
+    // SQL with the centroid/codebook CTEs sourced from the lower
+    // half only (centPred) while the corpus side spans all of
+    // embeddings — exactly what an append-without-retrain must
+    // serve. The appended index also passes a content ensure() over
+    // the union corpus without rebuilding (ExtSpec pins that, plus
+    // the duplicate-id guard).
     Q("x10_ann_index_append",
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
         val ix = graft.ext.AnnIndex.dirFor(dir) + "_append"
+        val half = embs.agg((max(col("vec_id")) + 1) / 2)
+          .head.getDouble(0).toLong
         graft.ext.AnnIndex.build(
-          embs.filter(col("vec_id") % 2 === 0), ix)
+          embs.filter(col("vec_id") < half), ix)
         graft.ext.AnnIndex.append(
-          embs.filter(col("vec_id") % 2 =!= 0), ix)
+          embs.filter(col("vec_id") >= half), ix)
         graft.ext.AnnIndex.probeTopK(s, ix,
           embs.filter(col("vec_id") < 20), k = 5)
       },
-      Some(s"""WITH ${sqlIvfCtesFor("vec_id % 2 = 0")},
-                    ${sqlPqCtesFor("vec_id % 2 = 0")},
+      Some(s"""WITH ${sqlIvfCtesFor(SqlLowerHalfPred)},
+                    ${sqlPqCtesFor(SqlLowerHalfPred)},
                     $SqlIvfPqRankCtes
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x10 recall vs exact: the price of serving from assets trained
+    // on HALF the corpus (append's documented drift trade-off, made
+    // a pinned number). Read beside x8_recall — full-corpus assets —
+    // to see what append-without-retrain costs; when the gap widens
+    // on a real distribution shift, that is the signal to schedule
+    // the periodic rebuild the scaladoc prescribes.
+    Q("x10_recall",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_append"
+        val half = embs.agg((max(col("vec_id")) + 1) / 2)
+          .head.getDouble(0).toLong
+        graft.ext.AnnIndex.build(
+          embs.filter(col("vec_id") < half), ix)
+        graft.ext.AnnIndex.append(
+          embs.filter(col("vec_id") >= half), ix)
+        val q = embs.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(embs, q, k = 5)
+          .select("qid", "nid")
+        val approx = graft.ext.AnnIndex.probeTopK(s, ix, q, k = 5)
+          .select("qid", "nid").withColumn("m", lit(1))
+        exact.join(approx, Seq("qid", "nid"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_matched"))
+          .withColumn("recall", graft.ops.Ops.roundDet(
+            col("n_matched").cast("double") / col("n_exact").cast("double"),
+            4))
+      },
+      Some(s"""WITH $SqlBruteCtes, ${sqlIvfCtesFor(SqlLowerHalfPred)},
+                    ${sqlPqCtesFor(SqlLowerHalfPred)}, $SqlIvfPqRankCtes,
+                 e AS (SELECT qid, nid FROM br WHERE rank <= 5),
+                 a AS (SELECT qid, nid, 1 AS m FROM x8r WHERE rank <= 5)
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                      CAST(COUNT(a.m) AS BIGINT) AS n_matched,
+                      ${sqlRoundDet(
+                        "CAST(COUNT(a.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+                        4)} AS recall
+               FROM e LEFT JOIN a USING (qid, nid)""")),
 
     // ---- data layout: z-order + zone maps -----------------------------
     // (Morton-key clustering and per-file min/max stats — the layout

@@ -84,6 +84,9 @@ class RegistryGuardSpec extends SparkTestBase {
     // the probed plan) — x9's one-row-asset argument verbatim
     "x10_ann_index_append" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x10_recall: x8_recall's shape (brute-force side + probe side)
+    "x10_recall" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
