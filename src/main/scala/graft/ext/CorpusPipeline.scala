@@ -66,6 +66,40 @@ object CorpusPipeline {
       .orderBy(idCol)
   }
 
+  /** [[cleanNearDups]] with a QUALITY-AWARE survivor rule: each
+    * near-dup group keeps its highest-quality member (ties to lowest
+    * id) instead of its lowest id. This is what production corpus
+    * dedup usually wants — of N mirror copies of a page, keep the
+    * best-scoring version, not the one that happened to get the
+    * smallest id at crawl time. Same plan shape as cleanNearDups
+    * plus one group-keyed rank window over the component label
+    * (comp is broadcast-joined; singletons coalesce to their own
+    * id, so un-matched docs survive unconditionally). */
+  def cleanNearDupsBestQuality(docs: DataFrame, minQuality: Double = 0.5,
+                               minTokens: Int = 20,
+                               jaccardThreshold: Double = 0.4,
+                               blockCol: String = "lang",
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), col(textCol), col(blockCol),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val gated = scored
+      .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+    val exact = Dedup.exactByFingerprint(gated, textCol, idCol)
+    val comps = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(exact, jaccardThreshold,
+        blockCol = blockCol, textCol = textCol, idCol = idCol))
+    val labeled = exact
+      .join(broadcast(comps.select(col("id").as(idCol), col("comp"))),
+        Seq(idCol), "left")
+      .withColumn("grp", coalesce(col("comp"), col(idCol)))
+    graft.ops.Ops.dedupFirst(labeled, Seq("grp"),
+        Seq(col("quality").desc, col(idCol).asc))
+      .select(idCol, "quality", "n_tokens")
+      .orderBy(idCol)
+  }
+
   /** The selection pass that runs AFTER cleaning: clean → cap every
     * class at its k best-quality documents ([[Curation.balancedTopK]])
     * → deterministic held-out hash split ([[Curation

@@ -344,6 +344,35 @@ object ExtQueries {
                WHERE c.comp IS NULL OR c.comp = e.doc_id
                ORDER BY e.doc_id""")),
 
+    // e2's quality-aware sibling: each near-dup group keeps its
+    // HIGHEST-quality member (ties to lowest id) — of N mirror
+    // copies, keep the best-scoring version, not the one with the
+    // smallest crawl-time id. Same recursive-components oracle, the
+    // survivor pick swapped for a quality-ranked window.
+    Q("e15_neardup_best_survivor",
+      (s, dir) => graft.ext.CorpusPipeline.cleanNearDupsBestQuality(
+        t(s, dir, "documents")),
+      Some(s"""WITH RECURSIVE scored AS (
+                 SELECT doc_id, text, lang, $SqlQuality AS quality,
+                        $SqlTokens AS n_tokens
+                 FROM documents),
+               g AS (SELECT * FROM scored
+                     WHERE quality >= 0.5 AND n_tokens >= 20),
+               ex AS (SELECT doc_id, text, lang, quality, n_tokens FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY $SqlFp
+                                                     ORDER BY doc_id) AS rn
+                        FROM g) WHERE rn = 1),
+               ${sqlShinglePairCtes("ex")},
+               ${sqlComponentCtes(0.4)},
+               lab AS (SELECT e.doc_id, e.quality, e.n_tokens,
+                              COALESCE(c.comp, e.doc_id) AS grp
+                       FROM ex e LEFT JOIN comp c ON c.id = e.doc_id)
+               SELECT doc_id, quality, n_tokens FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                   ORDER BY quality DESC, doc_id) AS rnk
+                 FROM lab)
+               WHERE rnk = 1 ORDER BY doc_id""")),
+
     // The composed curate step: clean → per-class quality cap →
     // deterministic train/holdout hash split. Classes come from
     // `source` (the crawl-domain analog), capped at 15 docs each.

@@ -367,6 +367,30 @@ class ExtSpec extends SparkTestBase {
     assert(en.select("doc_id").as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("best-quality survivor keeps the better near-dup, not the lower id") {
+    // doc 0 and doc 1 are near-dups (one word changed); doc 1 is
+    // LONGER, so its quality score is strictly higher — the min-id
+    // rule keeps 0, the quality rule must keep 1
+    val base = "the and of to in that it for was on are with they " * 3
+    val corpus = Seq(
+      (0L, (base + "alpha ends here").trim),
+      (1L, (base + "omega ends here and continues with more is be at").trim),
+      (2L, ("unrelated words entirely different topic matter " * 8).trim)
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val q = corpus.select($"doc_id",
+      graft.ext.TextAnalysis.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) > q(0L), s"fixture must make doc 1 higher quality: $q")
+    val minId = graft.ext.CorpusPipeline.cleanNearDups(corpus,
+      minQuality = 0.1, minTokens = 10, jaccardThreshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val bestQ = graft.ext.CorpusPipeline.cleanNearDupsBestQuality(corpus,
+      minQuality = 0.1, minTokens = 10, jaccardThreshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(0L, 2L), s"min-id survivors: $minId")
+    assert(bestQ == Set(1L, 2L), s"best-quality survivors: $bestQ")
+  }
+
   test("multimodal decode is partition-parallel and deterministic") {
     val media = Multimodal.mediaFromDocuments(
       docs.withColumn("source", lit("s")).withColumn("n_chars", length($"text")))
