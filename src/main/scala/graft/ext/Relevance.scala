@@ -181,47 +181,76 @@ object Relevance {
     * DISTINCT bigram types b. Self-scoring needs no smoothing: every
     * bigram a document contains is, by construction, in the model.
     *
-    * Scale posture: the (doc, bigram)-keyed count is the only
-    * corpus-sized shuffle; the model is alphabet²-bounded (one row per
-    * observed bigram TYPE), so it re-attaches via broadcast. The
-    * per-doc sum folds a sort_array'd collect_list ASCENDING BY BIGRAM
-    * — bounded by the doc's distinct-bigram count, and the same binary
-    * string order DuckDB's `list(... ORDER BY b)` pins, so both
-    * engines accumulate the non-associative double sum identically
-    * (the t14/charEntropy discipline); 4-dp rounding absorbs the
-    * 1-ulp libm log2 spread. Docs shorter than 2 chars are skipped
-    * (no bigrams — a 0/0 score would be undefined, not 0). */
+    * Scale posture (round-7 rewrite — previously this shuffled the
+    * full (doc, bigram) table TWICE: once into the model build, once
+    * through a doc-keyed collect_list after a model join; the sweep
+    * measured it as the heaviest non-pair-family query, x100 ≈ 17):
+    * the ONLY shuffle left is the model build, whose groupBy(b)
+    * map-side-combines each partition down to ≤ |alphabet²| partial
+    * rows before the wire. The model then folds into a ONE-ROW
+    * bigram → log2 P(b) map (alphabet²-bounded — the e8/t6/t7
+    * one-row-broadcast pattern) and scoring is a purely NARROW
+    * per-doc pass: sort the doc's bigram occurrence array, run-length
+    * the sorted runs inside one `aggregate` fold, and add each
+    * distinct type's n_b · log2 P(b) term in ascending bigram order —
+    * bit-identical accumulation to the previous collect_list form and
+    * to DuckDB's `list(... ORDER BY b)` (the t14/charEntropy
+    * discipline): same terms, same order, same doubles. 4-dp rounding
+    * absorbs the 1-ulp libm log2 spread. Docs shorter than 2 chars
+    * are skipped (no bigrams — a 0/0 score would be undefined,
+    * not 0). */
   def charBigramCrossEntropy(docs: DataFrame,
                              idCol: String = "doc_id",
                              textCol: String = "text"): DataFrame = {
     // chars materialized in their own projection before the bigram
     // lambda (the HOF discipline — PlanGuard's recompute rule)
-    val bigrams = docs
+    val docBigrams = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), "").as("__cs"))
       .filter(size(col("__cs")) >= 2)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("__cs")) - 2),
+        transform(sequence(lit(0), size(col("__cs")) - 2),
           i => concat(element_at(col("__cs"), i + 1),
-            element_at(col("__cs"), i + 2)))).as("b"))
-    val db = bigrams.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // consumed twice: model build + scoring join
-    val c12 = db.groupBy("b").agg(sum(col("n")).as("c12"))
+            element_at(col("__cs"), i + 2))).as("__bs"))
+      .localCheckpoint() // consumed twice: model build + scoring pass
+    // model: corpus bigram counts → conditional log-probabilities →
+    // ONE row carrying the bigram → log2(c12/c1) map
+    val c12 = docBigrams
+      .select(explode(col("__bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c12"))
     val model = c12
       .withColumn("__c1key", substring(col("b"), 1, 1))
       .withColumn("c1", sum(col("c12"))
         .over(Window.partitionBy(col("__c1key"))))
-      .select("b", "c12", "c1")
-    val terms = db.join(broadcast(model), Seq("b"))
-      .withColumn("__term", col("n").cast("double") *
-        log2(col("c12").cast("double") / col("c1").cast("double")))
-    terms.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("b"), col("__term"))))
-          .as("__ts"),
-        sum(col("n")).as("n_bigrams"))
+      .select(col("b"),
+        log2(col("c12").cast("double") / col("c1").cast("double"))
+          .as("lp"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("b"), col("lp"))))).as("__lp"))
+    // scoring: narrow row-local fold — sorted occurrences run-length
+    // into (type, n) runs, each run flushing n · log2 P(b); the fold
+    // state is (sum-so-far, current run's bigram, current run length)
+    docBigrams
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        size(col("__bs")).cast("long").as("n_bigrams"),
+        sort_array(col("__bs")).as("__sbs"), col("__lp"))
       .select(col("doc_id"), col("n_bigrams"),
         graft.ops.Ops.roundDet(
-          -aggregate(col("__ts"), lit(0.0),
-            (acc, s) => acc + s.getField("__term")) /
+          -aggregate(col("__sbs"),
+            struct(lit(0.0).as("s"), lit("").as("b"), lit(0L).as("n")),
+            (acc, x) => struct(
+              when(acc.getField("b") === x, acc.getField("s"))
+                .otherwise(acc.getField("s") +
+                  when(acc.getField("n") > 0,
+                    acc.getField("n").cast("double") *
+                      element_at(col("__lp"), acc.getField("b")))
+                    .otherwise(lit(0.0))).as("s"),
+              x.as("b"),
+              when(acc.getField("b") === x, acc.getField("n") + 1)
+                .otherwise(lit(1L)).as("n")),
+            acc => acc.getField("s") +
+              acc.getField("n").cast("double") *
+                element_at(col("__lp"), acc.getField("b"))) /
             col("n_bigrams"), 4).as("bits_per_char"))
       .orderBy("doc_id")
   }

@@ -446,14 +446,19 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"island window not pair-keyed in:\n$plan")
   }
 
-  test("bigram cross-entropy: model broadcasts, one doc-keyed fold (t15)") {
+  test("bigram cross-entropy: one model shuffle, narrow scoring (t15)") {
     val plan = executed(graft.ext.Relevance.charBigramCrossEntropy(docs))
-    // the alphabet²-bounded model re-attaches by broadcast — the
-    // corpus-sized (doc, bigram) table must never shuffle for the join
-    assert(plan.contains("BroadcastHashJoin"),
-      s"model join not broadcast in:\n$plan")
+    // round-7 shape: the ONLY corpus-keyed exchange is the model
+    // build's groupBy(b) (alphabet²-bounded after map-side combine);
+    // scoring is a narrow fold under the one-row model cross join —
+    // no (doc, bigram) hash join, no doc-keyed collect_list shuffle
     assert(!plan.contains("SortMergeJoin"),
       s"corpus re-shuffled for the model join in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"one-row model map not broadcast in:\n$plan")
+    val docKeyed = "hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(docKeyed == 0,
+      s"scoring still shuffles by doc_id ($docKeyed exchanges):\n$plan")
   }
 
   test("scd2 asOf rides the scan: valid_from filter pushes to parquet (u4)") {

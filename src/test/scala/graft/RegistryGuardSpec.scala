@@ -38,6 +38,9 @@ class RegistryGuardSpec extends SparkTestBase {
     // one-row corpus stats (N, Σdl / doc count) attach the same way
     // in the relevance scorers
     "t6_tfidf_topterms" -> Set("unconditional-nested-loop"),
+    // t15: the ONE-ROW bigram → log2 P map cross join (alphabet²-
+    // bounded by construction — the same one-row-totals shape as e8)
+    "t15_bigram_xent" -> Set("unconditional-nested-loop"),
     "t7_bm25_rank" ->
       Set("unconditional-nested-loop", "global-window",
         "bnlj-deferred-derivation"),
