@@ -139,10 +139,16 @@ object Bench {
     // per-query map goes one line EARLIER plus into BENCH.json.
     val lineCompact =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"errors":$errs,"sf":"$sfDir"}"""
+    // the summary's error field is NAMES ONLY, capped — full messages
+    // (≤200 chars each) would re-overflow the tail exactly when many
+    // queries fail, i.e. when the signal matters most; messages live
+    // in the compact line and BENCH.json
+    val failedNames = errors.keys.take(8)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val lineSummary =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"n_failed":${errors.size},""" +
-        s""""errors":$errs,"sf":"$sfDir"}"""
+        s""""failed":$failedNames,"sf":"$sfDir"}"""
     // the bare line also goes to known file paths (BENCH.json is
     // gitignored; see .gitignore) — belt and braces for any consumer
     // whose stdout capture is decorated by the build tool

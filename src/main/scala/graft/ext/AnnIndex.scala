@@ -188,6 +188,10 @@ object AnnIndex {
           "anti-join first, or rebuild")
     }
     val batchMeta = identity(batch, vecCol, idCol).head
+    // an empty batch has NULL max_id/fingerprint aggregates — and
+    // nothing to do; refuse before the commit marker is touched
+    require(batchMeta.getLong(0) > 0L,
+      s"append batch is empty — nothing to index at $dir")
     // commit marker: invalidate before touching postings (see build)
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     metaPath

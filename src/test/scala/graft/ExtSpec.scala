@@ -193,6 +193,15 @@ class ExtSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("re-uses"))
 
+    // an empty batch must refuse BEFORE touching the commit marker
+    // (its identity aggregates are NULL and there is nothing to do)
+    val exEmpty = intercept[IllegalArgumentException] {
+      graft.ext.AnnIndex.append(embs.filter($"vec_id" < 0), dir)
+    }
+    assert(exEmpty.getMessage.contains("empty"))
+    assert(!graft.ext.AnnIndex.ensure(embs, dir),
+      "failed empty append must leave the index valid")
+
     // compaction: same content in fewer, cid-clustered files — probe
     // results identical, content ensure() still a no-op
     def partFiles() = new java.io.File(s"$dir/postings").listFiles()
