@@ -28,6 +28,9 @@ PAIR_FAMILIES = {
     # components over the embedding pair list — the pair mass itself
     # is ~copies^2 under exact vector replication
     "d13_semantic_groups",
+    # every replica name has 9 identical twins at distance 0, so the
+    # fuzzy-match pair list itself scales ~copies^2
+    "d14_fuzzy_match",
     # recall rows: 1-row OUTPUT but the measured chain mines the same
     # twin-inflated near-dup pair mass as d9 (both the approx side's
     # bucket pairs and the sampled-exact side's matches), so their

@@ -709,4 +709,51 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
   }
+
+  /** Edit-distance fuzzy key matching (entity resolution over string
+    * KEYS — names, codes, ids-with-typos — the complement of the
+    * shingle/MinHash families, which need token mass and blur on
+    * short strings where a single typo IS the signal).
+    *
+    * Blocking is the FastSS 1-deletion neighborhood: each string
+    * emits itself plus every single-character deletion as candidate
+    * keys, and any two strings within Levenshtein distance 1 MUST
+    * share a key (substitution at i → both i-deletions agree;
+    * insertion/deletion → the shorter string is itself the longer
+    * one's deletion variant). So like the SimHash pigeonhole join,
+    * recall is exact BY CONSTRUCTION; precision comes from the final
+    * `levenshtein` verification, which touches only candidate pairs.
+    *
+    * Scale posture: the only shuffle is keyed by variant string —
+    * ≤ (len+1) keys per row, never a pair; degenerate variant
+    * buckets (a hot key family collapsing to one variant) are capped
+    * by `maxBucket` like the LSH bucket joins. Verification cost is
+    * proportional to the candidate set.
+    *
+    * maxDist is fixed at 1 by the 1-deletion scheme (k-deletion
+    * neighborhoods generalize, at (len choose k) keys per row —
+    * out of scope until a use case needs it). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxBucket: Int = 1024): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"))
+    // variant 0 = the string itself; variant i = char i deleted
+    val keyed = base.select(col("id"), col("s"),
+        explode(transform(sequence(lit(0), length(col("s"))),
+          i => when(i === 0, col("s")).otherwise(concat(
+            col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s"))))))).as("v"))
+      .select(col("id"), col("s"), col("v"))
+    val capped = keyed
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("v"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    capped.select(col("v"), col("id").as("id_a"), col("s").as("s_a"))
+      .join(capped.select(col("v"), col("id").as("id_b"),
+        col("s").as("s_b")), Seq("v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -778,6 +778,57 @@ object CoreQueries {
                FROM w GROUP BY 1, 2
                ORDER BY window_start, event_type""")),
 
+    // GROUPING SETS — the general form a9's ROLLUP and a12's CUBE
+    // specialize (one Expand + single aggregate; the OLAP report
+    // staple of "totals by A, totals by B, grand total" without
+    // three scans). Uses the SQL surface (the DataFrame-side
+    // groupingSets landed in 4.0 but SQL is the stable spelling).
+    Q("a19_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("__li_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                        COUNT(*) AS n_rows
+                 FROM __li_gs
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 ORDER BY l_returnflag NULLS FIRST,
+                          l_linestatus NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              ORDER BY l_returnflag NULLS FIRST,
+                       l_linestatus NULLS FIRST""")),
+
+    // NTILE decile bucketing — the quantile-assignment staple
+    // (spend tiers, score deciles). Partitioned by order year so
+    // the rank window shuffles by a real key instead of collapsing
+    // to one partition (the global form is what w4's audit is for);
+    // ties broken by o_orderkey so both engines bucket identically.
+    Q("a20_ntile_deciles",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("yr"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("yr"), col("o_orderkey"),
+            col("o_totalprice"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("yr", "decile")
+          .agg(count(lit(1)).as("n_orders"),
+            Ops.sumMoney(col("o_totalprice")).as("sum_price"))
+          .orderBy("yr", "decile")
+      },
+      Some(s"""WITH d AS (
+                 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                        o_totalprice,
+                        CAST(NTILE(10) OVER (PARTITION BY year(o_orderdate)
+                          ORDER BY o_totalprice DESC, o_orderkey)
+                          AS INTEGER) AS decile
+                 FROM orders)
+               SELECT yr, decile, COUNT(*) AS n_orders,
+                      ${sqlSum("o_totalprice")} AS sum_price
+               FROM d GROUP BY yr, decile ORDER BY yr, decile""")),
+
     // Range join with NO equi-key (point-in-interval lookup): naive
     // Spark plans this as BroadcastNestedLoopJoin — O(|L|·|R|). The
     // bucketized rewrite (Ops.bucketedRangeJoin) turns it into a keyed

@@ -928,6 +928,26 @@ object ExtQueries {
               $SqlComponentsFromPairs
               SELECT id, comp FROM comp ORDER BY id""")),
 
+    // d14: edit-distance fuzzy key matching (entity resolution over
+    // string keys — the typo-tolerant complement of the shingle
+    // families, which need token mass and blur on short strings).
+    // Spark side blocks with the FastSS 1-deletion neighborhood
+    // (exact recall by construction, like the SimHash pigeonhole
+    // join) and verifies candidates with levenshtein; the oracle
+    // brute-forces all pairs — blocking is a physical detail, so the
+    // results must agree exactly.
+    Q("d14_fuzzy_match",
+      (s, dir) => Dedup.editDistancePairs(
+        t(s, dir, "customer"), "c_custkey", "c_name"),
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     a.c_name AS s_a, b.c_name AS s_b,
+                     CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
+                       AS dist
+              FROM customer a JOIN customer b
+                ON a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+              ORDER BY id_a, id_b""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute

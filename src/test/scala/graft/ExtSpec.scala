@@ -376,6 +376,22 @@ class ExtSpec extends SparkTestBase {
     assert(en.select("doc_id").as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("edit-distance pairs: exact recall at distance <= 1, none beyond") {
+    val names = Seq(
+      (0L, "acme corp"),   // distance 0 to 1, 1 (insertion) to 2
+      (1L, "acme corp"),   // exact dup of 0
+      (2L, "acme corps"),  // 1 insertion from 0/1
+      (3L, "acme corp."),  // 1 sub from 2 ("s"->"."), 1 ins from 0/1
+      (4L, "acme co"),     // distance 2 from 0 — must NOT match
+      (5L, "zenith ltd")
+    ).toDF("id", "name")
+    val pairs = graft.ext.Dedup.editDistancePairs(names, "id", "name")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(pairs == Set((0L, 1L, 0), (0L, 2L, 1), (1L, 2L, 1),
+      (0L, 3L, 1), (1L, 3L, 1), (2L, 3L, 1)), s"got $pairs")
+  }
+
   test("best-quality survivor keeps the better near-dup, not the lower id") {
     // doc 0 and doc 1 are near-dups (one word changed); doc 1 is
     // LONGER, so its quality score is strictly higher — the min-id
