@@ -134,4 +134,105 @@ object Layout {
         floor(coalesce(sum(col("size")).over(prior), lit(0L)) / target)
           .cast("long"))
   }
+
+  /** Hash position `seed` of `key` in a bloom bit space of `mBits`
+    * bits: the first 4 hex digits of md5("key#seed") as an integer,
+    * mod mBits. md5 is the repo's engine-portable hash (same
+    * lowercase hex text in Spark and DuckDB — see
+    * [[graft.ext.Curation]]); 4 hex digits span 65536 values, and
+    * mBits is required to divide 65536 so the mod is unbiased. */
+  private def bloomPos(key: Column, seed: Int, mBits: Int): Column =
+    pmod(conv(substring(
+        md5(concat(key.cast("string"), lit("#" + seed))), 1, 4),
+      16, 10).cast("long"), lit(mBits.toLong))
+
+  /** Emit each key's k bloom bits as packed-word coordinates:
+    * (word_idx, mask) with 32 bits per BIGINT word (32, not 64, so
+    * the mask stays positive on engines whose `<<` is signed). */
+  private def bloomBits(df: DataFrame, keyCol: Column,
+                        mBits: Int, k: Int): DataFrame = {
+    require(65536 % mBits == 0, s"mBits=$mBits must divide 65536")
+    df.withColumn("__pos",
+        explode(array((0 until k).map(j =>
+          bloomPos(keyCol, j, mBits)): _*)))
+      .withColumn("word_idx", (col("__pos") / lit(32)).cast("int"))
+      .withColumn("mask",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"))
+      .drop("__pos")
+  }
+
+  /** Per-block bloom filter index over a point-lookup key — the
+    * file-footer structure that prunes POINT predicates the way zone
+    * maps ([[zonemap2]]) prune ranges: high-cardinality unordered
+    * keys (user ids, part keys) have useless min/max boxes, but a
+    * few thousand bits per file answer "might this file contain key
+    * x" with no false negatives.
+    *
+    * Representation: (block, word_idx, word) — mBits bits packed 32
+    * per BIGINT word, built by one (block, word)-keyed `bit_or`
+    * aggregate over k exploded bit positions per row. Bounded output
+    * (blocks × mBits/32 rows max), map-side combinable, plain
+    * codegen shift/mask arithmetic end to end — and, because the
+    * hash is md5-based ([[bloomPos]]), reproducible bit for bit by
+    * the DuckDB oracle. */
+  def bloomIndex(df: DataFrame, blockCol: Column, keyCol: Column,
+                 mBits: Int = 4096, k: Int = 3): DataFrame =
+    bloomBits(df.select(blockCol.as("block"), keyCol.cast("long").as("key")),
+        col("key"), mBits, k)
+      .groupBy("block", "word_idx")
+      .agg(expr("bit_or(mask)").as("word"))
+
+  /** Point-lookup skipping report: for each probe key, how many
+    * blocks the bloom index says MUST be scanned (maybe_blocks) vs
+    * the blocks that truly contain the key (exact_blocks), plus
+    * false_neg — blocks containing the key that bloom would skip,
+    * structurally zero (the no-false-negative bloom contract, which
+    * makes the column an in-row cross-engine check).
+    *
+    * Shape: probe keys are contract-small (a handful of point
+    * lookups), so their k bit requirements broadcast to the index;
+    * a block qualifies iff EVERY needed word has all needed bits set
+    * (absent word rows are all-zero words — the anti-joined
+    * remainder fails the word count). No pair explosion: the join
+    * fan-out is |probes| × blocks × words-per-probe, all bounded. */
+  def bloomSkipStats(df: DataFrame, blockCol: Column, keyCol: Column,
+                     probes: DataFrame, mBits: Int = 4096,
+                     k: Int = 3): DataFrame = {
+    val base = df.select(blockCol.as("block"), keyCol.cast("long").as("key"))
+    val index = bloomIndex(df, blockCol, keyCol, mBits, k)
+    // per probe: needed (word_idx, bits) — k bits may share a word
+    val need = bloomBits(probes.select(col("probe_key").cast("long")
+          .as("probe_key")), col("probe_key"), mBits, k)
+      .groupBy("probe_key", "word_idx")
+      .agg(expr("bit_or(mask)").as("need"))
+    val nWords = need.groupBy("probe_key").agg(count(lit(1)).as("__nw"))
+    val maybe = need.join(index, Seq("word_idx"))
+      .filter(col("word").bitwiseAND(col("need")) === col("need"))
+      .groupBy("probe_key", "block").agg(count(lit(1)).as("__ok"))
+      .join(nWords, "probe_key")
+      .filter(col("__ok") === col("__nw"))
+      .select("probe_key", "block")
+    val exact = base.join(probes.select(col("probe_key").cast("long")
+        .as("probe_key")), col("key") === col("probe_key"))
+      .select("probe_key", "block").distinct()
+    val falseNeg = exact.except(maybe)
+      .groupBy("probe_key").agg(count(lit(1)).as("false_neg"))
+    val totals = base.select("block").distinct()
+      .agg(count(lit(1)).as("n_blocks"))
+    probes.select(col("probe_key").cast("long").as("probe_key"))
+      .crossJoin(broadcast(totals)) // 1-row totals (the audited shape)
+      .join(exact.groupBy("probe_key").agg(count(lit(1)).as("exact_blocks")),
+        Seq("probe_key"), "left")
+      .join(maybe.groupBy("probe_key").agg(count(lit(1)).as("maybe_blocks")),
+        Seq("probe_key"), "left")
+      .join(falseNeg, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("n_blocks"),
+        coalesce(col("exact_blocks"), lit(0L)).as("exact_blocks"),
+        coalesce(col("maybe_blocks"), lit(0L)).as("maybe_blocks"),
+        coalesce(col("false_neg"), lit(0L)).as("false_neg"),
+        graft.ops.Ops.roundDet(lit(1.0) -
+          coalesce(col("maybe_blocks"), lit(0L)).cast("double") /
+            col("n_blocks"), 4).as("skipped_frac"))
+      .orderBy("probe_key")
+  }
 }

@@ -87,4 +87,96 @@ object Sessions {
       .withColumn("cum_keys", sum(col("new_keys")).over(w))
       .orderBy("period")
   }
+
+  /** First-touch conversion funnel: how many users complete each
+    * prefix of an ordered step sequence (e.g. view → click →
+    * purchase) within `windowDays` of their FIRST step-1 event.
+    *
+    * Semantics are the standard first-touch chain: t1 = the user's
+    * earliest step-1 event; t_i = the earliest step-i event STRICTLY
+    * after t_{i-1}; the user counts at step i iff t_i exists and
+    * t_i <= t1 + windowDays. Greedy-first is not maximal matching —
+    * a user whose first chain misses the window is not re-matched
+    * through a later t1 — which is the conventional funnel contract
+    * and the one the oracle mirrors.
+    *
+    * Shape: the chained first-touch times are per-user whole-
+    * partition `min(when(...))` windows over ONE user-keyed
+    * Exchange (Catalyst stacks the Window operators; no join per
+    * step), then one user-grouped aggregate and one global 1-row
+    * roll-up. Holds at any corpus size: per-user state is the step
+    * count, the global aggregate sees one row per user partition. */
+  def funnel(events: DataFrame, steps: Seq[String], windowDays: Int,
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    val byUser = Window.partitionBy(col(userCol))
+    var chained = events.select(col(userCol), col(typeCol), col(tsCol))
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}")
+      chained = chained.withColumn(s"__t$i",
+        min(when(cond, col(tsCol))).over(byUser))
+    }
+    val perUser = chained.groupBy(col(userCol))
+      .agg(max(col("__t0")).as("__t0"),
+        steps.indices.drop(1).map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+    val deadline = col("__t0") + expr(s"INTERVAL $windowDays DAYS")
+    val counts = perUser.agg(
+      count(when(col("__t0").isNotNull, 1)).as("__n0"),
+      steps.indices.drop(1).map(i =>
+        count(when(col(s"__t$i").isNotNull && col(s"__t$i") <= deadline, 1))
+          .as(s"__n$i")): _*)
+    val stepRows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step"), lit(step).as("event_type"),
+        col(s"__n$i").as("n_users"), col("__n0").as("__n_first"))
+    }
+    counts.select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.step").as("step"), col("r.event_type").as("event_type"),
+        col("r.n_users").as("n_users"), col("r.__n_first").as("__n_first"))
+      .withColumn("pct_of_first",
+        when(col("__n_first") === 0, lit(null).cast("double"))
+          .otherwise(graft.ops.Ops.roundDet(
+            col("n_users").cast("double") / col("__n_first"), 4)))
+      .drop("__n_first")
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention grid: users bucketed by the week of
+    * their first event (cohort), counted in every later week they
+    * were active, with retention as a fraction of the cohort's size
+    * (its week-0 count — every user is active in week 0 by
+    * definition of "first event").
+    *
+    * Shape: first-seen is one user-keyed aggregate; the activity
+    * join is user-keyed against that same partitioning (co-located,
+    * no extra Exchange side); the grid aggregate is keyed by
+    * (cohort_week, week_offset) — calendar-bounded cardinality; the
+    * cohort-size window partitions by cohort_week, also calendar-
+    * bounded. Week arithmetic stays on date_trunc('week') Mondays on
+    * both engines so offset = days/7 is exact. */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val e = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+    val first = e.groupBy("__u").agg(min(col("__ts")).as("__first_ts"))
+    val active = e.join(first, "__u")
+      .select(date_trunc("week", col("__first_ts")).as("cohort_week"),
+        (datediff(date_trunc("week", col("__ts")),
+          date_trunc("week", col("__first_ts"))) / 7).cast("int")
+          .as("week_offset"),
+        col("__u"))
+      .distinct()
+    val grid = active.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val byCohort = Window.partitionBy(col("cohort_week"))
+    grid
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(byCohort))
+      .withColumn("retention", graft.ops.Ops.roundDet(
+        col("n_active").cast("double") / col("cohort_size"), 4))
+      .select("cohort_week", "week_offset", "n_active", "cohort_size",
+        "retention")
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -1691,6 +1691,75 @@ object ExtQueries {
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_keys
               FROM d ORDER BY period""")),
 
+    // w5: first-touch conversion funnel view → click → purchase
+    // within 7 days of the first view (Sessions.funnel scaladoc pins
+    // the greedy-first chain semantics). The oracle builds the same
+    // chain as three dependent min-aggregates; both engines count
+    // users whose chain completes inside the window.
+    Q("w5_funnel",
+      (s, dir) => graft.ext.Sessions.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), windowDays = 7),
+      Some(s"""WITH t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                           WHERE event_type = 'view' GROUP BY user_id),
+               t1 AS (SELECT e.user_id, MIN(e.ts) AS t1
+                      FROM events e JOIN t0 ON e.user_id = t0.user_id
+                      WHERE e.event_type = 'click' AND e.ts > t0.t0
+                      GROUP BY e.user_id),
+               t2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                      FROM events e JOIN t1 ON e.user_id = t1.user_id
+                      WHERE e.event_type = 'purchase' AND e.ts > t1.t1
+                      GROUP BY e.user_id),
+               f AS (SELECT t0.user_id, t0.t0, t1.t1, t2.t2
+                     FROM t0 LEFT JOIN t1 ON t0.user_id = t1.user_id
+                             LEFT JOIN t2 ON t0.user_id = t2.user_id),
+               c AS (SELECT COUNT(t0) AS n0,
+                            COUNT(CASE WHEN t1 <= t0 + INTERVAL 7 DAY
+                                       THEN 1 END) AS n1,
+                            COUNT(CASE WHEN t2 <= t0 + INTERVAL 7 DAY
+                                       THEN 1 END) AS n2
+                     FROM f)
+               SELECT step, event_type, n_users,
+                      CASE WHEN n0 = 0 THEN NULL
+                           ELSE ${sqlRoundDet(
+                             "CAST(n_users AS DOUBLE) / n0", 4)}
+                      END AS pct_of_first
+               FROM (SELECT 1 AS step, 'view' AS event_type,
+                            n0 AS n_users, n0 FROM c
+                     UNION ALL
+                     SELECT 2, 'click', n1, n0 FROM c
+                     UNION ALL
+                     SELECT 3, 'purchase', n2, n0 FROM c)
+               ORDER BY step""")),
+
+    // w6: weekly cohort retention grid — users bucketed by first-
+    // event week, counted per active week offset, retention as a
+    // fraction of the cohort's week-0 size. Monday-truncated weeks
+    // on both engines make offset = days/7 exact; DuckDB's
+    // date_trunc('week') yields DATE, hence the TIMESTAMP cast.
+    Q("w6_cohort_retention",
+      (s, dir) => graft.ext.Sessions.cohortRetention(t(s, dir, "events")),
+      Some(s"""WITH f AS (SELECT user_id, MIN(ts) AS first_ts
+                          FROM events GROUP BY user_id),
+               a AS (SELECT DISTINCT
+                       date_trunc('week', f.first_ts) AS cw,
+                       date_diff('day', date_trunc('week', f.first_ts),
+                                 date_trunc('week', e.ts)) // 7 AS wo,
+                       e.user_id
+                     FROM events e JOIN f ON e.user_id = f.user_id),
+               g AS (SELECT cw, wo, COUNT(*) AS n_active
+                     FROM a GROUP BY cw, wo),
+               w AS (SELECT cw, wo, n_active,
+                       MAX(CASE WHEN wo = 0 THEN n_active END)
+                         OVER (PARTITION BY cw) AS cohort_size
+                     FROM g)
+               SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+                      CAST(wo AS INTEGER) AS week_offset,
+                      n_active, cohort_size,
+                      ${sqlRoundDet(
+                        "CAST(n_active AS DOUBLE) / cohort_size", 4)}
+                        AS retention
+               FROM w ORDER BY cohort_week, week_offset""")),
+
     // streaming twin: flatMapGroupsWithState over a replayed stream.
     // A session is emitted when a later event closes it or when the
     // final watermark (max ts - 1 min, ms precision) passes its
@@ -2376,6 +2445,85 @@ object ExtQueries {
                      MIN(file_id) AS first_file,
                      MAX(file_id) AS last_file
               FROM planned GROUP BY part, bin ORDER BY part, bin""")),
+
+    // z5: per-block bloom index + point-lookup skipping report —
+    // the data-skipping structure zone maps (z2/z3) cannot provide:
+    // high-cardinality unordered keys (part keys, user ids) have
+    // useless min/max boxes, but 4096 md5-hashed bits per block
+    // answer point predicates with zero false negatives. Because
+    // the hash is the repo's engine-portable md5 recipe, the oracle
+    // rebuilds the SAME bloom bit-for-bit in SQL — the bloom side is
+    // hash-checked, not just the exact side — and the false_neg
+    // column is the in-row no-false-negative contract (always 0).
+    // Probes: 3 part keys present at every sf, 2 absent.
+    Q("z5_bloom_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val probes = Seq(1L, 2L, 3L, 10000019L, 10000037L)
+          .toDF("probe_key")
+        Layout.bloomSkipStats(t(s, dir, "lineitem"),
+          pmod(col("l_orderkey"), lit(64)), col("l_partkey"), probes)
+      },
+      Some(s"""WITH base AS (SELECT l_orderkey % 64 AS block,
+                               l_partkey AS key FROM lineitem),
+               probes(probe_key) AS (VALUES (1::BIGINT), (2::BIGINT),
+                 (3::BIGINT), (10000019::BIGINT), (10000037::BIGINT)),
+               seeds(j) AS (VALUES (0), (1), (2)),
+               bbits AS (
+                 SELECT block,
+                        CAST(('0x' || substring(md5(CAST(key AS VARCHAR)
+                          || '#' || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT)
+                          % 4096 AS pos
+                 FROM base, seeds),
+               bloom AS (
+                 SELECT block, CAST(pos // 32 AS INTEGER) AS word_idx,
+                        bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER))
+                          AS word
+                 FROM bbits GROUP BY 1, 2),
+               pbits AS (
+                 SELECT probe_key,
+                        CAST(('0x' || substring(md5(CAST(probe_key
+                          AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 4))
+                          AS BIGINT) % 4096 AS pos
+                 FROM probes, seeds),
+               need AS (
+                 SELECT probe_key, CAST(pos // 32 AS INTEGER) AS word_idx,
+                        bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER))
+                          AS need
+                 FROM pbits GROUP BY 1, 2),
+               nw AS (SELECT probe_key, COUNT(*) AS nw
+                      FROM need GROUP BY 1),
+               mb AS (
+                 SELECT n.probe_key, b.block, COUNT(*) AS ok
+                 FROM need n JOIN bloom b USING (word_idx)
+                 WHERE (b.word & n.need) = n.need
+                 GROUP BY 1, 2),
+               maybe AS (
+                 SELECT mb.probe_key, mb.block
+                 FROM mb JOIN nw USING (probe_key) WHERE mb.ok = nw.nw),
+               exact AS (
+                 SELECT DISTINCT p.probe_key, b.block
+                 FROM base b JOIN probes p ON b.key = p.probe_key),
+               fn AS (
+                 SELECT probe_key, COUNT(*) AS false_neg FROM (
+                   SELECT probe_key, block FROM exact
+                   EXCEPT SELECT probe_key, block FROM maybe)
+                 GROUP BY 1),
+               tot AS (SELECT COUNT(DISTINCT block) AS n_blocks FROM base)
+               SELECT p.probe_key, tot.n_blocks,
+                      COALESCE(e.c, 0) AS exact_blocks,
+                      COALESCE(m.c, 0) AS maybe_blocks,
+                      COALESCE(fn.false_neg, 0) AS false_neg,
+                      ${sqlRoundDet(
+                        """1.0 - CAST(COALESCE(m.c, 0) AS DOUBLE)
+                           / tot.n_blocks""", 4)} AS skipped_frac
+               FROM probes p CROSS JOIN tot
+               LEFT JOIN (SELECT probe_key, COUNT(*) AS c FROM exact
+                          GROUP BY 1) e USING (probe_key)
+               LEFT JOIN (SELECT probe_key, COUNT(*) AS c FROM maybe
+                          GROUP BY 1) m USING (probe_key)
+               LEFT JOIN fn USING (probe_key)
+               ORDER BY probe_key""")),
 
     // BPE tokenizer training driver rows (ext/Bpe.scala; spec-deep
     // coverage in BpeSpec). b1 is the SQL-oracle-able slice: round-1

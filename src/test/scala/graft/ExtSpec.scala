@@ -392,6 +392,61 @@ class ExtSpec extends SparkTestBase {
       (0L, 3L, 1), (1L, 3L, 1), (2L, 3L, 1)), s"got $pairs")
   }
 
+  test("funnel: greedy chain, strict ordering, conversion window") {
+    def ev(u: Long, t: String, ty: String) =
+      (u, java.sql.Timestamp.valueOf(t), ty)
+    val events = Seq(
+      // u1 completes a>b>c inside 7 days
+      ev(1, "2024-01-01 00:00:00", "a"), ev(1, "2024-01-02 00:00:00", "b"),
+      ev(1, "2024-01-03 00:00:00", "c"),
+      // u2: c BEFORE b — chain stops at b (strict ordering)
+      ev(2, "2024-01-01 00:00:00", "a"), ev(2, "2024-01-03 00:00:00", "c"),
+      ev(2, "2024-01-04 00:00:00", "b"),
+      // u3: completes, but c lands past the 7-day window from first a
+      ev(3, "2024-01-01 00:00:00", "a"), ev(3, "2024-01-02 00:00:00", "b"),
+      ev(3, "2024-01-09 00:00:01", "c"),
+      // u4: never does step a
+      ev(4, "2024-01-01 00:00:00", "b"), ev(4, "2024-01-02 00:00:00", "c")
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.ext.Sessions.funnel(events, Seq("a", "b", "c"), 7)
+      .select("step", "n_users").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 3L), (2, 3L), (3, 1L)), s"got $got")
+  }
+
+  test("cohort retention: week-0 size anchors the grid") {
+    def ev(u: Long, t: String) = (u, java.sql.Timestamp.valueOf(t))
+    // weeks: Mon 2024-01-01 and Mon 2024-01-08
+    val events = Seq(
+      ev(1, "2024-01-02 10:00:00"), ev(1, "2024-01-09 10:00:00"),
+      ev(2, "2024-01-03 10:00:00"), // cohort w0, never returns
+      ev(3, "2024-01-10 10:00:00")  // cohort w1
+    ).toDF("user_id", "ts")
+    val got = graft.ext.Sessions.cohortRetention(events)
+      .select("week_offset", "n_active", "cohort_size", "retention")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // cohort 2024-01-01: 2 users at offset 0, 1 at offset 1;
+    // cohort 2024-01-08: 1 user at offset 0
+    assert(got == Seq((0, 2L, 2L, 1.0), (1, 1L, 2L, 0.5),
+      (0, 1L, 1L, 1.0)), s"got $got")
+  }
+
+  test("bloom skipping: no false negatives, absent key can still fp") {
+    val rows = (0L until 256L).map(i => (i % 8, i)).toDF("blk", "key")
+    val probes = Seq(5L, 13L, 9999L).toDF("probe_key")
+    val got = graft.ext.Layout.bloomSkipStats(rows, col("blk"), col("key"),
+        probes, mBits = 1024, k = 3)
+      .select("probe_key", "n_blocks", "exact_blocks", "maybe_blocks",
+        "false_neg")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // key k lives only in block k % 8; bloom must never skip it
+    assert(got.map(_._5).forall(_ == 0L), s"false negatives: $got")
+    val byKey = got.map(r => r._1 -> r).toMap
+    assert(byKey(5L)._3 == 1L && byKey(5L)._4 >= 1L, s"got $got")
+    assert(byKey(13L)._3 == 1L && byKey(13L)._4 >= 1L, s"got $got")
+    assert(byKey(9999L)._3 == 0L, s"absent key has exact hits: $got")
+    assert(got.forall(r => r._4 >= r._3), s"maybe < exact: $got")
+  }
+
   test("best-quality survivor keeps the better near-dup, not the lower id") {
     // doc 0 and doc 1 are near-dups (one word changed); doc 1 is
     // LONGER, so its quality score is strictly higher — the min-id

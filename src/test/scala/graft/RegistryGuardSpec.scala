@@ -94,6 +94,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
     "z3_prune_fraction" -> Set("unconditional-nested-loop"),
+    // z5: the one-row block-count total crossJoined onto the probe
+    // summary — e8's one-row-totals shape; every other join in the
+    // bloom probe chain is keyed (word_idx / probe_key / key)
+    "z5_bloom_skipping" -> Set("unconditional-nested-loop"),
     // w4's running sum windows over ONE ROW PER DAY (first-seen
     // counts, pre-aggregated) — calendar-bounded, see
     // Sessions.cumulativeNewKeys
