@@ -254,4 +254,54 @@ object Relevance {
             col("n_bigrams"), 4).as("bits_per_char"))
       .orderBy("doc_id")
   }
+
+  /** Pointwise-mutual-information collocations: adjacent token
+    * bigrams whose joint frequency beats the independence prediction
+    * of their unigram marginals —
+    * pmi = log2( (c_ab/N2) / ((c_a/N1)·(c_b/N1)) ), the standard
+    * collocation score (Church & Hanks 1990). High-PMI pairs are
+    * multiword units ("new york"); boilerplate shows up as whole
+    * high-PMI templates, which is why corpus-curation pipelines run
+    * this alongside the frequency-only vocab reports (t5).
+    *
+    * Shape: one tokenize pass feeds both count tables (bigrams via
+    * an index-lambda over the materialized token array — no
+    * self-join); marginals attach by keyed joins on the bigram's
+    * words; N1/N2 are the audited one-row-totals crossJoin. The
+    * `minCount` floor (applied BEFORE the marginal joins) keeps the
+    * PMI table off the hapax tail, which is both the statistical
+    * convention (PMI of count-1 pairs is noise) and the scale bound:
+    * candidates ≤ N2/minCount rows. Final top-k ranks on the ROUNDED
+    * pmi with (left, right) tie-breaks so the cut is deterministic;
+    * 4-dp rounding absorbs the 1-ulp libm log2 spread (the t14/t15
+    * discipline). */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, topK: Int = 50,
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(TextAnalysis.tokens(col(textCol)).as("a"))
+      .localCheckpoint() // consumed twice: unigram + bigram counts
+    val uni = toks.select(explode(col("a")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bigAll = toks.filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(slice(a, 1, size(a)-1), " +
+          "(x, i) -> struct(x AS lw, a[i+1] AS rw))")).as("p"))
+      .select(col("p.lw").as("lw"), col("p.rw").as("rw"))
+      .groupBy("lw", "rw").agg(count(lit(1)).as("c_ab"))
+    // totals BEFORE the minCount floor — the floor prunes candidates,
+    // not the probability space
+    val totals = uni.agg(sum(col("c")).cast("long").as("n1"))
+      .crossJoin(bigAll.agg(sum(col("c_ab")).cast("long").as("n2")))
+    bigAll.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("lw"), col("c").as("c_l")), "lw")
+      .join(uni.select(col("w").as("rw"), col("c").as("c_r")), "rw")
+      .crossJoin(broadcast(totals))
+      .select(col("lw"), col("rw"), col("c_ab"),
+        graft.ops.Ops.roundDet(log2(
+          (col("c_ab").cast("double") / col("n2")) /
+            ((col("c_l").cast("double") / col("n1")) *
+              (col("c_r").cast("double") / col("n1")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("lw"), col("rw"))
+      .limit(topK)
+  }
 }

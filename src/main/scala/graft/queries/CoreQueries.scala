@@ -829,6 +829,37 @@ object CoreQueries {
                       ${sqlSum("o_totalprice")} AS sum_price
                FROM d GROUP BY yr, decile ORDER BY yr, decile""")),
 
+    // Time-RANGE window frame — trailing 1-hour count/sum per user,
+    // a frame defined by ORDER-value bounds rather than row offsets
+    // (a17's sliding window() is the overlapping-bucket operator;
+    // a14/a17 ROWS frames count rows). The range key is epoch
+    // MICROseconds on both engines — unix_timestamp would truncate
+    // to seconds and could disagree inside a second. RANGE includes
+    // ties (peers) by value on both engines; output order pins on
+    // the unique event_id.
+    Q("a21_time_range_frame",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_1h"),
+            Ops.roundDet(sum(col("value").cast(Ops.MoneyDec)).over(w)
+              .cast("double"), 2).as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, ts,
+                      CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+                      ${sqlRoundDet(
+                        """CAST(SUM(CAST(value AS DECIMAL(28,10)))
+                           OVER w AS DOUBLE)""", 2)} AS sum_1h
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 3600000000 PRECEDING
+                              AND CURRENT ROW)
+               ORDER BY event_id""")),
+
     // Range join with NO equi-key (point-in-interval lookup): naive
     // Spark plans this as BroadcastNestedLoopJoin — O(|L|·|R|). The
     // bucketized rewrite (Ops.bucketedRangeJoin) turns it into a keyed

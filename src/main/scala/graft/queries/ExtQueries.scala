@@ -432,6 +432,31 @@ object ExtQueries {
                                              AS DOUBLE),1.0))*5.0, 1.0)*0.3""", 4)} AS quality
               FROM documents ORDER BY doc_id""")),
 
+    // e17: per-domain quality percentile — t2's raw score is not
+    // comparable ACROSS sources (a mediocre wiki page outscores a
+    // good forum post), so curation thresholds ("keep the top 30%")
+    // must rank within source. percent_rank over a source-keyed
+    // window; ties share a rank on both engines, single-row groups
+    // are rank 0, and the window never goes global.
+    Q("e17_quality_normalize",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("quality"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .withColumn("q_pct",
+            graft.ops.Ops.roundDet(percent_rank().over(w), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source, $SqlQuality AS quality
+                          FROM documents)
+               SELECT doc_id, source, quality,
+                      ${sqlRoundDet(
+                        """percent_rank() OVER (PARTITION BY source
+                           ORDER BY quality)""", 4)} AS q_pct
+               FROM q ORDER BY doc_id""")),
+
     Q("t3_text_langid",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1484,6 +1509,42 @@ object ExtQueries {
                      ${sqlRoundDet("-list_sum(ts) / n_bigrams", 4)}
                        AS bits_per_char
               FROM agg ORDER BY doc_id""")),
+
+    // t16: PMI collocations (Relevance.pmiBigrams scaladoc pins the
+    // formula, the minCount floor, and the rounded-rank cut). The
+    // oracle rebuilds both count tables from the same whitespace
+    // tokens (1-based list indexing vs the lambda's 0-based — both
+    // pair l[i] with its successor) with IDENTICAL division order in
+    // the pmi expression, so the doubles agree bit-for-bit pre-round.
+    Q("t16_pmi_collocations",
+      (s, dir) => Relevance.pmiBigrams(t(s, dir, "documents")),
+      Some(s"""WITH toks AS (
+                 SELECT string_split_regex(text, '\\s+') AS l
+                 FROM documents),
+               uni AS (
+                 SELECT w, COUNT(*) AS c
+                 FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+               big AS (
+                 SELECT l[i] AS lw, l[i+1] AS rw
+                 FROM toks, unnest(generate_series(1, len(l) - 1)) u(i)
+                 WHERE len(l) >= 2),
+               bcnt AS (
+                 SELECT lw, rw, COUNT(*) AS c_ab FROM big GROUP BY lw, rw),
+               tot AS (
+                 SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n1,
+                        (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bcnt) AS n2)
+               SELECT lw, rw, c_ab,
+                      ${sqlRoundDet(
+                        """log2((CAST(c_ab AS DOUBLE) / n2)
+                           / ((CAST(ul.c AS DOUBLE) / n1)
+                              * (CAST(ur.c AS DOUBLE) / n1)))""", 4)}
+                        AS pmi
+               FROM bcnt
+               JOIN uni ul ON bcnt.lw = ul.w
+               JOIN uni ur ON bcnt.rw = ur.w
+               CROSS JOIN tot
+               WHERE c_ab >= 5
+               ORDER BY pmi DESC, lw, rw LIMIT 50""")),
 
     // ---- multimodal plumbing -----------------------------------------
 

@@ -519,6 +519,26 @@ object PipeQueries {
               GROUP BY lang, split
               ORDER BY lang, split""")),
 
+    // Group-aware (leakage-safe) split: e6 assigns per DOCUMENT, so
+    // near-identical docs from one source can straddle train/held —
+    // exactly the eval contamination a decontamination pass exists
+    // to catch. Keying the SAME md5 cut by source puts every
+    // source's documents on one side by construction: each source
+    // appears in exactly one (source, split) output row, which makes
+    // the no-straddle invariant visible in the result itself.
+    Q("e16_group_split",
+      (s, dir) => Curation.splitAssign(t(s, dir, "documents"), "source",
+          Seq("train" -> 0.80), rest = "held")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split"),
+      Some("""SELECT source,
+                     CASE WHEN substring(md5(source), 1, 4) < 'cccc'
+                          THEN 'train' ELSE 'held' END AS split,
+                     COUNT(*) AS n_docs
+              FROM documents GROUP BY source, split
+              ORDER BY source, split""")),
+
     // ---- outlier clipping ----------------------------------------------
 
     // Per-flag winsorization of extended price at the [p05, p95]

@@ -392,6 +392,17 @@ class ExtSpec extends SparkTestBase {
       (0L, 3L, 1), (1L, 3L, 1), (2L, 3L, 1)), s"got $pairs")
   }
 
+  test("pmi collocations: hand-computed scores, rounded-rank order") {
+    // unigrams x:2 y:2 z:2 (N1=6); bigrams (x,y):2 (y,x):1 (z,z):1
+    // (N2=4) → pmi(x,y)=log2((2/4)/(2/6 · 2/6))=log2(4.5)=2.1699;
+    // pmi(y,x)=pmi(z,z)=log2(2.25)=1.1699, tie broken y<z
+    val docs = Seq("x y x y", "z z").toDF("text")
+    val got = graft.ext.Relevance.pmiBigrams(docs, minCount = 1, topK = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", "y", 2L, 2.1699), ("y", "x", 1L, 1.1699),
+      ("z", "z", 1L, 1.1699)), s"got $got")
+  }
+
   test("funnel: greedy chain, strict ordering, conversion window") {
     def ev(u: Long, t: String, ty: String) =
       (u, java.sql.Timestamp.valueOf(t), ty)

@@ -41,6 +41,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // t15: the ONE-ROW bigram → log2 P map cross join (alphabet²-
     // bounded by construction — the same one-row-totals shape as e8)
     "t15_bigram_xent" -> Set("unconditional-nested-loop"),
+    // t16: the N1×N2 one-row totals pair (1-row × 1-row, then onto
+    // the minCount-floored candidates) — e8's shape twice; the
+    // marginal joins are keyed on the bigram's words
+    "t16_pmi_collocations" -> Set("unconditional-nested-loop"),
     "t7_bm25_rank" ->
       Set("unconditional-nested-loop", "global-window",
         "bnlj-deferred-derivation"),
