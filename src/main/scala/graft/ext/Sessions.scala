@@ -143,6 +143,47 @@ object Sessions {
       .orderBy("step")
   }
 
+  /** Peak concurrent sessions per hour — the sweep-line answer to
+    * "how many sessions overlap", computed WITHOUT the interval
+    * self-join (whose pair mass is quadratic in co-active sessions).
+    * Each session contributes +1 at its start minute and −1 at the
+    * minute after its end; concurrency at any boundary is the
+    * running sum of deltas, and the hourly report takes the max over
+    * the boundaries inside each hour. Minute granularity makes the
+    * delta table CALENDAR-BOUNDED (one row per minute with activity,
+    * ≤ 44 k/month), so the running-sum window — global by nature,
+    * concurrency has no partition key — runs over bounded rows, the
+    * same audited shape as w4's cumulative count. Hours with no
+    * session boundary are absent from the report (concurrency is
+    * flat there, carried from the last boundary).
+    *
+    * Returns (hour, max_concurrent, n_boundaries), ordered. */
+  def hourlyConcurrency(events: DataFrame, gapMinutes: Int,
+                        userCol: String = "user_id",
+                        tsCol: String = "ts"): DataFrame = {
+    // bounds only — no value aggregate, so any (user, ts) frame works
+    val sessions = withSessionId(events, gapMinutes, userCol, tsCol)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+    val deltas = sessions.select(explode(array(
+        struct(date_trunc("minute", col("session_start")).as("m"),
+          lit(1L).as("d")),
+        struct((date_trunc("minute", col("session_end")) +
+          expr("INTERVAL 1 MINUTE")).as("m"), lit(-1L).as("d"))))
+        .as("e"))
+      .select(col("e.m").as("m"), col("e.d").as("d"))
+      .groupBy("m").agg(sum(col("d")).as("delta"))
+    val w = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(date_trunc("hour", col("m")).as("hour"))
+      .agg(max(col("conc")).cast("long").as("max_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy("hour")
+  }
+
   /** Weekly cohort retention grid: users bucketed by the week of
     * their first event (cohort), counted in every later week they
     * were active, with retention as a fraction of the cohort's size

@@ -208,6 +208,17 @@ object Ops {
     * identically in the j10 oracle. The classic point-in-time
     * enrichment (trades→quotes, events→dimensions).
     *
+    * `toleranceSeconds` mirrors pandas merge_asof's `tolerance`:
+    * candidates farther than the band (in ts seconds, inclusive) are
+    * excluded, and a left row with no in-band candidate keeps null
+    * payloads. Because the band is symmetric, excluding-then-picking
+    * equals picking-then-nulling in EVERY direction (the nearest
+    * candidate is out of band only if all are), so the guard wraps
+    * the already-selected leg; each leg's guard uses its own
+    * distance, which in nearest mode also keeps an out-of-band side
+    * from absorbing the pick (PropertySpec pins the constructed
+    * cases).
+    *
     * Implemented by composing built-ins (preference (a) of the
     * project brief — no custom SparkPlan needed): tag and union both
     * sides, ONE shuffle keyed on `key`, sort within partitions by
@@ -225,9 +236,12 @@ object Ops {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                payloadCols: Seq[String], tieBreak: String,
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got '$direction'")
+    require(toleranceSeconds.forall(_ >= 0L),
+      s"toleranceSeconds must be >= 0, got $toleranceSeconds")
     val leftCols = left.columns.toSeq
     // side flag: rights sort first at equal ts for backward/nearest
     // (`<=` semantics); lefts sort first for forward (`>=` semantics)
@@ -259,22 +273,37 @@ object Ops {
     val wFwd = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(0, Window.unboundedFollowing)
 
+    // right-row ts carried through both legs: the nearest distance
+    // compare, and the tolerance guard in every direction (see the
+    // scaladoc — symmetric band, so guarding the selected leg equals
+    // pandas' restrict-before-pick)
+    val rts = when(col("__side") === rightSide, col("__ts"))
+    val backTs = last(rts, ignoreNulls = true).over(wBack)
+    val fwdTs = first(rts, ignoreNulls = true).over(wFwd)
+    val backDist = col("__ts").cast("double") - backTs.cast("double")
+    val fwdDist = fwdTs.cast("double") - col("__ts").cast("double")
+    val tolOk: Column => Column = dist => toleranceSeconds match {
+      case None => lit(true)
+      case Some(t) => dist <= lit(t.toDouble)
+    }
+    val backOk = backTs.isNotNull && tolOk(backDist)
+    val fwdOk = fwdTs.isNotNull && tolOk(fwdDist)
     val attached = direction match {
-      case "backward" =>
+      case "backward" if toleranceSeconds.isEmpty =>
         payloadCols.map(c => last(col(c), ignoreNulls = true).over(wBack).as(c))
-      case "forward" =>
+      case "forward" if toleranceSeconds.isEmpty =>
         payloadCols.map(c => first(col(c), ignoreNulls = true).over(wFwd).as(c))
+      case "backward" =>
+        payloadCols.map(c => when(backOk,
+          last(col(c), ignoreNulls = true).over(wBack)).as(c))
+      case "forward" =>
+        payloadCols.map(c => when(fwdOk,
+          first(col(c), ignoreNulls = true).over(wFwd)).as(c))
       case "nearest" =>
-        // right-row ts carried through both legs for the distance
-        val rts = when(col("__side") === rightSide, col("__ts"))
-        val backTs = last(rts, ignoreNulls = true).over(wBack)
-        val fwdTs = first(rts, ignoreNulls = true).over(wFwd)
-        val useBack = backTs.isNotNull && (fwdTs.isNull ||
-          (col("__ts").cast("double") - backTs.cast("double")) <=
-            (fwdTs.cast("double") - col("__ts").cast("double")))
+        val useBack = backOk && (!fwdOk || backDist <= fwdDist)
         payloadCols.map(c => when(useBack,
             last(col(c), ignoreNulls = true).over(wBack))
-          .otherwise(first(col(c), ignoreNulls = true).over(wFwd)).as(c))
+          .when(fwdOk, first(col(c), ignoreNulls = true).over(wFwd)).as(c))
     }
     union.select((col(key) +: col("__side") +:
         leftCols.filterNot(_ == key).map(col)) ++ attached: _*)

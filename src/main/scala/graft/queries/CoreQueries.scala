@@ -528,6 +528,39 @@ object CoreQueries {
               SELECT event_id, ts, user_id, o_orderkey, o_totalprice
               FROM m WHERE rn = 1 ORDER BY event_id""")),
 
+    // j11: as-of with a tolerance band (pandas merge_asof
+    // `tolerance`) — j4's backward join, but an order older than 30
+    // days is NOT a candidate (restrict-first; see Ops.asofJoin
+    // scaladoc — for backward this equals nulling the out-of-band
+    // pick, the form the oracle uses in its join condition).
+    Q("j11_asof_tolerance",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+          .select("event_id", "ts", "user_id")
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+                  col("o_orderkey"), col("o_totalprice"))
+        Ops.asofJoin(events, orders, key = "user_id",
+            leftTs = "ts", rightTs = "o_orderdate",
+            payloadCols = Seq("o_orderkey", "o_totalprice"),
+            tieBreak = "o_orderkey", direction = "backward",
+            toleranceSeconds = Some(30L * 86400L))
+          .select("event_id", "ts", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+                                o_totalprice FROM orders),
+                   e AS (SELECT event_id, ts, user_id FROM events),
+                   m AS (SELECT e.event_id, e.ts, e.user_id, o.o_orderkey,
+                                o.o_totalprice,
+                                ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                         FROM e LEFT JOIN o
+                           ON e.user_id = o.user_id AND o.o_orderdate <= e.ts
+                              AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
+              SELECT event_id, ts, user_id, o_orderkey, o_totalprice
+              FROM m WHERE rn = 1 ORDER BY event_id""")),
+
     // Approximate COUNT(DISTINCT) — the HLL sketch path for 100 TB
     // cardinalities. Sketch bits are engine-specific → rows-only check.
     Q("a11_approx_distinct",

@@ -1821,6 +1821,48 @@ object ExtQueries {
                         AS retention
                FROM w ORDER BY cohort_week, week_offset""")),
 
+    // w7: peak concurrent sessions per hour — sweep-line over
+    // session boundary deltas, NOT an interval self-join (see
+    // Sessions.hourlyConcurrency: the pair mass of "which sessions
+    // overlap" is quadratic; the delta running-sum is linear with a
+    // calendar-bounded global window, w4's audited shape). Oracle:
+    // w2's sessionize CTE feeding the same delta/running-sum chain.
+    Q("w7_concurrency",
+      (s, dir) => graft.ext.Sessions.hourlyConcurrency(
+        t(s, dir, "events"), gapMinutes = 30),
+      Some("""WITH l AS (
+                 SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM events),
+               s AS (
+                 SELECT user_id, ts,
+                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM l),
+               g AS (
+                 SELECT user_id, sid, MIN(ts) AS session_start,
+                        MAX(ts) AS session_end
+                 FROM s GROUP BY user_id, sid),
+               d AS (
+                 SELECT m, CAST(SUM(dd) AS BIGINT) AS delta FROM (
+                   SELECT date_trunc('minute', session_start) AS m,
+                          1 AS dd FROM g
+                   UNION ALL
+                   SELECT date_trunc('minute', session_end)
+                            + INTERVAL 1 MINUTE, -1 FROM g)
+                 GROUP BY m),
+               c AS (
+                 SELECT m, delta,
+                        CAST(SUM(delta) OVER (ORDER BY m
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+                 FROM d)
+               SELECT CAST(date_trunc('hour', m) AS TIMESTAMP) AS hour,
+                      CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+                      COUNT(*) AS n_boundaries
+               FROM c GROUP BY 1 ORDER BY hour""")),
+
     // streaming twin: flatMapGroupsWithState over a replayed stream.
     // A session is emitted when a later event closes it or when the
     // final watermark (max ts - 1 min, ms precision) passes its

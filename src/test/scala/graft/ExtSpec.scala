@@ -424,6 +424,23 @@ class ExtSpec extends SparkTestBase {
     assert(got == Seq((1, 3L), (2, 3L), (3, 1L)), s"got $got")
   }
 
+  test("hourly concurrency: sweep-line deltas, hand-checked peaks") {
+    def ev(u: Long, t: String) = (u, java.sql.Timestamp.valueOf(t))
+    // u1 session 10:00-10:10, u2 10:05-10:20 (overlap → peak 2),
+    // u3 a single-event session at 11:00
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:10:00"),
+      ev(2, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"),
+      ev(3, "2024-01-01 11:00:00")
+    ).toDF("user_id", "ts")
+    val got = graft.ext.Sessions.hourlyConcurrency(events, 30)
+      .select("max_concurrent", "n_boundaries")
+      .as[(Long, Long)].collect().toSeq
+    // hour 10: deltas at 10:00 +1, 10:05 +1, 10:11 -1, 10:21 -1 →
+    // running 1,2,1,0 → max 2 over 4 boundaries; hour 11: 1 over 2
+    assert(got == Seq((2L, 4L), (1L, 2L)), s"got $got")
+  }
+
   test("cohort retention: week-0 size anchors the grid") {
     def ev(u: Long, t: String) = (u, java.sql.Timestamp.valueOf(t))
     // weeks: Mon 2024-01-01 and Mon 2024-01-08

@@ -59,6 +59,35 @@ class PropertySpec extends SparkTestBase {
       "backward mode must take the GREATEST tieBreak")
   }
 
+  test("asofJoin tolerance: inclusive band, out-of-band rows keep nulls") {
+    val left = Seq((1L, "k", 100L), (2L, "k", 200L), (3L, "k", 300L))
+      .toDF("id", "key", "s")
+      .select($"id", $"key", timestamp_seconds($"s").as("ts"))
+    val right = Seq(
+        ("k", 92L, 1L, "b92"), ("k", 185L, 1L, "b185"),
+        ("k", 295L, 1L, "b295"), ("k", 304L, 1L, "f304"))
+      .toDF("key", "s", "tb", "payload")
+      .select($"key", timestamp_seconds($"s").as("rts"), $"tb", $"payload")
+    def run(direction: String, tol: Long): Map[Long, Option[String]] =
+      Ops.asofJoin(left, right, "key", "ts", "rts",
+          Seq("payload"), "tb", direction, Some(tol))
+        .select("id", "payload").as[(Long, Option[String])]
+        .collect().toMap
+    val b = run("backward", 10L)
+    assert(b(1L).contains("b92"), s"dist 8 is in a 10 s band: $b")
+    assert(b(2L).isEmpty, s"nearest backward is 15 s away — out: $b")
+    val n5 = run("nearest", 5L)
+    assert(n5(3L).contains("f304"),
+      s"forward dist 4 beats in-band backward dist 5: $n5")
+    assert(n5(1L).isEmpty && n5(2L).isEmpty, s"both legs out of band: $n5")
+    val n4 = run("nearest", 4L)
+    assert(n4(3L).contains("f304"),
+      s"backward leg out of band, forward (dist 4, inclusive) in: $n4")
+    assert(run("nearest", 3L)(3L).isEmpty, "both legs outside 3 s")
+    val f = run("forward", 10L)
+    assert(f(3L).contains("f304") && f(1L).isEmpty, s"forward band: $f")
+  }
+
   test("windowSplit: in ∪ out == (> lld), disjoint — for random windows") {
     val rows = sample(tsGen, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = rows.toDF("id", "ts")

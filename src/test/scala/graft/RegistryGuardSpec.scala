@@ -105,7 +105,12 @@ class RegistryGuardSpec extends SparkTestBase {
     // w4's running sum windows over ONE ROW PER DAY (first-seen
     // counts, pre-aggregated) — calendar-bounded, see
     // Sessions.cumulativeNewKeys
-    "w4_cumulative_users" -> Set("global-window")
+    "w4_cumulative_users" -> Set("global-window"),
+    // w7: the sweep-line running sum over per-MINUTE boundary deltas
+    // — concurrency has no partition key, but the window input is
+    // pre-aggregated to calendar-bounded rows (w4's argument; see
+    // Sessions.hourlyConcurrency)
+    "w7_concurrency" -> Set("global-window")
   )
 
   test("every registry query is scale-lint-clean or audited") {
