@@ -893,6 +893,61 @@ object CoreQueries {
                               AND CURRENT ROW)
                ORDER BY event_id""")),
 
+    // a22: UNPIVOT/melt — the inverse of a15's pivot: the wide
+    // per-flag aggregate becomes (flag, measure, value) long form,
+    // the shape metric/chart pipelines consume. Measures share a
+    // double type (unpivot's common-type contract), so the count
+    // casts up front on both sides.
+    Q("a22_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Ops.sumMoney(col("l_quantity")).as("sum_qty"),
+          Ops.sumMoney(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"),
+      Some(s"""WITH w AS (SELECT l_returnflag,
+                    ${sqlSum("l_quantity")} AS sum_qty,
+                    ${sqlSum("l_extendedprice")} AS sum_price,
+                    CAST(COUNT(*) AS DOUBLE) AS n_rows
+                  FROM lineitem GROUP BY l_returnflag)
+               SELECT l_returnflag, measure, value
+               FROM w UNPIVOT (value FOR measure IN
+                 (sum_qty, sum_price, n_rows))
+               ORDER BY l_returnflag, measure""")),
+
+    // a23: LOCF gap-fill (last observation carried forward) — only
+    // purchase events carry an observed amount; every event reads
+    // the user's most recent one. IGNORE-NULLS last() over a
+    // user-keyed running frame; the fill copies doubles VERBATIM (no
+    // arithmetic), so both engines agree bit-for-bit. Frame order
+    // pins on the unique event_id tie-break.
+    Q("a23_gap_fill_locf",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(W.unboundedPreceding, 0)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_type") === "purchase", col("value"))
+              .as("observed"))
+          .withColumn("filled",
+            last(col("observed"), ignoreNulls = true).over(w))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT event_id, user_id, ts,
+                    CASE WHEN event_type = 'purchase' THEN value END
+                      AS observed
+                  FROM events)
+              SELECT event_id, user_id, ts, observed,
+                     last_value(observed IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS filled
+              FROM o ORDER BY event_id""")),
+
     // Range join with NO equi-key (point-in-interval lookup): naive
     // Spark plans this as BroadcastNestedLoopJoin — O(|L|·|R|). The
     // bucketized rewrite (Ops.bucketedRangeJoin) turns it into a keyed

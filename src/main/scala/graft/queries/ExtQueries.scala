@@ -2701,7 +2701,51 @@ object ExtQueries {
       },
       Some("""SELECT CAST(NULL AS VARCHAR) AS chk,
                      CAST(NULL AS INTEGER) AS round
-              WHERE FALSE"""))
+              WHERE FALSE""")),
+
+    // b3: the ENCODE side as driver rows. The 12-merge table is
+    // learned in-query (b2's config) and collected — 12 rows,
+    // config-sized by the tokenizer contract (Bpe.encode scaladoc) —
+    // then one narrow map pass tokenizes the corpus (no shuffle,
+    // rides the scan). Iterative merge application has no SQL form →
+    // rows-only stats, closed by the b3_bpe_roundtrip empty twin.
+    Q("b3_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ext.Bpe.train(s, docs, 12)
+          .orderBy("round").select("left", "right")
+          .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+        docs.select(col("doc_id"),
+            graft.ext.Bpe.encode(col("text"), merges).as("__t"))
+          .select(col("doc_id"),
+            size(col("__t")).cast("long").as("n_tokens"),
+            size(filter(col("__t"), tk =>
+              length(tk) > 1 && tk =!= "</w>")).cast("long")
+              .as("n_merged"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // b3 twin: decode(encode(x)) must reconstruct the whitespace-
+    // normalized text of EVERY document — BpeSpec's round-trip law,
+    // proven corpus-wide: word markers become spaces, and the result
+    // must equal the \s+-collapsed trimmed source. Mismatches emit.
+    Q("b3_bpe_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ext.Bpe.train(s, docs, 12)
+          .orderBy("round").select("left", "right")
+          .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+        docs.select(col("doc_id"),
+            trim(regexp_replace(concat_ws("",
+              graft.ext.Bpe.encode(col("text"), merges)), "</w>", " "))
+              .as("__rt"),
+            trim(regexp_replace(col("text"), "\\s+", " ")).as("__norm"))
+          .filter(col("__rt") =!= col("__norm"))
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE"))
   )
 
   // DuckDB twin of Layout.spread16/zorderKey2: the identical
