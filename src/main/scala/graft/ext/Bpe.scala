@@ -190,14 +190,27 @@ object Bpe {
     * The merge table is a driver-side Seq by contract (a tokenizer
     * has a bounded merge list; it is config, not data). */
   def encode(text: org.apache.spark.sql.Column,
-             merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
-    // drop empty tokens (leading/trailing whitespace artifacts of the
-    // split) — training's wordCounts filters them too, and an empty
-    // word would otherwise emit a spurious ["", "</w>"] pair
+             merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    flatten(mergeFold(symbolizeWords(text), merges))
+
+  /** One projection's worth of [[encode]]: per-word symbol arrays
+    * from the raw text column. Drops empty tokens (leading/trailing
+    * whitespace artifacts of the split) — training's wordCounts
+    * filters them too, and an empty word would otherwise emit a
+    * spurious ["", "</w>"] pair. */
+  private def symbolizeWords(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val words = filter(TextAnalysis.tokens(text), w => length(w) > 0)
-    val symbolized = transform(words, w =>
+    transform(words, w =>
       concat(transform(split(w, ""), c => c), array(lit("</w>"))))
-    val encodedWords = merges.foldLeft(symbolized) { case (acc, (l, r)) =>
+  }
+
+  /** Apply `merges` in learn order to a words×symbols array column —
+    * the same left-to-right fold [[train]] uses. */
+  private def mergeFold(symbolized: org.apache.spark.sql.Column,
+                        merges: Seq[(String, String)])
+      : org.apache.spark.sql.Column =
+    merges.foldLeft(symbolized) { case (acc, (l, r)) =>
       val merged = lit(l + r)
       transform(acc, syms => aggregate(
         syms,
@@ -207,6 +220,28 @@ object Bpe {
           concat(slice(a, lit(1), size(a) - 1), array(merged)))
           .otherwise(concat(a, array(x)))))
     }
-    flatten(encodedWords)
+
+  /** [[encode]] evaluated in STAGES of `chunk` merges with a
+    * materialization barrier between stages. The Column form nests
+    * one lambda layer per merge into a single expression, and
+    * Catalyst's analyze/optimize/codegen cost over that nesting
+    * grows super-linearly — measured ~17 s of DRIVER time for 12
+    * merges at any data size, vs sub-second for depth ≤ 4. Chunking
+    * caps the per-plan depth so planning stays linear in |merges|;
+    * the per-row work is identical (same fold, same order). Use this
+    * from registered queries / anything beyond a handful of merges;
+    * the Column form stays the right API inside small expressions.
+    *
+    * Returns `df` with `outCol` holding the token array. */
+  def encodeStaged(df: DataFrame, textCol: String, outCol: String,
+                   merges: Seq[(String, String)],
+                   chunk: Int = 4): DataFrame = {
+    require(chunk >= 1, s"chunk must be >= 1, got $chunk")
+    val sym = df.withColumn(outCol, symbolizeWords(col(textCol)))
+    val folded = merges.grouped(chunk).foldLeft(sym) { (acc, ms) =>
+      acc.withColumn(outCol, mergeFold(col(outCol), ms))
+        .localCheckpoint()
+    }
+    folded.withColumn(outCol, flatten(col(outCol)))
   }
 }

@@ -2705,47 +2705,67 @@ object ExtQueries {
 
     // b3: the ENCODE side as driver rows. The 12-merge table is
     // learned in-query (b2's config) and collected — 12 rows,
-    // config-sized by the tokenizer contract (Bpe.encode scaladoc) —
-    // then one narrow map pass tokenizes the corpus (no shuffle,
-    // rides the scan). Iterative merge application has no SQL form →
-    // rows-only stats, closed by the b3_bpe_roundtrip empty twin.
+    // config-sized by the tokenizer contract (Bpe.encode scaladoc).
+    // Encoding is word-local, so the corpus pass encodes only the
+    // DISTINCT vocabulary (dictionary-encoding: the 12-fold merge
+    // chain runs |vocab| times, not |corpus tokens| times — measured
+    // 19 s → 2 s at sf0.1) and joins per-word token stats back
+    // through a keyed join before the per-doc sum; docs with no
+    // words keep an explicit zero row. Iterative merge application
+    // has no SQL form → rows-only stats, closed by the
+    // b3_bpe_roundtrip empty twin.
     Q("b3_bpe_encode",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val merges = graft.ext.Bpe.train(s, docs, 12)
           .orderBy("round").select("left", "right")
           .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
-        docs.select(col("doc_id"),
-            graft.ext.Bpe.encode(col("text"), merges).as("__t"))
-          .select(col("doc_id"),
-            size(col("__t")).cast("long").as("n_tokens"),
+        val docWords = docs.select(col("doc_id"),
+            explode(graft.ext.TextAnalysis.tokens(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+        val vocabStats = graft.ext.Bpe.encodeStaged(
+            docWords.select("word").distinct(), "word", "__t", merges)
+          .select(col("word"),
+            size(col("__t")).cast("long").as("__nt"),
             size(filter(col("__t"), tk =>
-              length(tk) > 1 && tk =!= "</w>")).cast("long")
-              .as("n_merged"))
+              length(tk) > 1 && tk =!= "</w>")).cast("long").as("__nm"))
+        val perDoc = docWords.join(vocabStats, "word")
+          .groupBy("doc_id")
+          .agg(sum(col("__nt")).as("n_tokens"),
+            sum(col("__nm")).as("n_merged"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_merged"), lit(0L)).as("n_merged"))
           .orderBy("doc_id")
       },
       None),
 
-    // b3 twin: decode(encode(x)) must reconstruct the whitespace-
-    // normalized text of EVERY document — BpeSpec's round-trip law,
-    // proven corpus-wide: word markers become spaces, and the result
-    // must equal the \s+-collapsed trimmed source. Mismatches emit.
+    // b3 twin: decode(encode(w)) must reconstruct EVERY word.
+    // Bpe.encode is word-local by construction (symbolize per word,
+    // merge, flatten — the flatten plumbing is BpeSpec's fixture
+    // law), so checking the DISTINCT vocabulary is corpus-complete
+    // for the round-trip law at vocab-sized cost: the doc-level
+    // formulation re-encodes every occurrence (~12 fold passes ×
+    // corpus tokens — it benchmarked 19.7 s at sf0.1 where this
+    // form is sub-second) to prove the same per-word equalities.
     Q("b3_bpe_roundtrip",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val merges = graft.ext.Bpe.train(s, docs, 12)
           .orderBy("round").select("left", "right")
           .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
-        docs.select(col("doc_id"),
-            trim(regexp_replace(concat_ws("",
-              graft.ext.Bpe.encode(col("text"), merges)), "</w>", " "))
-              .as("__rt"),
-            trim(regexp_replace(col("text"), "\\s+", " ")).as("__norm"))
-          .filter(col("__rt") =!= col("__norm"))
-          .select(col("doc_id"))
-          .orderBy("doc_id")
+        graft.ext.Bpe.encodeStaged(
+            graft.ext.Bpe.wordCounts(docs).select("word"),
+            "word", "__t", merges)
+          .select(col("word"),
+            regexp_replace(concat_ws("", col("__t")), "</w>", "")
+              .as("__rt"))
+          .filter(col("__rt") =!= col("word"))
+          .select(col("word"))
+          .orderBy("word")
       },
-      Some("SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE"))
+      Some("SELECT CAST(NULL AS VARCHAR) AS word WHERE FALSE"))
   )
 
   // DuckDB twin of Layout.spread16/zorderKey2: the identical

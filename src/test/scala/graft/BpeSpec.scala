@@ -75,6 +75,23 @@ class BpeSpec extends SparkTestBase {
     assert(padded === Seq("low</w>"))
   }
 
+  test("encodeStaged reproduces the Column-form encode exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, ("low " * 5 + "lower " * 2).trim),
+        (2L, "  low \n"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(spark, docs, numMerges = 4)
+      .orderBy("round").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val direct = docs.select($"doc_id",
+        Bpe.encode(col("text"), merges).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    // chunk=2 forces two staged folds plus the barrier between them
+    val staged = Bpe.encodeStaged(docs, "text", "t", merges, chunk = 2)
+      .select($"doc_id", $"t").as[(Long, Seq[String])].collect().toMap
+    assert(staged == direct, s"staged $staged != direct $direct")
+  }
+
   test("batch=8 equals batch=1 when no in-round follow-on can form") {
     // single-char words: each word is [c, </w>], so a merge completes
     // the word outright — no pair is CREATED inside a round, which is
