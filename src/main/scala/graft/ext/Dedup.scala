@@ -721,13 +721,22 @@ object Dedup {
     * share a key (substitution at i → both i-deletions agree;
     * insertion/deletion → the shorter string is itself the longer
     * one's deletion variant). So like the SimHash pigeonhole join,
-    * recall is exact BY CONSTRUCTION; precision comes from the final
+    * recall is exact BY CONSTRUCTION — WHILE no variant bucket
+    * exceeds `maxBucket`; precision comes from the final
     * `levenshtein` verification, which touches only candidate pairs.
     *
     * Scale posture: the only shuffle is keyed by variant string —
     * ≤ (len+1) keys per row, never a pair; degenerate variant
     * buckets (a hot key family collapsing to one variant) are capped
-    * by `maxBucket` like the LSH bucket joins. Verification cost is
+    * by `maxBucket` like the LSH bucket joins. The cap is a recall/
+    * boundedness DIAL, not a free lunch: a capped bucket drops the
+    * pairs only that variant would witness, so brute-force-oracle
+    * agreement (d14) is exact only below the cap — the registered
+    * query's data, including the 10× sweep replica (~100 rows in
+    * the hottest variant), stays far under the 1024 default; a
+    * corpus hot enough to cap should either raise the dial or
+    * accept LSH-style bounded recall, the same trade the MinHash
+    * family documents. Verification cost is
     * proportional to the candidate set.
     *
     * maxDist is fixed at 1 by the 1-deletion scheme (k-deletion

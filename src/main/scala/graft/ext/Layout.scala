@@ -136,15 +136,13 @@ object Layout {
   }
 
   /** Hash position `seed` of `key` in a bloom bit space of `mBits`
-    * bits: the first 4 hex digits of md5("key#seed") as an integer,
-    * mod mBits. md5 is the repo's engine-portable hash (same
-    * lowercase hex text in Spark and DuckDB — see
-    * [[graft.ext.Curation]]); 4 hex digits span 65536 values, and
-    * mBits is required to divide 65536 so the mod is unbiased. */
+    * bits: [[Curation.slot16]] — the ONE engine-portable md5 slot
+    * recipe, not a second copy that could drift — over "key#seed",
+    * mod mBits. slot16 spans 65536 values and mBits is required to
+    * divide 65536, so the mod is unbiased. */
   private def bloomPos(key: Column, seed: Int, mBits: Int): Column =
-    pmod(conv(substring(
-        md5(concat(key.cast("string"), lit("#" + seed))), 1, 4),
-      16, 10).cast("long"), lit(mBits.toLong))
+    pmod(Curation.slot16(concat(key.cast("string"), lit("#" + seed))),
+      lit(mBits.toLong))
 
   /** Emit each key's k bloom bits as packed-word coordinates:
     * (word_idx, mask) with 32 bits per BIGINT word (32, not 64, so
@@ -194,15 +192,17 @@ object Layout {
     * a block qualifies iff EVERY needed word has all needed bits set
     * (absent word rows are all-zero words — the anti-joined
     * remainder fails the word count). No pair explosion: the join
-    * fan-out is |probes| × blocks × words-per-probe, all bounded. */
+    * fan-out is |probes| × blocks × words-per-probe, all bounded.
+    * `probes` supplies the lookup keys in the column named
+    * `probeCol` (castable to long). */
   def bloomSkipStats(df: DataFrame, blockCol: Column, keyCol: Column,
-                     probes: DataFrame, mBits: Int = 4096,
-                     k: Int = 3): DataFrame = {
+                     probes: DataFrame, probeCol: String = "probe_key",
+                     mBits: Int = 4096, k: Int = 3): DataFrame = {
     val base = df.select(blockCol.as("block"), keyCol.cast("long").as("key"))
     val index = bloomIndex(df, blockCol, keyCol, mBits, k)
+    val p = probes.select(col(probeCol).cast("long").as("probe_key"))
     // per probe: needed (word_idx, bits) — k bits may share a word
-    val need = bloomBits(probes.select(col("probe_key").cast("long")
-          .as("probe_key")), col("probe_key"), mBits, k)
+    val need = bloomBits(p, col("probe_key"), mBits, k)
       .groupBy("probe_key", "word_idx")
       .agg(expr("bit_or(mask)").as("need"))
     val nWords = need.groupBy("probe_key").agg(count(lit(1)).as("__nw"))
@@ -212,15 +212,13 @@ object Layout {
       .join(nWords, "probe_key")
       .filter(col("__ok") === col("__nw"))
       .select("probe_key", "block")
-    val exact = base.join(probes.select(col("probe_key").cast("long")
-        .as("probe_key")), col("key") === col("probe_key"))
+    val exact = base.join(p, col("key") === col("probe_key"))
       .select("probe_key", "block").distinct()
     val falseNeg = exact.except(maybe)
       .groupBy("probe_key").agg(count(lit(1)).as("false_neg"))
     val totals = base.select("block").distinct()
       .agg(count(lit(1)).as("n_blocks"))
-    probes.select(col("probe_key").cast("long").as("probe_key"))
-      .crossJoin(broadcast(totals)) // 1-row totals (the audited shape)
+    p.crossJoin(broadcast(totals)) // 1-row totals (the audited shape)
       .join(exact.groupBy("probe_key").agg(count(lit(1)).as("exact_blocks")),
         Seq("probe_key"), "left")
       .join(maybe.groupBy("probe_key").agg(count(lit(1)).as("maybe_blocks")),

@@ -219,6 +219,13 @@ object Ops {
     * from absorbing the pick (PropertySpec pins the constructed
     * cases).
     *
+    * Nullable right payloads are handled faithfully: payloads ride
+    * the union inside single-field structs, so a matched right row
+    * whose payload IS null yields null (pandas takes the matched
+    * row's value) instead of the carry skipping to an older right
+    * row — the structural-null marker and the data null cannot be
+    * confused (PropertySpec pins this too).
+    *
     * Implemented by composing built-ins (preference (a) of the
     * project brief — no custom SparkPlan needed): tag and union both
     * sides, ONE shuffle keyed on `key`, sort within partitions by
@@ -247,17 +254,29 @@ object Ops {
     // (`<=` semantics); lefts sort first for forward (`>=` semantics)
     val (rightSide, leftSide) =
       if (direction == "forward") (1, 0) else (0, 1)
+    // payloads ride inside a single-field STRUCT: the union uses a
+    // null payload column as the structural "this is a left row"
+    // marker, and the ignoreNulls carries below skip those — so a
+    // bare nullable payload would be indistinguishable from the
+    // marker and the carry would silently skip past the matched
+    // right row to an OLDER one. struct(payload) is non-null for
+    // every right row regardless of the payload value, so a
+    // genuinely-null right payload carries as null (the pandas
+    // semantics, and what the j4/j9/j10 oracles compute).
+    def structType(c: String) = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField(
+        "v", right.schema(c).dataType)))
     val taggedRight = right.select(
       (col(key) +: col(rightTs).as("__ts") +: lit(rightSide).as("__side") +:
         col(tieBreak).cast("long").as("__tie") +:
-        payloadCols.map(col)) ++
+        payloadCols.map(c => struct(col(c).as("v")).as(c))) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(
           left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       (col(key) +: col(leftTs).as("__ts") +: lit(leftSide).as("__side") +:
         lit(if (direction == "forward") Long.MinValue else Long.MaxValue)
           .as("__tie") +:
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))) ++
+        payloadCols.map(c => lit(null).cast(structType(c)).as(c))) ++
         leftCols.filterNot(_ == key).map(col): _*)
     val union = taggedRight.unionByName(taggedLeft)
 
@@ -288,22 +307,29 @@ object Ops {
     }
     val backOk = backTs.isNotNull && tolOk(backDist)
     val fwdOk = fwdTs.isNotNull && tolOk(fwdDist)
+    // each branch carries the struct, then unwraps .v — getField on
+    // a null struct is null, so unmatched rows stay null payloads
     val attached = direction match {
       case "backward" if toleranceSeconds.isEmpty =>
-        payloadCols.map(c => last(col(c), ignoreNulls = true).over(wBack).as(c))
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(wBack)
+          .getField("v").as(c))
       case "forward" if toleranceSeconds.isEmpty =>
-        payloadCols.map(c => first(col(c), ignoreNulls = true).over(wFwd).as(c))
+        payloadCols.map(c => first(col(c), ignoreNulls = true).over(wFwd)
+          .getField("v").as(c))
       case "backward" =>
         payloadCols.map(c => when(backOk,
-          last(col(c), ignoreNulls = true).over(wBack)).as(c))
+          last(col(c), ignoreNulls = true).over(wBack))
+          .getField("v").as(c))
       case "forward" =>
         payloadCols.map(c => when(fwdOk,
-          first(col(c), ignoreNulls = true).over(wFwd)).as(c))
+          first(col(c), ignoreNulls = true).over(wFwd))
+          .getField("v").as(c))
       case "nearest" =>
         val useBack = backOk && (!fwdOk || backDist <= fwdDist)
         payloadCols.map(c => when(useBack,
             last(col(c), ignoreNulls = true).over(wBack))
-          .when(fwdOk, first(col(c), ignoreNulls = true).over(wFwd)).as(c))
+          .when(fwdOk, first(col(c), ignoreNulls = true).over(wFwd))
+          .getField("v").as(c))
     }
     union.select((col(key) +: col("__side") +:
         leftCols.filterNot(_ == key).map(col)) ++ attached: _*)

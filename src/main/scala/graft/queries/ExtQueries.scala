@@ -957,10 +957,12 @@ object ExtQueries {
     // string keys — the typo-tolerant complement of the shingle
     // families, which need token mass and blur on short strings).
     // Spark side blocks with the FastSS 1-deletion neighborhood
-    // (exact recall by construction, like the SimHash pigeonhole
-    // join) and verifies candidates with levenshtein; the oracle
-    // brute-forces all pairs — blocking is a physical detail, so the
-    // results must agree exactly.
+    // (exact recall by construction while no variant bucket caps —
+    // see editDistancePairs' scaladoc for the maxBucket dial) and
+    // verifies candidates with levenshtein; the oracle brute-forces
+    // all pairs, so agreement proves the blocking a pure physical
+    // detail at every tested scale (hottest variant ≈ 100 rows on
+    // the 10× replica, cap 1024).
     Q("d14_fuzzy_match",
       (s, dir) => Dedup.editDistancePairs(
         t(s, dir, "customer"), "c_custkey", "c_name"),
@@ -2755,13 +2757,15 @@ object ExtQueries {
         val merges = graft.ext.Bpe.train(s, docs, 12)
           .orderBy("round").select("left", "right")
           .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+        // compare the raw token concat against word + the single
+        // trailing marker (merging reorders nothing, so that IS the
+        // decode) — a strip-all-markers decode would false-fail any
+        // word containing the literal "</w>" substring
         graft.ext.Bpe.encodeStaged(
             graft.ext.Bpe.wordCounts(docs).select("word"),
             "word", "__t", merges)
-          .select(col("word"),
-            regexp_replace(concat_ws("", col("__t")), "</w>", "")
-              .as("__rt"))
-          .filter(col("__rt") =!= col("word"))
+          .select(col("word"), concat_ws("", col("__t")).as("__rt"))
+          .filter(col("__rt") =!= concat(col("word"), lit("</w>")))
           .select(col("word"))
           .orderBy("word")
       },

@@ -59,6 +59,25 @@ class PropertySpec extends SparkTestBase {
       "backward mode must take the GREATEST tieBreak")
   }
 
+  test("asofJoin: a matched right row's NULL payload carries as null") {
+    // the matched (latest <=) right row at ts=95 has a null payload;
+    // pandas returns that row's value (null) — the carry must NOT
+    // skip past it to the older non-null row at ts=50
+    val left = Seq((1L, "k", 100L)).toDF("id", "key", "s")
+      .select($"id", $"key", timestamp_seconds($"s").as("ts"))
+    val right = Seq(("k", 50L, 1L, Some("x")), ("k", 95L, 1L, None))
+      .toDF("key", "s", "tb", "payload")
+      .select($"key", timestamp_seconds($"s").as("rts"), $"tb", $"payload")
+    for (d <- Seq("backward", "nearest")) {
+      val got = Ops.asofJoin(left, right, "key", "ts", "rts",
+          Seq("payload"), "tb", d)
+        .select("id", "payload").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got(1L).isEmpty,
+        s"$d must take the MATCHED row's null payload, got $got")
+    }
+  }
+
   test("asofJoin tolerance: inclusive band, out-of-band rows keep nulls") {
     val left = Seq((1L, "k", 100L), (2L, "k", 200L), (3L, "k", 300L))
       .toDF("id", "key", "s")
