@@ -204,13 +204,25 @@ object Dedup {
   /** The per-row band projection every MinHash variant shares:
     * (id, band, bhash) rows from the fused signature+banding
     * generator. */
-  private def bandedOf(df: DataFrame, textCol: String,
-                       idCol: String): DataFrame =
+  private[ext] def bandedOf(df: DataFrame, textCol: String,
+                            idCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions
         .minhash_explode(TextAnalysis.tokens(col(textCol)), hashParams,
           NumBands)
         .as(Seq("band", "bhash")))
+
+  /** Grouped LSH bucket table: one row per (band, bhash) with the
+    * SORTED id list, over-cap buckets dropped — the corpus-side
+    * asset of the incremental gate and of [[DedupIndex]]. Singleton
+    * buckets stay (a lone batch doc can match a lone corpus doc);
+    * only degenerate over-cap buckets drop. */
+  private[ext] def bandBuckets(df: DataFrame, textCol: String,
+                               idCol: String, idsName: String,
+                               maxBucket: Int): DataFrame =
+    bandedOf(df, textCol, idCol).groupBy("band", "bhash")
+      .agg(array_sort(collect_list(col("id"))).as(idsName))
+      .filter(size(col(idsName)) <= maxBucket)
 
   /** Exact shingle-set Jaccard between two shingle-array columns,
     * rounded 4dp — the verification expression every MinHash variant
@@ -314,19 +326,32 @@ object Dedup {
                                  idCol: String = "doc_id",
                                  broadcastVerify: Boolean = true,
                                  maxBucket: Int = 1024): DataFrame = {
-    val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
-    // singleton buckets stay on both sides (a lone batch doc can
-    // match a lone corpus doc); only degenerate over-cap buckets drop
-    def buckets(df: DataFrame, idsName: String) =
-      bandedOf(df, textCol, idCol).groupBy("band", "bhash")
-        .agg(array_sort(collect_list(col("id"))).as(idsName))
-        .filter(size(col(idsName)) <= maxBucket)
-    val cands = buckets(batch, "bids")
-      .join(buckets(corpus, "cids"), Seq("band", "bhash"))
+    val cands = bandBuckets(batch, textCol, idCol, "bids", maxBucket)
+      .join(bandBuckets(corpus, textCol, idCol, "cids", maxBucket),
+        Seq("band", "bhash"))
       .select(explode(col("bids")).as("batch_id"), col("cids"))
       .select(col("batch_id"), explode(col("cids")).as("corpus_id"))
       .distinct()
       .localCheckpoint() // consumed 3× below; see minhashNearDups
+    verifyMinhashCandidates(cands, batch, corpus, threshold,
+      textCol, idCol, broadcastVerify)
+  }
+
+  /** The verification half of the incremental gate, shared with
+    * [[DedupIndex.probe]] so the stored-index path runs the IDENTICAL
+    * code (the d15 consistency contract is exact by construction):
+    * exact shingle-Jaccard for a (batch_id, corpus_id) candidate
+    * list, shingling ONLY candidate ids on each side (id semi-joins
+    * that ride the scans), thresholded and deterministically
+    * ordered. */
+  private[ext] def verifyMinhashCandidates(cands: DataFrame,
+                                           batch: DataFrame,
+                                           corpus: DataFrame,
+                                           threshold: Double,
+                                           textCol: String, idCol: String,
+                                           broadcastVerify: Boolean)
+      : DataFrame = {
+    val hinted = graft.ops.Ops.maybeBroadcast(broadcastVerify)
     def candShingles(df: DataFrame, ids: DataFrame) = df
       .select(col(idCol).as("id"), col(textCol))
       .join(hinted(ids), Seq("id"), "left_semi")

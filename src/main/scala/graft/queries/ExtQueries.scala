@@ -975,6 +975,48 @@ object ExtQueries {
               WHERE levenshtein(a.c_name, b.c_name) <= 1
               ORDER BY id_a, id_b""")),
 
+    // d15: the STORED dedup index — x9's build/probe split for the
+    // incremental near-dup gate. ensure() builds once (one corpus
+    // banding pass to a parquet bucket asset); the probed plan bands
+    // only the batch and equi-joins the stored shards, so per-batch
+    // cost is O(batch + candidates) with zero full-corpus passes
+    // (DedupIndex scaladoc). Same split and threshold as d11;
+    // banding is engine-specific → rows-only, closed by the
+    // consistency twin below.
+    Q("d15_dedup_index_probe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val ix = graft.ext.DedupIndex.dirFor(dir)
+        graft.ext.DedupIndex.ensure(corpus, ix)
+        graft.ext.DedupIndex.probe(docs.filter(col("doc_id") >= 300),
+          ix, corpus, threshold = 0.4)
+      }, None),
+
+    // d15 twin: the stored-index probe must equal the in-query
+    // incremental gate EXACTLY — same candidates (probe-side bucket
+    // capping, see DedupIndex scaladoc), same verification code
+    // path, so the symmetric difference of the two result sets is
+    // empty, jaccard doubles included.
+    Q("d15_index_consistency",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val batch = docs.filter(col("doc_id") >= 300)
+        val ix = graft.ext.DedupIndex.dirFor(dir)
+        graft.ext.DedupIndex.ensure(corpus, ix)
+        val stored = graft.ext.DedupIndex.probe(batch, ix, corpus,
+          threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(batch, corpus,
+          threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute

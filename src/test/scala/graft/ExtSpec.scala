@@ -392,6 +392,46 @@ class ExtSpec extends SparkTestBase {
       (0L, 3L, 1), (1L, 3L, 1), (2L, 3L, 1)), s"got $pairs")
   }
 
+  test("dedup index: stored probe equals the in-query gate; append " +
+      "extends it; ensure rebuilds on content change") {
+    import graft.ext.DedupIndex
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpusA = Seq(
+      (0L, base),
+      (1L, "completely different words about spark catalyst plans here today"),
+      (2L, base.replace("river", "creek"))).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (3L, base.replace("dog", "cat"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("quick", "swift")), // near-dup of 0/2/3
+      (11L, "unrelated text with nothing shared at all in any shingle window")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15ix").toString
+
+    // build on A ∪ B; probe must equal the direct incremental gate
+    val union = corpusA.unionByName(corpusB)
+    DedupIndex.build(union, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val direct = rows(Dedup.minhashIncrementalNearDups(batch, union, 0.4))
+    assert(direct.nonEmpty, "fixture must produce cross-split near-dups")
+    assert(rows(DedupIndex.probe(batch, dir, union, 0.4)) == direct)
+
+    // build on A, APPEND B: probe must still equal the union gate,
+    // and the XOR-fold meta must validate fresh for the union corpus
+    val dir2 = java.nio.file.Files.createTempDirectory("d15ix2").toString
+    DedupIndex.build(corpusA, dir2)
+    DedupIndex.append(corpusB, dir2)
+    assert(rows(DedupIndex.probe(batch, dir2, union, 0.4)) == direct)
+    assert(!DedupIndex.ensure(union, dir2), "append chain must stay fresh")
+    // re-appending an indexed id must throw (fingerprint would corrupt)
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(corpusB, dir2)
+    }
+    // a changed corpus fails content validation and rebuilds
+    assert(DedupIndex.ensure(corpusA, dir2), "stale index must rebuild")
+  }
+
   test("pmi collocations: hand-computed scores, rounded-rank order") {
     // unigrams x:2 y:2 z:2 (N1=6); bigrams (x,y):2 (y,x):1 (z,z):1
     // (N2=4) → pmi(x,y)=log2((2/4)/(2/6 · 2/6))=log2(4.5)=2.1699;
