@@ -21,6 +21,10 @@ PAIR_FAMILIES = {
     "e2_corpus_neardup_clean", "x3_sim_lsh_pairs", "x3_precision",
     "d8_components_star", "d9_dedup_embedding_ivf",
     "d11_dedup_minhash_incremental", "d11_precision",
+    # the stored-index probe emits d11's pair list (and the
+    # consistency twin runs BOTH chains), so the same twin-inflated
+    # candidate mass drives their time under exact replication
+    "d15_dedup_index_probe", "d15_index_consistency",
     "st5_stream_interval_join",
     # every replica doc's 9 identical twins share whole-document spans,
     # so the span pair list itself scales ~copies^2
