@@ -432,6 +432,34 @@ class ExtSpec extends SparkTestBase {
     assert(DedupIndex.ensure(corpusA, dir2), "stale index must rebuild")
   }
 
+  test("dedup index: bucket cap applies to the MERGED bucket across " +
+      "append shards, matching the one-shot gate") {
+    import graft.ext.DedupIndex
+    // four identical docs: every band bucket is the full id set, so
+    // with maxBucket=2 the UNION bucket (size 3) must drop — even
+    // though each stored shard ([0,1] and [2]) is under the cap. A
+    // per-shard cap would wrongly emit candidates from the A shard.
+    val txt = "one two three four five six seven eight nine ten eleven"
+    val corpusA = Seq((0L, txt), (1L, txt)).toDF("doc_id", "text")
+    val corpusB = Seq((2L, txt)).toDF("doc_id", "text")
+    val union = corpusA.unionByName(corpusB)
+    val batch = Seq((10L, txt)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15cap").toString
+    DedupIndex.build(corpusA, dir)
+    DedupIndex.append(corpusB, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val direct2 = rows(Dedup.minhashIncrementalNearDups(
+      batch, union, 0.4, maxBucket = 2))
+    assert(direct2.isEmpty, "over-cap union bucket must drop in the gate")
+    assert(rows(DedupIndex.probe(batch, dir, union, 0.4,
+      maxBucket = 2)) == direct2, "probe must cap the MERGED bucket")
+    // control: a cap that admits the merged bucket finds every pair
+    assert(rows(DedupIndex.probe(batch, dir, union, 0.4,
+      maxBucket = 3)) == Set((10L, 0L, 1.0), (10L, 1L, 1.0),
+      (10L, 2L, 1.0)))
+  }
+
   test("pmi collocations: hand-computed scores, rounded-rank order") {
     // unigrams x:2 y:2 z:2 (N1=6); bigrams (x,y):2 (y,x):1 (z,z):1
     // (N2=4) → pmi(x,y)=log2((2/4)/(2/6 · 2/6))=log2(4.5)=2.1699;
