@@ -107,6 +107,72 @@ class PropertySpec extends SparkTestBase {
     assert(f(3L).contains("f304") && f(1L).isEmpty, s"forward band: $f")
   }
 
+  test("funnel matches a driver-side reference on random event logs") {
+    // greedy first-touch chain re-derived independently in plain
+    // Scala: t_i = min ts of step-i events strictly after t_{i-1};
+    // user counts at step i iff t_i exists and t_i <= t_0 + window
+    val rnd = new scala.util.Random(42)
+    val steps = Seq("a", "b", "c")
+    val windowDays = 2
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, seconds
+    val evs = (1 to 400).map { _ =>
+      (rnd.nextInt(20).toLong, base + rnd.nextInt(5 * 86400).toLong,
+        steps(rnd.nextInt(3)))
+    }
+    def refCounts: Seq[Long] = {
+      val perUser = evs.groupBy(_._1).values.toSeq.map { es =>
+        val chain = steps.scanLeft(Option(Long.MinValue)) {
+          case (prev, st) => prev.flatMap { p =>
+            val cand = es.collect { case (_, s, t) if t == st &&
+              (p == Long.MinValue || s > p) => s }
+            if (cand.isEmpty) None else Some(cand.min)
+          }
+        }.tail
+        (chain, chain.head)
+      }
+      steps.indices.map { i =>
+        perUser.count { case (chain, t0) =>
+          chain(i).isDefined &&
+            chain(i).get <= t0.get + windowDays * 86400L
+        }.toLong
+      }
+    }
+    val df = evs.toDF("user_id", "s", "event_type")
+      .select($"user_id", timestamp_seconds($"s").as("ts"), $"event_type")
+    val got = graft.ext.Sessions.funnel(df, steps, windowDays)
+      .select("n_users").as[Long].collect().toSeq
+    assert(got == refCounts, s"got $got, ref $refCounts")
+  }
+
+  test("cohort retention matches a driver-side reference on random logs") {
+    val rnd = new scala.util.Random(7)
+    val base = 1704067200L // Mon 2024-01-01 00:00:00 UTC
+    val evs = (1 to 300).map { _ =>
+      (rnd.nextInt(25).toLong, base + rnd.nextInt(28 * 86400).toLong)
+    }
+    def monday(s: Long): Long = { // UTC week truncation in seconds
+      val days = s / 86400L
+      (days - ((days + 3) % 7)) * 86400L // 1970-01-01 was a Thursday
+    }
+    val first = evs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val grid = evs.map { case (u, s) =>
+      (monday(first(u)), (monday(s) - monday(first(u))) / (7 * 86400L), u)
+    }.distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong)
+      .toMap
+    val ref = grid.toSeq.map { case ((cw, wo), n) =>
+      val size = grid((cw, 0L))
+      (cw, wo.toInt, n, size,
+        math.floor(n.toDouble / size * 10000 + 0.5) / 10000)
+    }.sortBy(r => (r._1, r._2))
+    val df = evs.toDF("user_id", "s")
+      .select($"user_id", timestamp_seconds($"s").as("ts"))
+    val got = graft.ext.Sessions.cohortRetention(df)
+      .select(unix_timestamp($"cohort_week").as("cw"), $"week_offset",
+        $"n_active", $"cohort_size", $"retention")
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(got == ref, s"got $got, ref $ref")
+  }
+
   test("windowSplit: in ∪ out == (> lld), disjoint — for random windows") {
     val rows = sample(tsGen, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = rows.toDF("id", "ts")
