@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
   * mid-append leaves a validation-failing index, never a half-built
   * one), [[ensure]] validates by content fingerprint (one corpus
   * scan) or, with an explicit `version`, by a 1-row meta read — the
-  * zero-scan serve posture. [[append]] is O(batch): new shards
-  * append, and the XOR-fold fingerprint updates without a corpus
-  * scan (fingerprint(old ∪ batch) = fingerprint(old) XOR
-  * fingerprint(batch)). Long append chains accrete small shard
-  * files — the z4 compaction pressure; the fix is a periodic
-  * [[build]] rewrite.
+  * zero-scan serve posture. [[append]]'s write side is O(batch):
+  * new shards append, and the XOR-fold fingerprint updates without
+  * a corpus scan (fingerprint(old ∪ batch) = fingerprint(old) XOR
+  * fingerprint(batch)); its default new-id check reads the stored
+  * shard id lists (index-sized — see the method scaladoc). Long
+  * append chains accrete small shard files — the z4 compaction
+  * pressure; the fix is a periodic [[build]] rewrite.
   */
 object DedupIndex {
 
@@ -52,10 +53,16 @@ object DedupIndex {
       "/d15_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Corpus identity row: the same order-insensitive XOR-fold
-    * fingerprint as [[AnnIndex]], over (id, text). */
+    * fingerprint as [[AnnIndex]], over (id, text). Ids are integral
+    * (long-castable) by contract — AnnIndex's contract too — so the
+    * meta's max_id/fingerprint arithmetic is well-typed; [[append]]
+    * rejects a batch whose identity degenerates (empty, or
+    * non-integral ids nulling the cast) BEFORE touching the commit
+    * marker. */
   private def identity(corpus: DataFrame, textCol: String,
                        idCol: String): DataFrame =
-    corpus.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    corpus.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__t"))
       .agg(count(lit(1)).as("n_rows"),
         max(col("__id")).as("max_id"),
         expr("bit_xor(xxhash64(__id, __t))").as("fingerprint"))
@@ -142,13 +149,17 @@ object DedupIndex {
       textCol, idCol, broadcastVerify)
   }
 
-  /** Append a batch of NEW documents in O(batch): one shard of
-    * partial bucket rows appends, and the meta fingerprint updates
-    * by XOR — no corpus scan. Batch ids must be new ([[AnnIndex
-    * .append]]'s contract, same reasoning: a re-appended id doubles
-    * its bucket entries AND cancels its fingerprint term); with
-    * `checkIds` the overlap check runs keys-only against the stored
-    * shards' id lists and throws on overlap. */
+  /** Append a batch of NEW documents: one shard of partial bucket
+    * rows appends, and the meta fingerprint updates by XOR — the
+    * WRITE side never touches the corpus, so with `checkIds = false`
+    * (callers whose batches already passed the d7 incremental-dedup
+    * anti-join) the append is O(batch). Batch ids must be new
+    * ([[AnnIndex.append]]'s contract, same reasoning: a re-appended
+    * id doubles its bucket entries AND cancels its fingerprint
+    * term); the default `checkIds` enforces it with a keys-only pass
+    * over the stored shard id lists (the compact bucket asset, never
+    * the corpus) semi-joined against the broadcast batch id set —
+    * index-sized, not corpus-text-sized, but not O(batch). */
   def append(batch: DataFrame, dir: String,
              textCol: String = "text", idCol: String = "doc_id",
              checkIds: Boolean = true): Unit = {
@@ -156,8 +167,9 @@ object DedupIndex {
     val (metaPath, fs) = metaPathOf(batch, dir)
     if (checkIds) {
       val overlap = spark.read.parquet(s"$dir/buckets")
-        .select(explode(col("ids")).as("id")).distinct()
-        .join(batch.select(col(idCol).as("id")).distinct(), "id")
+        .select(explode(col("ids")).as("id"))
+        .join(broadcast(batch.select(col(idCol).cast("long").as("id"))
+          .distinct()), "id")
         .limit(1).count()
       require(overlap == 0L,
         "DedupIndex.append: batch contains ids already indexed")
@@ -165,24 +177,20 @@ object DedupIndex {
     val oldMeta = spark.read.parquet(s"$dir/meta")
       .select("n_rows", "max_id", "fingerprint", "version").head
     val bid = identity(batch, textCol, idCol).head
+    // guard BEFORE the commit marker: an empty batch (or ids that
+    // null the long cast) must not invalidate a good index
+    require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),
+      "DedupIndex.append: batch is empty or has non-integral ids")
     fs.delete(metaPath, true) // invalidate first (commit marker)
     shardOf(batch, textCol, idCol)
       .write.mode("append").parquet(s"$dir/buckets")
-    val merged = spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(
-        oldMeta.getLong(0) + bid.getLong(0),
-        math.max(oldMeta.getLong(1), bid.getLong(1)),
-        oldMeta.getLong(2) ^ bid.getLong(2),
-        oldMeta.getString(3))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("n_rows",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("max_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("fingerprint",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("version",
-          org.apache.spark.sql.types.StringType))))
-    merged.write.mode("overwrite").parquet(s"$dir/meta")
+    // the 1-row merged meta, in AnnIndex.append's lit-select idiom —
+    // one meta contract, one construction style across both indexes
+    spark.range(1).select(
+        lit(oldMeta.getLong(0) + bid.getLong(0)).as("n_rows"),
+        lit(math.max(oldMeta.getLong(1), bid.getLong(1))).as("max_id"),
+        lit(oldMeta.getLong(2) ^ bid.getLong(2)).as("fingerprint"),
+        lit(oldMeta.getString(3)).cast("string").as("version"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 }

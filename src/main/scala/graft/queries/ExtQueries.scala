@@ -977,12 +977,15 @@ object ExtQueries {
 
     // d15: the STORED dedup index — x9's build/probe split for the
     // incremental near-dup gate. ensure() builds once (one corpus
-    // banding pass to a parquet bucket asset); the probed plan bands
-    // only the batch and equi-joins the stored shards, so per-batch
-    // cost is O(batch + candidates) with zero full-corpus passes
-    // (DedupIndex scaladoc). Same split and threshold as d11;
-    // banding is engine-specific → rows-only, closed by the
-    // consistency twin below.
+    // banding pass to a parquet bucket asset); the probed PLAN bands
+    // only the batch and equi-joins the stored shards — O(batch +
+    // candidates), zero full-corpus passes. The ensure() call ahead
+    // of it revalidates by content fingerprint (one corpus scan) —
+    // the registry's deliberate posture for mutable fixture dirs,
+    // exactly as the x9 rows; production serves with ensure(version
+    // = Some(v)), a 1-row meta read (DedupIndex scaladoc). Same
+    // split and threshold as d11; banding is engine-specific →
+    // rows-only, closed by the consistency twin below.
     Q("d15_dedup_index_probe",
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -428,6 +428,13 @@ class ExtSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       DedupIndex.append(corpusB, dir2)
     }
+    // an EMPTY batch must be rejected BEFORE the commit marker is
+    // touched: the index stays valid and fresh after the failure
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(corpusB.filter($"doc_id" < 0), dir2)
+    }
+    assert(!DedupIndex.ensure(union, dir2),
+      "failed empty append must leave the index fresh")
     // a changed corpus fails content validation and rebuilds
     assert(DedupIndex.ensure(corpusA, dir2), "stale index must rebuild")
   }
