@@ -100,6 +100,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"ok   {name}: {len(got)} rows")
     n_checked = len(oracles) - n_skip
     skipped = f" ({n_skip} not dumped, skipped)" if n_skip else ""
+    if n_checked == 0:
+        # a mis-pointed or empty outDir must not read as a pass: with
+        # every oracle skipped, this gate verified nothing
+        print(f"FAIL: 0 queries checked{skipped} — wrong outDir?")
+        return 1
     print(f"{'PASS' if n_fail == 0 else 'FAIL'}: "
           f"{n_checked - n_fail}/{n_checked} queries match{skipped}")
     return 1 if n_fail else 0

@@ -149,13 +149,17 @@ object Sessions {
     * Each session contributes +1 at its start minute and −1 at the
     * minute after its end; concurrency at any boundary is the
     * running sum of deltas, and the hourly report takes the max over
-    * the boundaries inside each hour. Minute granularity makes the
-    * delta table CALENDAR-BOUNDED (one row per minute with activity,
-    * ≤ 44 k/month), so the running-sum window — global by nature,
-    * concurrency has no partition key — runs over bounded rows, the
-    * same audited shape as w4's cumulative count. Hours with no
-    * session boundary are absent from the report (concurrency is
-    * flat there, carried from the last boundary).
+    * the boundaries inside each hour AND the level carried in from
+    * before the hour's first boundary (lag of the running sum): an
+    * hour whose first boundary is a session END would otherwise
+    * report below the true peak reached during its opening minutes.
+    * Minute granularity makes the delta table CALENDAR-BOUNDED (one
+    * row per minute with activity, ≤ 44 k/month), so the running-sum
+    * window — global by nature, concurrency has no partition key —
+    * runs over bounded rows, the same audited shape as w4's
+    * cumulative count. Hours with no session boundary are absent
+    * from the report (concurrency is flat there, carried from the
+    * last boundary).
     *
     * Returns (hour, max_concurrent, n_boundaries), ordered. */
   def hourlyConcurrency(events: DataFrame, gapMinutes: Int,
@@ -176,10 +180,18 @@ object Sessions {
       .groupBy("m").agg(sum(col("d")).as("delta"))
     val w = Window.orderBy(col("m"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // carried = concurrency just BEFORE this boundary; per hour the
+    // earliest boundary's carried value is the level the hour opened
+    // at (0 before the first boundary globally). Both windows share
+    // the one global order, so Catalyst plans a single sort.
     deltas
       .withColumn("conc", sum(col("delta")).over(w))
+      .withColumn("carried",
+        coalesce(lag(col("conc"), 1).over(Window.orderBy(col("m"))),
+          lit(0L)))
       .groupBy(date_trunc("hour", col("m")).as("hour"))
-      .agg(max(col("conc")).cast("long").as("max_concurrent"),
+      .agg(greatest(max(col("conc")), min_by(col("carried"), col("m")))
+          .cast("long").as("max_concurrent"),
         count(lit(1)).as("n_boundaries"))
       .orderBy("hour")
   }

@@ -1872,8 +1872,12 @@ object ExtQueries {
     // session boundary deltas, NOT an interval self-join (see
     // Sessions.hourlyConcurrency: the pair mass of "which sessions
     // overlap" is quadratic; the delta running-sum is linear with a
-    // calendar-bounded global window, w4's audited shape). Oracle:
-    // w2's sessionize CTE feeding the same delta/running-sum chain.
+    // calendar-bounded global window, w4's audited shape). The hour
+    // peak includes the level CARRIED IN from before the hour's
+    // first boundary (lag of the running sum), so an hour opening on
+    // a session-end boundary still reports its true early-hour peak.
+    // Oracle: w2's sessionize CTE feeding the same delta/running-sum
+    // /lag chain.
     Q("w7_concurrency",
       (s, dir) => graft.ext.Sessions.hourlyConcurrency(
         t(s, dir, "events"), gapMinutes = 30),
@@ -1904,11 +1908,17 @@ object ExtQueries {
                  SELECT m, delta,
                         CAST(SUM(delta) OVER (ORDER BY m
                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
-                 FROM d)
+                 FROM d),
+               c2 AS (
+                 SELECT m, conc,
+                        CAST(COALESCE(lag(conc) OVER (ORDER BY m), 0)
+                          AS BIGINT) AS carried
+                 FROM c)
                SELECT CAST(date_trunc('hour', m) AS TIMESTAMP) AS hour,
-                      CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+                      CAST(GREATEST(MAX(conc), min_by(carried, m))
+                        AS BIGINT) AS max_concurrent,
                       COUNT(*) AS n_boundaries
-               FROM c GROUP BY 1 ORDER BY hour""")),
+               FROM c2 GROUP BY 1 ORDER BY hour""")),
 
     // streaming twin: flatMapGroupsWithState over a replayed stream.
     // A session is emitted when a later event closes it or when the

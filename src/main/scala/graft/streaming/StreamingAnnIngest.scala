@@ -25,10 +25,20 @@ import graft.ext.AnnIndex
   * column, never the vectors) makes re-delivered ROWS a no-op —
   * append's own duplicate-id guard is disabled because this gate
   * subsumes it (the guard throws on overlap; at-least-once delivery
-  * wants overlap silently skipped instead). A crash between the
-  * postings append and the meta write leaves a validation-failing
-  * index (no meta — the commit-marker invariant), and the batch
-  * replays into a rebuild on restart.
+  * wants overlap silently skipped instead).
+  *
+  * Crash INSIDE an append (postings written, meta not yet rewritten)
+  * is the one case this path must NOT self-heal: unlike a batch
+  * caller, the stream holds no full-corpus handle, so "rebuild from
+  * the current micro-batch" would silently replace an index holding
+  * every previously ingested vector with one holding ONLY the
+  * replayed batch — meta-valid, serving wrong neighbors, no
+  * detectable invariant violation. [[ingestBatch]] therefore
+  * distinguishes 'never built' from 'invalidated': missing meta WITH
+  * index assets on disk is corruption, and it fails loudly with the
+  * operator remedy (AnnIndex.build from the durable corpus, or wipe
+  * the index dir to accept a from-scratch stream rebuild). Only a
+  * truly empty index dir builds from the first micro-batch.
   */
 final class StreamingAnnIngest(spark: SparkSession, indexDir: String) {
 
@@ -63,6 +73,20 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String) {
     val fs = metaPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath)) {
+      // no meta: EITHER a never-built dir (safe to build from this
+      // first batch) OR a crash mid-append left assets without their
+      // commit marker — building from the micro-batch would drop all
+      // previously ingested vectors behind a meta-valid index, so
+      // fail loudly and leave the decision to the operator
+      val orphaned = Seq("postings", "centroids", "codebook").filter(a =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$a")))
+      if (orphaned.nonEmpty)
+        throw new IllegalStateException(
+          s"ANN index at $indexDir has assets (${orphaned.mkString(", ")}) " +
+            "but no meta commit marker — a crash mid-append invalidated " +
+            "it. Rebuild from the durable corpus (AnnIndex.build) or " +
+            "delete the index dir to rebuild from the stream, then " +
+            "restart the ingest.")
       AnnIndex.build(fresh, indexDir)
     } else {
       val indexed = spark.read.parquet(s"$indexDir/postings")

@@ -516,6 +516,22 @@ class ExtSpec extends SparkTestBase {
     assert(got == Seq((2L, 4L), (1L, 2L)), s"got $got")
   }
 
+  test("hourly concurrency: carried-in level counts toward the peak") {
+    def ev(u: Long, t: String) = (u, java.sql.Timestamp.valueOf(t))
+    // u1 10:40-11:10, u2 10:45-11:10: hour 11's ONLY boundary is the
+    // joint end at 11:11 (running sum 0 there) but the hour OPENS at
+    // concurrency 2 carried from hour 10 — the boundary-only formula
+    // would report 0; the carried-in term makes it the true peak 2
+    val events = Seq(
+      ev(1, "2024-01-01 10:40:00"), ev(1, "2024-01-01 11:10:00"),
+      ev(2, "2024-01-01 10:45:00"), ev(2, "2024-01-01 11:10:00")
+    ).toDF("user_id", "ts")
+    val got = graft.ext.Sessions.hourlyConcurrency(events, 30)
+      .select("max_concurrent", "n_boundaries")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L), (2L, 1L)), s"got $got")
+  }
+
   test("cohort retention: week-0 size anchors the grid") {
     def ev(u: Long, t: String) = (u, java.sql.Timestamp.valueOf(t))
     // weeks: Mon 2024-01-01 and Mon 2024-01-08

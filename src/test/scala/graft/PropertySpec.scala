@@ -173,6 +173,50 @@ class PropertySpec extends SparkTestBase {
     assert(got == ref, s"got $got, ref $ref")
   }
 
+  test("hourly concurrency matches a per-minute brute force on random logs") {
+    // independent reference: sessionize in plain Scala, then take the
+    // TRUE per-hour peak as a max over every minute of the hour —
+    // which inherently includes the level carried in before the
+    // hour's first boundary (the bug class ADVICE r7 flagged)
+    val rnd = new scala.util.Random(13)
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, seconds
+    val gapMin = 30
+    val evs = (1 to 300).map { _ =>
+      (rnd.nextInt(15).toLong, base + rnd.nextInt(2 * 86400).toLong)
+    }
+    val sessions = evs.groupBy(_._1).values.toSeq.flatMap { es =>
+      val ts = es.map(_._2).distinct.sorted
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var s = ts.head
+      var e = ts.head
+      for (t <- ts.tail) {
+        if (t - e > gapMin * 60L) { out += ((s, e)); s = t }
+        e = t
+      }
+      out += ((s, e))
+      out.toSeq
+    }
+    // minute-truncated active range [startMin, endMin] inclusive —
+    // the sweep-line's granularity
+    val mins = sessions.map { case (s, e) => (s / 60L, e / 60L) }
+    val bounds = mins.flatMap { case (s, e) => Seq(s, e + 1) }
+      .distinct.sorted
+    def conc(m: Long): Long =
+      mins.count { case (s, e) => s <= m && m <= e }.toLong
+    val ref = bounds.map(_ / 60L).distinct.sorted.map { h =>
+      (h * 3600L,
+        (h * 60L until (h + 1) * 60L).map(conc).max,
+        bounds.count(_ / 60L == h).toLong)
+    }
+    val df = evs.toDF("user_id", "s")
+      .select($"user_id", timestamp_seconds($"s").as("ts"))
+    val got = graft.ext.Sessions.hourlyConcurrency(df, gapMin)
+      .select(unix_timestamp($"hour").as("h"), $"max_concurrent",
+        $"n_boundaries")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == ref, s"got $got, ref $ref")
+  }
+
   test("windowSplit: in ∪ out == (> lld), disjoint — for random windows") {
     val rows = sample(tsGen, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = rows.toDF("id", "ts")

@@ -293,4 +293,50 @@ class StreamingSpec extends SparkTestBase {
     ingest.ingestAvailable(staging, ckpt)
     assert(postings() == embs.count())
   }
+
+  test("streaming ANN ingest: mid-append crash replay fails loudly") {
+    val ix = Files.createTempDirectory("graft_stann_cr_").toString + "/ix"
+    val staging = Files.createTempDirectory("graft_stann_crs_").toString
+    val ckpt = Files.createTempDirectory("graft_stann_crc_").toString
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val tmp = Files.createTempDirectory("graft_stann_crp_")
+    embs.filter($"vec_id" < 100).coalesce(1).write.parquet(s"$tmp/out")
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath,
+      java.nio.file.Paths.get(staging, "drop1.parquet"))
+
+    val ingest = new StreamingAnnIngest(spark, ix)
+    ingest.ingestAvailable(staging, ckpt)
+    assert(spark.read.parquet(s"$ix/postings").count() == 100)
+
+    // simulate a crash INSIDE append: postings landed, meta did not
+    // (append deletes meta first — the commit marker). On restart the
+    // replayed batch must NOT rebuild the index from itself: that
+    // would silently drop every previously ingested vector. The
+    // ingest must fail loudly instead, naming the orphaned assets.
+    val metaPath = new org.apache.hadoop.fs.Path(s"$ix/meta")
+    metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
+    embs.filter($"vec_id" >= 100 && $"vec_id" < 120).coalesce(1)
+      .write.parquet(s"$tmp/out2")
+    val part2 = new java.io.File(s"$tmp/out2").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part2.toPath,
+      java.nio.file.Paths.get(staging, "drop2.parquet"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ingest.ingestAvailable(staging, ckpt)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists {
+      case ise: IllegalStateException =>
+        ise.getMessage.contains("no meta commit marker")
+      case _ => false
+    }, s"expected the loud corruption error, got: $e")
+    // and crucially: the previously ingested postings are untouched
+    assert(spark.read.parquet(s"$ix/postings").count() == 100)
+  }
 }
