@@ -23,12 +23,18 @@ import org.apache.spark.sql.functions._
   *    row-group ranges (a probe's `cid IN (…)` prunes at the scan; a
   *    metastore deployment would `bucketBy(cid)` for shuffle-free
   *    probe joins — same physical idea, catalog-managed)
-  *  - `meta/`       one row (n_rows, max_id, fingerprint) — written
-  *    LAST as the build's commit marker; [[ensure]] revalidates it
-  *    against the live corpus so a stale index (regenerated fixture,
-  *    different corpus at the same path) rebuilds instead of serving
-  *    wrong neighbors
+  *  - `idbloom/`    one row (bf)          — superset-of-indexed-ids
+  *    bloom; [[append]]'s duplicate-id guard reads it so all-new
+  *    batches never scan the postings ([[StoredIndex]])
+  *  - `meta/`       one row (n_rows, max_id, fingerprint, version) —
+  *    written LAST as the build's commit marker; [[ensure]]
+  *    revalidates it against the live corpus so a stale index
+  *    (regenerated fixture, different corpus at the same path)
+  *    rebuilds instead of serving wrong neighbors
   *
+  * Path/meta/fingerprint/commit-marker mechanics are
+  * [[StoredIndex]]'s — one construction style shared with
+  * [[DedupIndex]]; this file keeps only the IVFADC asset builders.
   * Everything in the chain is the same deterministic arithmetic as
   * x8 (stride centroids under the cap, rank-dense codebook cids,
   * roundDet'd LUT + score), so the stored path is DuckDB-oracle-able
@@ -45,9 +51,7 @@ object AnnIndex {
     * verify run would overwrite each other mid-build. Overridable
     * for deployments that manage index storage explicitly. */
   def dirFor(sfDir: String): String =
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      new java.io.File("target/x9-index").getAbsolutePath) +
-      "/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    StoredIndex.dirFor("target/x9-index", "", sfDir)
 
   /** Corpus identity row: row count, max id, and an order-insensitive
     * content fingerprint (XOR fold of per-row xxhash64 over
@@ -56,11 +60,10 @@ object AnnIndex {
     * meta. One corpus scan, no shuffle beyond the 1-row aggregate. */
   private def identity(corpus: DataFrame, vecCol: String,
                        idCol: String): DataFrame =
-    corpus
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .agg(count(lit(1)).as("n_rows"),
-        max(col("__id")).as("max_id"),
-        expr("bit_xor(xxhash64(__id, __v))").as("fingerprint"))
+    StoredIndex.identityOf(corpus, col(idCol), col(vecCol))
+
+  private def idsOf(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"))
 
   /** Build (or rebuild) the full index at `dir`. The expensive side
     * of the split: one assign pass (O(N·K), K capped), one encode
@@ -71,15 +74,13 @@ object AnnIndex {
             vecCol: String = "embedding",
             idCol: String = "vec_id",
             version: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
     // invalidate FIRST: meta-written-last is the commit marker, so a
     // rebuild must delete the PREVIOUS meta before touching any other
     // asset — otherwise a crash mid-rebuild leaves stale-but-valid
     // meta beside partially overwritten centroids/codebook/postings,
     // and ensure() would serve the broken index
-    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    metaPath
-      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(metaPath, true)
+    StoredIndex.invalidate(spark, dir)
     val cents = Similarity.centroids(corpus, stride, vecCol, idCol,
       maxCentroids).localCheckpoint()
     val cb = Similarity.pqCodebook(corpus, stride, m, dim,
@@ -91,44 +92,37 @@ object AnnIndex {
         .select("nid", "cid"), "nid")
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$dir/postings")
+    StoredIndex.writeIdBloom(spark, dir, idsOf(corpus, idCol))
     // meta last: its presence marks a complete build
-    identity(corpus, vecCol, idCol)
-      .withColumn("version", lit(version.orNull).cast("string"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    StoredIndex.writeMeta(identity(corpus, vecCol, idCol), version, dir)
   }
 
   /** Validate the stored index against the live corpus; build when
     * missing or stale. Returns true when a build ran.
     *
     * Two validation postures, by `version`:
-    *  - `None` (the registry queries' choice): content validation —
+    *  - `None` (most registry queries' choice): content validation —
     *    one corpus scan recomputes the fingerprint and compares it to
     *    the stored meta. Right when the corpus at a path can silently
     *    change under you (regenerated fixtures, a shared test dir).
     *  - `Some(v)` (the production posture): explicit versioning — the
-    *    caller names the corpus version it indexed ("2026-08-14" or a
-    *    snapshot id), and validation is ONE 1-row meta read, zero
-    *    corpus scans on the serve path. The caller owns the contract
-    *    that a version string never maps to two different corpora —
-    *    exactly the contract a catalog/snapshot store provides. */
+    *    caller names the corpus version it indexed ("2026-08-14", a
+    *    snapshot id, or [[StoredIndex.fileVersion]]'s zero-scan file
+    *    identity), and validation is ONE 1-row meta read, zero corpus
+    *    scans on the serve path. The caller owns the contract that a
+    *    version string never maps to two different corpora — exactly
+    *    the contract a catalog/snapshot store provides.
+    *
+    * A meta READ FAILURE that is not "missing" (corrupt footer,
+    * transient FS error) propagates instead of silently rebuilding
+    * mid-serve ([[StoredIndex.readMeta]]). */
   def ensure(corpus: DataFrame, dir: String, stride: Int = 20,
              m: Int = 4, dim: Int = 64, maxCentroids: Int = 4096,
              vecCol: String = "embedding",
              idCol: String = "vec_id",
              version: Option[String] = None): Boolean = {
-    val spark = corpus.sparkSession
-    val fresh =
-      try {
-        val meta = spark.read.parquet(s"$dir/meta")
-        version match {
-          case Some(v) =>
-            meta.select("version").head.getString(0) == v
-          case None =>
-            val stored =
-              meta.select("n_rows", "max_id", "fingerprint").head
-            stored == identity(corpus, vecCol, idCol).head
-        }
-      } catch { case _: Throwable => false }
+    val fresh = StoredIndex.isFresh(corpus.sparkSession, dir, version,
+      identity(corpus, vecCol, idCol).head)
     if (!fresh) build(corpus, dir, stride, m, dim, maxCentroids,
       vecCol, idCol, version)
     !fresh
@@ -142,19 +136,22 @@ object AnnIndex {
     * corpus scan, because the content fingerprint is an XOR fold:
     * fingerprint(old ∪ batch) = fingerprint(old) XOR
     * fingerprint(batch) by commutativity/associativity of XOR (this
-    * algebra is WHY [[identity]] folds with bit_xor rather than a
-    * hash-of-sorted-hashes). So after any append chain, a content
-    * [[ensure]] over the union corpus still validates as fresh.
+    * algebra is WHY [[StoredIndex.identityOf]] folds with bit_xor
+    * rather than a hash-of-sorted-hashes). So after any append
+    * chain, a content [[ensure]] over the union corpus still
+    * validates as fresh.
     *
     * Contracts and trade-offs, stated plainly:
     *  - Batch ids must be NEW. A re-appended id would double its
     *    posting row AND cancel its fingerprint term (x XOR x = 0),
     *    silently corrupting both. `checkIds = true` (default)
-    *    enforces this with a keys-only anti-check against the
-    *    stored postings' nid column (the compact codes table, never
-    *    the embeddings) and throws on overlap; callers that already
-    *    route batches through an incremental-dedup gate
-    *    ([[Dedup]]'s d7 anti-join) can disable it.
+    *    enforces this with the bloom-gated guard ([[StoredIndex
+    *    .requireNewIds]]): ids the stored id bloom rules out never
+    *    read the postings at all, and only might-contain ids take
+    *    the exact broadcast existence check (`limit(1)`) — O(batch)
+    *    for the common all-new batch. Callers that already route
+    *    batches through an incremental-dedup gate ([[Dedup]]'s d7
+    *    anti-join) can disable it.
     *  - Appended vectors are quantized with the ORIGINAL codebook
     *    and bucketed by the ORIGINAL centroids — standard IVF
     *    serving practice. Drift from a shifting data distribution
@@ -165,8 +162,7 @@ object AnnIndex {
     *  - Each append writes new posting files (cid-sorted within the
     *    batch); a long append chain accumulates small files — the
     *    same pressure [[graft.ext.Layout]]'s compaction planner
-    *    (z4) measures, and the same fix: periodically rewrite the
-    *    postings dir clustered by cid.
+    *    (z4) measures, and [[compact]] is the periodic remedy.
     *  - Meta is deleted first / written last, the same commit-marker
     *    invariant as [[build]]: a crash mid-append leaves a
     *    validation-failing index (extra posting files but no meta),
@@ -178,39 +174,23 @@ object AnnIndex {
     val cents = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebook")
     val storedMeta = spark.read.parquet(s"$dir/meta").head
-    if (checkIds) {
-      val clash = spark.read.parquet(s"$dir/postings").select("nid")
-        .join(batch.select(col(idCol).cast("long").as("nid")), "nid")
-        .count()
-      require(clash == 0L,
-        s"append batch re-uses $clash id(s) already in the index at " +
-          s"$dir — route the batch through an incremental dedup " +
-          "anti-join first, or rebuild")
-    }
+    if (checkIds)
+      StoredIndex.requireNewIds(spark, dir, idsOf(batch, idCol),
+        spark.read.parquet(s"$dir/postings").select(col("nid").as("id")),
+        "AnnIndex.append")
     val batchMeta = identity(batch, vecCol, idCol).head
     // an empty batch has NULL max_id/fingerprint aggregates — and
     // nothing to do; refuse before the commit marker is touched
     require(batchMeta.getLong(0) > 0L,
       s"append batch is empty — nothing to index at $dir")
-    // commit marker: invalidate before touching postings (see build)
-    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    metaPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(metaPath, true)
+    StoredIndex.invalidate(spark, dir) // commit marker (see build)
     Similarity.pqEncode(batch, cb, m, dim, vecCol, idCol)
       .join(Similarity.ivfAssign(batch, cents, vecCol, idCol)
         .select("nid", "cid"), "nid")
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("append").parquet(s"$dir/postings")
-    val union = spark.range(1).select(
-      lit(storedMeta.getLong(0) + batchMeta.getLong(0)).as("n_rows"),
-      lit(math.max(storedMeta.getLong(1), batchMeta.getLong(1)))
-        .as("max_id"),
-      lit(storedMeta.getLong(2) ^ batchMeta.getLong(2))
-        .as("fingerprint"),
-      lit(if (storedMeta.size < 4 || storedMeta.isNullAt(3)) null
-          else storedMeta.getString(3)).cast("string").as("version"))
-    union.write.mode("overwrite").parquet(s"$dir/meta")
+    StoredIndex.mergeIdBloom(spark, dir, idsOf(batch, idCol))
+    StoredIndex.writeMergedMeta(spark, dir, storedMeta, batchMeta)
   }
 
   /** Rewrite the postings clustered by cid into fresh, full-size
@@ -218,31 +198,18 @@ object AnnIndex {
     * [[append]] chain causes (each append adds its own cid-sorted
     * files; probes then open many footers and lose row-group cid
     * locality ACROSS files). Content is untouched, so the meta row
-    * is preserved verbatim — but under the same commit-marker
-    * discipline as build/append: meta is deleted BEFORE the postings
-    * swap and restored after, so a crash mid-compaction leaves a
+    * is preserved verbatim — under [[StoredIndex.compactAsset]]'s
+    * commit-marker swap: meta is deleted BEFORE the postings swap
+    * and restored after, so a crash mid-compaction leaves a
     * validation-failing index (next ensure() rebuilds), never a
     * valid meta over a half-swapped postings dir. The swap itself is
     * stage-then-rename: the clustered rewrite lands in
     * `postings_compact`, and only after it is fully written do the
     * two renames run — the unreadable window is two metadata ops,
     * not the rewrite. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val meta = spark.read.parquet(s"$dir/meta").localCheckpoint()
-    val staged = new org.apache.hadoop.fs.Path(s"$dir/postings_compact")
-    spark.read.parquet(s"$dir/postings")
-      .repartition(col("cid")).sortWithinPartitions("cid")
-      .write.mode("overwrite").parquet(staged.toString)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    fs.delete(metaPath, true) // invalidate first
-    fs.delete(live, true)
-    require(fs.rename(staged, live),
-      s"compact: rename $staged -> $live failed")
-    meta.write.mode("overwrite").parquet(metaPath.toString)
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    StoredIndex.compactAsset(spark, dir, "postings", df =>
+      df.repartition(col("cid")).sortWithinPartitions("cid"))
 
   /** Serve top-k from the stored form: reads the three assets and
     * runs [[Similarity.ivfPqProbe]] — the cheap side of the split

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stored MinHash-LSH dedup index — the x9 build/probe split
@@ -26,20 +26,23 @@ import org.apache.spark.sql.functions._
   * [[Dedup.minhashIncrementalNearDups]] at any append history, which
   * is what the d15 consistency contract asserts (and the probe runs
   * [[Dedup.verifyMinhashCandidates]] — the same verification code
-  * path, not a reimplementation).
+  * path, not a reimplementation). [[compact]] exploits the same
+  * fact in reverse: merging shard rows per (band, bhash) at rest is
+  * exactly the regroup probe performs anyway, so compaction cannot
+  * change any probe result.
   *
-  * Durability discipline is [[AnnIndex]]'s verbatim: meta is deleted
-  * first / written last (the commit marker — a crash mid-build or
-  * mid-append leaves a validation-failing index, never a half-built
-  * one), [[ensure]] validates by content fingerprint (one corpus
-  * scan) or, with an explicit `version`, by a 1-row meta read — the
-  * zero-scan serve posture. [[append]]'s write side is O(batch):
-  * new shards append, and the XOR-fold fingerprint updates without
-  * a corpus scan (fingerprint(old ∪ batch) = fingerprint(old) XOR
-  * fingerprint(batch)); its default new-id check reads the stored
-  * shard id lists (index-sized — see the method scaladoc). Long
-  * append chains accrete small shard files — the z4 compaction
-  * pressure; the fix is a periodic [[build]] rewrite.
+  * Durability and maintenance discipline is [[StoredIndex]]'s — the
+  * shared spine both this and [[AnnIndex]] are built on: meta is
+  * deleted first / written last (the commit marker), [[ensure]]
+  * validates by content fingerprint (one corpus scan) or, with an
+  * explicit `version`, by a 1-row meta read — the zero-scan serve
+  * posture ([[StoredIndex.fileVersion]] derives a version from
+  * corpus file metadata without any data scan). [[append]] is
+  * O(batch) end-to-end: new shards append, the XOR-fold fingerprint
+  * updates without a corpus scan, and the duplicate-id guard is
+  * bloom-gated — an all-new batch never reads the stored id lists.
+  * Long append chains accrete small shard files — the z4 compaction
+  * pressure; [[compact]] is the crash-safe periodic remedy.
   */
 object DedupIndex {
 
@@ -48,12 +51,9 @@ object DedupIndex {
     * index family disjoint from x9's under a shared
     * SPARK_GRAFT_INDEX_ROOT. */
   def dirFor(sfDir: String): String =
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      new java.io.File("target/d15-index").getAbsolutePath) +
-      "/d15_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    StoredIndex.dirFor("target/d15-index", "d15_", sfDir)
 
-  /** Corpus identity row: the same order-insensitive XOR-fold
-    * fingerprint as [[AnnIndex]], over (id, text). Ids are integral
+  /** Corpus identity row over (id, text). Ids are integral
     * (long-castable) by contract — AnnIndex's contract too — so the
     * meta's max_id/fingerprint arithmetic is well-typed; [[append]]
     * rejects a batch whose identity degenerates (empty, or
@@ -61,17 +61,10 @@ object DedupIndex {
     * marker. */
   private def identity(corpus: DataFrame, textCol: String,
                        idCol: String): DataFrame =
-    corpus.select(col(idCol).cast("long").as("__id"),
-        col(textCol).as("__t"))
-      .agg(count(lit(1)).as("n_rows"),
-        max(col("__id")).as("max_id"),
-        expr("bit_xor(xxhash64(__id, __t))").as("fingerprint"))
+    StoredIndex.identityOf(corpus, col(idCol).cast("long"), col(textCol))
 
-  private def metaPathOf(corpus: DataFrame, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    (p, p.getFileSystem(
-      corpus.sparkSession.sparkContext.hadoopConfiguration))
-  }
+  private def idsOf(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"))
 
   /** One shard of partial bucket rows: (band, bhash, ids sorted
     * within the shard). Never capped — see the object scaladoc. */
@@ -86,34 +79,27 @@ object DedupIndex {
   def build(corpus: DataFrame, dir: String,
             textCol: String = "text", idCol: String = "doc_id",
             version: Option[String] = None): Unit = {
-    val (metaPath, fs) = metaPathOf(corpus, dir)
-    fs.delete(metaPath, true) // invalidate first (commit marker)
+    val spark = corpus.sparkSession
+    StoredIndex.invalidate(spark, dir) // commit marker
     shardOf(corpus, textCol, idCol)
       .write.mode("overwrite").parquet(s"$dir/buckets")
-    identity(corpus, textCol, idCol)
-      .withColumn("version", lit(version.orNull).cast("string"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    StoredIndex.writeIdBloom(spark, dir, idsOf(corpus, idCol))
+    StoredIndex.writeMeta(identity(corpus, textCol, idCol), version, dir)
   }
 
   /** Validate the stored index against the live corpus; build when
     * missing or stale. Returns true when a build ran. `version`
     * picks the validation posture exactly as [[AnnIndex.ensure]]
     * does: None = content fingerprint (one corpus scan), Some(v) =
-    * 1-row meta read, zero corpus scans on the serve path. */
+    * 1-row meta read, zero corpus scans on the serve path. A meta
+    * READ FAILURE that is not "missing" (corrupt footer, transient
+    * FS error) propagates instead of silently rebuilding
+    * ([[StoredIndex.readMeta]]). */
   def ensure(corpus: DataFrame, dir: String,
              textCol: String = "text", idCol: String = "doc_id",
              version: Option[String] = None): Boolean = {
-    val spark = corpus.sparkSession
-    val fresh =
-      try {
-        val meta = spark.read.parquet(s"$dir/meta")
-        version match {
-          case Some(v) => meta.select("version").head.getString(0) == v
-          case None =>
-            meta.select("n_rows", "max_id", "fingerprint").head ==
-              identity(corpus, textCol, idCol).head
-        }
-      } catch { case _: Throwable => false }
+    val fresh = StoredIndex.isFresh(corpus.sparkSession, dir, version,
+      identity(corpus, textCol, idCol).head)
     if (!fresh) build(corpus, dir, textCol, idCol, version)
     !fresh
   }
@@ -149,31 +135,27 @@ object DedupIndex {
       textCol, idCol, broadcastVerify)
   }
 
-  /** Append a batch of NEW documents: one shard of partial bucket
-    * rows appends, and the meta fingerprint updates by XOR — the
-    * WRITE side never touches the corpus, so with `checkIds = false`
-    * (callers whose batches already passed the d7 incremental-dedup
-    * anti-join) the append is O(batch). Batch ids must be new
-    * ([[AnnIndex.append]]'s contract, same reasoning: a re-appended
-    * id doubles its bucket entries AND cancels its fingerprint
-    * term); the default `checkIds` enforces it with a keys-only pass
-    * over the stored shard id lists (the compact bucket asset, never
-    * the corpus) semi-joined against the broadcast batch id set —
-    * index-sized, not corpus-text-sized, but not O(batch). */
+  /** Append a batch of NEW documents — O(batch) end-to-end: one
+    * shard of partial bucket rows appends, the meta fingerprint
+    * updates by XOR, and the id bloom merges driver-side; the corpus
+    * is never touched. Batch ids must be new ([[AnnIndex.append]]'s
+    * contract, same reasoning: a re-appended id doubles its bucket
+    * entries AND cancels its fingerprint term); the default
+    * `checkIds` guard is bloom-gated ([[StoredIndex.requireNewIds]])
+    * — ids the stored bloom rules out never read the shard id lists
+    * at all, so an all-new batch pays only a batch-sized filter, and
+    * only might-contain ids (true overlaps + bloom FPP) take the
+    * exact broadcast check. Callers whose batches already passed the
+    * d7 incremental-dedup anti-join can disable it. */
   def append(batch: DataFrame, dir: String,
              textCol: String = "text", idCol: String = "doc_id",
              checkIds: Boolean = true): Unit = {
     val spark = batch.sparkSession
-    val (metaPath, fs) = metaPathOf(batch, dir)
-    if (checkIds) {
-      val overlap = spark.read.parquet(s"$dir/buckets")
-        .select(explode(col("ids")).as("id"))
-        .join(broadcast(batch.select(col(idCol).cast("long").as("id"))
-          .distinct()), "id")
-        .limit(1).count()
-      require(overlap == 0L,
-        "DedupIndex.append: batch contains ids already indexed")
-    }
+    if (checkIds)
+      StoredIndex.requireNewIds(spark, dir, idsOf(batch, idCol),
+        spark.read.parquet(s"$dir/buckets")
+          .select(explode(col("ids")).as("id")),
+        "DedupIndex.append")
     val oldMeta = spark.read.parquet(s"$dir/meta")
       .select("n_rows", "max_id", "fingerprint", "version").head
     val bid = identity(batch, textCol, idCol).head
@@ -181,16 +163,28 @@ object DedupIndex {
     // null the long cast) must not invalidate a good index
     require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),
       "DedupIndex.append: batch is empty or has non-integral ids")
-    fs.delete(metaPath, true) // invalidate first (commit marker)
+    StoredIndex.invalidate(spark, dir) // commit marker
     shardOf(batch, textCol, idCol)
       .write.mode("append").parquet(s"$dir/buckets")
-    // the 1-row merged meta, in AnnIndex.append's lit-select idiom —
-    // one meta contract, one construction style across both indexes
-    spark.range(1).select(
-        lit(oldMeta.getLong(0) + bid.getLong(0)).as("n_rows"),
-        lit(math.max(oldMeta.getLong(1), bid.getLong(1))).as("max_id"),
-        lit(oldMeta.getLong(2) ^ bid.getLong(2)).as("fingerprint"),
-        lit(oldMeta.getString(3)).cast("string").as("version"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    StoredIndex.mergeIdBloom(spark, dir, idsOf(batch, idCol))
+    StoredIndex.writeMergedMeta(spark, dir, oldMeta, bid)
   }
+
+  /** Rewrite the accreted append shards into ONE bucket row per
+    * (band, bhash), band-clustered — the periodic remedy for the
+    * small-file pressure a long [[append]] chain builds up (each
+    * append adds its own shard files; probes then open many footers
+    * and regroup more rows). Probe results are bit-identical before
+    * and after BY CONSTRUCTION: merging shard rows per key at rest
+    * is the same flatten-and-sort regroup [[probe]] applies to the
+    * matched shards on every call, and the maxBucket cap applies
+    * after that merge in both cases. Runs under [[StoredIndex
+    * .compactAsset]]'s commit-marker swap: a crash mid-compaction
+    * leaves a validation-failing index, never a valid meta over a
+    * half-swapped buckets dir. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    StoredIndex.compactAsset(spark, dir, "buckets", df =>
+      df.groupBy("band", "bhash")
+        .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"))
+        .repartition(col("band")).sortWithinPartitions("band", "bhash"))
 }

@@ -1020,6 +1020,82 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS jaccard
               WHERE FALSE""")),
 
+    // d15v: the PRODUCTION serve posture the d15 row can't measure —
+    // ensure(version = Some(v)) is ONE 1-row meta read, zero corpus
+    // scans (the registry's d15 row deliberately pays the content-
+    // fingerprint scan because fixture dirs can mutate). The version
+    // here is StoredIndex.fileVersion — corpus file metadata only
+    // (names/lengths/mtimes, no data read) — so a regenerated
+    // fixture still rebuilds, honestly, without a scan. Same probe,
+    // same split as d15 → rows-only, closed by d15v_consistency
+    // below (and d15_index_consistency, the same probe code path).
+    Q("d15v_index_probe_versioned",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val ix = graft.ext.DedupIndex.dirFor(dir) + "_v"
+        val v = graft.ext.StoredIndex.fileVersion(s,
+          s"$dir/documents.parquet")
+        graft.ext.DedupIndex.ensure(corpus, ix, version = Some(v))
+        graft.ext.DedupIndex.probe(docs.filter(col("doc_id") >= 300),
+          ix, corpus, threshold = 0.4)
+      }, None),
+
+    // d15v twin: the versioned-serve probe must equal the in-query
+    // incremental gate exactly, same contract as d15_index_consistency
+    // — proving the zero-scan posture serves the identical result.
+    Q("d15v_consistency",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val batch = docs.filter(col("doc_id") >= 300)
+        val ix = graft.ext.DedupIndex.dirFor(dir) + "_v"
+        val v = graft.ext.StoredIndex.fileVersion(s,
+          s"$dir/documents.parquet")
+        graft.ext.DedupIndex.ensure(corpus, ix, version = Some(v))
+        val stored = graft.ext.DedupIndex.probe(batch, ix, corpus,
+          threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(batch, corpus,
+          threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
+    // d15c: probe correctness SURVIVES compaction — build on one
+    // split, append another, compact (DedupIndex.compact: shard rows
+    // merged per (band, bhash) at rest behind the commit-marker
+    // swap), then probe; the result must equal the one-shot gate
+    // over the union corpus, bit-exact (empty symmetric difference).
+    // Merging at rest is the same regroup probe applies per call, so
+    // any drift here would be a real durability bug, not noise.
+    Q("d15c_compact_probe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpusA = docs.filter(col("doc_id") < 200)
+        val corpusB = docs.filter(col("doc_id") >= 200 &&
+          col("doc_id") < 300)
+        val corpus = docs.filter(col("doc_id") < 300)
+        val batch = docs.filter(col("doc_id") >= 300)
+        val ix = graft.ext.DedupIndex.dirFor(dir) + "_compact"
+        graft.ext.DedupIndex.build(corpusA, ix)
+        graft.ext.DedupIndex.append(corpusB, ix)
+        graft.ext.DedupIndex.compact(s, ix)
+        val stored = graft.ext.DedupIndex.probe(batch, ix, corpus,
+          threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(batch, corpus,
+          threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute
@@ -2400,6 +2476,31 @@ object ExtQueries {
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // x9v: the PRODUCTION serve posture — ensure(version = Some(v))
+    // validates with ONE 1-row meta read, zero corpus scans (the x9
+    // probe row deliberately pays the content-fingerprint scan
+    // because fixture dirs can mutate; this row measures what a
+    // catalog-versioned deployment actually pays per query). The
+    // version is StoredIndex.fileVersion over the corpus parquet —
+    // file names/lengths/mtimes only, no data read — so a
+    // regenerated fixture still triggers a rebuild. Same stored
+    // assets, same probe chain, same x8 oracle SQL → hash-exact.
+    // Read its bench row beside x9_ann_index_probe: the delta IS the
+    // fingerprint scan the versioned posture removes.
+    Q("x9v_ann_probe_versioned",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_v"
+        val v = graft.ext.StoredIndex.fileVersion(s,
+          s"$dir/embeddings.parquet")
+        graft.ext.AnnIndex.ensure(embs, ix, version = Some(v))
+        graft.ext.AnnIndex.probeTopK(s, ix,
+          embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // x10: incremental index maintenance — build the stored index on
     // the LOWER id half of the corpus, AnnIndex.append the upper
     // half (encoded/assigned against the STORED assets, meta updated
@@ -2721,6 +2822,32 @@ object ExtQueries {
                      CAST(SUM(n) AS BIGINT) AS pair_count
               FROM pairs GROUP BY left_sym, right_sym
               ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50""")),
+
+    // b1_bpe_merges: the learned merge TABLE itself, hash-exact. The
+    // trainer is deterministic by construction — max count then
+    // lexicographic (left, right) tie-break (Bpe.trainWithStats), so
+    // over the seed-42 fixture corpus the 12-merge table is a FIXED
+    // relation; the oracle pins it as a precomputed expected VALUES
+    // relation (computed once from the sf0.01 fixture — the
+    // correctness gate's scale). The registered plan is b2's trainer
+    // verbatim; this row upgrades the family from rows-only to a
+    // hash-exact anchor (VERDICT r7 #2).
+    Q("b1_bpe_merges",
+      (s, dir) => graft.ext.Bpe.train(s, t(s, dir, "documents"), 12)
+        .select(col("round"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("pair_count"))
+        .orderBy("round"),
+      Some("""SELECT CAST(r AS INTEGER) AS round, l AS left_sym,
+                     rt AS right_sym, CAST(c AS BIGINT) AS pair_count
+              FROM (VALUES
+                (1, 'e', 'r', 4568), (2, 'e', '</w>', 4473),
+                (3, 'n', '</w>', 2834), (4, 'er', '</w>', 2779),
+                (5, 'o', 'w', 2747), (6, 'ow', '</w>', 2747),
+                (7, 'o', 'r', 2696), (8, 's', 't', 2676),
+                (9, 'h', '</w>', 1884), (10, 'a', 't', 1845),
+                (11, 'l', 'u', 1831), (12, 'i', 'n', 1796))
+                AS m(r, l, rt, c)
+              ORDER BY round""")),
 
     Q("b2_bpe_train",
       (s, dir) => graft.ext.Bpe.train(s, t(s, dir, "documents"), 12)

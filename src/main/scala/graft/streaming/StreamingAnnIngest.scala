@@ -89,9 +89,23 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String) {
             "restart the ingest.")
       AnnIndex.build(fresh, indexDir)
     } else {
-      val indexed = spark.read.parquet(s"$indexDir/postings")
+      // bloom-gated already-indexed filter: rows the stored id bloom
+      // rules out are DEFINITELY new and skip the postings anti-join
+      // entirely (the common all-new batch never reads the postings);
+      // might-contain rows (true repeats + bloom FPP) take the exact
+      // anti-join. Pre-bloom indexes fall back to the full anti-join.
+      lazy val indexed = spark.read.parquet(s"$indexDir/postings")
         .select(col("nid").as("vec_id"))
-      val newOnly = fresh.join(indexed, Seq("vec_id"), "left_anti")
+      val newOnly = graft.ext.StoredIndex.readIdBloom(spark, indexDir)
+        match {
+          case Some(bytes) =>
+            val might =
+              graft.ext.StoredIndex.mightContain(bytes, col("vec_id"))
+            fresh.filter(!might).unionByName(
+              fresh.filter(might).join(indexed, Seq("vec_id"),
+                "left_anti"))
+          case None => fresh.join(indexed, Seq("vec_id"), "left_anti")
+        }
       if (!newOnly.isEmpty)
         AnnIndex.append(newOnly, indexDir, checkIds = false)
     }

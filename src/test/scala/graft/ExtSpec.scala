@@ -467,6 +467,121 @@ class ExtSpec extends SparkTestBase {
       (10L, 2L, 1.0)))
   }
 
+  test("dedup index: compact merges shards, probe identical, crash-safe") {
+    import graft.ext.DedupIndex
+    val base =
+      "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpusA = Seq((0L, base),
+      (1L, base.replace("river", "creek"))).toDF("doc_id", "text")
+    val corpusB = Seq((2L, base.replace("dog", "cat")))
+      .toDF("doc_id", "text")
+    val corpusC = Seq((3L, base.replace("quick", "rapid")))
+      .toDF("doc_id", "text")
+    val union = corpusA.unionByName(corpusB).unionByName(corpusC)
+    val batch = Seq((10L, base.replace("quick", "swift")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15cmp").toString
+    DedupIndex.build(corpusA, dir)
+    DedupIndex.append(corpusB, dir)
+    DedupIndex.append(corpusC, dir)
+    def parts() = new java.io.File(s"$dir/buckets").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val pre = rows(DedupIndex.probe(batch, dir, union, 0.4))
+    assert(pre.nonEmpty, "fixture must produce near-dups")
+    val preFiles = parts()
+    DedupIndex.compact(spark, dir)
+    assert(parts() < preFiles,
+      s"compact did not reduce files: $preFiles -> ${parts()}")
+    // at rest the shards are gone: ONE merged row per bucket key —
+    // exactly the regroup probe performs per call, so results can't
+    // move (and the next two asserts prove they don't)
+    assert(spark.read.parquet(s"$dir/buckets")
+      .groupBy("band", "bhash").count().filter($"count" > 1)
+      .count() == 0)
+    assert(rows(DedupIndex.probe(batch, dir, union, 0.4)) == pre)
+    assert(!DedupIndex.ensure(union, dir),
+      "compaction must not invalidate the meta")
+    // append AFTER compact: the one-shot gate over the grown corpus
+    // still agrees (merged rows and fresh shards regroup together)
+    val corpusD = Seq((4L, base.replace("bank", "shore")))
+      .toDF("doc_id", "text")
+    DedupIndex.append(corpusD, dir)
+    val union2 = union.unionByName(corpusD)
+    assert(rows(DedupIndex.probe(batch, dir, union2, 0.4)) ==
+      rows(graft.ext.Dedup.minhashIncrementalNearDups(batch, union2, 0.4)))
+    // crash mid-compaction leaves exactly this state: no meta beside
+    // a (possibly half-swapped) buckets dir — ensure must rebuild
+    graft.ext.StoredIndex.invalidate(spark, dir)
+    assert(DedupIndex.ensure(union2, dir),
+      "missing commit marker must trigger a rebuild")
+  }
+
+  test("stored index append: all-new batch never reads stored id lists") {
+    import graft.ext.DedupIndex
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15blm").toString
+    DedupIndex.build(corpus, dir)
+    // hide the bucket shards: if the duplicate-id guard tried to read
+    // them the append would fail — the id bloom rules every batch id
+    // out, so the guard must never touch them (O(batch), proven by
+    // file absence rather than plan inspection)
+    val bdir = java.nio.file.Paths.get(s"$dir/buckets")
+    val hidden = java.nio.file.Paths.get(s"$dir/buckets_hidden")
+    java.nio.file.Files.move(bdir, hidden)
+    val batch = Seq(
+      (1L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(batch, dir, checkIds = true)
+    // restore the hidden shards beside the newly appended one; the
+    // index then serves the union corpus
+    hidden.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath, bdir.resolve(f.getName))
+      }
+    val union = corpus.unionByName(batch)
+    assert(!DedupIndex.ensure(union, dir),
+      "append chain must stay content-fresh")
+    val probeBatch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val direct = rows(graft.ext.Dedup.minhashIncrementalNearDups(
+      probeBatch, union, 0.4))
+    assert(direct.nonEmpty)
+    assert(rows(DedupIndex.probe(probeBatch, dir, union, 0.4)) == direct)
+    // a RE-APPENDED id is bloom-positive and must still be rejected
+    // by the exact check (now that the shards are back)
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(batch, dir, checkIds = true)
+    }
+  }
+
+  test("stored index: corrupt non-missing meta propagates, no rebuild") {
+    import graft.ext.DedupIndex
+    val corpus = Seq((0L, "some corpus text for the index fixture"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15crpt").toString
+    DedupIndex.build(corpus, dir)
+    // corrupt the meta parquet IN PLACE: the file exists but its
+    // footer is garbage — a serve-path read failure that is NOT
+    // "index missing", so ensure must propagate it rather than
+    // silently kicking off a full rebuild mid-serve
+    val part = new java.io.File(s"$dir/meta").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.write(part.toPath, Array.fill[Byte](64)(0x7f))
+    val thrown = intercept[Exception] { DedupIndex.ensure(corpus, dir) }
+    assert(!thrown.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"corrupt footer should not classify as missing: $thrown")
+    // and no silent rebuild happened: the corrupt bytes are untouched
+    assert(java.nio.file.Files.readAllBytes(part.toPath)
+      .forall(_ == 0x7f))
+  }
+
   test("pmi collocations: hand-computed scores, rounded-rank order") {
     // unigrams x:2 y:2 z:2 (N1=6); bigrams (x,y):2 (y,x):1 (z,z):1
     // (N2=4) → pmi(x,y)=log2((2/4)/(2/6 · 2/6))=log2(4.5)=2.1699;

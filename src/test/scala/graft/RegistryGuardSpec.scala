@@ -86,6 +86,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // keyed on cid
     "x9_ann_index_probe" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x9v: the SAME ivfPqProbe chain as x9 — only the ensure()
+    // posture (versioned 1-row meta read vs fingerprint scan)
+    // differs, and ensure runs eagerly outside the probed plan
+    "x9v_ann_probe_versioned" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // x10: the returned frame is the SAME ivfPqProbe chain as x9
     // (the build/append side effects run eagerly and are not part of
     // the probed plan) — x9's one-row-asset argument verbatim
