@@ -22,9 +22,13 @@ PAIR_FAMILIES = {
     "d8_components_star", "d9_dedup_embedding_ivf",
     "d11_dedup_minhash_incremental", "d11_precision",
     # the stored-index probe emits d11's pair list (and the
-    # consistency twin runs BOTH chains), so the same twin-inflated
-    # candidate mass drives their time under exact replication
+    # consistency twins run BOTH chains), so the same twin-inflated
+    # candidate mass drives their time under exact replication; the
+    # versioned and post-compact variants serve the identical pair
+    # list from the same assets
     "d15_dedup_index_probe", "d15_index_consistency",
+    "d15v_index_probe_versioned", "d15v_consistency",
+    "d15c_compact_probe",
     "st5_stream_interval_join",
     # every replica doc's 9 identical twins share whole-document spans,
     # so the span pair list itself scales ~copies^2

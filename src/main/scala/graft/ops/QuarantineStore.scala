@@ -90,4 +90,34 @@ object QuarantineStore {
       .filter(col("order_month") === month)
     Ops.insertIfAbsent(candidates, pruned, key, broadcastExisting = true)
   }
+
+  /** [[probe]] for catalog-less path storage: identical anti-join,
+    * but the quarantine side reads the candidate month's PARTITION
+    * DIRECTORY directly (basePath read), skipping the root listing
+    * entirely. [[probe]]'s PartitionFilters pruning skips the DATA
+    * of other months but still lists every partition directory under
+    * the store root to discover them — a driver-side metadata cost
+    * that grows with history length (measured 0.5 → 1.4 s from 80 to
+    * 800 months, QuarantineDepthProbe). A metastore deployment
+    * serves that listing from the catalog, which is why [[probe]] is
+    * the registered posture; THIS variant is the equivalent for bare
+    * object-store paths — zero listing, cost pinned to the candidate
+    * month at ANY history depth. A month with no quarantine rows has
+    * no partition directory: candidates pass unfiltered, exactly as
+    * the anti-join against an empty slice would do. */
+  def probeDirect(spark: SparkSession, dir: String, orders: DataFrame,
+                  month: String = probeMonth): DataFrame = {
+    val candidates = orders.filter(
+      date_format(col("o_orderdate"), "yyyy-MM") === month)
+    val part = new org.apache.hadoop.fs.Path(s"$dir/order_month=$month")
+    val fs = part.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(part)) candidates
+    else {
+      val pruned = spark.read.option("basePath", dir)
+        .parquet(part.toString)
+      Ops.insertIfAbsent(candidates, pruned, key,
+        broadcastExisting = true)
+    }
+  }
 }

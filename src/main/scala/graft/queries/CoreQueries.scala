@@ -1341,6 +1341,37 @@ object CoreQueries {
                     AND q.o_orderkey = o.o_orderkey
                     AND q.o_custkey = o.o_custkey
                     AND q.o_orderdate = o.o_orderdate)
+              ORDER BY o.o_orderkey""")),
+
+    // p9: p8's anti-join through the ZERO-LISTING path — probeDirect
+    // reads the candidate month's partition directory itself
+    // (basePath read) instead of pruning a root listing, so probe
+    // cost is pinned to the candidate month at ANY history depth
+    // (p8's PartitionFilters posture still lists every partition dir
+    // to discover them — metadata-cheap under a metastore, O(months)
+    // on bare paths; QuarantineDepthProbe measures the split).
+    // Identical result by construction (the key contains
+    // o_orderdate), so the oracle is p8's NOT EXISTS verbatim.
+    Q("p9_quarantine_probe_direct",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val store = graft.ops.QuarantineStore.dirFor(dir)
+        graft.ops.QuarantineStore.ensure(orders, store)
+        graft.ops.QuarantineStore.probeDirect(s, store, orders)
+          .select("o_orderkey", "o_custkey", "o_orderdate",
+            "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                     o.o_totalprice
+              FROM orders o
+              WHERE strftime(o.o_orderdate, '%Y-%m') = '1997-03'
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders q
+                  WHERE q.o_orderkey % 3 = 0
+                    AND q.o_orderkey = o.o_orderkey
+                    AND q.o_custkey = o.o_custkey
+                    AND q.o_orderdate = o.o_orderdate)
               ORDER BY o.o_orderkey"""))
   )
 }

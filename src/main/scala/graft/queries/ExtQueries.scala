@@ -2535,6 +2535,34 @@ object ExtQueries {
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // x9c: probe correctness SURVIVES postings compaction — x10's
+    // build-lower/append-upper chain, then AnnIndex.compact (the
+    // cid-clustered postings rewrite behind the commit-marker swap),
+    // then the same probe. Content is untouched by construction, so
+    // the x10 oracle (lower-half-trained assets over the full
+    // corpus) must still match hash-exact — the registered twin of
+    // the d15c row, closing the maintenance story on both index
+    // families with a correctness gate, not just a spec.
+    Q("x9c_compact_probe",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_compact"
+        val half = embs.agg((max(col("vec_id")) + 1) / 2)
+          .head.getDouble(0).toLong
+        graft.ext.AnnIndex.build(
+          embs.filter(col("vec_id") < half), ix)
+        graft.ext.AnnIndex.append(
+          embs.filter(col("vec_id") >= half), ix)
+        graft.ext.AnnIndex.compact(s, ix)
+        graft.ext.AnnIndex.probeTopK(s, ix,
+          embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH ${sqlIvfCtesFor(SqlLowerHalfPred)},
+                    ${sqlPqCtesFor(SqlLowerHalfPred)},
+                    $SqlIvfPqRankCtes
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // x10 recall vs exact: the price of serving from assets trained
     // on HALF the corpus (append's documented drift trade-off, made
     // a pinned number). Read beside x8_recall — full-corpus assets —

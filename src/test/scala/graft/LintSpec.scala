@@ -30,7 +30,8 @@ class LintSpec extends AnyFunSuite {
   private val PrintlnAllowed = Set(
     "Bench.scala", "Verify.scala", "Pipeline.scala", "Setup.scala",
     "StageLog.scala", "ScaleUp.scala", "TimeQuery.scala",
-    "ScalingProbe.scala", "CentroidCapProbe.scala")
+    "ScalingProbe.scala", "CentroidCapProbe.scala",
+    "QuarantineDepthProbe.scala")
 
   /** One walk, one read per file, shared by every rule (the walk
     * stream is closed eagerly — Files.walk holds directory handles). */

@@ -332,6 +332,32 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(pf.contains("1997-03"), s"month predicate missing:\n$pf")
   }
 
+  test("probeDirect equals probe; empty month passes candidates") {
+    // the zero-listing variant must anti-join to the identical
+    // result (same keys, same pruned slice — only the discovery
+    // mechanism differs), and a month with NO quarantine partition
+    // must behave as an empty slice, not an error
+    val orders = graft.queries.Q.t(spark, sf001, "orders")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_qd_").toString + "/store"
+    graft.ops.QuarantineStore.build(orders, dir)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(
+      keys(graft.ops.QuarantineStore.probeDirect(spark, dir, orders)) ==
+        keys(graft.ops.QuarantineStore.probe(spark, dir, orders)))
+    // drop the probe month's partition dir: every candidate passes
+    val part = new java.io.File(s"$dir/order_month=1997-03")
+    assert(part.isDirectory)
+    part.listFiles().foreach(_.delete()); part.delete()
+    val month = orders.filter(
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("o_orderdate"),
+        "yyyy-MM") === "1997-03")
+    assert(keys(graft.ops.QuarantineStore.probeDirect(
+      spark, dir, orders)) == keys(month))
+  }
+
   test("sessionize: two user-keyed shuffles, no self-join (W2 plan)") {
     val events = graft.queries.Q.t(spark, sf001, "events")
     val plan = executed(graft.ext.Sessions.sessionize(events, 30))

@@ -99,6 +99,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // x10_recall: x8_recall's shape (brute-force side + probe side)
     "x10_recall" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x9c: x10's probe chain after a compaction — same plan, the
+    // build/append/compact side effects run eagerly outside it
+    "x9c_compact_probe" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
