@@ -2046,6 +2046,45 @@ object ExtQueries {
     // full-corpus reference shares and the per-day-window shares, with
     // the same every-(window, ref-bin) frame (an absent bin IS the
     // drift signal) and the same eps floor.
+    // st11: the stream-MAINTAINED dedup index must be exactly the
+    // index a batch build would produce over whatever corpus the
+    // stream accepted. The replay ingests the documents table in two
+    // drops through StreamingDedupIngest (probe-gate → quarantine
+    // near-dups → append clean to corpus store + index), then probes
+    // a HELD-OUT batch through the streamed index and through the
+    // direct one-shot gate over the accumulated corpus: the
+    // symmetric difference must be empty (hash-exact WHERE FALSE),
+    // jaccard doubles included. Fresh temp dirs per run — each
+    // execution replays the whole ingest, so the bench row prices
+    // the maintained-index pipeline end-to-end.
+    Q("st11_dedup_ingest_stream",
+      (s, dir) => {
+        import graft.streaming.StreamingDedupIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st11_").toString
+        val ingest = new StreamingDedupIngest(s, s"$root/ix",
+          s"$root/corpus", s"$root/quar")
+        StreamingDedupIngest.stage(
+          docs.filter(col("doc_id") < 250), s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        StreamingDedupIngest.stage(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+          s"$root/staging", "d2")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        val held = docs.filter(col("doc_id") >= 400)
+        val stored = graft.ext.DedupIndex.probe(held, s"$root/ix",
+          ingest.corpus(), threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(held,
+          ingest.corpus(), threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
     Q("st10_stream_drift_psi",
       (s, dir) => StreamingOps.streamingDriftPsi(s, dir),
       Some(s"""WITH rr AS (

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+
+import graft.ext.{DedupIndex, StoredIndex}
+
+/** Continuous corpus ingestion WITH near-dup gating — the d15 stored
+  * dedup index maintained by a stream, the document-pipeline sibling
+  * of [[StreamingAnnIngest]] and the production shape for "dedup the
+  * firehose against everything already accepted": a file-source
+  * stream watches a staging directory for document parquet drops;
+  * each micro-batch is probed against the STORED bucket index
+  * (O(batch + candidates) — the corpus is never re-banded), near-dups
+  * are quarantined, and the clean remainder is appended to BOTH the
+  * durable corpus store and the index. `Trigger.AvailableNow`
+  * processes everything staged then stops; a processing-time trigger
+  * turns the same code into a service.
+  *
+  * Idempotency layering (the bronze C4 discipline, stream-adapted):
+  *  - checkpointing makes restarts exactly-once at the micro-batch
+  *    level;
+  *  - re-delivered ROWS are skipped by the bloom-gated
+  *    already-indexed filter (ids the stored id bloom rules out are
+  *    definitely new; might-contain ids take the exact anti-join
+  *    against the shard id lists) — so append's own duplicate-id
+  *    guard is safely disabled;
+  *  - corpus and quarantine writes land in per-micro-batch partition
+  *    directories with overwrite, so a replayed batch REWRITES its
+  *    own partition instead of duplicating rows.
+  *
+  * Crash recovery differs from [[StreamingAnnIngest]] ON PURPOSE: the
+  * ANN ingest holds no durable corpus, so missing-meta-with-assets
+  * must fail loudly. HERE the corpus store is co-maintained and
+  * durable — written BEFORE the index append, so at every crash
+  * point it contains at least everything the index ever indexed —
+  * which makes the safe remedy automatic: rebuild the index FROM THE
+  * CORPUS STORE (never from the replayed micro-batch) and continue.
+  * If the corpus store is itself missing beside orphaned index
+  * assets, that is real corruption and the ingest still fails
+  * loudly.
+  */
+object StreamingDedupIngest {
+
+  /** Drop a frame into a staging dir as ONE uniquely-named top-level
+    * parquet file — the shape the file stream source discovers
+    * (non-recursive listing). Shared by the specs and the registered
+    * st11 replay. */
+  def stage(df: DataFrame, stagingDir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_")
+    df.coalesce(1).write.parquet(s"$tmp/out")
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stagingDir))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(stagingDir, s"$name.parquet"))
+  }
+}
+
+final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
+                                 corpusDir: String, quarantineDir: String,
+                                 threshold: Double = 0.4) {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Ingest everything currently staged, then return. */
+  def ingestAvailable(stagingDir: String, checkpointDir: String): Unit = {
+    val q = spark.readStream
+      .schema(docSchema)
+      .parquet(stagingDir)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) { ingestBatch(batch.toDF(), batchId); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The accumulated accepted corpus (text + ids), read from the
+    * per-batch partition dirs. This is the document side of the d15
+    * split: the index holds signatures, THIS store holds text — and
+    * probe's exact-Jaccard verification reads it for candidate ids
+    * only. */
+  def corpus(): DataFrame =
+    spark.read.parquet(corpusDir).select("doc_id", "text")
+
+  private def fs =
+    new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def writePartition(df: DataFrame, root: String,
+                             batchId: Long): Unit =
+    df.select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/batch=$batchId")
+
+  private def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
+    // in-batch id dedup first (a staged drop may repeat ids);
+    // localCheckpoint: the batch feeds several passes (gate, probe,
+    // writes, append) — materialize once
+    val fresh = batch.dropDuplicates("doc_id").localCheckpoint()
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    if (!fs.exists(metaPath)) {
+      val orphaned = Seq("buckets", "idbloom").filter(a =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$a")))
+      val corpusExists = fs.exists(
+        new org.apache.hadoop.fs.Path(corpusDir))
+      if (orphaned.nonEmpty && !corpusExists)
+        throw new IllegalStateException(
+          s"dedup index at $indexDir has assets " +
+            s"(${orphaned.mkString(", ")}) but no meta commit marker " +
+            s"AND no corpus store at $corpusDir to rebuild from — " +
+            "corruption; restore the corpus store or delete the " +
+            "index dir, then restart the ingest.")
+      if (orphaned.nonEmpty) {
+        // crash mid-append: the durable corpus store holds at least
+        // everything ever indexed (written BEFORE each append), so
+        // rebuilding from it — never from the replayed batch — is
+        // lossless; the replay then re-gates against the rebuilt index
+        DedupIndex.build(corpus(), indexDir)
+        appendGated(fresh, batchId)
+      } else {
+        // first batch seeds the corpus (nothing to collide with yet)
+        writePartition(fresh, corpusDir, batchId)
+        DedupIndex.build(corpus(), indexDir)
+      }
+    } else appendGated(fresh, batchId)
+  }
+
+  private def appendGated(fresh: DataFrame, batchId: Long): Unit = {
+    // re-delivery skip, bloom-gated: definitely-new ids never read
+    // the shard id lists; might-contain ids take the exact anti-join
+    lazy val indexedIds = spark.read.parquet(s"$indexDir/buckets")
+      .select(explode(col("ids")).as("doc_id")).distinct()
+    val newOnly = (StoredIndex.readIdBloom(spark, indexDir) match {
+      case Some(bytes) =>
+        val might = StoredIndex.mightContain(bytes, col("doc_id"))
+        fresh.filter(!might).unionByName(
+          fresh.filter(might)
+            .join(indexedIds, Seq("doc_id"), "left_anti"))
+      case None => fresh.join(indexedIds, Seq("doc_id"), "left_anti")
+    }).localCheckpoint()
+    if (!newOnly.isEmpty) {
+      // the d15 gate: batch-banded probe against the stored buckets,
+      // exact-Jaccard verify against the corpus store
+      val dupIds = DedupIndex.probe(newOnly, indexDir, corpus(),
+          threshold)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val clean = newOnly.join(dupIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      writePartition(
+        newOnly.join(dupIds, Seq("doc_id"), "left_semi"),
+        quarantineDir, batchId)
+      if (!clean.isEmpty) {
+        // corpus FIRST, then index: a crash between the two leaves a
+        // valid index missing this batch — the replay re-gates and
+        // re-appends (its corpus partition rewrite is idempotent);
+        // a crash INSIDE append leaves no meta, and the next run
+        // rebuilds from the corpus store (see ingestBatch)
+        writePartition(clean, corpusDir, batchId)
+        DedupIndex.append(clean, indexDir, checkIds = false)
+      }
+    }
+  }
+}

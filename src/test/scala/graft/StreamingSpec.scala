@@ -294,6 +294,71 @@ class StreamingSpec extends SparkTestBase {
     assert(postings() == embs.count())
   }
 
+  test("streaming dedup ingest: gate, quarantine, replay, crash rebuild") {
+    import graft.ext.DedupIndex
+    import graft.streaming.StreamingDedupIngest
+    val root = Files.createTempDirectory("graft_stdd_").toString
+    val (ix, corpusDir, quar) = (s"$root/ix", s"$root/corpus", s"$root/q")
+    val staging = s"$root/staging"
+    val ckpt = s"$root/ckpt"
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+
+    val ingest = new StreamingDedupIngest(spark, ix, corpusDir, quar)
+    val drop1 = docs.filter($"doc_id" < 250)
+    StreamingDedupIngest.stage(drop1, staging, "drop1")
+    ingest.ingestAvailable(staging, ckpt)
+    assert(ids(ingest.corpus()) == ids(drop1), "first drop seeds corpus")
+
+    // second drop: new docs + an EXACT dup of a corpus doc (must be
+    // quarantined — identical text is always an LSH candidate and
+    // jaccard 1.0) + a re-delivered slice of drop1 (must be skipped)
+    val dupOfCorpus = docs.filter($"doc_id" === 0)
+      .select(lit(9001L).as("doc_id"), $"text")
+    val drop2 = docs.filter($"doc_id" >= 250 && $"doc_id" < 400)
+    StreamingDedupIngest.stage(
+      drop2.unionByName(dupOfCorpus).unionByName(drop1.limit(7)),
+      staging, "drop2")
+    ingest.ingestAvailable(staging, ckpt)
+    val quarIds = ids(spark.read.parquet(quar))
+    assert(quarIds.contains(9001L), s"exact dup must quarantine: $quarIds")
+    val corpusIds = ids(ingest.corpus())
+    assert(corpusIds == ids(drop1) ++ (ids(drop2) -- quarIds),
+      "corpus = drop1 + clean drop2, re-delivery skipped")
+    // the streamed index is content-fresh for the accumulated corpus
+    assert(!DedupIndex.ensure(ingest.corpus(), ix))
+
+    // gate consistency: probing a held-out batch through the
+    // streamed index equals the direct one-shot gate over the
+    // accumulated corpus
+    val held = docs.filter($"doc_id" >= 400)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    assert(pairs(DedupIndex.probe(held, ix, ingest.corpus(), 0.4)) ==
+      pairs(graft.ext.Dedup.minhashIncrementalNearDups(
+        held, ingest.corpus(), 0.4)))
+
+    // restart with nothing staged: a no-op
+    ingest.ingestAvailable(staging, ckpt)
+    assert(ids(ingest.corpus()) == corpusIds)
+
+    // crash INSIDE an append (meta gone, assets remain): unlike the
+    // ANN ingest, the durable corpus store makes the safe remedy
+    // automatic — rebuild from it, then keep ingesting
+    val metaPath = new org.apache.hadoop.fs.Path(s"$ix/meta")
+    metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
+    val drop3 = docs.filter($"doc_id" >= 400 && $"doc_id" < 450)
+    StreamingDedupIngest.stage(drop3, staging, "drop3")
+    ingest.ingestAvailable(staging, ckpt)
+    assert(!DedupIndex.ensure(ingest.corpus(), ix),
+      "rebuilt-from-corpus index must be fresh for the grown corpus")
+    assert(ids(ingest.corpus()).intersect(ids(drop3)).nonEmpty)
+  }
+
   test("streaming ANN ingest: mid-append crash replay fails loudly") {
     val ix = Files.createTempDirectory("graft_stann_cr_").toString + "/ix"
     val staging = Files.createTempDirectory("graft_stann_crs_").toString
