@@ -190,23 +190,45 @@ object StoredIndex {
 
   /** Merge a batch's ids into the stored bloom (driver-side
     * mergeInPlace of two fixed-geometry filters — O(bloom bytes),
-    * corpus never read). Falls back to a batch-only bloom when the
-    * stored one is absent. */
+    * corpus never read).
+    *
+    * The bloom's correctness contract is NO FALSE NEGATIVES over
+    * indexed ids, so the two absent-ish cases differ:
+    *  - bloom ASSET present with a null filter = a provably empty
+    *    prior corpus (an empty-corpus build writes null) → the batch
+    *    bloom alone covers every indexed id; write it.
+    *  - bloom ASSET missing = a pre-bloom index whose prior ids are
+    *    UNKNOWN → writing a batch-only bloom would rule those ids
+    *    "definitely new" and let a later duplicate append corrupt
+    *    the index silently. Leave the asset absent; the guards keep
+    *    falling back to the exact check. */
   def mergeIdBloom(spark: SparkSession, dir: String,
                    batchIds: DataFrame): Unit = {
+    val stored =
+      try Some(Option(spark.read.parquet(s"$dir/idbloom")
+        .head.getAs[Array[Byte]]("bf")))
+      catch {
+        case _: AnalysisException => None
+        case _: FileNotFoundException => None
+      }
     val batchBytes = bloomBytesOf(batchIds)
-    val merged = (readIdBloom(spark, dir), Option(batchBytes)) match {
-      case (Some(a), Some(b)) =>
-        val bf = BloomFilter.readFrom(new ByteArrayInputStream(a))
-        bf.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(b)))
-        val out = new ByteArrayOutputStream()
-        bf.writeTo(out)
-        out.toByteArray
-      case (Some(a), None) => a
-      case (None, b) => b.orNull
+    stored match {
+      case None => () // pre-bloom index: see scaladoc
+      case Some(prior) =>
+        val merged = (prior, Option(batchBytes)) match {
+          case (Some(a), Some(b)) =>
+            val bf = BloomFilter.readFrom(new ByteArrayInputStream(a))
+            bf.mergeInPlace(
+              BloomFilter.readFrom(new ByteArrayInputStream(b)))
+            val out = new ByteArrayOutputStream()
+            bf.writeTo(out)
+            out.toByteArray
+          case (Some(a), None) => a
+          case (None, b) => b.orNull
+        }
+        spark.range(1).select(lit(merged).cast("binary").as("bf"))
+          .write.mode("overwrite").parquet(s"$dir/idbloom")
     }
-    spark.range(1).select(lit(merged).cast("binary").as("bf"))
-      .write.mode("overwrite").parquet(s"$dir/idbloom")
   }
 
   /** Append's duplicate-id guard, bloom-gated to O(batch) for the

@@ -112,8 +112,10 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     if (!fs.exists(metaPath)) {
       val orphaned = Seq("buckets", "idbloom").filter(a =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$a")))
-      val corpusExists = fs.exists(
-        new org.apache.hadoop.fs.Path(corpusDir))
+      val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+      val corpusExists = corpusPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(corpusPath)
       if (orphaned.nonEmpty && !corpusExists)
         throw new IllegalStateException(
           s"dedup index at $indexDir has assets " +

@@ -561,6 +561,56 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("stored index: pre-bloom index appends never mint a partial bloom") {
+    import graft.ext.DedupIndex
+    // simulate an index built BEFORE the idbloom asset existed:
+    // build normally, then delete the bloom. An append must (a)
+    // still work via the exact-check fallback, (b) NOT write a
+    // batch-only bloom — that bloom would rule the pre-bloom ids
+    // "definitely new" and let a later duplicate append corrupt the
+    // index silently — and (c) still reject a duplicate of a
+    // pre-bloom id afterwards.
+    val corpus = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15pre").toString
+    DedupIndex.build(corpus, dir)
+    val bloomDir = new java.io.File(s"$dir/idbloom")
+    bloomDir.listFiles().foreach(_.delete()); bloomDir.delete()
+    val batch = Seq((1L, "different words entirely unrelated here"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(batch, dir, checkIds = true) // exact fallback
+    assert(!new java.io.File(s"$dir/idbloom").exists(),
+      "append on a pre-bloom index must not mint a partial bloom")
+    // the duplicate of a PRE-BLOOM id must still be rejected — this
+    // is exactly the corruption a batch-only bloom would wave through
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(corpus, dir, checkIds = true)
+    }
+    // and the index stays content-valid over the union
+    assert(!DedupIndex.ensure(
+      corpus.unionByName(batch), dir))
+  }
+
+  test("stored index: fileVersion is metadata-stable and rewrite-sensitive") {
+    import graft.ext.StoredIndex
+    val dir = java.nio.file.Files.createTempDirectory("fv").toString
+    val f = java.nio.file.Paths.get(dir, "corpus.parquet")
+    java.nio.file.Files.write(f, "payload-one".getBytes("UTF-8"))
+    val v1 = StoredIndex.fileVersion(spark, f.toString)
+    // pure metadata read: repeated calls agree without touching data
+    assert(v1 == StoredIndex.fileVersion(spark, f.toString))
+    // same-length rewrite with a bumped mtime must change the
+    // version (conservative: a regenerated fixture always rebuilds)
+    java.nio.file.Files.write(f, "payload-two".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 5000))
+    assert(v1 != StoredIndex.fileVersion(spark, f.toString))
+    // directory form: versions over the containing dir see the file
+    assert(StoredIndex.fileVersion(spark, dir) ==
+      StoredIndex.fileVersion(spark, dir))
+  }
+
   test("stored index: corrupt non-missing meta propagates, no rebuild") {
     import graft.ext.DedupIndex
     val corpus = Seq((0L, "some corpus text for the index fixture"))

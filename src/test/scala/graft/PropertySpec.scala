@@ -217,6 +217,49 @@ class PropertySpec extends SparkTestBase {
     assert(got == ref, s"got $got, ref $ref")
   }
 
+  test("dedup index: random corpora — append chain ≡ build, compact ≡ both") {
+    import graft.ext.DedupIndex
+    // random documents over a SMALL vocabulary so near-dups actually
+    // occur; every law is exact equality of result SETS, so any
+    // stored-state drift (shard merge, bloom, meta algebra) surfaces
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(31)
+    def doc(): String =
+      Seq.fill(8 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    for (trial <- 1 to 2) {
+      val docs = (0L until 60L).map(i => (i, doc()))
+      val corpus = docs.filter(_._1 < 45).toDF("doc_id", "text")
+      val batch = docs.filter(_._1 >= 45).toDF("doc_id", "text")
+      val direct = pairs(graft.ext.Dedup.minhashIncrementalNearDups(
+        batch, corpus, 0.5))
+      val oneShot = java.nio.file.Files
+        .createTempDirectory(s"d15prop${trial}a").toString
+      DedupIndex.build(corpus, oneShot)
+      assert(pairs(DedupIndex.probe(batch, oneShot, corpus, 0.5))
+        == direct, s"trial $trial: one-shot build != direct gate")
+      // the same corpus arriving as a 3-append chain
+      val chained = java.nio.file.Files
+        .createTempDirectory(s"d15prop${trial}b").toString
+      DedupIndex.build(corpus.filter($"doc_id" < 15), chained)
+      DedupIndex.append(
+        corpus.filter($"doc_id" >= 15 && $"doc_id" < 30), chained)
+      DedupIndex.append(corpus.filter($"doc_id" >= 30), chained)
+      assert(pairs(DedupIndex.probe(batch, chained, corpus, 0.5))
+        == direct, s"trial $trial: append chain != direct gate")
+      assert(!DedupIndex.ensure(corpus, chained),
+        s"trial $trial: append-chain meta must validate fresh")
+      DedupIndex.compact(spark, chained)
+      assert(pairs(DedupIndex.probe(batch, chained, corpus, 0.5))
+        == direct, s"trial $trial: compacted chain != direct gate")
+      assert(!DedupIndex.ensure(corpus, chained),
+        s"trial $trial: compaction must not invalidate")
+    }
+  }
+
   test("windowSplit: in ∪ out == (> lld), disjoint — for random windows") {
     val rows = sample(tsGen, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = rows.toDF("id", "ts")
