@@ -208,8 +208,19 @@ object AnnIndex {
     * two renames run — the unreadable window is two metadata ops,
     * not the rewrite. */
   def compact(spark: SparkSession, dir: String): Unit =
-    StoredIndex.compactAsset(spark, dir, "postings", df =>
-      df.repartition(col("cid")).sortWithinPartitions("cid"))
+    StoredIndex.compactAsset(spark, dir, "postings", compactRewrite)
+
+  /** [[compact]] only when the postings dir has accreted past
+    * `maxFiles` part files — the self-maintenance hook a streaming
+    * ingest calls after each append (amortized O(index / maxFiles)
+    * rewrites). Returns true when a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String,
+                   maxFiles: Int = 64): Boolean =
+    StoredIndex.compactIfAccreted(spark, dir, "postings", maxFiles,
+      compactRewrite)
+
+  private def compactRewrite(df: DataFrame): DataFrame =
+    df.repartition(col("cid")).sortWithinPartitions("cid")
 
   /** Serve top-k from the stored form: reads the three assets and
     * runs [[Similarity.ivfPqProbe]] — the cheap side of the split

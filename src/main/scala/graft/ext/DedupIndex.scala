@@ -183,8 +183,20 @@ object DedupIndex {
     * leaves a validation-failing index, never a valid meta over a
     * half-swapped buckets dir. */
   def compact(spark: SparkSession, dir: String): Unit =
-    StoredIndex.compactAsset(spark, dir, "buckets", df =>
-      df.groupBy("band", "bhash")
-        .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"))
-        .repartition(col("band")).sortWithinPartitions("band", "bhash"))
+    StoredIndex.compactAsset(spark, dir, "buckets", compactRewrite)
+
+  /** [[compact]] only when the shard dir has accreted past
+    * `maxFiles` part files — what a streaming ingest calls after
+    * each append so the index maintains itself (amortized
+    * O(index / maxFiles) rewrites, probe-side file count bounded).
+    * Returns true when a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String,
+                   maxFiles: Int = 64): Boolean =
+    StoredIndex.compactIfAccreted(spark, dir, "buckets", maxFiles,
+      compactRewrite)
+
+  private def compactRewrite(df: DataFrame): DataFrame =
+    df.groupBy("band", "bhash")
+      .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"))
+      .repartition(col("band")).sortWithinPartitions("band", "bhash")
 }

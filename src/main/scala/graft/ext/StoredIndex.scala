@@ -117,12 +117,25 @@ object StoredIndex {
   def fileVersion(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p)
-                 else Array(fs.getFileStatus(p)))
+    val files =
+      if (fs.getFileStatus(p).isDirectory) {
+        // recursive: partitioned corpora keep their data in nested
+        // key=value dirs — a top-level listing would miss every file
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.result()
+      } else Seq(fs.getFileStatus(p))
+    // keys are ROOT-RELATIVE paths (so nested partition files with
+    // the same basename stay distinct, and relocating the whole
+    // corpus dir does not spuriously change its version)
+    val root = fs.makeQualified(p).toString
+    val desc = files
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      .sortBy(_.getPath.getName)
-    val desc = files.map(f =>
-      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .map(f => (fs.makeQualified(f.getPath).toString
+        .stripPrefix(root), f.getLen, f.getModificationTime))
+      .sortBy(_._1)
+      .map { case (n, len, mt) => s"$n:$len:$mt" }
       .mkString("|")
     val md = java.security.MessageDigest.getInstance("MD5")
     "files-" + md.digest(desc.getBytes("UTF-8"))
@@ -270,6 +283,33 @@ object StoredIndex {
     * holds): a crash mid-compaction leaves a validation-failing
     * index — the next ensure() rebuilds — never a valid meta over a
     * half-swapped asset dir. */
+  /** Parquet part-file count of a stored asset (flat dirs by
+    * construction — build/append write unpartitioned) — the
+    * accretion signal [[compactIfAccreted]] thresholds on. 0 when
+    * the asset doesn't exist yet. */
+  def partFileCount(spark: SparkSession, dir: String,
+                    asset: String): Int = {
+    val p = new Path(s"$dir/$asset")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Compact when the asset has accreted past `maxFiles` part files
+    * — the self-maintenance form of [[compactAsset]] a long append
+    * chain (streaming ingest) calls after each append: amortized
+    * O(index / maxFiles) rewrites keep probe-side file counts
+    * bounded without an external scheduler. Returns true when a
+    * compaction ran. */
+  def compactIfAccreted(spark: SparkSession, dir: String, asset: String,
+                        maxFiles: Int,
+                        rewrite: DataFrame => DataFrame): Boolean = {
+    val accreted = partFileCount(spark, dir, asset) > maxFiles
+    if (accreted) compactAsset(spark, dir, asset, rewrite)
+    accreted
+  }
+
   def compactAsset(spark: SparkSession, dir: String, asset: String,
                    rewrite: DataFrame => DataFrame): Unit = {
     val fs = fsOf(spark, dir)

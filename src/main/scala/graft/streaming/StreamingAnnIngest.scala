@@ -40,7 +40,8 @@ import graft.ext.AnnIndex
   * the index dir to accept a from-scratch stream rebuild). Only a
   * truly empty index dir builds from the first micro-batch.
   */
-final class StreamingAnnIngest(spark: SparkSession, indexDir: String) {
+final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
+                               compactAfterFiles: Int = 64) {
 
   private val embeddingSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -106,8 +107,15 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String) {
                 "left_anti"))
           case None => fresh.join(indexed, Seq("vec_id"), "left_anti")
         }
-      if (!newOnly.isEmpty)
+      if (!newOnly.isEmpty) {
         AnnIndex.append(newOnly, indexDir, checkIds = false)
+        // self-maintenance: bound the small-file accretion of a long
+        // append chain. A crash mid-compaction invalidates the meta;
+        // this ingest holds no corpus, so the next batch fails
+        // loudly (above) and the operator rebuilds — the same
+        // contract as a crashed append.
+        AnnIndex.maybeCompact(spark, indexDir, compactAfterFiles)
+      }
     }
   }
 }

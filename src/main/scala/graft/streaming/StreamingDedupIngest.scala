@@ -63,7 +63,8 @@ object StreamingDedupIngest {
 
 final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
                                  corpusDir: String, quarantineDir: String,
-                                 threshold: Double = 0.4) {
+                                 threshold: Double = 0.4,
+                                 compactAfterFiles: Int = 64) {
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -170,6 +171,12 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         // rebuilds from the corpus store (see ingestBatch)
         writePartition(clean, corpusDir, batchId)
         DedupIndex.append(clean, indexDir, checkIds = false)
+        // self-maintenance: a long append chain accretes shard
+        // files; compact once the count crosses the dial. A crash
+        // mid-compaction invalidates the meta and the NEXT batch
+        // rebuilds from the durable corpus store — the same recovery
+        // path as a crashed append.
+        DedupIndex.maybeCompact(spark, indexDir, compactAfterFiles)
       }
     }
   }

@@ -591,6 +591,30 @@ class ExtSpec extends SparkTestBase {
       corpus.unionByName(batch), dir))
   }
 
+  test("stored index: maybeCompact fires only past the file threshold") {
+    import graft.ext.{DedupIndex, StoredIndex}
+    val mk = (i: Long, t: String) => (i, t)
+    val dir = java.nio.file.Files.createTempDirectory("d15mc").toString
+    DedupIndex.build(
+      Seq(mk(0L, "alpha beta gamma delta epsilon zeta")).toDF(
+        "doc_id", "text"), dir)
+    DedupIndex.append(
+      Seq(mk(1L, "eta theta iota kappa lambda mu")).toDF(
+        "doc_id", "text"), dir)
+    val files = StoredIndex.partFileCount(spark, dir, "buckets")
+    assert(files >= 2, s"build+append should leave >=2 shards: $files")
+    // below threshold: a no-op (no rewrite, same files)
+    assert(!DedupIndex.maybeCompact(spark, dir, maxFiles = files))
+    assert(StoredIndex.partFileCount(spark, dir, "buckets") == files)
+    // above threshold: compacts, file count drops, meta stays valid
+    assert(DedupIndex.maybeCompact(spark, dir, maxFiles = files - 1))
+    assert(StoredIndex.partFileCount(spark, dir, "buckets") < files)
+    assert(!DedupIndex.ensure(
+      Seq(mk(0L, "alpha beta gamma delta epsilon zeta"),
+        mk(1L, "eta theta iota kappa lambda mu"))
+        .toDF("doc_id", "text"), dir))
+  }
+
   test("stored index: fileVersion is metadata-stable and rewrite-sensitive") {
     import graft.ext.StoredIndex
     val dir = java.nio.file.Files.createTempDirectory("fv").toString

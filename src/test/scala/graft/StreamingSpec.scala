@@ -359,6 +359,42 @@ class StreamingSpec extends SparkTestBase {
     assert(ids(ingest.corpus()).intersect(ids(drop3)).nonEmpty)
   }
 
+  test("streaming dedup ingest: auto-compaction bounds shard accretion") {
+    import graft.ext.{DedupIndex, StoredIndex}
+    import graft.streaming.StreamingDedupIngest
+    val root = Files.createTempDirectory("graft_stcmp_").toString
+    val (ix, corpusDir, quar) = (s"$root/ix", s"$root/corpus", s"$root/q")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    // compactAfterFiles = 1: every append that leaves >1 shard file
+    // triggers a compaction, so the shard count cannot accrete with
+    // the number of drops
+    val ingest = new StreamingDedupIngest(spark, ix, corpusDir, quar,
+      compactAfterFiles = 1)
+    for (i <- 0 until 4) {
+      StreamingDedupIngest.stage(
+        docs.filter($"doc_id" >= i * 50 && $"doc_id" < (i + 1) * 50),
+        s"$root/staging", s"drop$i")
+      ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    }
+    // a compacted rewrite writes at most one file per non-empty
+    // shuffle partition (4 in the test session); without the
+    // auto-compaction the 1-build + 3-append chain would hold at
+    // least 4 accreted shard files PLUS whatever the builds wrote
+    val files = StoredIndex.partFileCount(spark, ix, "buckets")
+    assert(files <= 4,
+      s"4 drops with compactAfterFiles=1 must stay compacted: $files")
+    // the self-compacted index still serves the exact gate
+    val held = docs.filter($"doc_id" >= 200 && $"doc_id" < 260)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    assert(pairs(DedupIndex.probe(held, ix, ingest.corpus(), 0.4)) ==
+      pairs(graft.ext.Dedup.minhashIncrementalNearDups(
+        held, ingest.corpus(), 0.4)))
+    assert(!DedupIndex.ensure(ingest.corpus(), ix))
+  }
+
   test("streaming ANN ingest: mid-append crash replay fails loudly") {
     val ix = Files.createTempDirectory("graft_stann_cr_").toString + "/ix"
     val staging = Files.createTempDirectory("graft_stann_crs_").toString
