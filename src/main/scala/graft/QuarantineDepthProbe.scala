@@ -58,7 +58,8 @@ object QuarantineDepthProbe {
         graft.ops.QuarantineStore.probeDirect(spark, dir, orders)
           .count())
       def fmt(xs: Seq[Double]) =
-        xs.map(s => f"$s%.2f").mkString("[", ",", "]")
+        xs.map(s => String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(s))).mkString("[", ",", "]")
       println(s"""{"probe":"quarantine_depth","copies":$copies,""" +
         s""""months":$months,"probe_secs":${fmt(pf)},""" +
         s""""direct_secs":${fmt(direct)}}""")

@@ -236,6 +236,36 @@ object AnnIndex {
       spark.read.parquet(s"$dir/postings"),
       queries, k, nprobe, m, dim, vecCol, idCol)
 
+  /** Filtered serve: top-k among an ALLOWED id subset only — the
+    * metadata-filtered vector search every production ANN deployment
+    * needs ("nearest neighbors among docs with license=permissive").
+    * PRE-filter semantics: the allowed set restricts the postings
+    * BEFORE scoring, so the result is the exact IVFADC top-k of the
+    * allowed sub-corpus within the probed buckets (post-filtering
+    * k results and discarding would under-fill instead). A query
+    * whose probed buckets hold fewer than k allowed candidates
+    * returns fewer than k rows — the honest answer; selective
+    * filters raise `nprobe` to widen the searched buckets, the
+    * standard dial. `broadcastAllowed` fits the contract-small
+    * allowlist case (license tags, a tenant's ids); disable it for
+    * data-sized predicates and the join stays keyed on nid. */
+  def probeTopKFiltered(spark: SparkSession, dir: String,
+                        queries: DataFrame, allowed: DataFrame,
+                        k: Int, nprobe: Int = 12, m: Int = 4,
+                        dim: Int = 64, vecCol: String = "embedding",
+                        idCol: String = "vec_id",
+                        broadcastAllowed: Boolean = true): DataFrame = {
+    val ids = allowed.select(col(idCol).cast("long").as("nid"))
+      .distinct()
+    val postings = spark.read.parquet(s"$dir/postings")
+      .join(if (broadcastAllowed) broadcast(ids) else ids,
+        Seq("nid"), "left_semi")
+    Similarity.ivfPqProbe(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      postings, queries, k, nprobe, m, dim, vecCol, idCol)
+  }
+
   /** Read-back inventory of a stored index: (part, n_rows) per asset,
     * part-ordered — proves what the build durably wrote, and is
     * exactly reproducible from the source corpus in SQL (centroid

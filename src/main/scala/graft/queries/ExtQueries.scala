@@ -253,10 +253,16 @@ object ExtQueries {
   // IVF probe join, ADC terms from the per-(m, cid) LUT, explicit
   // subspace-ordered 4-term sum, rank ties to lower nid. Requires
   // $SqlIvfCtes and $SqlPqCtes upstream.
-  private val SqlIvfPqRankCtes =
+  /** The IVFADC candidate/score/rank chain, with an optional
+    * corpus-side predicate on iasg.nid — "TRUE" is the unfiltered
+    * x8 chain; x11 passes the allowed-subset predicate (pre-filter
+    * semantics: candidates are restricted BEFORE scoring/ranking,
+    * mirroring AnnIndex.probeTopKFiltered). */
+  private def sqlIvfPqRankCtesWhere(nidPred: String) =
     s"""x8cand AS (SELECT ipr.qid, iasg.nid
                    FROM ipr JOIN iasg ON ipr.cid = iasg.cid
-                     AND ipr.qid <> iasg.nid),
+                     AND ipr.qid <> iasg.nid
+                   WHERE ($nidPred)),
         x8term AS (SELECT c.qid, c.nid, e.m, l.v
                    FROM x8cand c
                    JOIN penc e ON e.nid = c.nid
@@ -274,6 +280,8 @@ object ExtQueries {
                   ROW_NUMBER() OVER (PARTITION BY qid
                     ORDER BY score DESC, nid) AS rank
                 FROM x8score)"""
+
+  private val SqlIvfPqRankCtes = sqlIvfPqRankCtesWhere("TRUE")
 
   // pairs → undirected edges → reachability components (comp = min
   // reachable id, the SQL twin of Dedup.connectedComponents' min-label
@@ -2537,6 +2545,27 @@ object ExtQueries {
           embs.filter(col("vec_id") < 20), k = 5)
       },
       Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x11: metadata-filtered ANN — top-k among an ALLOWED id subset
+    // (pre-filter: the allowed set restricts candidates BEFORE
+    // scoring, so results are the exact IVFADC top-k of the allowed
+    // sub-corpus within the probed buckets; see
+    // AnnIndex.probeTopKFiltered). The oracle is x8's chain with the
+    // same predicate applied at the candidate CTE — hash-exact.
+    Q("x11_filtered_ann",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir)
+        graft.ext.AnnIndex.ensure(embs, ix)
+        graft.ext.AnnIndex.probeTopKFiltered(s, ix,
+          embs.filter(col("vec_id") < 20),
+          embs.filter(col("vec_id") % 3 === 0).select("vec_id"),
+          k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere("iasg.nid % 3 = 0")}
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 

@@ -591,6 +591,34 @@ class ExtSpec extends SparkTestBase {
       corpus.unionByName(batch), dir))
   }
 
+  test("filtered ANN probe: pre-filter semantics over the stored index") {
+    import graft.ext.AnnIndex
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x11_").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    val q = embs.filter($"vec_id" < 5)
+    // allowed = everything ⇒ identical to the unfiltered probe
+    assert(AnnIndex.probeTopKFiltered(spark, dir, q,
+        embs.select("vec_id"), k = 3).collect().toSet ==
+      AnnIndex.probeTopK(spark, dir, q, k = 3).collect().toSet)
+    // allowed = evens ⇒ only even neighbors, ranks dense from 1
+    val evens = AnnIndex.probeTopKFiltered(spark, dir, q,
+      embs.filter($"vec_id" % 2 === 0).select("vec_id"), k = 3)
+      .select("qid", "rank", "nid")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(evens.nonEmpty && evens.forall(_._3 % 2 == 0), s"$evens")
+    assert(evens.groupBy(_._1).values.forall(rs =>
+      rs.map(_._2).sorted == (1 to rs.size)), "ranks must be dense")
+    // and the filtered result is the probe over pre-filtered
+    // postings by construction: a disallowed id can never appear
+    val odds = AnnIndex.probeTopKFiltered(spark, dir, q,
+      embs.filter($"vec_id" % 2 === 1).select("vec_id"), k = 3)
+      .select("nid").as[Long].collect()
+    assert(odds.nonEmpty && odds.forall(_ % 2 == 1))
+  }
+
   test("stored index: maybeCompact fires only past the file threshold") {
     import graft.ext.{DedupIndex, StoredIndex}
     val mk = (i: Long, t: String) => (i, t)

@@ -103,6 +103,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // build/append/compact side effects run eagerly outside it
     "x9c_compact_probe" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x11: the x9 probe chain with a broadcast-semi-joined allowed
+    // set on the postings side — the keyless one-row-asset joins are
+    // x8's audited shapes; the filter join is keyed on nid
+    "x11_filtered_ann" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
