@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   *  - `idbloom/`    one row (bf)          — superset-of-indexed-ids
   *    bloom; [[append]]'s duplicate-id guard reads it so all-new
   *    batches never scan the postings ([[StoredIndex]])
+  *  - `deletes/`    (id)                  — tombstones from
+  *    [[remove]], if any retraction is pending; probes anti-join
+  *    them and [[compact]] materializes + clears them
   *  - `meta/`       one row (n_rows, max_id, fingerprint, version) —
   *    written LAST as the build's commit marker; [[ensure]]
   *    revalidates it against the live corpus so a stale index
@@ -81,6 +84,7 @@ object AnnIndex {
     // meta beside partially overwritten centroids/codebook/postings,
     // and ensure() would serve the broken index
     StoredIndex.invalidate(spark, dir)
+    StoredIndex.clearDeleteIds(spark, dir) // rebuild = clean live state
     val cents = Similarity.centroids(corpus, stride, vecCol, idCol,
       maxCentroids).localCheckpoint()
     val cb = Similarity.pqCodebook(corpus, stride, m, dim,
@@ -193,6 +197,72 @@ object AnnIndex {
     StoredIndex.writeMergedMeta(spark, dir, storedMeta, batchMeta)
   }
 
+  /** Postings with tombstoned rows filtered out — what every probe
+    * searches. The tombstone side is retraction-sized (broadcast). */
+  private def livePostings(spark: SparkSession,
+                           dir: String): DataFrame = {
+    val p = spark.read.parquet(s"$dir/postings")
+    StoredIndex.readDeleteIds(spark, dir) match {
+      case None => p
+      case Some(d) => p.join(
+        broadcast(d.withColumnRenamed("id", "nid")),
+        Seq("nid"), "left_anti")
+    }
+  }
+
+  /** Retract vectors from the index WITHOUT rewriting the postings —
+    * the takedown path a training corpus needs, priced like
+    * [[append]]: O(retraction batch) plus one keys-only pass over
+    * the postings ids. The ids land in a `deletes/` tombstone asset;
+    * every probe anti-joins it (broadcast, retraction-sized), and
+    * the next [[compact]] materializes the removal physically (the
+    * LSM split). The meta stays EXACT: the XOR fold un-mixes removed
+    * rows (fingerprint(old \ removed) = fingerprint(old) XOR
+    * fingerprint(removed)), so a content [[ensure]] over the LIVE
+    * corpus still validates fresh with zero rebuilds; max_id is
+    * recomputed over live posting ids (keys-only, index-sized,
+    * never the corpus).
+    *
+    * Contracts:
+    *  - `removed` must carry the retracted rows WITH their vectors
+    *    (the retraction request from the corpus store) — the XOR
+    *    un-mix needs the same (id, vector) terms the build folded;
+    *    one row per id.
+    *  - Every retracted id must be LIVE in the index (present, not
+    *    already tombstoned): XORing a foreign term would corrupt
+    *    the fingerprint silently, so the guard throws.
+    *  - Re-appending a tombstoned id is REJECTED (the physical rows
+    *    are still there) until a [[compact]] materializes the
+    *    deletion — then it appends cleanly.
+    *  - Meta is deleted first / written last, the same commit-marker
+    *    invariant as build/append/compact. */
+  def remove(removed: DataFrame, dir: String,
+             vecCol: String = "embedding",
+             idCol: String = "vec_id"): Unit = {
+    val spark = removed.sparkSession
+    val storedMeta = spark.read.parquet(s"$dir/meta").head
+    val ids = idsOf(removed, idCol).distinct().localCheckpoint()
+    val removedMeta = identity(removed, vecCol, idCol).head
+    require(removedMeta.getLong(0) > 0L,
+      s"retraction batch is empty — nothing to remove at $dir")
+    require(removedMeta.getLong(0) == ids.count(),
+      "retraction batch must carry exactly one row per id " +
+        "(duplicate ids would over-subtract the meta)")
+    val notLive = ids.join(
+      livePostings(spark, dir).select(col("nid").as("id")),
+      Seq("id"), "left_anti").limit(1).count()
+    require(notLive == 0L,
+      s"retraction batch names id(s) not live in the index at $dir " +
+        "— already retracted, or never indexed; XORing them out " +
+        "would corrupt the fingerprint")
+    StoredIndex.invalidate(spark, dir) // commit marker
+    StoredIndex.appendDeleteIds(spark, dir, ids)
+    val liveMax = livePostings(spark, dir)
+      .agg(max(col("nid"))).head.getAs[java.lang.Long](0)
+    StoredIndex.writeRemovedMeta(spark, dir, storedMeta, removedMeta,
+      liveMax)
+  }
+
   /** Rewrite the postings clustered by cid into fresh, full-size
     * files — the remedy for the small-file accumulation a long
     * [[append]] chain causes (each append adds its own cid-sorted
@@ -207,8 +277,17 @@ object AnnIndex {
     * `postings_compact`, and only after it is fully written do the
     * two renames run — the unreadable window is two metadata ops,
     * not the rewrite. */
-  def compact(spark: SparkSession, dir: String): Unit =
-    StoredIndex.compactAsset(spark, dir, "postings", compactRewrite)
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    StoredIndex.compactAsset(spark, dir, "postings",
+      df => compactRewrite(dels match {
+        case None => df
+        case Some(d) => df.join(
+          broadcast(d.withColumnRenamed("id", "nid")),
+          Seq("nid"), "left_anti")
+      }),
+      dropAssets = if (dels.isDefined) Seq("deletes") else Nil)
+  }
 
   /** [[compact]] only when the postings dir has accreted past
     * `maxFiles` part files — the self-maintenance hook a streaming
@@ -233,7 +312,7 @@ object AnnIndex {
     Similarity.ivfPqProbe(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebook"),
-      spark.read.parquet(s"$dir/postings"),
+      livePostings(spark, dir),
       queries, k, nprobe, m, dim, vecCol, idCol)
 
   /** Filtered serve: top-k among an ALLOWED id subset only — the
@@ -257,7 +336,7 @@ object AnnIndex {
                         broadcastAllowed: Boolean = true): DataFrame = {
     val ids = allowed.select(col(idCol).cast("long").as("nid"))
       .distinct()
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = livePostings(spark, dir)
       .join(if (broadcastAllowed) broadcast(ids) else ids,
         Seq("nid"), "left_semi")
     Similarity.ivfPqProbe(

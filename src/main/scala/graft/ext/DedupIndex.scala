@@ -81,6 +81,7 @@ object DedupIndex {
             version: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     StoredIndex.invalidate(spark, dir) // commit marker
+    StoredIndex.clearDeleteIds(spark, dir) // rebuild = clean live state
     shardOf(corpus, textCol, idCol)
       .write.mode("overwrite").parquet(s"$dir/buckets")
     StoredIndex.writeIdBloom(spark, dir, idsOf(corpus, idCol))
@@ -119,12 +120,24 @@ object DedupIndex {
     val spark = batch.sparkSession
     val batchBuckets = Dedup.bandBuckets(batch, textCol, idCol,
       "bids", maxBucket).localCheckpoint()
-    val corpusSide = spark.read.parquet(s"$dir/buckets")
+    val matched = spark.read.parquet(s"$dir/buckets")
       .join(batchBuckets.select("band", "bhash"),
         Seq("band", "bhash"), "left_semi")
-      .groupBy("band", "bhash")
-      .agg(array_sort(flatten(collect_list(col("ids")))).as("cids"))
-      .filter(size(col("cids")) <= maxBucket)
+    // tombstones filter BEFORE the cap: a doc's banding depends only
+    // on its own text, so stored-minus-deleted buckets are exactly
+    // the buckets a live-corpus build would hold — including which
+    // merged buckets clear maxBucket (a bucket over the cap only
+    // because of retracted ids must come back)
+    val corpusSide = (StoredIndex.readDeleteIds(spark, dir) match {
+      case None => matched
+        .groupBy("band", "bhash")
+        .agg(array_sort(flatten(collect_list(col("ids")))).as("cids"))
+      case Some(d) => matched
+        .select(col("band"), col("bhash"), explode(col("ids")).as("id"))
+        .join(broadcast(d), Seq("id"), "left_anti")
+        .groupBy("band", "bhash")
+        .agg(array_sort(collect_list(col("id"))).as("cids"))
+    }).filter(size(col("cids")) <= maxBucket)
     val cands = batchBuckets
       .join(corpusSide, Seq("band", "bhash"))
       .select(explode(col("bids")).as("batch_id"), col("cids"))
@@ -170,6 +183,51 @@ object DedupIndex {
     StoredIndex.writeMergedMeta(spark, dir, oldMeta, bid)
   }
 
+  /** Live indexed ids: every id in the stored shards minus the
+    * tombstones — keys-only, index-sized. */
+  private def liveIds(spark: SparkSession, dir: String): DataFrame = {
+    val all = spark.read.parquet(s"$dir/buckets")
+      .select(explode(col("ids")).as("id")).distinct()
+    StoredIndex.readDeleteIds(spark, dir) match {
+      case None => all
+      case Some(d) => all.join(broadcast(d), Seq("id"), "left_anti")
+    }
+  }
+
+  /** Retract documents from the index WITHOUT rewriting the shards —
+    * [[AnnIndex.remove]]'s contract verbatim (see there for the LSM
+    * split, the XOR un-mix that keeps content [[ensure]] exact over
+    * the live corpus, and the re-append-after-compact rule): the ids
+    * land in a `deletes/` tombstone asset, [[probe]] filters them
+    * out of the merged buckets BEFORE the cap (so results equal a
+    * live-corpus build bit-exactly), and the next [[compact]]
+    * materializes the removal. `removed` must carry (id, text) —
+    * one row per id, every id live. */
+  def remove(removed: DataFrame, dir: String,
+             textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = removed.sparkSession
+    val storedMeta = spark.read.parquet(s"$dir/meta").head
+    val ids = idsOf(removed, idCol).distinct().localCheckpoint()
+    val removedMeta = identity(removed, textCol, idCol).head
+    require(removedMeta.getLong(0) > 0L,
+      s"retraction batch is empty — nothing to remove at $dir")
+    require(removedMeta.getLong(0) == ids.count(),
+      "retraction batch must carry exactly one row per id " +
+        "(duplicate ids would over-subtract the meta)")
+    val notLive = ids.join(liveIds(spark, dir), Seq("id"), "left_anti")
+      .limit(1).count()
+    require(notLive == 0L,
+      s"retraction batch names id(s) not live in the index at $dir " +
+        "— already retracted, or never indexed; XORing them out " +
+        "would corrupt the fingerprint")
+    StoredIndex.invalidate(spark, dir) // commit marker
+    StoredIndex.appendDeleteIds(spark, dir, ids)
+    val liveMax = liveIds(spark, dir)
+      .agg(max(col("id"))).head.getAs[java.lang.Long](0)
+    StoredIndex.writeRemovedMeta(spark, dir, storedMeta, removedMeta,
+      liveMax)
+  }
+
   /** Rewrite the accreted append shards into ONE bucket row per
     * (band, bhash), band-clustered — the periodic remedy for the
     * small-file pressure a long [[append]] chain builds up (each
@@ -182,8 +240,22 @@ object DedupIndex {
     * .compactAsset]]'s commit-marker swap: a crash mid-compaction
     * leaves a validation-failing index, never a valid meta over a
     * half-swapped buckets dir. */
-  def compact(spark: SparkSession, dir: String): Unit =
-    StoredIndex.compactAsset(spark, dir, "buckets", compactRewrite)
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    StoredIndex.compactAsset(spark, dir, "buckets",
+      df => dels match {
+        case None => compactRewrite(df)
+        case Some(d) => df
+          .select(col("band"), col("bhash"),
+            explode(col("ids")).as("id"))
+          .join(broadcast(d), Seq("id"), "left_anti")
+          .groupBy("band", "bhash")
+          .agg(array_sort(collect_list(col("id"))).as("ids"))
+          .repartition(col("band"))
+          .sortWithinPartitions("band", "bhash")
+      },
+      dropAssets = if (dels.isDefined) Seq("deletes") else Nil)
+  }
 
   /** [[compact]] only when the shard dir has accreted past
     * `maxFiles` part files — what a streaming ingest calls after

@@ -283,6 +283,54 @@ object StoredIndex {
     * holds): a crash mid-compaction leaves a validation-failing
     * index — the next ensure() rebuilds — never a valid meta over a
     * half-swapped asset dir. */
+  // ----------------------------------------------------- tombstones
+
+  /** Tombstoned ids (`deletes/` asset), if any — [[AnnIndex.remove]]
+    * / [[DedupIndex.remove]] append retraction ids here instead of
+    * rewriting the searchable asset; probes anti-join them and the
+    * next compaction materializes the removal (the LSM split:
+    * retraction is O(batch), the physical rewrite is amortized). */
+  def readDeleteIds(spark: SparkSession, dir: String)
+      : Option[DataFrame] =
+    try {
+      val d = spark.read.parquet(s"$dir/deletes").select("id")
+      Some(d)
+    } catch {
+      case _: AnalysisException => None
+      case _: FileNotFoundException => None
+    }
+
+  /** Append a retraction batch to the tombstone asset (inside the
+    * caller's commit-marker window). */
+  def appendDeleteIds(spark: SparkSession, dir: String,
+                      ids: DataFrame): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/deletes")
+
+  /** Drop the tombstone asset — part of every [[build]]'s
+    * invalidate-first step: a rebuild derives a CLEAN live state
+    * from its corpus, and a stale tombstone list from a previous
+    * index generation would silently filter ids that are
+    * legitimately live in the new one. */
+  def clearDeleteIds(spark: SparkSession, dir: String): Unit =
+    fsOf(spark, dir).delete(new Path(s"$dir/deletes"), true)
+
+  /** Write the post-retraction commit marker. The XOR algebra works
+    * in reverse — fingerprint(old \ removed) = fingerprint(old) XOR
+    * fingerprint(removed) — so the fingerprint and row count update
+    * in O(batch); max_id cannot be un-maxed algebraically, so the
+    * caller recomputes it over the LIVE id set (keys-only, index-
+    * sized, never the corpus) and passes it in. */
+  def writeRemovedMeta(spark: SparkSession, dir: String, old: Row,
+                       removed: Row, liveMaxId: java.lang.Long): Unit =
+    spark.range(1).select(
+        lit(old.getLong(0) - removed.getLong(0)).as("n_rows"),
+        lit(liveMaxId).cast("long").as("max_id"),
+        lit(old.getLong(2) ^ removed.getLong(2)).as("fingerprint"),
+        lit(if (old.size < 4 || old.isNullAt(3)) null
+            else old.getString(3)).cast("string").as("version"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+
   /** Parquet part-file count of a stored asset (flat dirs by
     * construction — build/append write unpartitioned) — the
     * accretion signal [[compactIfAccreted]] thresholds on. 0 when
@@ -311,7 +359,8 @@ object StoredIndex {
   }
 
   def compactAsset(spark: SparkSession, dir: String, asset: String,
-                   rewrite: DataFrame => DataFrame): Unit = {
+                   rewrite: DataFrame => DataFrame,
+                   dropAssets: Seq[String] = Nil): Unit = {
     val fs = fsOf(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").localCheckpoint()
     val staged = new Path(s"$dir/${asset}_compact")
@@ -322,6 +371,11 @@ object StoredIndex {
     fs.delete(live, true)
     require(fs.rename(staged, live),
       s"compact: rename $staged -> $live failed")
+    // assets the rewrite has absorbed (e.g. the tombstone list once
+    // deletions are materialized) go away INSIDE the commit-marker
+    // window: a crash anywhere here still leaves a validation-
+    // failing index, never a half-applied state
+    dropAssets.foreach(a => fs.delete(new Path(s"$dir/$a"), true))
     meta.write.mode("overwrite").parquet(s"$dir/meta")
   }
 }

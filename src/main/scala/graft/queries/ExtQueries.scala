@@ -1104,6 +1104,34 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS jaccard
               WHERE FALSE""")),
 
+    // d16: retraction on the dedup index — build on docs<300,
+    // tombstone [200,300) (DedupIndex.remove), probe the held-out
+    // batch. Tombstones filter the merged buckets BEFORE the
+    // maxBucket cap, so the stored probe must equal the one-shot
+    // gate over the LIVE corpus bit-exactly (empty symmetric
+    // difference, jaccard doubles included) — the retraction twin
+    // of the d15 consistency contract.
+    Q("d16_dedup_retract",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.DedupIndex.dirFor(dir) + "_retract"
+        graft.ext.DedupIndex.build(docs.filter(col("doc_id") < 300), ix)
+        graft.ext.DedupIndex.remove(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), ix)
+        val live = docs.filter(col("doc_id") < 200)
+        val batch = docs.filter(col("doc_id") >= 300)
+        val stored = graft.ext.DedupIndex.probe(batch, ix, live,
+          threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(batch, live,
+          threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute
@@ -2545,6 +2573,30 @@ object ExtQueries {
           embs.filter(col("vec_id") < 20), k = 5)
       },
       Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x12: retraction — build on the full corpus, tombstone a slice
+    // (AnnIndex.remove: O(batch) deletes asset + XOR-unmixed meta,
+    // no postings rewrite), probe. The probe must serve the exact
+    // IVFADC top-k of the LIVE corpus under the ORIGINAL full-corpus
+    // assets (centroids/codebook trained before the retraction —
+    // standard serve-through-retraction posture), which is x8's
+    // oracle chain with the retained-id predicate at the candidate
+    // CTE — hash-exact. The bench row prices build + retract +
+    // tombstone-filtered probe end-to-end.
+    Q("x12_ann_retract",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_retract"
+        graft.ext.AnnIndex.build(embs, ix)
+        graft.ext.AnnIndex.remove(
+          embs.filter(col("vec_id") % 5 === 4), ix)
+        graft.ext.AnnIndex.probeTopK(s, ix,
+          embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere("iasg.nid % 5 <> 4")}
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 

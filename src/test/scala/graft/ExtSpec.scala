@@ -591,6 +591,92 @@ class ExtSpec extends SparkTestBase {
       corpus.unionByName(batch), dir))
   }
 
+  test("ANN retraction: tombstones, exact meta, compact materializes") {
+    import graft.ext.{AnnIndex, StoredIndex}
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x12_").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    val gone = embs.filter($"vec_id" % 5 === 4)
+    val live = embs.filter($"vec_id" % 5 =!= 4).localCheckpoint()
+    AnnIndex.remove(gone, dir)
+    // probes never see tombstoned ids
+    val q = embs.filter($"vec_id" < 5)
+    val nids = AnnIndex.probeTopK(spark, dir, q, k = 5)
+      .select("nid").as[Long].collect()
+    assert(nids.nonEmpty && nids.forall(_ % 5 != 4))
+    // the XOR un-mix keeps the meta EXACT for the live corpus: a
+    // content ensure validates fresh with no rebuild
+    assert(!AnnIndex.ensure(live, dir),
+      "content ensure over the live corpus must not rebuild")
+    // retracting a non-live id (already tombstoned) must throw
+    intercept[IllegalArgumentException] {
+      AnnIndex.remove(gone.limit(1), dir)
+    }
+    // re-appending a tombstoned id is rejected while the physical
+    // rows remain...
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(gone.limit(3), dir)
+    }
+    // ...and compact materializes the deletion: tombstone asset
+    // gone, postings shrunk, probes and meta unchanged
+    val preProbe = AnnIndex.probeTopK(spark, dir, q, k = 5)
+      .collect().toSet
+    AnnIndex.compact(spark, dir)
+    assert(StoredIndex.readDeleteIds(spark, dir).isEmpty)
+    assert(spark.read.parquet(s"$dir/postings").count() == live.count())
+    assert(AnnIndex.probeTopK(spark, dir, q, k = 5)
+      .collect().toSet == preProbe)
+    assert(!AnnIndex.ensure(live, dir))
+    // after materialization the id can come back
+    AnnIndex.append(gone.limit(3), dir)
+    assert(spark.read.parquet(s"$dir/postings").count()
+      == live.count() + 3)
+    // a REBUILD at the same dir clears any pending tombstones (a
+    // stale deletes list would filter legitimately-live ids) — the
+    // registered x12 row re-runs exactly this build→remove cycle
+    AnnIndex.build(embs, dir)
+    AnnIndex.remove(gone, dir)
+    assert(!AnnIndex.ensure(live, dir))
+  }
+
+  test("dedup retraction: probe equals a live-corpus build, cap included") {
+    import graft.ext.{DedupIndex, StoredIndex}
+    // cap interaction is the subtle case: four identical docs put
+    // every bucket at size 4; with maxBucket = 3 the one-shot gate
+    // over ALL of them drops the bucket — but after retracting two,
+    // the LIVE gate (bucket size 2) must find the pairs again, so
+    // the tombstone filter has to run BEFORE the cap
+    val txt = "one two three four five six seven eight nine ten"
+    val corpus = (0L until 4L).map((_, txt)).toDF("doc_id", "text")
+    val gone = corpus.filter($"doc_id" >= 2)
+    val live = corpus.filter($"doc_id" < 2).localCheckpoint()
+    val batch = Seq((10L, txt)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_d16_").toString
+    DedupIndex.build(corpus, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    assert(rows(DedupIndex.probe(batch, dir, corpus, 0.4,
+      maxBucket = 3)).isEmpty, "over-cap bucket must drop pre-retract")
+    DedupIndex.remove(gone, dir)
+    assert(rows(DedupIndex.probe(batch, dir, live, 0.4, maxBucket = 3))
+      == Set((10L, 0L, 1.0), (10L, 1L, 1.0)),
+      "live bucket clears the cap after retraction")
+    assert(!DedupIndex.ensure(live, dir),
+      "content ensure over the live corpus must not rebuild")
+    // compact materializes; gate unchanged; retracted id can return
+    DedupIndex.compact(spark, dir)
+    assert(StoredIndex.readDeleteIds(spark, dir).isEmpty)
+    assert(rows(DedupIndex.probe(batch, dir, live, 0.4, maxBucket = 3))
+      == Set((10L, 0L, 1.0), (10L, 1L, 1.0)))
+    assert(!DedupIndex.ensure(live, dir))
+    DedupIndex.append(gone.filter($"doc_id" === 2), dir)
+    assert(!DedupIndex.ensure(
+      live.unionByName(gone.filter($"doc_id" === 2)), dir))
+  }
+
   test("filtered ANN probe: pre-filter semantics over the stored index") {
     import graft.ext.AnnIndex
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")

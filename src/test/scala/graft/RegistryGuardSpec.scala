@@ -108,6 +108,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // x8's audited shapes; the filter join is keyed on nid
     "x11_filtered_ann" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x12: the x9 probe chain over tombstone-filtered postings (the
+    // deletes anti-join is keyed on nid; remove() runs eagerly
+    // outside the probed plan)
+    "x12_ann_retract" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
