@@ -257,6 +257,27 @@ class PropertySpec extends SparkTestBase {
         == direct, s"trial $trial: compacted chain != direct gate")
       assert(!DedupIndex.ensure(corpus, chained),
         s"trial $trial: compaction must not invalidate")
+      // random retraction: tombstone a random subset — the stored
+      // probe must equal the one-shot gate over the LIVE remainder,
+      // and the XOR-unmixed meta must stay content-fresh for it
+      val goneIds = (0L until 45L).filter(_ => rnd.nextBoolean()).toSet
+      if (goneIds.nonEmpty && goneIds.size < 45) {
+        val gone = corpus.filter($"doc_id".isInCollection(goneIds))
+        val live = corpus.filter(!$"doc_id".isInCollection(goneIds))
+          .localCheckpoint()
+        DedupIndex.remove(gone, chained)
+        assert(pairs(DedupIndex.probe(batch, chained, live, 0.5)) ==
+          pairs(graft.ext.Dedup.minhashIncrementalNearDups(
+            batch, live, 0.5)),
+          s"trial $trial: retracted probe != live direct gate")
+        assert(!DedupIndex.ensure(live, chained),
+          s"trial $trial: retraction meta must stay fresh")
+        DedupIndex.compact(spark, chained)
+        assert(pairs(DedupIndex.probe(batch, chained, live, 0.5)) ==
+          pairs(graft.ext.Dedup.minhashIncrementalNearDups(
+            batch, live, 0.5)),
+          s"trial $trial: materialized retraction != live gate")
+      }
     }
   }
 
