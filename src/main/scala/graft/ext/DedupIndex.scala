@@ -184,7 +184,12 @@ object DedupIndex {
   }
 
   /** Live indexed ids: every id in the stored shards minus the
-    * tombstones — keys-only, index-sized. */
+    * tombstones — keys-only, index-sized. Public because takedown
+    * orchestration ([[graft.streaming.StreamingDedupIngest]]
+    * .retract) gates its idempotent re-delivery on it. */
+  def liveIndexedIds(spark: SparkSession, dir: String): DataFrame =
+    liveIds(spark, dir)
+
   private def liveIds(spark: SparkSession, dir: String): DataFrame = {
     val all = spark.read.parquet(s"$dir/buckets")
       .select(explode(col("ids")).as("id")).distinct()

@@ -104,6 +104,69 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     df.select("doc_id", "text")
       .write.mode("overwrite").parquet(s"$root/batch=$batchId")
 
+  /** End-to-end takedown: purge the named documents from the durable
+    * stores (corpus AND quarantine — a retracted document must not
+    * survive as a quarantined near-dup copy) and tombstone them in
+    * the index ([[DedupIndex.remove]]).
+    *
+    * Ordering is load-bearing and the REVERSE of ingest: stores
+    * purge FIRST, index second. A crash in between leaves the index
+    * claiming rows the store no longer has — the content ensure()
+    * mismatch then resolves by REBUILDING FROM THE PURGED STORE,
+    * which completes the retraction; index-first ordering would
+    * leave a window where the same recovery RESURRECTS the retracted
+    * text. The remaining crash residue (a live-indexed id with no
+    * stored row) is detected here and handled the same way: rebuild
+    * from the store, because the XOR un-mix needs the row's text and
+    * the text is — correctly — gone.
+    *
+    * Idempotent by construction: ids already purged and tombstoned
+    * are skipped, so replaying a takedown batch is a no-op. */
+  def retract(ids: DataFrame): Unit = {
+    import graft.ext.DedupIndex
+    val want = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    // fetch the rows BEFORE purging: the index un-mix needs them
+    val rows = corpus().join(want, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    purgeStore(corpusDir, want)
+    purgeStore(quarantineDir, want)
+    val live = DedupIndex.liveIndexedIds(spark, indexDir)
+      .withColumnRenamed("id", "doc_id").localCheckpoint()
+    val toTombstone = rows.join(live, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // live-indexed ids in the request with NO stored row = residue
+    // of a crash between a previous purge and its index remove
+    val unmixable = live.join(want, Seq("doc_id"), "left_semi")
+      .join(toTombstone.select("doc_id"), Seq("doc_id"), "left_anti")
+      .limit(1).count()
+    if (unmixable > 0L) DedupIndex.build(corpus(), indexDir)
+    else if (!toTombstone.isEmpty)
+      DedupIndex.remove(toTombstone, indexDir)
+  }
+
+  /** Rewrite ONLY the per-batch partition dirs that hold any of the
+    * purged ids (partition-pruned: untouched batches never rewrite).
+    * The affected-partition list is a bounded driver read — batch
+    * ids, not documents. */
+  private def purgeStore(root: String, ids: DataFrame): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!rootPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(rootPath)) return
+    val affected = spark.read.parquet(root)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    affected.foreach { b =>
+      val pdir = s"$root/batch=$b"
+      // materialize BEFORE overwriting the dir being read
+      val remaining = spark.read.option("basePath", root).parquet(pdir)
+        .join(ids, Seq("doc_id"), "left_anti")
+        .select("doc_id", "text").localCheckpoint()
+      remaining.write.mode("overwrite").parquet(pdir)
+    }
+  }
+
   private def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
     // in-batch id dedup first (a staged drop may repeat ids);
     // localCheckpoint: the batch feeds several passes (gate, probe,

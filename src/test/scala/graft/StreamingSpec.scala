@@ -359,6 +359,68 @@ class StreamingSpec extends SparkTestBase {
     assert(ids(ingest.corpus()).intersect(ids(drop3)).nonEmpty)
   }
 
+  test("streaming dedup ingest: retract purges stores + index, idempotent") {
+    import graft.ext.DedupIndex
+    import graft.streaming.StreamingDedupIngest
+    val root = Files.createTempDirectory("graft_strt_").toString
+    val (ix, corpusDir, quar) = (s"$root/ix", s"$root/corpus", s"$root/q")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val ingest = new StreamingDedupIngest(spark, ix, corpusDir, quar)
+    StreamingDedupIngest.stage(docs.filter($"doc_id" < 200),
+      s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    // include an exact dup so the quarantine holds a copy to purge
+    StreamingDedupIngest.stage(
+      docs.filter($"doc_id" >= 200 && $"doc_id" < 300).unionByName(
+        docs.filter($"doc_id" === 5)
+          .select(lit(9001L).as("doc_id"), $"text")),
+      s"$root/staging", "d2")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(ids(spark.read.parquet(quar)).contains(9001L))
+
+    // takedown: doc 5 (ingested in drop1) AND its quarantined copy
+    val gone = Seq(5L, 9001L, 150L).toDF("doc_id")
+    ingest.retract(gone)
+    assert(ids(ingest.corpus()).intersect(Set(5L, 150L)).isEmpty,
+      "retracted docs must leave the corpus store")
+    assert(!ids(spark.read.parquet(quar)).contains(9001L),
+      "retracted docs must leave the quarantine too")
+    // the index is content-fresh for the purged corpus — the XOR
+    // un-mix, not a rebuild (meta still carries the stream's state)
+    assert(!DedupIndex.ensure(ingest.corpus(), ix))
+    // gate parity over the live remainder
+    val held = docs.filter($"doc_id" >= 300 && $"doc_id" < 360)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    assert(pairs(DedupIndex.probe(held, ix, ingest.corpus(), 0.4)) ==
+      pairs(graft.ext.Dedup.minhashIncrementalNearDups(
+        held, ingest.corpus(), 0.4)))
+    // replaying the SAME takedown batch is a no-op
+    ingest.retract(gone)
+    assert(!DedupIndex.ensure(ingest.corpus(), ix))
+
+    // crash residue: a previous retract purged the store but died
+    // before the index remove — simulate by purging id 10 from the
+    // store only, then retract it: the text needed for the XOR
+    // un-mix is (correctly) gone, so retract must REBUILD from the
+    // purged store and still end consistent
+    val want10 = Seq(10L).toDF("doc_id")
+    val m = classOf[StreamingDedupIngest]
+      .getDeclaredMethod("purgeStore", classOf[String],
+        classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
+    m.invoke(ingest, corpusDir,
+      want10.select($"doc_id".cast("long").as("doc_id")))
+    ingest.retract(want10)
+    assert(!ids(ingest.corpus()).contains(10L))
+    assert(!DedupIndex.ensure(ingest.corpus(), ix),
+      "post-crash retract must leave a fresh index over the store")
+  }
+
   test("streaming dedup ingest: auto-compaction bounds shard accretion") {
     import graft.ext.{DedupIndex, StoredIndex}
     import graft.streaming.StreamingDedupIngest
