@@ -200,15 +200,9 @@ object AnnIndex {
   /** Postings with tombstoned rows filtered out — what every probe
     * searches. The tombstone side is retraction-sized (broadcast). */
   private def livePostings(spark: SparkSession,
-                           dir: String): DataFrame = {
-    val p = spark.read.parquet(s"$dir/postings")
-    StoredIndex.readDeleteIds(spark, dir) match {
-      case None => p
-      case Some(d) => p.join(
-        broadcast(d.withColumnRenamed("id", "nid")),
-        Seq("nid"), "left_anti")
-    }
-  }
+                           dir: String): DataFrame =
+    StoredIndex.filterTombstones(spark, dir,
+      spark.read.parquet(s"$dir/postings"), "nid")
 
   /** Retract vectors from the index WITHOUT rewriting the postings —
     * the takedown path a training corpus needs, priced like
@@ -240,27 +234,11 @@ object AnnIndex {
              vecCol: String = "embedding",
              idCol: String = "vec_id"): Unit = {
     val spark = removed.sparkSession
-    val storedMeta = spark.read.parquet(s"$dir/meta").head
-    val ids = idsOf(removed, idCol).distinct().localCheckpoint()
-    val removedMeta = identity(removed, vecCol, idCol).head
-    require(removedMeta.getLong(0) > 0L,
-      s"retraction batch is empty — nothing to remove at $dir")
-    require(removedMeta.getLong(0) == ids.count(),
-      "retraction batch must carry exactly one row per id " +
-        "(duplicate ids would over-subtract the meta)")
-    val notLive = ids.join(
+    StoredIndex.removeIds(spark, dir,
+      idsOf(removed, idCol).distinct().localCheckpoint(),
+      identity(removed, vecCol, idCol).head,
       livePostings(spark, dir).select(col("nid").as("id")),
-      Seq("id"), "left_anti").limit(1).count()
-    require(notLive == 0L,
-      s"retraction batch names id(s) not live in the index at $dir " +
-        "— already retracted, or never indexed; XORing them out " +
-        "would corrupt the fingerprint")
-    StoredIndex.invalidate(spark, dir) // commit marker
-    StoredIndex.appendDeleteIds(spark, dir, ids)
-    val liveMax = livePostings(spark, dir)
-      .agg(max(col("nid"))).head.getAs[java.lang.Long](0)
-    StoredIndex.writeRemovedMeta(spark, dir, storedMeta, removedMeta,
-      liveMax)
+      "AnnIndex.remove")
   }
 
   /** Rewrite the postings clustered by cid into fresh, full-size
@@ -278,15 +256,11 @@ object AnnIndex {
     * two renames run — the unreadable window is two metadata ops,
     * not the rewrite. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val pending = StoredIndex.readDeleteIds(spark, dir).isDefined
     StoredIndex.compactAsset(spark, dir, "postings",
-      df => compactRewrite(dels match {
-        case None => df
-        case Some(d) => df.join(
-          broadcast(d.withColumnRenamed("id", "nid")),
-          Seq("nid"), "left_anti")
-      }),
-      dropAssets = if (dels.isDefined) Seq("deletes") else Nil)
+      df => compactRewrite(
+        StoredIndex.filterTombstones(spark, dir, df, "nid")),
+      dropAssets = if (pending) Seq("deletes") else Nil)
   }
 
   /** [[compact]] only when the postings dir has accreted past

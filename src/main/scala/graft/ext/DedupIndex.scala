@@ -132,9 +132,9 @@ object DedupIndex {
       case None => matched
         .groupBy("band", "bhash")
         .agg(array_sort(flatten(collect_list(col("ids")))).as("cids"))
-      case Some(d) => matched
-        .select(col("band"), col("bhash"), explode(col("ids")).as("id"))
-        .join(broadcast(d), Seq("id"), "left_anti")
+      case Some(_) => StoredIndex.filterTombstones(spark, dir,
+          matched.select(col("band"), col("bhash"),
+            explode(col("ids")).as("id")), "id")
         .groupBy("band", "bhash")
         .agg(array_sort(collect_list(col("id"))).as("cids"))
     }).filter(size(col("cids")) <= maxBucket)
@@ -190,14 +190,10 @@ object DedupIndex {
   def liveIndexedIds(spark: SparkSession, dir: String): DataFrame =
     liveIds(spark, dir)
 
-  private def liveIds(spark: SparkSession, dir: String): DataFrame = {
-    val all = spark.read.parquet(s"$dir/buckets")
-      .select(explode(col("ids")).as("id")).distinct()
-    StoredIndex.readDeleteIds(spark, dir) match {
-      case None => all
-      case Some(d) => all.join(broadcast(d), Seq("id"), "left_anti")
-    }
-  }
+  private def liveIds(spark: SparkSession, dir: String): DataFrame =
+    StoredIndex.filterTombstones(spark, dir,
+      spark.read.parquet(s"$dir/buckets")
+        .select(explode(col("ids")).as("id")).distinct(), "id")
 
   /** Retract documents from the index WITHOUT rewriting the shards —
     * [[AnnIndex.remove]]'s contract verbatim (see there for the LSM
@@ -211,26 +207,10 @@ object DedupIndex {
   def remove(removed: DataFrame, dir: String,
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = removed.sparkSession
-    val storedMeta = spark.read.parquet(s"$dir/meta").head
-    val ids = idsOf(removed, idCol).distinct().localCheckpoint()
-    val removedMeta = identity(removed, textCol, idCol).head
-    require(removedMeta.getLong(0) > 0L,
-      s"retraction batch is empty — nothing to remove at $dir")
-    require(removedMeta.getLong(0) == ids.count(),
-      "retraction batch must carry exactly one row per id " +
-        "(duplicate ids would over-subtract the meta)")
-    val notLive = ids.join(liveIds(spark, dir), Seq("id"), "left_anti")
-      .limit(1).count()
-    require(notLive == 0L,
-      s"retraction batch names id(s) not live in the index at $dir " +
-        "— already retracted, or never indexed; XORing them out " +
-        "would corrupt the fingerprint")
-    StoredIndex.invalidate(spark, dir) // commit marker
-    StoredIndex.appendDeleteIds(spark, dir, ids)
-    val liveMax = liveIds(spark, dir)
-      .agg(max(col("id"))).head.getAs[java.lang.Long](0)
-    StoredIndex.writeRemovedMeta(spark, dir, storedMeta, removedMeta,
-      liveMax)
+    StoredIndex.removeIds(spark, dir,
+      idsOf(removed, idCol).distinct().localCheckpoint(),
+      identity(removed, textCol, idCol).head,
+      liveIds(spark, dir), "DedupIndex.remove")
   }
 
   /** Rewrite the accreted append shards into ONE bucket row per
@@ -246,20 +226,18 @@ object DedupIndex {
     * leaves a validation-failing index, never a valid meta over a
     * half-swapped buckets dir. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val pending = StoredIndex.readDeleteIds(spark, dir).isDefined
     StoredIndex.compactAsset(spark, dir, "buckets",
-      df => dels match {
-        case None => compactRewrite(df)
-        case Some(d) => df
-          .select(col("band"), col("bhash"),
-            explode(col("ids")).as("id"))
-          .join(broadcast(d), Seq("id"), "left_anti")
+      df =>
+        if (!pending) compactRewrite(df)
+        else StoredIndex.filterTombstones(spark, dir,
+            df.select(col("band"), col("bhash"),
+              explode(col("ids")).as("id")), "id")
           .groupBy("band", "bhash")
           .agg(array_sort(collect_list(col("id"))).as("ids"))
           .repartition(col("band"))
-          .sortWithinPartitions("band", "bhash")
-      },
-      dropAssets = if (dels.isDefined) Seq("deletes") else Nil)
+          .sortWithinPartitions("band", "bhash"),
+      dropAssets = if (pending) Seq("deletes") else Nil)
   }
 
   /** [[compact]] only when the shard dir has accreted past

@@ -81,7 +81,12 @@ object StoredIndex {
     readMeta(spark, dir) match {
       case None => false
       case Some(m) => version match {
-        case Some(v) => m.getAs[String]("version") == v
+        case Some(v) =>
+          // a legacy meta without the version column is stale by
+          // definition under the versioned posture — rebuild, don't
+          // throw (writeMergedMeta defends the same metas)
+          m.schema.fieldNames.contains("version") &&
+            m.getAs[String]("version") == v
         case None =>
           val i = identityRow
           (0 to 2).forall(k => m.get(k) == i.get(k))
@@ -98,14 +103,24 @@ object StoredIndex {
     * XOR/max/sum algebra is what makes append O(batch): no corpus
     * scan recomputes the fingerprint. */
   def writeMergedMeta(spark: SparkSession, dir: String, old: Row,
-                      batch: Row): Unit =
+                      batch: Row): Unit = {
+    // a fully-retracted index carries (n_rows=0, max_id=null,
+    // fingerprint=0): appending into it must not NPE on the null
+    // max — the batch's own max is the union max (and 0 XOR f = f)
+    val maxId =
+      if (old.isNullAt(1)) batch.getLong(1)
+      else math.max(old.getLong(1), batch.getLong(1))
+    val fp =
+      if (old.isNullAt(2)) batch.getLong(2)
+      else old.getLong(2) ^ batch.getLong(2)
     spark.range(1).select(
         lit(old.getLong(0) + batch.getLong(0)).as("n_rows"),
-        lit(math.max(old.getLong(1), batch.getLong(1))).as("max_id"),
-        lit(old.getLong(2) ^ batch.getLong(2)).as("fingerprint"),
+        lit(maxId).as("max_id"),
+        lit(fp).as("fingerprint"),
         lit(if (old.size < 4 || old.isNullAt(3)) null
             else old.getString(3)).cast("string").as("version"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
 
   /** Zero-scan corpus version string from file METADATA only (names,
     * lengths, modification times — no data read): the version to
@@ -307,6 +322,67 @@ object StoredIndex {
     ids.select(col("id"))
       .write.mode("append").parquet(s"$dir/deletes")
 
+  /** Apply the tombstone filter to a frame keyed by `idCol`: the
+    * no-deletes case returns the frame UNTOUCHED (same plan, same
+    * digest), the pending-deletes case anti-joins the broadcast
+    * (retraction-sized) tombstone set. The one live-filter idiom
+    * both families' probes/compacts/live-id views share. */
+  def filterTombstones(spark: SparkSession, dir: String, df: DataFrame,
+                       idCol: String): DataFrame =
+    readDeleteIds(spark, dir) match {
+      case None => df
+      case Some(d) => df.join(
+        broadcast(d.withColumnRenamed("id", idCol)),
+        Seq(idCol), "left_anti")
+    }
+
+  /** The shared retraction protocol — [[AnnIndex.remove]] and
+    * [[DedupIndex.remove]] differ only in their live-id view and
+    * identity columns, so the guards, the commit-marker ordering,
+    * and the meta algebra live here once. `liveIds` is the family's
+    * live indexed id set ("id" column), read ONCE (localCheckpoint)
+    * and reused for the not-live guard AND the live-max recompute —
+    * one keys-only pass per retraction, not two. */
+  def removeIds(spark: SparkSession, dir: String, ids: DataFrame,
+                removedMeta: Row, liveIds: DataFrame,
+                what: String): Unit = {
+    val storedMeta = spark.read.parquet(s"$dir/meta").head
+    require(removedMeta.getLong(0) > 0L,
+      s"$what: retraction batch is empty — nothing to remove at $dir")
+    require(removedMeta.getLong(0) == ids.count(),
+      s"$what: retraction batch must carry exactly one row per id " +
+        "(duplicate ids would over-subtract the meta)")
+    val live = liveIds.localCheckpoint()
+    val notLive = ids.join(live, Seq("id"), "left_anti")
+      .limit(1).count()
+    require(notLive == 0L,
+      s"$what: retraction batch names id(s) not live in the index " +
+        s"at $dir — already retracted, or never indexed; XORing " +
+        "them out would corrupt the fingerprint")
+    invalidate(spark, dir) // commit marker
+    appendDeleteIds(spark, dir, ids)
+    val liveMax = live.join(broadcast(ids), Seq("id"), "left_anti")
+      .agg(max(col("id"))).head.getAs[java.lang.Long](0)
+    writeRemovedMeta(spark, dir, storedMeta, removedMeta, liveMax)
+  }
+
+  /** The bloom-gated already-indexed row filter both streaming
+    * ingests share: rows the stored id bloom rules out are
+    * DEFINITELY new and skip `storedIds` entirely (by-name — the
+    * common all-new batch never reads it); might-contain rows take
+    * the exact anti-join; pre-bloom indexes fall back to the full
+    * anti-join. */
+  def bloomGatedNewOnly(spark: SparkSession, dir: String,
+                        df: DataFrame, idCol: String,
+                        storedIds: => DataFrame): DataFrame =
+    readIdBloom(spark, dir) match {
+      case Some(bytes) =>
+        val might = mightContain(bytes, col(idCol))
+        df.filter(!might).unionByName(
+          df.filter(might).join(storedIds, Seq(idCol), "left_anti"))
+      case None => df.join(storedIds, Seq(idCol), "left_anti")
+    }
+
   /** Drop the tombstone asset — part of every [[build]]'s
     * invalidate-first step: a rebuild derives a CLEAN live state
     * from its corpus, and a stale tombstone list from a previous
@@ -322,14 +398,22 @@ object StoredIndex {
     * caller recomputes it over the LIVE id set (keys-only, index-
     * sized, never the corpus) and passes it in. */
   def writeRemovedMeta(spark: SparkSession, dir: String, old: Row,
-                       removed: Row, liveMaxId: java.lang.Long): Unit =
+                       removed: Row, liveMaxId: java.lang.Long): Unit = {
+    val n = old.getLong(0) - removed.getLong(0)
+    // retracting EVERYTHING leaves the empty-corpus identity, whose
+    // bit_xor aggregate is NULL — write null (not the XOR-cancelled
+    // 0) so a content ensure over the empty live corpus still
+    // validates fresh
+    val fp: java.lang.Long =
+      if (n == 0L) null else Long.box(old.getLong(2) ^ removed.getLong(2))
     spark.range(1).select(
-        lit(old.getLong(0) - removed.getLong(0)).as("n_rows"),
+        lit(n).as("n_rows"),
         lit(liveMaxId).cast("long").as("max_id"),
-        lit(old.getLong(2) ^ removed.getLong(2)).as("fingerprint"),
+        lit(fp).cast("long").as("fingerprint"),
         lit(if (old.size < 4 || old.isNullAt(3)) null
             else old.getString(3)).cast("string").as("version"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
 
   /** Parquet part-file count of a stored asset (flat dirs by
     * construction — build/append write unpartitioned) — the

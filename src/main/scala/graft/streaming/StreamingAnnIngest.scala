@@ -95,18 +95,10 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
       // entirely (the common all-new batch never reads the postings);
       // might-contain rows (true repeats + bloom FPP) take the exact
       // anti-join. Pre-bloom indexes fall back to the full anti-join.
-      lazy val indexed = spark.read.parquet(s"$indexDir/postings")
-        .select(col("nid").as("vec_id"))
-      val newOnly = graft.ext.StoredIndex.readIdBloom(spark, indexDir)
-        match {
-          case Some(bytes) =>
-            val might =
-              graft.ext.StoredIndex.mightContain(bytes, col("vec_id"))
-            fresh.filter(!might).unionByName(
-              fresh.filter(might).join(indexed, Seq("vec_id"),
-                "left_anti"))
-          case None => fresh.join(indexed, Seq("vec_id"), "left_anti")
-        }
+      val newOnly = graft.ext.StoredIndex.bloomGatedNewOnly(
+        spark, indexDir, fresh, "vec_id",
+        spark.read.parquet(s"$indexDir/postings")
+          .select(col("nid").as("vec_id")))
       if (!newOnly.isEmpty) {
         AnnIndex.append(newOnly, indexDir, checkIds = false)
         // self-maintenance: bound the small-file accretion of a long

@@ -95,6 +95,29 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
   def corpus(): DataFrame =
     spark.read.parquet(corpusDir).select("doc_id", "text")
 
+  /** Durable takedown-intent ledger beside the corpus store:
+    * [[retract]] records the ids HERE FIRST, and every micro-batch
+    * drops ledgered ids before gating. Without it, a narrow replay
+    * window could resurrect a takedown: a crash between a batch's
+    * corpus write and its index append leaves the batch uncommitted
+    * in the checkpoint; if the takedown for one of its docs runs
+    * before the stream restarts (purging the doc, with nothing live
+    * in the index to tombstone), the replayed batch would re-gate
+    * the doc as definitely-new and re-ingest the retracted text.
+    * The ledger makes retraction STICKY: once an id is recorded, no
+    * replay or future drop can re-admit it. */
+  private val retractedDir = corpusDir + "_retracted"
+
+  private def dropRetracted(df: DataFrame): DataFrame =
+    try {
+      val r = spark.read.parquet(retractedDir)
+        .select(col("doc_id")).distinct()
+      df.join(broadcast(r), Seq("doc_id"), "left_anti")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => df
+      case _: java.io.FileNotFoundException => df
+    }
+
   private def fs =
     new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -104,28 +127,36 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     df.select("doc_id", "text")
       .write.mode("overwrite").parquet(s"$root/batch=$batchId")
 
-  /** End-to-end takedown: purge the named documents from the durable
+  /** End-to-end takedown: record the ids in the durable intent
+    * ledger (making the retraction STICKY against any replay — see
+    * [[retractedDir]]), purge the named documents from the durable
     * stores (corpus AND quarantine — a retracted document must not
-    * survive as a quarantined near-dup copy) and tombstone them in
+    * survive as a quarantined near-dup copy), and tombstone them in
     * the index ([[DedupIndex.remove]]).
     *
-    * Ordering is load-bearing and the REVERSE of ingest: stores
-    * purge FIRST, index second. A crash in between leaves the index
-    * claiming rows the store no longer has — the content ensure()
-    * mismatch then resolves by REBUILDING FROM THE PURGED STORE,
-    * which completes the retraction; index-first ordering would
-    * leave a window where the same recovery RESURRECTS the retracted
-    * text. The remaining crash residue (a live-indexed id with no
-    * stored row) is detected here and handled the same way: rebuild
-    * from the store, because the XOR un-mix needs the row's text and
-    * the text is — correctly — gone.
-    *
-    * Idempotent by construction: ids already purged and tombstoned
-    * are skipped, so replaying a takedown batch is a no-op. */
+    * Ordering is load-bearing: ledger first, then stores, index
+    * LAST — the reverse of ingest. A crash at any point is repaired
+    * by REPLAYING THE TAKEDOWN BATCH (takedown queues are durable
+    * in practice, and this method is idempotent): the ledger makes
+    * the replay exact, already-purged/tombstoned ids are skipped,
+    * and the one unrecoverable residue — a live-indexed id whose
+    * text is (correctly) already gone, so its XOR term cannot be
+    * recomputed — is detected and resolved by rebuilding from the
+    * purged store. Until that replay, the residue is contained: the
+    * stale entries are content-free signature hashes that can never
+    * reach probe OUTPUT (exact-Jaccard verification inner-joins the
+    * corpus text, which no longer has the row), and the sticky
+    * ledger keeps any re-delivery of the id out. Index-first
+    * ordering would instead open a window where recovery rebuilds
+    * RESURRECT the retracted text — the one failure a takedown must
+    * never have. */
   def retract(ids: DataFrame): Unit = {
     import graft.ext.DedupIndex
     val want = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().localCheckpoint()
+    // durable intent FIRST: once recorded, no replayed micro-batch
+    // or future drop can re-admit these ids
+    want.write.mode("append").parquet(retractedDir)
     // fetch the rows BEFORE purging: the index un-mix needs them
     val rows = corpus().join(want, Seq("doc_id"), "left_semi")
       .localCheckpoint()
@@ -168,10 +199,13 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
   }
 
   private def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
-    // in-batch id dedup first (a staged drop may repeat ids);
+    // in-batch id dedup first (a staged drop may repeat ids), then
+    // the sticky takedown filter (see retractedDir);
     // localCheckpoint: the batch feeds several passes (gate, probe,
     // writes, append) — materialize once
-    val fresh = batch.dropDuplicates("doc_id").localCheckpoint()
+    val fresh = dropRetracted(batch.dropDuplicates("doc_id"))
+      .localCheckpoint()
+    if (fresh.isEmpty) return
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
     if (!fs.exists(metaPath)) {
       val orphaned = Seq("buckets", "idbloom").filter(a =>
@@ -205,16 +239,11 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
   private def appendGated(fresh: DataFrame, batchId: Long): Unit = {
     // re-delivery skip, bloom-gated: definitely-new ids never read
     // the shard id lists; might-contain ids take the exact anti-join
-    lazy val indexedIds = spark.read.parquet(s"$indexDir/buckets")
-      .select(explode(col("ids")).as("doc_id")).distinct()
-    val newOnly = (StoredIndex.readIdBloom(spark, indexDir) match {
-      case Some(bytes) =>
-        val might = StoredIndex.mightContain(bytes, col("doc_id"))
-        fresh.filter(!might).unionByName(
-          fresh.filter(might)
-            .join(indexedIds, Seq("doc_id"), "left_anti"))
-      case None => fresh.join(indexedIds, Seq("doc_id"), "left_anti")
-    }).localCheckpoint()
+    val newOnly = StoredIndex.bloomGatedNewOnly(
+      spark, indexDir, fresh, "doc_id",
+      spark.read.parquet(s"$indexDir/buckets")
+        .select(explode(col("ids")).as("doc_id")).distinct())
+      .localCheckpoint()
     if (!newOnly.isEmpty) {
       // the d15 gate: batch-banded probe against the stored buckets,
       // exact-Jaccard verify against the corpus store

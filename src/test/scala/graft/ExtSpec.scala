@@ -749,6 +749,44 @@ class ExtSpec extends SparkTestBase {
       StoredIndex.fileVersion(spark, dir))
   }
 
+  test("stored index: legacy meta without version column rebuilds") {
+    import graft.ext.DedupIndex
+    val corpus = Seq((0L, "legacy meta corpus fixture text here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15leg").toString
+    DedupIndex.build(corpus, dir)
+    // rewrite the meta WITHOUT the version column (an index built
+    // before versioned serve existed); the versioned posture must
+    // classify it stale and rebuild — not throw on the missing field
+    val m = spark.read.parquet(s"$dir/meta")
+      .select("n_rows", "max_id", "fingerprint").localCheckpoint()
+    m.write.mode("overwrite").parquet(s"$dir/meta")
+    assert(DedupIndex.ensure(corpus, dir, version = Some("v1")),
+      "legacy meta under the versioned posture must rebuild")
+    assert(!DedupIndex.ensure(corpus, dir, version = Some("v1")))
+  }
+
+  test("stored index: full retraction leaves an appendable empty index") {
+    import graft.ext.DedupIndex
+    val corpus = Seq(
+      (0L, "first corpus document words here"),
+      (1L, "second corpus document other words")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15all").toString
+    DedupIndex.build(corpus, dir)
+    DedupIndex.remove(corpus, dir)
+    // the empty-corpus identity (bit_xor over nothing is NULL) must
+    // validate fresh against the fully-retracted meta
+    assert(!DedupIndex.ensure(corpus.filter($"doc_id" < 0), dir),
+      "empty live corpus must validate fresh after full retraction")
+    // appending into the emptied index must not NPE on the null
+    // max_id/fingerprint (the commit marker is already gone by then)
+    val batch = Seq((7L, "a brand new document arrives now"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(batch, dir)
+    assert(!DedupIndex.ensure(batch, dir),
+      "append after full retraction must leave a fresh index")
+  }
+
   test("stored index: corrupt non-missing meta propagates, no rebuild") {
     import graft.ext.DedupIndex
     val corpus = Seq((0L, "some corpus text for the index fixture"))

@@ -419,6 +419,19 @@ class StreamingSpec extends SparkTestBase {
     assert(!ids(ingest.corpus()).contains(10L))
     assert(!DedupIndex.ensure(ingest.corpus(), ix),
       "post-crash retract must leave a fresh index over the store")
+
+    // STICKY takedown: even after compaction has materialized the
+    // removal (no trace of the doc left anywhere in the index), a
+    // re-delivered copy of a retracted doc must NOT be re-admitted —
+    // the durable intent ledger outlives any replay window
+    DedupIndex.compact(spark, ix)
+    StreamingDedupIngest.stage(docs.filter($"doc_id" === 5),
+      s"$root/staging", "redeliver5")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(!ids(ingest.corpus()).contains(5L),
+      "re-delivered retracted doc must stay out (sticky ledger)")
+    assert(!DedupIndex.ensure(ingest.corpus(), ix),
+      "the dropped re-delivery must not desync store and index")
   }
 
   test("streaming dedup ingest: auto-compaction bounds shard accretion") {
