@@ -256,11 +256,11 @@ object AnnIndex {
     * two renames run — the unreadable window is two metadata ops,
     * not the rewrite. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val pending = StoredIndex.readDeleteIds(spark, dir).isDefined
+    val dels = StoredIndex.readDeleteIds(spark, dir)
     StoredIndex.compactAsset(spark, dir, "postings",
       df => compactRewrite(
-        StoredIndex.filterTombstones(spark, dir, df, "nid")),
-      dropAssets = if (pending) Seq("deletes") else Nil)
+        StoredIndex.filterTombstones(dels, df, "nid")),
+      dropAssets = if (dels.isDefined) Seq("deletes") else Nil)
   }
 
   /** [[compact]] only when the postings dir has accreted past

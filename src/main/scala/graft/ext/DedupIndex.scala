@@ -132,7 +132,7 @@ object DedupIndex {
       case None => matched
         .groupBy("band", "bhash")
         .agg(array_sort(flatten(collect_list(col("ids")))).as("cids"))
-      case Some(_) => StoredIndex.filterTombstones(spark, dir,
+      case dels @ Some(_) => StoredIndex.filterTombstones(dels,
           matched.select(col("band"), col("bhash"),
             explode(col("ids")).as("id")), "id")
         .groupBy("band", "bhash")
@@ -169,8 +169,10 @@ object DedupIndex {
         spark.read.parquet(s"$dir/buckets")
           .select(explode(col("ids")).as("id")),
         "DedupIndex.append")
-    val oldMeta = spark.read.parquet(s"$dir/meta")
-      .select("n_rows", "max_id", "fingerprint", "version").head
+    // raw head, NOT a named select: a legacy meta has no version
+    // column, and writeMergedMeta's old.size defense only engages if
+    // the read itself doesn't throw on the missing field
+    val oldMeta = spark.read.parquet(s"$dir/meta").head
     val bid = identity(batch, textCol, idCol).head
     // guard BEFORE the commit marker: an empty batch (or ids that
     // null the long cast) must not invalidate a good index
@@ -226,18 +228,18 @@ object DedupIndex {
     * leaves a validation-failing index, never a valid meta over a
     * half-swapped buckets dir. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val pending = StoredIndex.readDeleteIds(spark, dir).isDefined
+    val dels = StoredIndex.readDeleteIds(spark, dir)
     StoredIndex.compactAsset(spark, dir, "buckets",
       df =>
-        if (!pending) compactRewrite(df)
-        else StoredIndex.filterTombstones(spark, dir,
+        if (dels.isEmpty) compactRewrite(df)
+        else StoredIndex.filterTombstones(dels,
             df.select(col("band"), col("bhash"),
               explode(col("ids")).as("id")), "id")
           .groupBy("band", "bhash")
           .agg(array_sort(collect_list(col("id"))).as("ids"))
           .repartition(col("band"))
           .sortWithinPartitions("band", "bhash"),
-      dropAssets = if (pending) Seq("deletes") else Nil)
+      dropAssets = if (dels.isDefined) Seq("deletes") else Nil)
   }
 
   /** [[compact]] only when the shard dir has accreted past

@@ -329,7 +329,15 @@ object StoredIndex {
     * both families' probes/compacts/live-id views share. */
   def filterTombstones(spark: SparkSession, dir: String, df: DataFrame,
                        idCol: String): DataFrame =
-    readDeleteIds(spark, dir) match {
+    filterTombstones(readDeleteIds(spark, dir), df, idCol)
+
+  /** [[filterTombstones]] over an already-read tombstone frame —
+    * call sites that needed [[readDeleteIds]] anyway (to branch on
+    * pending deletions) pass it through instead of paying a second
+    * listing + schema inference of the deletes asset. */
+  def filterTombstones(deletes: Option[DataFrame], df: DataFrame,
+                       idCol: String): DataFrame =
+    deletes match {
       case None => df
       case Some(d) => df.join(
         broadcast(d.withColumnRenamed("id", idCol)),

@@ -108,14 +108,23 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     * replay or future drop can re-admit it. */
   private val retractedDir = corpusDir + "_retracted"
 
+  /** Ledgered ids, or None when no takedown was ever recorded. The
+    * existence check is explicit and read errors PROPAGATE: a
+    * ledger that exists but cannot be read must fail the batch, not
+    * silently disable the retraction filter (failing open here is
+    * exactly the resurrection the ledger prevents). */
+  private def retractedIds(): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(retractedDir)
+    if (!p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(spark.read.parquet(retractedDir)
+      .select(col("doc_id")).distinct())
+  }
+
   private def dropRetracted(df: DataFrame): DataFrame =
-    try {
-      val r = spark.read.parquet(retractedDir)
-        .select(col("doc_id")).distinct()
-      df.join(broadcast(r), Seq("doc_id"), "left_anti")
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => df
-      case _: java.io.FileNotFoundException => df
+    retractedIds() match {
+      case None => df
+      case Some(r) => df.join(broadcast(r), Seq("doc_id"), "left_anti")
     }
 
   private def fs =
@@ -155,8 +164,17 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     val want = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().localCheckpoint()
     // durable intent FIRST: once recorded, no replayed micro-batch
-    // or future drop can re-admit these ids
-    want.write.mode("append").parquet(retractedDir)
+    // or future drop can re-admit these ids. Only ids NOT already
+    // ledgered append, so idempotent takedown replays leave the
+    // ledger untouched — it grows with distinct retractions (the
+    // compliance history), never with retries
+    val newIntent = retractedIds() match {
+      case None => want
+      case Some(r) => want.join(r, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    if (!newIntent.isEmpty)
+      newIntent.write.mode("append").parquet(retractedDir)
     // fetch the rows BEFORE purging: the index un-mix needs them
     val rows = corpus().join(want, Seq("doc_id"), "left_semi")
       .localCheckpoint()
@@ -205,7 +223,10 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     // writes, append) — materialize once
     val fresh = dropRetracted(batch.dropDuplicates("doc_id"))
       .localCheckpoint()
-    if (fresh.isEmpty) return
+    // NOTE: no early return on an empty batch — the crash-recovery
+    // check below must run regardless, or a batch whose rows were
+    // all retracted/duplicate would commit its checkpoint while
+    // leaving a meta-less (crashed-append) index unrepaired
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
     if (!fs.exists(metaPath)) {
       val orphaned = Seq("buckets", "idbloom").filter(a =>
@@ -227,13 +248,13 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         // rebuilding from it — never from the replayed batch — is
         // lossless; the replay then re-gates against the rebuilt index
         DedupIndex.build(corpus(), indexDir)
-        appendGated(fresh, batchId)
-      } else {
+        if (!fresh.isEmpty) appendGated(fresh, batchId)
+      } else if (!fresh.isEmpty) {
         // first batch seeds the corpus (nothing to collide with yet)
         writePartition(fresh, corpusDir, batchId)
         DedupIndex.build(corpus(), indexDir)
       }
-    } else appendGated(fresh, batchId)
+    } else if (!fresh.isEmpty) appendGated(fresh, batchId)
   }
 
   private def appendGated(fresh: DataFrame, batchId: Long): Unit = {

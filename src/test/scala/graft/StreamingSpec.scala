@@ -432,6 +432,40 @@ class StreamingSpec extends SparkTestBase {
       "re-delivered retracted doc must stay out (sticky ledger)")
     assert(!DedupIndex.ensure(ingest.corpus(), ix),
       "the dropped re-delivery must not desync store and index")
+
+    // an idempotent takedown replay must not grow the intent ledger
+    val ledger = corpusDir + "_retracted"
+    val ledgerRows = spark.read.parquet(ledger).count()
+    ingest.retract(gone)
+    assert(spark.read.parquet(ledger).count() == ledgerRows,
+      "replayed takedown must not append duplicate intent rows")
+
+    // a batch whose rows are ALL retracted must still repair a
+    // crashed (meta-less) index — the recovery check cannot be
+    // short-circuited by the empty gate result
+    val metaPath2 = new org.apache.hadoop.fs.Path(s"$ix/meta")
+    val ixFs = metaPath2
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ixFs.delete(metaPath2, true)
+    StreamingDedupIngest.stage(docs.filter($"doc_id" === 5),
+      s"$root/staging", "redeliver5b")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(ixFs.exists(metaPath2),
+      "an all-retracted batch must still rebuild the crashed index")
+    assert(!DedupIndex.ensure(ingest.corpus(), ix))
+
+    // fail CLOSED: an unreadable ledger aborts the batch rather than
+    // silently disabling the retraction filter (failing open IS the
+    // resurrection the ledger exists to prevent)
+    new java.io.File(ledger).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, Array.fill[Byte](32)(0x2a))
+      }
+    StreamingDedupIngest.stage(docs.filter($"doc_id" === 6),
+      s"$root/staging", "drop6")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    }
   }
 
   test("streaming dedup ingest: auto-compaction bounds shard accretion") {
