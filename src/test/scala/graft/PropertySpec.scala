@@ -281,6 +281,62 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("ann index: random vectors — append packaging, compact, retraction") {
+    import graft.ext.AnnIndex
+    val rnd = new scala.util.Random(17)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    def dir() = java.nio.file.Files
+      .createTempDirectory("annprop").toString + "/ix"
+    for (trial <- 1 to 2) {
+      val embs = (0L until 80L).map(i => (i, vec()))
+        .toDF("vec_id", "embedding").localCheckpoint()
+      val q = embs.filter($"vec_id" < 5)
+      def probe(d: String) =
+        AnnIndex.probeTopK(spark, d, q, k = 3).collect().toSet
+      // append PACKAGING invariance: the same post-build rows split
+      // into two appends vs one must serve identically (assets are
+      // trained on the first part either way)
+      val two = dir()
+      AnnIndex.build(embs.filter($"vec_id" < 30), two)
+      AnnIndex.append(
+        embs.filter($"vec_id" >= 30 && $"vec_id" < 55), two)
+      AnnIndex.append(embs.filter($"vec_id" >= 55), two)
+      val one = dir()
+      AnnIndex.build(embs.filter($"vec_id" < 30), one)
+      AnnIndex.append(embs.filter($"vec_id" >= 30), one)
+      assert(probe(two) == probe(one),
+        s"trial $trial: append packaging changed probe results")
+      assert(!AnnIndex.ensure(embs, two),
+        s"trial $trial: append-chain meta must validate fresh")
+      // compact: bit-identical probes, meta untouched
+      AnnIndex.compact(spark, two)
+      assert(probe(two) == probe(one),
+        s"trial $trial: compaction changed probe results")
+      assert(!AnnIndex.ensure(embs, two))
+      // random retraction: tombstone-filtered serve must equal the
+      // FILTERED probe (allowed = live ids) over an identical
+      // untouched index — two independent code paths to the same
+      // live sub-corpus — and the un-mixed meta stays fresh
+      val goneIds = (0L until 80L).filter(_ => rnd.nextBoolean()).toSet
+      if (goneIds.nonEmpty && goneIds.size < 78) {
+        val gone = embs.filter($"vec_id".isInCollection(goneIds))
+        val live = embs.filter(!$"vec_id".isInCollection(goneIds))
+          .localCheckpoint()
+        AnnIndex.remove(gone, two)
+        val viaFilter = AnnIndex.probeTopKFiltered(spark, one, q,
+          live.select("vec_id"), k = 3).collect().toSet
+        assert(probe(two) == viaFilter,
+          s"trial $trial: tombstone serve != filtered serve")
+        assert(!AnnIndex.ensure(live, two),
+          s"trial $trial: retraction meta must stay fresh")
+        AnnIndex.compact(spark, two)
+        assert(probe(two) == viaFilter,
+          s"trial $trial: materialized retraction != filtered serve")
+        assert(!AnnIndex.ensure(live, two))
+      }
+    }
+  }
+
   test("windowSplit: in ∪ out == (> lld), disjoint — for random windows") {
     val rows = sample(tsGen, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = rows.toDF("id", "ts")
