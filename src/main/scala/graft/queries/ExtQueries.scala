@@ -1132,6 +1132,41 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS jaccard
               WHERE FALSE""")),
 
+    // d17: the FULL index lifecycle in one chain — build, append,
+    // retract, compact (materializes the removal), then append
+    // AGAIN into the compacted index, then probe. No other row
+    // exercises append-after-compact-after-retraction; the stored
+    // probe must still equal the one-shot gate over the live corpus
+    // (A ∪ B ∪ C minus the retracted slice) bit-exactly.
+    Q("d17_dedup_lifecycle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.DedupIndex.dirFor(dir) + "_life"
+        val a = docs.filter(col("doc_id") < 150)
+        val b = docs.filter(col("doc_id") >= 150 && col("doc_id") < 250)
+        val slice = docs.filter(col("doc_id") >= 100 &&
+          col("doc_id") < 200)
+        val c = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+        graft.ext.DedupIndex.build(a, ix)
+        graft.ext.DedupIndex.append(b, ix)
+        graft.ext.DedupIndex.remove(slice, ix)
+        graft.ext.DedupIndex.compact(s, ix)
+        graft.ext.DedupIndex.append(c, ix)
+        val live = docs.filter((col("doc_id") < 100 ||
+          col("doc_id") >= 200) && col("doc_id") < 300)
+        val batch = docs.filter(col("doc_id") >= 300)
+        val stored = graft.ext.DedupIndex.probe(batch, ix, live,
+          threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(batch, live,
+          threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute
@@ -2597,6 +2632,31 @@ object ExtQueries {
       },
       Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
                     ${sqlIvfPqRankCtesWhere("iasg.nid % 5 <> 4")}
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x13: the serving matrix composed — FILTERED search over a
+    // RETRACTED index. Tombstones and the allowed set are both
+    // pre-filters on the postings, so the result must be the exact
+    // IVFADC top-k of (allowed ∩ live) under the original
+    // full-corpus assets: x8's chain with both predicates at the
+    // candidate CTE, hash-exact. The production shape: "search
+    // permissive-licensed docs, takedowns applied".
+    Q("x13_ann_filtered_retract",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_fr"
+        graft.ext.AnnIndex.build(embs, ix)
+        graft.ext.AnnIndex.remove(
+          embs.filter(col("vec_id") % 5 === 4), ix)
+        graft.ext.AnnIndex.probeTopKFiltered(s, ix,
+          embs.filter(col("vec_id") < 20),
+          embs.filter(col("vec_id") % 3 === 0).select("vec_id"),
+          k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere(
+                      "iasg.nid % 5 <> 4 AND iasg.nid % 3 = 0")}
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 

@@ -113,6 +113,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // outside the probed plan)
     "x12_ann_retract" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x13: x11's filtered chain over x12's tombstoned postings —
+    // both filters are keyed on nid; same one-row-asset argument
+    "x13_ann_filtered_retract" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape
