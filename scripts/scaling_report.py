@@ -29,6 +29,7 @@ PAIR_FAMILIES = {
     "d15_dedup_index_probe", "d15_index_consistency",
     "d15v_index_probe_versioned", "d15v_consistency",
     "d15c_compact_probe", "d16_dedup_retract",
+    "d17_dedup_lifecycle",
     "st5_stream_interval_join",
     # every replica doc's 9 identical twins share whole-document spans,
     # so the span pair list itself scales ~copies^2
