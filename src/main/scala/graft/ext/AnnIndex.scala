@@ -204,6 +204,14 @@ object AnnIndex {
     StoredIndex.filterTombstones(spark, dir,
       spark.read.parquet(s"$dir/postings"), "nid")
 
+  /** Live indexed ids: every posting id minus the tombstones —
+    * keys-only, index-sized, the embeddings are never read. Public
+    * because takedown orchestration ([[graft.streaming
+    * .StreamingAnnIngest]].retract) gates its idempotent re-delivery
+    * on it, mirroring [[DedupIndex.liveIndexedIds]]. */
+  def liveIndexedIds(spark: SparkSession, dir: String): DataFrame =
+    livePostings(spark, dir).select(col("nid").as("id")).distinct()
+
   /** Retract vectors from the index WITHOUT rewriting the postings —
     * the takedown path a training corpus needs, priced like
     * [[append]]: O(retraction batch) plus one keys-only pass over
@@ -260,7 +268,13 @@ object AnnIndex {
     StoredIndex.compactAsset(spark, dir, "postings",
       df => compactRewrite(
         StoredIndex.filterTombstones(dels, df, "nid")),
-      dropAssets = if (dels.isDefined) Seq("deletes") else Nil)
+      dropAssets = if (dels.isDefined) Seq("deletes") else Nil,
+      // materializing deletions also refreshes the id bloom from the
+      // surviving postings — retracted ids leave the superset bloom
+      // here instead of accreting FPP until a full rebuild
+      liveIdsOf =
+        if (dels.isDefined) Some(df => df.select(col("nid").as("id")))
+        else None)
   }
 
   /** [[compact]] only when the postings dir has accreted past

@@ -239,7 +239,14 @@ object DedupIndex {
           .agg(array_sort(collect_list(col("id"))).as("ids"))
           .repartition(col("band"))
           .sortWithinPartitions("band", "bhash"),
-      dropAssets = if (dels.isDefined) Seq("deletes") else Nil)
+      dropAssets = if (dels.isDefined) Seq("deletes") else Nil,
+      // deletions materialized ⇒ refresh the id bloom from the
+      // surviving shard ids (see AnnIndex.compact — same FPP-drift
+      // remedy, shard-id explode instead of the postings key)
+      liveIdsOf =
+        if (dels.isDefined)
+          Some(df => df.select(explode(col("ids")).as("id")).distinct())
+        else None)
   }
 
   /** [[compact]] only when the shard dir has accreted past

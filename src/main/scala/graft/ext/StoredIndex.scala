@@ -128,7 +128,16 @@ object StoredIndex {
     * files you don't mutate in place. Detects a regenerated fixture
     * (new mtime/length) without paying the fingerprint scan — the
     * honest middle between content validation (one full scan) and a
-    * caller-invented constant (blind to silent replacement). */
+    * caller-invented constant (blind to silent replacement).
+    *
+    * Stated caveat: the version sees METADATA only, so a same-length
+    * regeneration landing within the filesystem's mtime granularity
+    * (coarse on some FS: 1-2 s) produces an identical version and
+    * the versioned ensure() would serve the stale index. Acceptable
+    * for immutable corpus files written once and fingerprint-checked
+    * on rebuild; corpora that are atomically REPLACED in place at
+    * sub-granularity intervals should hand ensure() a catalog
+    * snapshot id (or pay the content posture) instead. */
   def fileVersion(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -376,18 +385,25 @@ object StoredIndex {
 
   /** The bloom-gated already-indexed row filter both streaming
     * ingests share: rows the stored id bloom rules out are
-    * DEFINITELY new and skip `storedIds` entirely (by-name — the
-    * common all-new batch never reads it); might-contain rows take
-    * the exact anti-join; pre-bloom indexes fall back to the full
-    * anti-join. */
+    * DEFINITELY new and skip `storedIds` entirely; might-contain
+    * rows take the exact anti-join; pre-bloom indexes fall back to
+    * the full anti-join. The might-contain slice is MATERIALIZED
+    * (localCheckpoint) and the exact side unions in only when it is
+    * non-empty — matching [[requireNewIds]]'s short-circuit — so the
+    * common all-new batch genuinely never reads the stored id lists
+    * (a lazily-referenced `storedIds` inside a union plan would
+    * still scan them every micro-batch even when the bloom ruled
+    * every row out). */
   def bloomGatedNewOnly(spark: SparkSession, dir: String,
                         df: DataFrame, idCol: String,
                         storedIds: => DataFrame): DataFrame =
     readIdBloom(spark, dir) match {
       case Some(bytes) =>
         val might = mightContain(bytes, col(idCol))
-        df.filter(!might).unionByName(
-          df.filter(might).join(storedIds, Seq(idCol), "left_anti"))
+        val suspects = df.filter(might).localCheckpoint()
+        if (suspects.isEmpty) df.filter(!might)
+        else df.filter(!might).unionByName(
+          suspects.join(storedIds, Seq(idCol), "left_anti"))
       case None => df.join(storedIds, Seq(idCol), "left_anti")
     }
 
@@ -450,14 +466,31 @@ object StoredIndex {
     accreted
   }
 
+  /** `liveIdsOf`, when set, maps the STAGED compacted asset to its
+    * live id column ("id") and the id bloom is re-derived from it
+    * inside the same commit window — the free refresh a compaction
+    * that materializes deletions should take: without it, retracted
+    * ids accrete in the superset bloom forever (correct — positives
+    * fall through to the exact check — but FPP drifts monotonically
+    * up across a retract-heavy lifecycle, eroding the O(batch)
+    * guard). The rewrite streams every live id past the writer
+    * anyway, so the refresh costs one scan of the already-compacted
+    * (small) asset, never the corpus. */
   def compactAsset(spark: SparkSession, dir: String, asset: String,
                    rewrite: DataFrame => DataFrame,
-                   dropAssets: Seq[String] = Nil): Unit = {
+                   dropAssets: Seq[String] = Nil,
+                   liveIdsOf: Option[DataFrame => DataFrame] = None)
+      : Unit = {
     val fs = fsOf(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").localCheckpoint()
     val staged = new Path(s"$dir/${asset}_compact")
     rewrite(spark.read.parquet(s"$dir/$asset"))
       .write.mode("overwrite").parquet(staged.toString)
+    // derive the refreshed bloom from the STAGED asset — exactly the
+    // live ids the swapped-in asset will hold (computed before the
+    // commit window opens; written inside it)
+    val freshBloom = liveIdsOf.map(ids =>
+      bloomBytesOf(ids(spark.read.parquet(staged.toString))))
     val live = new Path(s"$dir/$asset")
     fs.delete(new Path(s"$dir/meta"), true) // invalidate first
     fs.delete(live, true)
@@ -468,6 +501,10 @@ object StoredIndex {
     // window: a crash anywhere here still leaves a validation-
     // failing index, never a half-applied state
     dropAssets.foreach(a => fs.delete(new Path(s"$dir/$a"), true))
+    freshBloom.foreach { b =>
+      spark.range(1).select(lit(b).cast("binary").as("bf"))
+        .write.mode("overwrite").parquet(s"$dir/idbloom")
+    }
     meta.write.mode("overwrite").parquet(s"$dir/meta")
   }
 }

@@ -13,35 +13,50 @@ import graft.ext.AnnIndex
   * stored [[AnnIndex]] through `foreachBatch` — first batch builds
   * the index, every later batch flows through [[AnnIndex.append]]
   * (encode/assign against the STORED assets, O(batch) meta update).
-  * The embedding-pipeline sibling of [[StreamingBronzeIngest]], and
+  * The embedding-pipeline sibling of [[StreamingDedupIngest]], and
   * the production shape for "index the new documents as they land":
   * `Trigger.AvailableNow` processes everything staged then stops; a
   * processing-time trigger turns the same code into a service.
   *
   * Idempotency layering, matching the bronze ingest's C4 discipline:
   * checkpointing makes restarts exactly-once at the MICRO-BATCH
-  * level, and the explicit already-indexed anti-join (the d7
+  * level, and the bloom-gated already-indexed filter (the d7
   * incremental-dedup gate, keyed on the compact postings' nid
   * column, never the vectors) makes re-delivered ROWS a no-op —
   * append's own duplicate-id guard is disabled because this gate
   * subsumes it (the guard throws on overlap; at-least-once delivery
   * wants overlap silently skipped instead).
   *
-  * Crash INSIDE an append (postings written, meta not yet rewritten)
-  * is the one case this path must NOT self-heal: unlike a batch
-  * caller, the stream holds no full-corpus handle, so "rebuild from
-  * the current micro-batch" would silently replace an index holding
-  * every previously ingested vector with one holding ONLY the
-  * replayed batch — meta-valid, serving wrong neighbors, no
-  * detectable invariant violation. [[ingestBatch]] therefore
-  * distinguishes 'never built' from 'invalidated': missing meta WITH
-  * index assets on disk is corruption, and it fails loudly with the
-  * operator remedy (AnnIndex.build from the durable corpus, or wipe
-  * the index dir to accept a from-scratch stream rebuild). Only a
-  * truly empty index dir builds from the first micro-batch.
+  * Two operating postures, by `storeDir`:
+  *
+  *  - `Some(dir)` — the SERVING posture, symmetric with the dedup
+  *    twin: accepted vectors land in a durable per-batch-partitioned
+  *    store BEFORE each index append, which buys (a) automatic crash
+  *    recovery — a meta-less index beside orphaned assets rebuilds
+  *    from the store, never from the replayed micro-batch — and
+  *    (b) [[retract]], the full compliance-takedown protocol
+  *    ([[Takedown]]): sticky intent ledger, store purge, index
+  *    un-mix, crash-residue rebuild. A production deployment serving
+  *    search from the streamed index should run this posture.
+  *
+  *  - `None` — index-only: no duplicate storage when the embedding
+  *    corpus is durably owned elsewhere. Takedowns are UNSUPPORTED
+  *    through the stream ([[retract]] fails loudly — without a store
+  *    the retracted vectors cannot be un-mixed or kept out of
+  *    replays); execute them against the owning corpus and rebuild.
+  *    A crash INSIDE an append (postings written, meta not yet
+  *    rewritten) must NOT self-heal here: the stream holds no corpus
+  *    handle, so "rebuild from the current micro-batch" would
+  *    silently replace an index holding every previously ingested
+  *    vector with one holding ONLY the replayed batch — meta-valid,
+  *    serving wrong neighbors, no detectable invariant violation.
+  *    [[ingestBatch]] therefore fails loudly with the operator
+  *    remedy (AnnIndex.build from the durable corpus, or wipe the
+  *    index dir to accept a from-scratch stream rebuild).
   */
 final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
-                               compactAfterFiles: Int = 64) {
+                               compactAfterFiles: Int = 64,
+                               storeDir: Option[String] = None) {
 
   private val embeddingSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -55,7 +70,8 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
       .writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) => if (!batch.isEmpty) { ingestBatch(batch.toDF()); () }
+         batchId: Long) =>
+          if (!batch.isEmpty) { ingestBatch(batch.toDF(), batchId); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -63,51 +79,149 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
     q.awaitTermination()
   }
 
-  private def ingestBatch(batch: DataFrame): Unit = {
+  /** The accumulated accepted vectors (store posture only), read
+    * from the per-batch partition dirs — the rebuild source for
+    * crash recovery and the row source for [[retract]]'s un-mix. */
+  def store(): DataFrame = {
+    val dir = requireStore("store")
+    spark.read.parquet(dir).select("vec_id", "embedding")
+  }
+
+  /** Sticky takedown-intent ledger beside the vector store — the
+    * exact [[StreamingDedupIngest]] discipline: every micro-batch
+    * drops ledgered ids BEFORE the already-indexed gate, so a
+    * re-delivered retracted id can never be re-admitted — including
+    * after a compaction has materialized its tombstone, the window
+    * where the raw-postings anti-join alone would wave it through as
+    * definitely-new. */
+  private def retractedDir = storeDir.map(_ + "_retracted")
+
+  private def dropRetracted(df: DataFrame): DataFrame =
+    retractedDir match {
+      case None => df
+      case Some(ld) => Takedown.dropLedgered(spark, ld, df, "vec_id")
+    }
+
+  private def requireStore(what: String): String =
+    storeDir.getOrElse(throw new IllegalStateException(
+      s"StreamingAnnIngest.$what requires the durable vector store " +
+        "posture: construct the ingest with storeDir = Some(dir). " +
+        "Without a store the retracted vectors cannot be un-mixed " +
+        "from the index or kept out of at-least-once replays — " +
+        "execute takedowns against the owning corpus and rebuild " +
+        "instead."))
+
+  /** End-to-end takedown (store posture only) — [[Takedown.retract]]
+    * with this family's bindings: ledger beside the vector store,
+    * purge the store, then [[AnnIndex.remove]] (O(batch) tombstone +
+    * XOR-unmixed meta; postings untouched until compact) — or a
+    * rebuild from the purged store when crash residue makes the
+    * un-mix impossible. Idempotent: replaying the same takedown
+    * batch is a no-op that leaves the ledger untouched. A takedown
+    * arriving before any batch was ingested completes as a
+    * ledger-only retraction. */
+  def retract(ids: DataFrame): Unit = {
+    val dir = requireStore("retract")
+    Takedown.retract(spark, ids, "vec_id", Seq("embedding"),
+      ledgerDir = dir + "_retracted",
+      primaryStore = dir, extraStores = Nil,
+      liveIds = AnnIndex.liveIndexedIds(spark, indexDir)
+        .withColumnRenamed("id", "vec_id"),
+      removeRows = rows => AnnIndex.remove(rows, indexDir),
+      rebuild = () => AnnIndex.build(store(), indexDir))
+  }
+
+  /** [[Takedown.purgeStore]] bound to this family's columns — also
+    * the crash-simulation hook StreamingSpec drives by reflection. */
+  private def purgeStore(root: String, ids: DataFrame): Unit =
+    Takedown.purgeStore(spark, root, ids, "vec_id", Seq("embedding"))
+
+  private def fs =
+    new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def writePartition(df: DataFrame, root: String,
+                             batchId: Long): Unit =
+    df.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/batch=$batchId")
+
+  private def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
     // in-batch dedup first (a staged drop may repeat ids), then the
-    // cross-batch gate against what the index already holds
+    // sticky takedown filter (store posture — see retractedDir);
     // localCheckpoint: build/append each run several passes (identity
     // agg, codebook, encode, assign) — materialize the micro-batch
     // once instead of re-reading the source files per pass
-    val fresh = batch.dropDuplicates("vec_id").localCheckpoint()
+    val fresh = dropRetracted(batch.dropDuplicates("vec_id"))
+      .localCheckpoint()
+    // NOTE: no early return on an empty batch — the crash-recovery
+    // check below must run regardless, or a batch whose rows were
+    // all retracted/duplicate would commit its checkpoint while
+    // leaving a meta-less (crashed-append) index unrepaired
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-    val fs = metaPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath)) {
-      // no meta: EITHER a never-built dir (safe to build from this
-      // first batch) OR a crash mid-append left assets without their
-      // commit marker — building from the micro-batch would drop all
-      // previously ingested vectors behind a meta-valid index, so
-      // fail loudly and leave the decision to the operator
       val orphaned = Seq("postings", "centroids", "codebook").filter(a =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$a")))
-      if (orphaned.nonEmpty)
-        throw new IllegalStateException(
-          s"ANN index at $indexDir has assets (${orphaned.mkString(", ")}) " +
-            "but no meta commit marker — a crash mid-append invalidated " +
-            "it. Rebuild from the durable corpus (AnnIndex.build) or " +
-            "delete the index dir to rebuild from the stream, then " +
-            "restart the ingest.")
-      AnnIndex.build(fresh, indexDir)
-    } else {
-      // bloom-gated already-indexed filter: rows the stored id bloom
-      // rules out are DEFINITELY new and skip the postings anti-join
-      // entirely (the common all-new batch never reads the postings);
-      // might-contain rows (true repeats + bloom FPP) take the exact
-      // anti-join. Pre-bloom indexes fall back to the full anti-join.
-      val newOnly = graft.ext.StoredIndex.bloomGatedNewOnly(
-        spark, indexDir, fresh, "vec_id",
-        spark.read.parquet(s"$indexDir/postings")
-          .select(col("nid").as("vec_id")))
-      if (!newOnly.isEmpty) {
-        AnnIndex.append(newOnly, indexDir, checkIds = false)
-        // self-maintenance: bound the small-file accretion of a long
-        // append chain. A crash mid-compaction invalidates the meta;
-        // this ingest holds no corpus, so the next batch fails
-        // loudly (above) and the operator rebuilds — the same
-        // contract as a crashed append.
-        AnnIndex.maybeCompact(spark, indexDir, compactAfterFiles)
+      val storeExists = storeDir.exists { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
       }
+      if (orphaned.nonEmpty && !storeExists)
+        // no meta: EITHER a never-built dir (safe to build from this
+        // first batch) OR a crash mid-append left assets without
+        // their commit marker — with no durable store, building from
+        // the micro-batch would drop all previously ingested vectors
+        // behind a meta-valid index, so fail loudly and leave the
+        // decision to the operator
+        throw new IllegalStateException(
+          s"ANN index at $indexDir has assets " +
+            s"(${orphaned.mkString(", ")}) but no meta commit marker " +
+            "— a crash mid-append invalidated it. Rebuild from the " +
+            "durable corpus (AnnIndex.build) or delete the index dir " +
+            "to rebuild from the stream, then restart the ingest.")
+      if (orphaned.nonEmpty) {
+        // crash mid-append under the STORE posture: the store holds
+        // at least everything ever indexed (written BEFORE each
+        // append), so rebuilding from it — never from the replayed
+        // batch — is lossless; the replay then re-gates against the
+        // rebuilt index
+        AnnIndex.build(store(), indexDir)
+        if (!fresh.isEmpty) appendGated(fresh, batchId)
+      } else if (!fresh.isEmpty) {
+        // first batch seeds the index (and the store, when present —
+        // built FROM the store, like the dedup twin, so the built
+        // index is exactly what a store rebuild would produce)
+        storeDir.foreach(d => writePartition(fresh, d, batchId))
+        AnnIndex.build(if (storeDir.isDefined) store() else fresh,
+          indexDir)
+      }
+    } else if (!fresh.isEmpty) appendGated(fresh, batchId)
+  }
+
+  private def appendGated(fresh: DataFrame, batchId: Long): Unit = {
+    // bloom-gated already-indexed filter: rows the stored id bloom
+    // rules out are DEFINITELY new and never read the postings (the
+    // common all-new batch short-circuits — StoredIndex); might-
+    // contain rows (true repeats + bloom FPP) take the exact
+    // anti-join. Pre-bloom indexes fall back to the full anti-join.
+    val newOnly = graft.ext.StoredIndex.bloomGatedNewOnly(
+      spark, indexDir, fresh, "vec_id",
+      spark.read.parquet(s"$indexDir/postings")
+        .select(col("nid").as("vec_id")))
+      .localCheckpoint()
+    if (!newOnly.isEmpty) {
+      // store FIRST, then index: a crash between the two leaves a
+      // valid index missing this batch — the replay re-gates and
+      // re-appends (its store partition rewrite is idempotent); a
+      // crash INSIDE append leaves no meta, and the next run
+      // rebuilds from the store (see ingestBatch) or fails loudly
+      // in the index-only posture
+      storeDir.foreach(d => writePartition(newOnly, d, batchId))
+      AnnIndex.append(newOnly, indexDir, checkIds = false)
+      // self-maintenance: bound the small-file accretion of a long
+      // append chain. A crash mid-compaction invalidates the meta;
+      // recovery is the same path as a crashed append (store
+      // rebuild, or the loud failure without one).
+      AnnIndex.maybeCompact(spark, indexDir, compactAfterFiles)
     }
   }
 }

@@ -105,27 +105,11 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     * in the index to tombstone), the replayed batch would re-gate
     * the doc as definitely-new and re-ingest the retracted text.
     * The ledger makes retraction STICKY: once an id is recorded, no
-    * replay or future drop can re-admit it. */
+    * replay or future drop can re-admit it ([[Takedown]]). */
   private val retractedDir = corpusDir + "_retracted"
 
-  /** Ledgered ids, or None when no takedown was ever recorded. The
-    * existence check is explicit and read errors PROPAGATE: a
-    * ledger that exists but cannot be read must fail the batch, not
-    * silently disable the retraction filter (failing open here is
-    * exactly the resurrection the ledger prevents). */
-  private def retractedIds(): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(retractedDir)
-    if (!p.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(p)) None
-    else Some(spark.read.parquet(retractedDir)
-      .select(col("doc_id")).distinct())
-  }
-
   private def dropRetracted(df: DataFrame): DataFrame =
-    retractedIds() match {
-      case None => df
-      case Some(r) => df.join(broadcast(r), Seq("doc_id"), "left_anti")
-    }
+    Takedown.dropLedgered(spark, retractedDir, df, "doc_id")
 
   private def fs =
     new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
@@ -136,85 +120,35 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     df.select("doc_id", "text")
       .write.mode("overwrite").parquet(s"$root/batch=$batchId")
 
-  /** End-to-end takedown: record the ids in the durable intent
-    * ledger (making the retraction STICKY against any replay — see
-    * [[retractedDir]]), purge the named documents from the durable
-    * stores (corpus AND quarantine — a retracted document must not
-    * survive as a quarantined near-dup copy), and tombstone them in
-    * the index ([[DedupIndex.remove]]).
-    *
-    * Ordering is load-bearing: ledger first, then stores, index
-    * LAST — the reverse of ingest. A crash at any point is repaired
-    * by REPLAYING THE TAKEDOWN BATCH (takedown queues are durable
-    * in practice, and this method is idempotent): the ledger makes
-    * the replay exact, already-purged/tombstoned ids are skipped,
-    * and the one unrecoverable residue — a live-indexed id whose
-    * text is (correctly) already gone, so its XOR term cannot be
-    * recomputed — is detected and resolved by rebuilding from the
-    * purged store. Until that replay, the residue is contained: the
-    * stale entries are content-free signature hashes that can never
-    * reach probe OUTPUT (exact-Jaccard verification inner-joins the
-    * corpus text, which no longer has the row), and the sticky
-    * ledger keeps any re-delivery of the id out. Index-first
-    * ordering would instead open a window where recovery rebuilds
-    * RESURRECT the retracted text — the one failure a takedown must
-    * never have. */
+  /** End-to-end takedown — [[Takedown.retract]] with this family's
+    * bindings: ledger beside the corpus store, purge corpus AND
+    * quarantine (a retracted document must not survive as a
+    * quarantined near-dup copy), then [[DedupIndex.remove]] — or a
+    * rebuild from the purged corpus store when crash residue makes
+    * the XOR un-mix impossible. See [[Takedown]] for why the
+    * ledger-stores-index ordering is the only one that survives a
+    * crash at every point; until a residue-resolving replay, the
+    * stale index entries are contained — content-free signature
+    * hashes that can never reach probe OUTPUT (exact-Jaccard
+    * verification inner-joins the corpus text, which no longer has
+    * the row), with the sticky ledger keeping any re-delivery out.
+    * A takedown arriving before any batch was ingested completes as
+    * a ledger-only retraction. */
   def retract(ids: DataFrame): Unit = {
     import graft.ext.DedupIndex
-    val want = ids.select(col("doc_id").cast("long").as("doc_id"))
-      .distinct().localCheckpoint()
-    // durable intent FIRST: once recorded, no replayed micro-batch
-    // or future drop can re-admit these ids. Only ids NOT already
-    // ledgered append, so idempotent takedown replays leave the
-    // ledger untouched — it grows with distinct retractions (the
-    // compliance history), never with retries
-    val newIntent = retractedIds() match {
-      case None => want
-      case Some(r) => want.join(r, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-    }
-    if (!newIntent.isEmpty)
-      newIntent.write.mode("append").parquet(retractedDir)
-    // fetch the rows BEFORE purging: the index un-mix needs them
-    val rows = corpus().join(want, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    purgeStore(corpusDir, want)
-    purgeStore(quarantineDir, want)
-    val live = DedupIndex.liveIndexedIds(spark, indexDir)
-      .withColumnRenamed("id", "doc_id").localCheckpoint()
-    val toTombstone = rows.join(live, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    // live-indexed ids in the request with NO stored row = residue
-    // of a crash between a previous purge and its index remove
-    val unmixable = live.join(want, Seq("doc_id"), "left_semi")
-      .join(toTombstone.select("doc_id"), Seq("doc_id"), "left_anti")
-      .limit(1).count()
-    if (unmixable > 0L) DedupIndex.build(corpus(), indexDir)
-    else if (!toTombstone.isEmpty)
-      DedupIndex.remove(toTombstone, indexDir)
+    Takedown.retract(spark, ids, "doc_id", Seq("text"),
+      ledgerDir = retractedDir,
+      primaryStore = corpusDir, extraStores = Seq(quarantineDir),
+      liveIds = DedupIndex.liveIndexedIds(spark, indexDir)
+        .withColumnRenamed("id", "doc_id"),
+      removeRows = rows => DedupIndex.remove(rows, indexDir),
+      rebuild = () => DedupIndex.build(corpus(), indexDir))
   }
 
-  /** Rewrite ONLY the per-batch partition dirs that hold any of the
-    * purged ids (partition-pruned: untouched batches never rewrite).
-    * The affected-partition list is a bounded driver read — batch
-    * ids, not documents. */
-  private def purgeStore(root: String, ids: DataFrame): Unit = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    if (!rootPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(rootPath)) return
-    val affected = spark.read.parquet(root)
-      .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("batch").cast("long")).distinct()
-      .collect().map(_.getLong(0))
-    affected.foreach { b =>
-      val pdir = s"$root/batch=$b"
-      // materialize BEFORE overwriting the dir being read
-      val remaining = spark.read.option("basePath", root).parquet(pdir)
-        .join(ids, Seq("doc_id"), "left_anti")
-        .select("doc_id", "text").localCheckpoint()
-      remaining.write.mode("overwrite").parquet(pdir)
-    }
-  }
+  /** [[Takedown.purgeStore]] bound to this family's columns — also
+    * the crash-simulation hook StreamingSpec drives by reflection. */
+  private def purgeStore(root: String, ids: DataFrame): Unit =
+    Takedown.purgeStore(spark, root, ids, "doc_id", Seq("text"))
 
   private def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
     // in-batch id dedup first (a staged drop may repeat ids), then

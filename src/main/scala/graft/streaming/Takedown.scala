@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The compliance-takedown protocol shared by the stream-maintained
+  * index families ([[StreamingDedupIngest]].retract and
+  * [[StreamingAnnIngest]].retract): the families differ only in
+  * their id/payload columns, their durable stores, and which index's
+  * remove/rebuild they call — the ordering discipline, the sticky
+  * intent ledger, and the crash-residue resolution live HERE once,
+  * exactly as [[graft.ext.StoredIndex]] centralizes the commit-marker
+  * mechanics the batch sides share.
+  *
+  * Ordering is load-bearing, and it is the REVERSE of ingest:
+  * ledger first, then stores, index LAST. A crash at any point is
+  * repaired by REPLAYING THE TAKEDOWN BATCH (takedown queues are
+  * durable in practice, and [[retract]] is idempotent): the ledger
+  * makes the replay exact, already-purged/tombstoned ids are
+  * skipped, and the one unrecoverable residue — a live-indexed id
+  * whose stored row is (correctly) already gone, so its fingerprint
+  * XOR term cannot be recomputed — is detected and resolved by
+  * rebuilding from the purged store. Index-first ordering would
+  * instead open a window where recovery rebuilds RESURRECT the
+  * retracted content — the one failure a takedown must never have.
+  */
+private[streaming] object Takedown {
+
+  /** Ledgered ids, or None when no takedown was ever recorded. The
+    * existence check is explicit and read errors PROPAGATE: a ledger
+    * that exists but cannot be read must fail the batch, not
+    * silently disable the retraction filter (failing open here is
+    * exactly the resurrection the ledger prevents). */
+  def ledgeredIds(spark: SparkSession, ledgerDir: String,
+                  idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    if (!p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(spark.read.parquet(ledgerDir)
+      .select(col(idCol)).distinct())
+  }
+
+  /** The per-micro-batch sticky filter: drop every ledgered id from
+    * an incoming batch. Once an id is recorded, no replayed
+    * micro-batch or future drop can re-admit it — including after a
+    * compaction has materialized its tombstone (the physical-rows
+    * anti-join alone stops filtering at that point; the ledger is
+    * what makes the takedown durable against at-least-once
+    * re-delivery). */
+  def dropLedgered(spark: SparkSession, ledgerDir: String,
+                   df: DataFrame, idCol: String): DataFrame =
+    ledgeredIds(spark, ledgerDir, idCol) match {
+      case None => df
+      case Some(r) => df.join(broadcast(r), Seq(idCol), "left_anti")
+    }
+
+  /** Rewrite ONLY the per-batch partition dirs that hold any of the
+    * purged ids (partition-pruned: untouched batches never rewrite).
+    * The affected-partition list is a bounded driver read — batch
+    * ids, not rows.
+    *
+    * Cost note: the affected partitions rewrite SERIALLY on the
+    * driver, one small Spark job each — bounded by the takedown
+    * batch's distinct staged-batch partitions, which is the right
+    * price at compliance scale (a takedown names few documents
+    * across few batches). A takedown naming millions of rows across
+    * thousands of batches would serialize thousands of small jobs;
+    * batch such requests through a full store rewrite + index
+    * rebuild instead. */
+  def purgeStore(spark: SparkSession, root: String, ids: DataFrame,
+                 idCol: String, cols: Seq[String]): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!rootPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(rootPath)) return
+    val affected = spark.read.parquet(root)
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    affected.foreach { b =>
+      val pdir = s"$root/batch=$b"
+      // materialize BEFORE overwriting the dir being read
+      val remaining = spark.read.option("basePath", root).parquet(pdir)
+        .join(ids, Seq(idCol), "left_anti")
+        .select(idCol, cols: _*).localCheckpoint()
+      remaining.write.mode("overwrite").parquet(pdir)
+    }
+  }
+
+  /** End-to-end takedown: record the ids in the durable intent
+    * ledger (making the retraction STICKY against any replay), purge
+    * them from every durable store, and un-mix them from the index —
+    * tombstone the ids whose rows were still stored (`removeRows`),
+    * or rebuild from the purged store (`rebuild`) when crash residue
+    * makes the XOR un-mix impossible. See the object scaladoc for
+    * why this ordering, and only this ordering, survives a crash at
+    * every point.
+    *
+    * A takedown that arrives BEFORE any batch was ever ingested
+    * (no primary store yet) completes as a ledger-only retraction:
+    * the sticky ledger already guarantees the ids can never be
+    * admitted, which IS the correct end state — not an error. */
+  def retract(spark: SparkSession, ids: DataFrame, idCol: String,
+              cols: Seq[String], ledgerDir: String,
+              primaryStore: String, extraStores: Seq[String],
+              liveIds: => DataFrame,
+              removeRows: DataFrame => Unit,
+              rebuild: () => Unit): Unit = {
+    val want = ids.select(col(idCol).cast("long").as(idCol))
+      .distinct().localCheckpoint()
+    // durable intent FIRST: once recorded, no replayed micro-batch
+    // or future drop can re-admit these ids. Only ids NOT already
+    // ledgered append, so idempotent takedown replays leave the
+    // ledger untouched — it grows with distinct retractions (the
+    // compliance history), never with retries
+    val newIntent = ledgeredIds(spark, ledgerDir, idCol) match {
+      case None => want
+      case Some(r) => want.join(r, Seq(idCol), "left_anti")
+        .localCheckpoint()
+    }
+    if (!newIntent.isEmpty)
+      newIntent.write.mode("append").parquet(ledgerDir)
+    // early takedown: nothing was ever ingested — the ledger entry
+    // is the complete, correct retraction (see scaladoc)
+    val primaryPath = new org.apache.hadoop.fs.Path(primaryStore)
+    if (!primaryPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(primaryPath))
+      return
+    // fetch the rows BEFORE purging: the index un-mix needs them
+    val rows = spark.read.parquet(primaryStore)
+      .select(idCol, cols: _*)
+      .join(want, Seq(idCol), "left_semi")
+      .localCheckpoint()
+    (primaryStore +: extraStores).foreach(st =>
+      purgeStore(spark, st, want, idCol, cols))
+    val live = liveIds.localCheckpoint()
+    val toTombstone = rows.join(live, Seq(idCol), "left_semi")
+      .localCheckpoint()
+    // live-indexed ids in the request with NO stored row = residue
+    // of a crash between a previous purge and its index remove
+    val unmixable = live.join(want, Seq(idCol), "left_semi")
+      .join(toTombstone.select(idCol), Seq(idCol), "left_anti")
+      .limit(1).count()
+    if (unmixable > 0L) rebuild()
+    else if (!toTombstone.isEmpty) removeRows(toTombstone)
+  }
+}

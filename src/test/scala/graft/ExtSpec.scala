@@ -641,6 +641,65 @@ class ExtSpec extends SparkTestBase {
     assert(!AnnIndex.ensure(live, dir))
   }
 
+  test("compact with materialized deletions refreshes the id bloom") {
+    import graft.ext.{AnnIndex, DedupIndex, StoredIndex}
+    // the superset bloom keeps retracted ids (safe — positives fall
+    // through to the exact check — but FPP accretes forever); a
+    // compaction that materializes the deletion rewrites every live
+    // id anyway, so it re-derives the bloom from the survivors:
+    // purged ids go bloom-NEGATIVE, live ids stay positive, and the
+    // exact duplicate-id guard still holds on both sides
+    def positive(dir: String, id: Long): Boolean = {
+      val bytes = StoredIndex.readIdBloom(spark, dir)
+        .getOrElse(fail(s"no idbloom asset at $dir"))
+      spark.range(id, id + 1)
+        .filter(StoredIndex.mightContain(bytes, $"id")).count() == 1L
+    }
+    // dedup family
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet shade"))
+      .toDF("doc_id", "text")
+    val dDir = java.nio.file.Files
+      .createTempDirectory("graft_blmrf_d_").toString
+    DedupIndex.build(corpus, dDir)
+    DedupIndex.remove(corpus.filter($"doc_id" === 2), dDir)
+    assert(positive(dDir, 2L), "pre-compact: retracted id still blooms")
+    DedupIndex.compact(spark, dDir)
+    assert(!positive(dDir, 2L),
+      "materializing compact must drop the purged id from the bloom")
+    assert(positive(dDir, 0L) && positive(dDir, 1L),
+      "live ids must survive the bloom refresh")
+    // the guard contracts survive the refresh: a live id is still
+    // rejected, the purged id appends cleanly
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(corpus.filter($"doc_id" === 0), dDir)
+    }
+    DedupIndex.append(corpus.filter($"doc_id" === 2), dDir)
+    assert(!DedupIndex.ensure(corpus, dDir))
+    // a compact with NO pending deletions must leave the bloom alone
+    // (no refresh pass is paid)
+    val before = StoredIndex.readIdBloom(spark, dDir).get.toSeq
+    DedupIndex.compact(spark, dDir)
+    assert(StoredIndex.readIdBloom(spark, dDir).get.toSeq == before,
+      "no-deletes compact must not rewrite the bloom")
+    // ANN family: same contract over the postings key
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter($"vec_id" < 60).localCheckpoint()
+    val aDir = java.nio.file.Files
+      .createTempDirectory("graft_blmrf_a_").toString + "/ix"
+    AnnIndex.build(embs, aDir)
+    AnnIndex.remove(embs.filter($"vec_id" === 59), aDir)
+    assert(positive(aDir, 59L))
+    AnnIndex.compact(spark, aDir)
+    assert(!positive(aDir, 59L),
+      "ANN compact must drop the purged id from the bloom")
+    assert(positive(aDir, 0L))
+    AnnIndex.append(embs.filter($"vec_id" === 59), aDir)
+    assert(!AnnIndex.ensure(embs, aDir))
+  }
+
   test("dedup retraction: probe equals a live-corpus build, cap included") {
     import graft.ext.{DedupIndex, StoredIndex}
     // cap interaction is the subtle case: four identical docs put

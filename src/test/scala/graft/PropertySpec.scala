@@ -337,6 +337,149 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("dedup index: 30 random append/remove/compact/re-append interleavings") {
+    import graft.ext.DedupIndex
+    // takedown-inclusive randomized lifecycle coverage: every
+    // sequence drives a RANDOM op chain — append fresh docs, retract
+    // a random live subset, compact (materializing the tombstones),
+    // re-append a previously-materialized doc — and then pins the
+    // stored probe ≡ the direct one-shot gate over the surviving
+    // corpus, plus content-ensure freshness (the XOR meta algebra
+    // surviving the whole chain). d17 gates ONE interleaving;
+    // this gates whatever 30 the seed deals.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(97)
+    def doc(): String =
+      Seq.fill(8 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    var nonVacuous = 0
+    for (seqNo <- 1 to 30) {
+      val pool = (0L until 32L).map(i => (i, doc()))
+      var cursor = 10
+      var live = pool.take(10).toMap
+      var pending = Map.empty[Long, String] // tombstoned, unmaterialized
+      var purged = Map.empty[Long, String]  // materialized, re-appendable
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"d15rand$seqNo").toString
+      DedupIndex.build(live.toSeq.toDF("doc_id", "text"), dir)
+      var removedOnce = false
+      for (_ <- 1 to 4) rnd.nextInt(4) match {
+        case 0 if cursor < pool.size => // append fresh docs
+          val batch = pool.slice(cursor,
+            math.min(cursor + 3 + rnd.nextInt(5), pool.size))
+          cursor += batch.size
+          DedupIndex.append(batch.toDF("doc_id", "text"), dir)
+          live ++= batch
+        case 1 if live.size > 4 => // retract a random live subset
+          val gone = live.toSeq.sortBy(_._1)
+            .filter(_ => rnd.nextInt(3) == 0).take(live.size - 3)
+          if (gone.nonEmpty) {
+            DedupIndex.remove(gone.toDF("doc_id", "text"), dir)
+            live --= gone.map(_._1); pending ++= gone
+            removedOnce = true
+          }
+        case 2 => // compact: tombstones materialize, ids re-appendable
+          DedupIndex.compact(spark, dir)
+          purged ++= pending; pending = Map.empty
+        case 3 if purged.nonEmpty => // re-append a materialized doc
+          val (id, txt) = purged.toSeq.minBy(_._1)
+          DedupIndex.append(Seq((id, txt)).toDF("doc_id", "text"), dir)
+          live += id -> txt; purged -= id
+        case _ => () // op not applicable in this state — skip
+      }
+      // probe: random docs + one exact copy of a live doc so the
+      // result set is non-trivially non-empty in most sequences
+      val copyOf = live.toSeq.minBy(_._1)._2
+      val batch = ((100L until 103L).map(i => (i, doc())) :+
+        (103L, copyOf)).toDF("doc_id", "text").localCheckpoint()
+      val liveDf = live.toSeq.toDF("doc_id", "text").localCheckpoint()
+      val stored = pairs(DedupIndex.probe(batch, dir, liveDf, 0.5))
+      val direct = pairs(graft.ext.Dedup.minhashIncrementalNearDups(
+        batch, liveDf, 0.5))
+      assert(stored == direct,
+        s"sequence $seqNo: stored probe != one-shot gate over survivors")
+      assert(!DedupIndex.ensure(liveDf, dir),
+        s"sequence $seqNo: meta must stay content-fresh for survivors")
+      if (removedOnce && direct.nonEmpty) nonVacuous += 1
+    }
+    assert(nonVacuous >= 8,
+      s"only $nonVacuous sequences exercised retract+hit — weak seed")
+  }
+
+  test("ann index: 20 random append/remove/compact/re-append interleavings") {
+    import graft.ext.AnnIndex
+    // the x-family twin of the randomized lifecycle above: random op
+    // chains over a stored IVFADC index, then tombstone-filtered
+    // serve ≡ the FILTERED probe over a removal-free twin index with
+    // identical assets (build set unchanged; append packaging
+    // invariance is pinned by the packaging test above), plus
+    // content-ensure freshness over the survivors.
+    val rnd = new scala.util.Random(101)
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter($"vec_id" < 80).localCheckpoint()
+    val q = embs.filter($"vec_id" < 5).localCheckpoint()
+    var nonVacuous = 0
+    for (seqNo <- 1 to 20) {
+      var cursor = 30L
+      var live = (0L until 30L).toSet
+      var everIn = live
+      var pending = Set.empty[Long]
+      var purged = Set.empty[Long]
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"annrand$seqNo").toString + "/ix"
+      def rows(ids: Set[Long]) =
+        embs.filter($"vec_id".isInCollection(ids))
+      AnnIndex.build(rows(live), dir)
+      var removedOnce = false
+      for (_ <- 1 to 4) rnd.nextInt(4) match {
+        case 0 if cursor < 80L => // append fresh vectors
+          val hi = math.min(cursor + 5 + rnd.nextInt(6), 80L)
+          val ids = (cursor until hi).toSet
+          cursor = hi
+          AnnIndex.append(rows(ids), dir)
+          live ++= ids; everIn ++= ids
+        case 1 if live.size > 6 => // retract a random live subset
+          val gone = live.toSeq.sorted
+            .filter(_ => rnd.nextInt(3) == 0).take(live.size - 5).toSet
+          if (gone.nonEmpty) {
+            AnnIndex.remove(rows(gone), dir)
+            live --= gone; pending ++= gone
+            removedOnce = true
+          }
+        case 2 => // compact: deletions materialize, ids re-appendable
+          AnnIndex.compact(spark, dir)
+          purged ++= pending; pending = Set.empty
+        case 3 if purged.nonEmpty => // re-append a materialized vector
+          val id = purged.min
+          AnnIndex.append(rows(Set(id)), dir)
+          live += id; purged -= id
+        case _ => ()
+      }
+      // twin: same build set, everything else ever appended, NO
+      // removals — the filtered serve over it is an independent code
+      // path to the same live sub-corpus
+      val twin = java.nio.file.Files
+        .createTempDirectory(s"annrandT$seqNo").toString + "/ix"
+      AnnIndex.build(rows((0L until 30L).toSet), twin)
+      val later = everIn.diff((0L until 30L).toSet)
+      if (later.nonEmpty) AnnIndex.append(rows(later), twin)
+      val served = AnnIndex.probeTopK(spark, dir, q, k = 3)
+        .collect().toSet
+      val viaFilter = AnnIndex.probeTopKFiltered(spark, twin, q,
+        rows(live).select("vec_id"), k = 3).collect().toSet
+      assert(served == viaFilter,
+        s"sequence $seqNo: tombstone serve != filtered twin serve")
+      assert(!AnnIndex.ensure(rows(live), dir),
+        s"sequence $seqNo: meta must stay content-fresh for survivors")
+      if (removedOnce && served.nonEmpty) nonVacuous += 1
+    }
+    assert(nonVacuous >= 6,
+      s"only $nonVacuous sequences exercised retract+serve — weak seed")
+  }
+
   test("windowSplit: in ∪ out == (> lld), disjoint — for random windows") {
     val rows = sample(tsGen, 200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = rows.toDF("id", "ts")

@@ -117,6 +117,17 @@ class RegistryGuardSpec extends SparkTestBase {
     // both filters are keyed on nid; same one-row-asset argument
     "x13_ann_filtered_retract" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x14: the x9 probe chain after the full lifecycle chain (build/
+    // append/remove/compact/append run eagerly outside the probed
+    // plan) — x9's one-row-asset argument verbatim
+    "x14_ann_lifecycle" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // st12: the symmetric difference of TWO x9 probe chains (the
+    // streamed-lifecycle index vs the batch-lifecycle twin) — the
+    // one-row centroid/codebook broadcasts appear on both sides;
+    // every data-sized join is keyed on cid/nid
+    "st12_ann_ingest_retract" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // z3: three one-row pruning aggregates (linear scan stats,
     // z-order scan stats, true hit count) side by side — the e8
     // one-row-totals shape

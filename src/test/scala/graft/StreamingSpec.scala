@@ -504,6 +504,158 @@ class StreamingSpec extends SparkTestBase {
     assert(!DedupIndex.ensure(ingest.corpus(), ix))
   }
 
+  test("streaming ANN ingest (store posture): retract purges store + index") {
+    import graft.ext.AnnIndex
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_stannrt_").toString
+    val (ix, store) = (s"$root/ix", s"$root/store")
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val ingest = new graft.streaming.StreamingAnnIngest(spark, ix,
+      storeDir = Some(store))
+    val drop1 = embs.filter($"vec_id" < 300)
+    val drop2 = embs.filter($"vec_id" >= 300)
+    stage(drop1, s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(ids(ingest.store()) == ids(drop1), "first drop seeds store")
+    // second drop + a re-delivered slice: the gate must skip repeats
+    stage(drop2.unionByName(drop1.limit(7)), s"$root/staging", "d2")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(ids(ingest.store()) == ids(embs))
+    assert(spark.read.parquet(s"$ix/postings").count() == embs.count())
+    assert(!AnnIndex.ensure(embs, ix),
+      "streamed index content-fresh over the full corpus")
+
+    // takedown: purge 3 vectors — store loses them, the index
+    // un-mixes them (XOR meta stays exact over the live remainder)
+    val gone = Seq(5L, 150L, 400L).toDF("vec_id")
+    val live = embs.filter(!$"vec_id".isin(5L, 150L, 400L))
+      .localCheckpoint()
+    ingest.retract(gone)
+    assert(ids(ingest.store()).intersect(Set(5L, 150L, 400L)).isEmpty,
+      "retracted vectors must leave the store")
+    assert(!AnnIndex.ensure(live, ix),
+      "post-retract index content-fresh over the LIVE corpus")
+    // serve parity: tombstone serve == filtered serve over a batch
+    // twin with the same build/append split
+    val bix = Files.createTempDirectory("graft_stannrt_b_")
+      .toString + "/ix"
+    AnnIndex.build(drop1, bix)
+    AnnIndex.append(drop2, bix)
+    val q = embs.filter($"vec_id" < 5)
+    assert(
+      AnnIndex.probeTopK(spark, ix, q, k = 3).collect().toSet ==
+        AnnIndex.probeTopKFiltered(spark, bix, q,
+          live.select("vec_id"), k = 3).collect().toSet,
+      "streamed tombstone serve != batch filtered serve")
+
+    // idempotent replay: no ledger growth, nothing changes
+    val ledgerRows = spark.read.parquet(store + "_retracted").count()
+    ingest.retract(gone)
+    assert(spark.read.parquet(store + "_retracted").count()
+      == ledgerRows, "replayed takedown must not grow the ledger")
+    assert(!AnnIndex.ensure(live, ix))
+
+    // STICKY: compact materializes the tombstones (the raw-postings
+    // anti-join stops filtering), then re-deliver a retracted id —
+    // the ledger must keep it out (the ADVICE resurrection window)
+    AnnIndex.compact(spark, ix)
+    stage(embs.filter($"vec_id" === 5), s"$root/staging", "redeliver5")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(!ids(ingest.store()).contains(5L),
+      "re-delivered retracted vector must stay out (sticky ledger)")
+    assert(spark.read.parquet(s"$ix/postings")
+      .filter($"nid" === 5L).isEmpty,
+      "re-delivered retracted vector must not re-enter the postings")
+    assert(!AnnIndex.ensure(live, ix))
+
+    // crash residue: a prior retract purged the store but died
+    // before the index remove — simulate via the purge hook, then
+    // retract: the vector needed for the XOR un-mix is (correctly)
+    // gone, so retract must REBUILD from the purged store
+    val want17 = Seq(17L).toDF("vec_id")
+    val m = classOf[graft.streaming.StreamingAnnIngest]
+      .getDeclaredMethod("purgeStore", classOf[String],
+        classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
+    m.invoke(ingest, store,
+      want17.select($"vec_id".cast("long").as("vec_id")))
+    ingest.retract(want17)
+    assert(!ids(ingest.store()).contains(17L))
+    assert(!AnnIndex.ensure(ingest.store(), ix),
+      "post-crash retract must leave a fresh index over the store")
+  }
+
+  test("streaming ANN ingest (store posture): crash mid-append self-heals") {
+    import graft.ext.AnnIndex
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_stannsh_").toString
+    val (ix, store) = (s"$root/ix", s"$root/store")
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val ingest = new graft.streaming.StreamingAnnIngest(spark, ix,
+      storeDir = Some(store))
+    stage(embs.filter($"vec_id" < 200), s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    // crash INSIDE an append: meta gone, assets remain. Unlike the
+    // index-only posture (which must fail loudly), the durable store
+    // makes the safe remedy automatic — rebuild from it and continue
+    val metaPath = new org.apache.hadoop.fs.Path(s"$ix/meta")
+    metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
+    stage(embs.filter($"vec_id" >= 200 && $"vec_id" < 260),
+      s"$root/staging", "d2")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(!AnnIndex.ensure(ingest.store(), ix),
+      "rebuilt-from-store index must be fresh for the grown corpus")
+    assert(spark.read.parquet(s"$ix/postings").count() == 260L)
+  }
+
+  test("streaming ANN takedowns: early retract is ledger-only; no-store fails loudly") {
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_stannel_").toString
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    // retract BEFORE any batch was ever ingested: the sticky ledger
+    // entry IS the correct end state — not an error (ADVICE r8) —
+    // and the id can never be admitted afterwards
+    val ingest = new graft.streaming.StreamingAnnIngest(spark,
+      s"$root/ix", storeDir = Some(s"$root/store"))
+    ingest.retract(Seq(3L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$root/store_retracted").count() == 1L)
+    stage(embs.filter($"vec_id" < 50), s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(ingest.store().filter($"vec_id" === 3L).isEmpty,
+      "pre-ingest-retracted id must never be admitted")
+    assert(spark.read.parquet(s"$root/ix/postings")
+      .filter($"nid" === 3L).isEmpty)
+    // the dedup twin honors the same early-takedown contract
+    val dIngest = new graft.streaming.StreamingDedupIngest(spark,
+      s"$root/dix", s"$root/corpus", s"$root/q")
+    dIngest.retract(Seq(7L).toDF("doc_id"))
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    graft.streaming.StreamingDedupIngest.stage(
+      docs.filter($"doc_id" < 50), s"$root/dstaging", "d1")
+    dIngest.ingestAvailable(s"$root/dstaging", s"$root/dckpt")
+    assert(dIngest.corpus().filter($"doc_id" === 7L).isEmpty,
+      "dedup twin: pre-ingest-retracted id must never be admitted")
+    // index-only posture: takedowns are impossible without the store
+    // — the ingest says so loudly instead of corrupting anything
+    val bare = new graft.streaming.StreamingAnnIngest(spark,
+      s"$root/bare_ix")
+    val e = intercept[IllegalStateException] {
+      bare.retract(Seq(1L).toDF("vec_id"))
+    }
+    assert(e.getMessage.contains("storeDir"))
+  }
+
   test("streaming ANN ingest: mid-append crash replay fails loudly") {
     val ix = Files.createTempDirectory("graft_stann_cr_").toString + "/ix"
     val staging = Files.createTempDirectory("graft_stann_crs_").toString
