@@ -30,6 +30,10 @@ PAIR_FAMILIES = {
     "d15v_index_probe_versioned", "d15v_consistency",
     "d15c_compact_probe", "d16_dedup_retract",
     "d17_dedup_lifecycle",
+    # d18 probes the merged index with the same full-batch chain as
+    # d15 (and re-runs the direct gate for the consistency diff), so
+    # the identical twin-inflated candidate mass drives its time
+    "d18_index_merge",
     "st5_stream_interval_join",
     # every replica doc's 9 identical twins share whole-document spans,
     # so the span pair list itself scales ~copies^2

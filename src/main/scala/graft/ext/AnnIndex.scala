@@ -197,6 +197,150 @@ object AnnIndex {
     StoredIndex.writeMergedMeta(spark, dir, storedMeta, batchMeta)
   }
 
+  /** Encode a corpus slice into a NEW shard index that shares a
+    * trainer index's quantization assets — the distributed-build
+    * split for the ANN family, the standard large-scale IVF recipe:
+    * TRAIN ONCE ([[build]] on a representative slice — the trainer),
+    * then encode every other slice against the trainer's
+    * centroids/codebook as independent parallel jobs (each is
+    * O(slice·K) with zero cross-slice traffic), then [[merge]] the
+    * shards in O(assets). Unlike [[DedupIndex]]'s shards — whose
+    * MinHash signatures are content-pure — ANN postings are only
+    * meaningful RELATIVE to the assets that encoded them, so the
+    * sharding contract is SHARED assets by construction: this
+    * copies the trainer's asset FILES bit-identically (never
+    * re-derives them), and [[merge]] verifies the shards agree
+    * before unioning postings. The recall trade is [[append]]'s
+    * (assets trained on the trainer slice only — x10_recall prices
+    * it); the build-cost win is that the O(N·K) encode pass
+    * parallelizes across shard jobs instead of serializing through
+    * one append chain. */
+  def shardFrom(trainerDir: String, slice: DataFrame,
+                shardDir: String, m: Int = 4, dim: Int = 64,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id",
+                version: Option[String] = None): Unit = {
+    val spark = slice.sparkSession
+    // a shard is built FRESH every time: invalidate first (commit
+    // marker — a crash mid-wipe must leave a validation-failing
+    // dir), then wipe the whole dir. Copying into a leftover shard
+    // dir would ACCRETE asset files beside the previous run's
+    // (UUID-distinct names), and a doubled asset XOR-cancels its
+    // content fingerprint — merge would then reject (or worse,
+    // postings would join against duplicated centroid rows).
+    StoredIndex.invalidate(spark, shardDir)
+    StoredIndex.fsOf(spark, shardDir)
+      .delete(new org.apache.hadoop.fs.Path(shardDir), true)
+    require(
+      StoredIndex.copyAssetFiles(spark, s"$trainerDir/centroids",
+        s"$shardDir/centroids", "t_") &&
+      StoredIndex.copyAssetFiles(spark, s"$trainerDir/codebook",
+        s"$shardDir/codebook", "t_"),
+      s"AnnIndex.shardFrom: trainer at $trainerDir has no " +
+        "centroids/codebook assets — build it first")
+    val cents = spark.read.parquet(s"$shardDir/centroids")
+    val cb = spark.read.parquet(s"$shardDir/codebook")
+    Similarity.pqEncode(slice, cb, m, dim, vecCol, idCol)
+      .join(Similarity.ivfAssign(slice, cents, vecCol, idCol)
+        .select("nid", "cid"), "nid")
+      .repartition(col("cid")).sortWithinPartitions("cid")
+      .write.mode("overwrite").parquet(s"$shardDir/postings")
+    StoredIndex.writeIdBloom(spark, shardDir, idsOf(slice, idCol))
+    StoredIndex.writeMeta(identity(slice, vecCol, idCol), version,
+      shardDir)
+  }
+
+  /** Order-insensitive content fingerprint of a shard's quantization
+    * assets — what [[merge]] compares to enforce the shared-assets
+    * contract (postings encoded by different codebooks must never
+    * union: the codes would score against the wrong reconstruction
+    * table, silently). Broadcast-sized reads: centroids are capped,
+    * the codebook is one row. */
+  private def assetFingerprint(spark: SparkSession,
+                               dir: String): (Long, Long) = {
+    def fp(df: DataFrame): Long =
+      Option(df.head.getAs[Any]("fingerprint"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    (fp(StoredIndex.identityOf(
+        spark.read.parquet(s"$dir/centroids"),
+        col("cid"), col("cvec"))),
+     fp(StoredIndex.identityOf(
+        spark.read.parquet(s"$dir/codebook"),
+        lit(0L), col("cb"))))
+  }
+
+  /** Merge shard indexes that share quantization assets into one —
+    * the O(assets) tail of the [[shardFrom]] distributed build:
+    * posting FILES copy (no decode, no shuffle — cid row-group
+    * locality within each copied file is preserved; run [[compact]]
+    * after merging many small shards to restore cross-file cid
+    * clustering), metas fold by the append algebra (sum/max/XOR),
+    * id blooms union driver-side, pending tombstones union, and the
+    * shared assets copy once from the first shard. The merged index
+    * is probe-identical to [[build]]-then-[[append]] over the same
+    * slices (the x15 row pins it against the x10 oracle), and its
+    * meta fingerprint equals that chain's, so a content [[ensure]]
+    * over the union corpus validates without rebuilding.
+    *
+    * Guards: every shard's centroid/codebook fingerprints must
+    * MATCH (the shared-assets contract [[shardFrom]] establishes),
+    * and shards must not share raw posting ids — raw, not live,
+    * for [[DedupIndex.merge]]'s tombstone reason. */
+  def merge(spark: SparkSession, shardDirs: Seq[String],
+            outDir: String, checkIds: Boolean = true,
+            version: Option[String] = None): Unit = {
+    require(shardDirs.nonEmpty, "AnnIndex.merge: no shards")
+    require(!shardDirs.contains(outDir),
+      "AnnIndex.merge: outDir must not be one of the shards")
+    val metas = shardDirs.map(d =>
+      StoredIndex.readMeta(spark, d).getOrElse(
+        throw new IllegalStateException(
+          s"AnnIndex.merge: shard $d has no committed meta — " +
+            "finish (or rerun) its build before merging")))
+    val fps = shardDirs.map(d => assetFingerprint(spark, d))
+    require(fps.distinct.size == 1,
+      "AnnIndex.merge: shards were encoded against DIFFERENT " +
+        "quantization assets — only shards built by shardFrom off " +
+        "one trainer (or one build+append chain) can merge; " +
+        s"fingerprints: ${shardDirs.zip(fps).mkString(", ")}")
+    if (checkIds && shardDirs.size > 1) {
+      val dup = shardDirs.map(d =>
+          spark.read.parquet(s"$d/postings")
+            .select(col("nid").as("id")).distinct())
+        .reduce(_ unionByName _)
+        .groupBy("id").count().filter(col("count") > 1)
+        .limit(1).count()
+      require(dup == 0L,
+        "AnnIndex.merge: shards share raw posting id(s) — slices " +
+          "must be disjoint (tombstoned ids included)")
+    }
+    // meta first (commit marker), then the wipe: a crash mid-delete
+    // must leave a validation-failing dir, never stale meta over a
+    // half-removed asset tree
+    StoredIndex.invalidate(spark, outDir)
+    StoredIndex.fsOf(spark, outDir)
+      .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    StoredIndex.copyAssetFiles(spark, s"${shardDirs.head}/centroids",
+      s"$outDir/centroids", "t_")
+    StoredIndex.copyAssetFiles(spark, s"${shardDirs.head}/codebook",
+      s"$outDir/codebook", "t_")
+    shardDirs.zipWithIndex.foreach { case (d, i) =>
+      StoredIndex.copyAssetFiles(spark, s"$d/postings",
+        s"$outDir/postings", s"s${i}_")
+      StoredIndex.copyAssetFiles(spark, s"$d/deletes",
+        s"$outDir/deletes", s"s${i}_")
+    }
+    val blooms = shardDirs.map(d =>
+      StoredIndex.readIdBloomAsset(spark, d))
+    if (blooms.forall(_.isDefined)) // else: a pre-bloom shard — omit
+      StoredIndex.writeBloomBytes(spark, outDir,
+        blooms.flatMap(_.get) match {
+          case Nil => null // every shard provably empty
+          case live => StoredIndex.mergedBloomBytes(live)
+        })
+    StoredIndex.writeFoldedMeta(spark, outDir, metas, version)
+  }
+
   /** Postings with tombstoned rows filtered out — what every probe
     * searches. The tombstone side is retraction-sized (broadcast). */
   private def livePostings(spark: SparkSession,

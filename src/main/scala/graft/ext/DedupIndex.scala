@@ -185,6 +185,77 @@ object DedupIndex {
     StoredIndex.writeMergedMeta(spark, dir, oldMeta, bid)
   }
 
+  /** Merge independently built shard indexes into one — how the
+    * index gets BUILT at 100 TB: slice the corpus (by id range,
+    * ingest day, source), run [[build]] on every slice as its own
+    * job — the signature/banding pass needs nothing from any other
+    * slice, so the shard builds run fully in parallel with zero
+    * cross-shard shuffle — then merge in O(assets): bucket shard
+    * FILES copy into the merged dir (partial rows per (band, bhash)
+    * are exactly the shape [[probe]] regroups and [[compact]]
+    * clusters anyway — no decode, no shuffle, no parquet rewrite),
+    * metas fold by the append algebra (sum/max/XOR), id blooms
+    * union driver-side, pending tombstones union by file copy. The
+    * merged index is probe-identical to a one-shot [[build]] over
+    * the union corpus (the d18 row pins it), and its meta
+    * fingerprint EQUALS the one-shot fingerprint, so a content
+    * [[ensure]] over the union validates without rebuilding.
+    *
+    * Shards must not share RAW bucket ids — raw, not live: a
+    * tombstoned id in one shard would otherwise filter the same id
+    * LIVE in another through the unioned deletes asset. The default
+    * guard pays one keys-only distinct-count pass over the shard id
+    * lists (merge is a rare build-time op; slices disjoint by
+    * construction — id-range or hash-sliced — can disable it). If
+    * ANY shard predates the id-bloom asset, the merged index omits
+    * the bloom (prior ids unknown — the no-false-negatives
+    * contract; guards fall back to exact checks). */
+  def merge(spark: SparkSession, shardDirs: Seq[String],
+            outDir: String, checkIds: Boolean = true,
+            version: Option[String] = None): Unit = {
+    require(shardDirs.nonEmpty, "DedupIndex.merge: no shards")
+    require(!shardDirs.contains(outDir),
+      "DedupIndex.merge: outDir must not be one of the shards")
+    val metas = shardDirs.map(d =>
+      StoredIndex.readMeta(spark, d).getOrElse(
+        throw new IllegalStateException(
+          s"DedupIndex.merge: shard $d has no committed meta — " +
+            "finish (or rerun) its build before merging")))
+    if (checkIds && shardDirs.size > 1) {
+      val dup = shardDirs.map(d =>
+          spark.read.parquet(s"$d/buckets")
+            .select(explode(col("ids")).as("id")).distinct())
+        .reduce(_ unionByName _)
+        .groupBy("id").count().filter(col("count") > 1)
+        .limit(1).count()
+      require(dup == 0L,
+        "DedupIndex.merge: shards share raw id(s) — slices must be " +
+          "disjoint (tombstoned ids included: a tombstone in one " +
+          "shard would filter the same id live in another)")
+    }
+    // meta first (commit marker), then the wipe: a crash mid-delete
+    // must leave a validation-failing dir, never stale meta over a
+    // half-removed asset tree
+    StoredIndex.invalidate(spark, outDir)
+    StoredIndex.fsOf(spark, outDir)
+      .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    shardDirs.zipWithIndex.foreach { case (d, i) =>
+      StoredIndex.copyAssetFiles(spark, s"$d/buckets",
+        s"$outDir/buckets", s"s${i}_")
+      StoredIndex.copyAssetFiles(spark, s"$d/deletes",
+        s"$outDir/deletes", s"s${i}_")
+    }
+    val blooms = shardDirs.map(d =>
+      StoredIndex.readIdBloomAsset(spark, d))
+    if (blooms.forall(_.isDefined)) // else: a pre-bloom shard — omit
+      StoredIndex.writeBloomBytes(spark, outDir,
+        blooms.flatMap(_.get) match {
+          case Nil => null // every shard provably empty
+          case live => StoredIndex.mergedBloomBytes(live)
+        })
+    StoredIndex.writeFoldedMeta(spark, outDir, metas, version)
+  }
+
   /** Live indexed ids: every id in the stored shards minus the
     * tombstones — keys-only, index-sized. Public because takedown
     * orchestration ([[graft.streaming.StreamingDedupIngest]]

@@ -203,27 +203,41 @@ object StoredIndex {
   private def bloomBytesOf(ids: DataFrame): Array[Byte] =
     ids.agg(bloomAggCol(col("id")).as("bf")).head.getAs[Array[Byte]](0)
 
+  /** Write the bloom asset (1 binary row; `bytes` may be null — the
+    * provably-empty-corpus filter). */
+  def writeBloomBytes(spark: SparkSession, dir: String,
+                      bytes: Array[Byte]): Unit =
+    spark.range(1).select(lit(bytes).cast("binary").as("bf"))
+      .write.mode("overwrite").parquet(s"$dir/idbloom")
+
   /** Persist the id bloom (1 binary row) from a long `id` column.
     * Written BEFORE meta in build/append, so a committed index
     * always carries a bloom covering every indexed id — false
     * positives possible, false negatives never. */
   def writeIdBloom(spark: SparkSession, dir: String,
-                   ids: DataFrame): Unit = {
-    val bytes = bloomBytesOf(ids)
-    spark.range(1).select(lit(bytes).cast("binary").as("bf"))
-      .write.mode("overwrite").parquet(s"$dir/idbloom")
-  }
+                   ids: DataFrame): Unit =
+    writeBloomBytes(spark, dir, bloomBytesOf(ids))
+
+  /** The bloom asset with its three states kept distinct — the
+    * no-false-negatives contract's load-bearing edge (see
+    * [[mergeIdBloom]]): outer None = asset MISSING (a pre-bloom
+    * index whose prior ids are unknown), Some(None) = present with a
+    * null filter (a provably EMPTY prior corpus), Some(Some(b)) = a
+    * live filter. */
+  def readIdBloomAsset(spark: SparkSession, dir: String)
+      : Option[Option[Array[Byte]]] =
+    try Some(Option(spark.read.parquet(s"$dir/idbloom")
+      .head.getAs[Array[Byte]]("bf")))
+    catch {
+      case _: AnalysisException => None
+      case _: FileNotFoundException => None
+    }
 
   /** Stored bloom bytes, if the asset exists (pre-bloom indexes and
     * empty-corpus builds return None → callers fall back to the
     * exact check). */
   def readIdBloom(spark: SparkSession, dir: String): Option[Array[Byte]] =
-    try Option(spark.read.parquet(s"$dir/idbloom")
-      .head.getAs[Array[Byte]]("bf"))
-    catch {
-      case _: AnalysisException => None
-      case _: FileNotFoundException => None
-    }
+    readIdBloomAsset(spark, dir).flatten
 
   /** Merge a batch's ids into the stored bloom (driver-side
     * mergeInPlace of two fixed-geometry filters — O(bloom bytes),
@@ -241,31 +255,28 @@ object StoredIndex {
     *    falling back to the exact check. */
   def mergeIdBloom(spark: SparkSession, dir: String,
                    batchIds: DataFrame): Unit = {
-    val stored =
-      try Some(Option(spark.read.parquet(s"$dir/idbloom")
-        .head.getAs[Array[Byte]]("bf")))
-      catch {
-        case _: AnalysisException => None
-        case _: FileNotFoundException => None
-      }
     val batchBytes = bloomBytesOf(batchIds)
-    stored match {
+    readIdBloomAsset(spark, dir) match {
       case None => () // pre-bloom index: see scaladoc
       case Some(prior) =>
         val merged = (prior, Option(batchBytes)) match {
-          case (Some(a), Some(b)) =>
-            val bf = BloomFilter.readFrom(new ByteArrayInputStream(a))
-            bf.mergeInPlace(
-              BloomFilter.readFrom(new ByteArrayInputStream(b)))
-            val out = new ByteArrayOutputStream()
-            bf.writeTo(out)
-            out.toByteArray
+          case (Some(a), Some(b)) => mergedBloomBytes(Seq(a, b))
           case (Some(a), None) => a
           case (None, b) => b.orNull
         }
-        spark.range(1).select(lit(merged).cast("binary").as("bf"))
-          .write.mode("overwrite").parquet(s"$dir/idbloom")
+        writeBloomBytes(spark, dir, merged)
     }
+  }
+
+  /** Driver-side union of serialized fixed-geometry blooms —
+    * O(bloom bytes × filters), no data read. */
+  def mergedBloomBytes(blooms: Seq[Array[Byte]]): Array[Byte] = {
+    val bf = BloomFilter.readFrom(new ByteArrayInputStream(blooms.head))
+    blooms.tail.foreach(b =>
+      bf.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(b))))
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
   }
 
   /** Append's duplicate-id guard, bloom-gated to O(batch) for the
@@ -501,10 +512,57 @@ object StoredIndex {
     // window: a crash anywhere here still leaves a validation-
     // failing index, never a half-applied state
     dropAssets.foreach(a => fs.delete(new Path(s"$dir/$a"), true))
-    freshBloom.foreach { b =>
-      spark.range(1).select(lit(b).cast("binary").as("bf"))
-        .write.mode("overwrite").parquet(s"$dir/idbloom")
-    }
+    freshBloom.foreach(b => writeBloomBytes(spark, dir, b))
     meta.write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  // ----------------------------------------------------- shard merge
+
+  /** Copy the data files of asset dir `fromDir` into `toDir` under a
+    * caller-unique name prefix — the file-level union a shard merge
+    * performs instead of a decode/re-encode: O(files) copies, no
+    * shuffle, no parquet rewrite, and the source shard stays
+    * servable (a deployment that can discard its shards should
+    * rename instead — a pure metadata op on HDFS). Returns false
+    * when the asset is absent (e.g. a shard with no tombstones). */
+  def copyAssetFiles(spark: SparkSession, fromDir: String,
+                     toDir: String, prefix: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new Path(fromDir)
+    val srcFs = from.getFileSystem(conf)
+    if (!srcFs.exists(from)) return false
+    val to = new Path(toDir)
+    val dstFs = to.getFileSystem(conf)
+    dstFs.mkdirs(to)
+    srcFs.listStatus(from).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, st.getPath, dstFs,
+        new Path(to, prefix + st.getPath.getName), false, conf)
+    }
+    true
+  }
+
+  /** Fold shard meta rows with [[writeMergedMeta]]'s append algebra
+    * (sum n_rows, null-safe max id, XOR fingerprint — XOR's
+    * associativity/commutativity is why shard order cannot matter)
+    * and write the result as `dir`'s commit marker. Each shard meta
+    * already un-mixes its own pending retractions, so the fold
+    * equals what a one-shot build over the union LIVE corpus
+    * writes — a content ensure() over that union validates the
+    * merged index without rebuilding. */
+  def writeFoldedMeta(spark: SparkSession, dir: String,
+                      metas: Seq[Row], version: Option[String]): Unit = {
+    val maxes = metas.filter(!_.isNullAt(1)).map(_.getLong(1))
+    val fps = metas.filter(!_.isNullAt(2)).map(_.getLong(2))
+    spark.range(1).select(
+        lit(metas.map(_.getLong(0)).sum).as("n_rows"),
+        maxes.reduceOption((a, b) => math.max(a, b)).map(lit(_))
+          .getOrElse(lit(null)).cast("long").as("max_id"),
+        fps.reduceOption(_ ^ _).map(lit(_)).getOrElse(lit(null))
+          .cast("long").as("fingerprint"),
+        lit(version.orNull).cast("string").as("version"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 }

@@ -1230,6 +1230,43 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS jaccard
               WHERE FALSE""")),
 
+    // d18: the distributed BUILD story — two shard indexes built
+    // independently (zero cross-shard shuffle; at scale these are
+    // parallel jobs over corpus slices), merged in O(assets) by
+    // DedupIndex.merge (bucket files copy, metas XOR-fold, blooms
+    // union — no decode, no shuffle). One shard carries a PENDING
+    // TOMBSTONE through the merge. The merged probe must equal the
+    // one-shot gate over the union LIVE corpus bit-exactly — empty
+    // symmetric difference, hash-exact WHERE FALSE.
+    Q("d18_index_merge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = graft.ext.DedupIndex.dirFor(dir)
+        val (ixA, ixB, ixM) =
+          (base + "_mA", base + "_mB", base + "_mrg")
+        val a = docs.filter(col("doc_id") < 150)
+        val b = docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+        val gone = docs.filter(col("doc_id") >= 140 &&
+          col("doc_id") < 150)
+        graft.ext.DedupIndex.build(a, ixA)
+        graft.ext.DedupIndex.build(b, ixB)
+        graft.ext.DedupIndex.remove(gone, ixA)
+        graft.ext.DedupIndex.merge(s, Seq(ixA, ixB), ixM)
+        val live = docs.filter(col("doc_id") < 140 ||
+          (col("doc_id") >= 150 && col("doc_id") < 300))
+        val batch = docs.filter(col("doc_id") >= 300)
+        val stored = graft.ext.DedupIndex.probe(batch, ixM, live,
+          threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(batch, live,
+          threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute
@@ -2827,6 +2864,38 @@ object ExtQueries {
         graft.ext.AnnIndex.append(
           embs.filter(col("vec_id") >= half), ix)
         graft.ext.AnnIndex.probeTopK(s, ix,
+          embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH ${sqlIvfCtesFor(SqlLowerHalfPred)},
+                    ${sqlPqCtesFor(SqlLowerHalfPred)},
+                    $SqlIvfPqRankCtes
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x15: the ANN distributed BUILD — train once on the lower half
+    // (the trainer index), AnnIndex.shardFrom encodes the upper half
+    // against the trainer's COPIED assets as an independent job
+    // (zero cross-shard traffic; at scale every slice encodes in
+    // parallel instead of serializing through one append chain),
+    // then AnnIndex.merge unions the shards in O(assets): posting
+    // FILES copy, metas XOR-fold, blooms union, asset fingerprints
+    // verified equal. Content-identical to x10's build-then-append
+    // by construction — so the x10 oracle (lower-half-trained
+    // assets over the full corpus) must match hash-exact.
+    Q("x15_ann_shard_merge",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val base = graft.ext.AnnIndex.dirFor(dir)
+        val (trainer, shard, merged) =
+          (base + "_shT", base + "_shB", base + "_shM")
+        val half = embs.agg((max(col("vec_id")) + 1) / 2)
+          .head.getDouble(0).toLong
+        graft.ext.AnnIndex.build(
+          embs.filter(col("vec_id") < half), trainer)
+        graft.ext.AnnIndex.shardFrom(trainer,
+          embs.filter(col("vec_id") >= half), shard)
+        graft.ext.AnnIndex.merge(s, Seq(trainer, shard), merged)
+        graft.ext.AnnIndex.probeTopK(s, merged,
           embs.filter(col("vec_id") < 20), k = 5)
       },
       Some(s"""WITH ${sqlIvfCtesFor(SqlLowerHalfPred)},

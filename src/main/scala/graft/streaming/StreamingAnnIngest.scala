@@ -131,6 +131,19 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
       rebuild = () => AnnIndex.build(store(), indexDir))
   }
 
+  /** Predicate takedown (store posture only): resolve `cond`
+    * against the durable vector store ([[Takedown.idsMatching]])
+    * and execute [[retract]] over the matched ids. A no-op when no
+    * store exists yet or nothing matches; evaluated once, at call
+    * time — not a standing ban on future rows. */
+  def retractWhere(cond: org.apache.spark.sql.Column): Unit = {
+    val dir = requireStore("retractWhere")
+    Takedown.idsMatching(spark, Seq(dir), cond,
+        "vec_id", Seq("embedding"))
+      .map(_.localCheckpoint()).filter(!_.isEmpty)
+      .foreach(ids => retract(ids))
+  }
+
   /** [[Takedown.purgeStore]] bound to this family's columns — also
     * the crash-simulation hook StreamingSpec drives by reflection. */
   private def purgeStore(root: String, ids: DataFrame): Unit =

@@ -145,6 +145,17 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
       rebuild = () => DedupIndex.build(corpus(), indexDir))
   }
 
+  /** Predicate takedown: resolve `cond` against the durable stores
+    * (corpus AND quarantine — [[Takedown.idsMatching]]) and execute
+    * [[retract]] over the matched ids. A no-op when no store exists
+    * yet or nothing matches; the predicate is evaluated once, at
+    * call time — it does not become a standing ban on future rows. */
+  def retractWhere(cond: org.apache.spark.sql.Column): Unit =
+    Takedown.idsMatching(spark, Seq(corpusDir, quarantineDir), cond,
+        "doc_id", Seq("text"))
+      .map(_.localCheckpoint()).filter(!_.isEmpty)
+      .foreach(ids => retract(ids))
+
   /** [[Takedown.purgeStore]] bound to this family's columns — also
     * the crash-simulation hook StreamingSpec drives by reflection. */
   private def purgeStore(root: String, ids: DataFrame): Unit =

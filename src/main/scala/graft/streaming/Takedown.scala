@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The compliance-takedown protocol shared by the stream-maintained
@@ -53,6 +53,31 @@ private[streaming] object Takedown {
       case None => df
       case Some(r) => df.join(broadcast(r), Seq(idCol), "left_anti")
     }
+
+  /** Resolve a PREDICATE takedown to its id set — how a compliance
+    * request actually arrives ("everything from domain X", "all rows
+    * matching Y"), not as an id list. The predicate evaluates ONCE,
+    * at call time, over every durable store that exists (all of
+    * them: a document whose only surviving copy is a quarantined
+    * near-dup must still be found). None = no store exists yet, so
+    * nothing can match — the predicate names no concrete ids to
+    * ledger, which is why a predicate takedown on an empty ingest is
+    * a no-op while an id takedown still records its ledger entry.
+    * Rows arriving LATER that would match are not auto-retracted:
+    * enforce recurring bans upstream of the stream, or re-run. */
+  def idsMatching(spark: SparkSession, stores: Seq[String],
+                  cond: Column, idCol: String,
+                  cols: Seq[String]): Option[DataFrame] = {
+    val existing = stores.filter { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (existing.isEmpty) None
+    else Some(existing.map(d =>
+        spark.read.parquet(d).select(idCol, cols: _*))
+      .reduce(_ unionByName _)
+      .filter(cond).select(idCol).distinct())
+  }
 
   /** Rewrite ONLY the per-batch partition dirs that hold any of the
     * purged ids (partition-pruned: untouched batches never rewrite).

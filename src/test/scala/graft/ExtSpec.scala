@@ -218,6 +218,62 @@ class ExtSpec extends SparkTestBase {
     assert(!graft.ext.AnnIndex.ensure(embs, dir))
   }
 
+  test("AnnIndex shard merge: shardFrom+merge equals build+append; " +
+      "mismatched assets, overlap, self-merge rejected") {
+    import graft.ext.AnnIndex
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(p).toString + "/ix"
+    val lower = embs.filter($"vec_id" < 300)
+    val upper = embs.filter($"vec_id" >= 300)
+    val (trainer, shard, merged, twin) =
+      (tmp("x15T"), tmp("x15S"), tmp("x15M"), tmp("x15W"))
+    AnnIndex.build(lower, trainer)
+    AnnIndex.shardFrom(trainer, upper, shard)
+    AnnIndex.merge(spark, Seq(trainer, shard), merged)
+    AnnIndex.build(lower, twin)
+    AnnIndex.append(upper, twin)
+    val q = embs.filter($"vec_id" < 5)
+    def top(ix: String) =
+      AnnIndex.probeTopK(spark, ix, q, k = 3).collect().toSet
+    assert(top(merged) == top(twin),
+      "shard-merged probe must equal the build+append chain")
+    assert(!AnnIndex.ensure(embs, merged),
+      "merged index must be content-fresh over the union corpus")
+    // the merged bloom covers every shard id: appends stay guarded
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(upper.limit(3), merged)
+    }
+    // a pending tombstone in a shard rides the merge
+    val gone = upper.filter($"vec_id" % 5 === 4).localCheckpoint()
+    AnnIndex.remove(gone, shard)
+    val merged2 = tmp("x15M2")
+    AnnIndex.merge(spark, Seq(trainer, shard), merged2)
+    AnnIndex.remove(gone, twin)
+    assert(top(merged2) == top(twin),
+      "shard tombstones must filter the merged probe")
+    val live = embs.join(gone.select("vec_id"), Seq("vec_id"),
+      "left_anti")
+    assert(!AnnIndex.ensure(live, merged2),
+      "merged index must be content-fresh over the LIVE union")
+    // an independently TRAINED shard has different assets: refuse —
+    // its codes would score against the wrong reconstruction table
+    val indep = tmp("x15I")
+    AnnIndex.build(upper, indep)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.merge(spark, Seq(trainer, indep), tmp("x15X"))
+    }
+    assert(ex.getMessage.contains("quantization assets"))
+    // raw-id overlap (same shard twice) and self-merge refuse
+    intercept[IllegalArgumentException] {
+      AnnIndex.merge(spark, Seq(shard, shard), tmp("x15X2"))
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.merge(spark, Seq(trainer, shard), shard)
+    }
+  }
+
   test("multi-probe IVF assignment contains single-probe; pairs are a superset") {
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cents = Similarity.centroids(embs, stride = 20)
@@ -437,6 +493,66 @@ class ExtSpec extends SparkTestBase {
       "failed empty append must leave the index fresh")
     // a changed corpus fails content validation and rebuilds
     assert(DedupIndex.ensure(corpusA, dir2), "stale index must rebuild")
+  }
+
+  test("dedup index merge: sharded build equals one-shot, tombstones " +
+      "survive the merge, overlap and self-merge rejected") {
+    import graft.ext.DedupIndex
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpusA = Seq(
+      (0L, base),
+      (1L, "completely different words about spark catalyst plans here today"),
+      (2L, base.replace("river", "creek"))).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (3L, base.replace("dog", "cat")),
+      (4L, "another unrelated corpus document speaking of benchmarks only")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("quick", "swift")),
+      (11L, "unrelated text with nothing shared at all in any shingle window")
+    ).toDF("doc_id", "text")
+    val union = corpusA.unionByName(corpusB)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val (dirA, dirB, dirM) = (tmp("d18A"), tmp("d18B"), tmp("d18M"))
+    DedupIndex.build(corpusA, dirA)
+    DedupIndex.build(corpusB, dirB)
+    DedupIndex.merge(spark, Seq(dirA, dirB), dirM)
+    val direct = rows(Dedup.minhashIncrementalNearDups(batch, union, 0.4))
+    assert(direct.nonEmpty, "fixture must produce cross-shard near-dups")
+    assert(rows(DedupIndex.probe(batch, dirM, union, 0.4)) == direct,
+      "merged probe must equal the one-shot gate over the union")
+    // the folded meta must equal the one-shot identity: a content
+    // ensure over the union validates WITHOUT rebuilding
+    assert(!DedupIndex.ensure(union, dirM),
+      "merged index must be content-fresh for the union corpus")
+    // a pending tombstone in shard A must ride the merge: the merged
+    // index serves the union LIVE corpus (doc 2 gone), still fresh
+    DedupIndex.remove(corpusA.filter($"doc_id" === 2L), dirA)
+    val dirM2 = tmp("d18M2")
+    DedupIndex.merge(spark, Seq(dirA, dirB), dirM2)
+    val live = union.filter($"doc_id" =!= 2L)
+    assert(rows(DedupIndex.probe(batch, dirM2, live, 0.4)) ==
+      rows(Dedup.minhashIncrementalNearDups(batch, live, 0.4)),
+      "tombstone must filter the merged probe")
+    assert(!DedupIndex.ensure(live, dirM2),
+      "merged index must be content-fresh for the LIVE union")
+    // the merged bloom covers every shard id: an overlapping append
+    // is still rejected by the bloom-gated guard
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(corpusB.filter($"doc_id" === 3L)
+        .withColumn("text", lit("fresh text, recycled id")), dirM)
+    }
+    // shards sharing raw ids (here: the same shard twice) reject
+    intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, Seq(dirA, dirA), tmp("d18X"))
+    }
+    // outDir colliding with a shard rejects before any deletion
+    intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, Seq(dirA, dirB), dirA)
+    }
   }
 
   test("dedup index: bucket cap applies to the MERGED bucket across " +

@@ -337,16 +337,18 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("dedup index: 30 random append/remove/compact/re-append interleavings") {
+  test("dedup index: 30 random append/remove/compact/re-append/merge " +
+      "interleavings") {
     import graft.ext.DedupIndex
     // takedown-inclusive randomized lifecycle coverage: every
     // sequence drives a RANDOM op chain — append fresh docs, retract
     // a random live subset, compact (materializing the tombstones),
-    // re-append a previously-materialized doc — and then pins the
-    // stored probe ≡ the direct one-shot gate over the surviving
-    // corpus, plus content-ensure freshness (the XOR meta algebra
-    // surviving the whole chain). d17 gates ONE interleaving;
-    // this gates whatever 30 the seed deals.
+    // re-append a previously-materialized doc, or MERGE with an
+    // independently built shard index (pending tombstones riding
+    // along) — and then pins the stored probe ≡ the direct one-shot
+    // gate over the surviving corpus, plus content-ensure freshness
+    // (the XOR meta algebra surviving the whole chain). d17 gates
+    // ONE interleaving; this gates whatever 30 the seed deals.
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa")
     val rnd = new scala.util.Random(97)
@@ -362,11 +364,11 @@ class PropertySpec extends SparkTestBase {
       var live = pool.take(10).toMap
       var pending = Map.empty[Long, String] // tombstoned, unmaterialized
       var purged = Map.empty[Long, String]  // materialized, re-appendable
-      val dir = java.nio.file.Files
+      var dir = java.nio.file.Files
         .createTempDirectory(s"d15rand$seqNo").toString
       DedupIndex.build(live.toSeq.toDF("doc_id", "text"), dir)
       var removedOnce = false
-      for (_ <- 1 to 4) rnd.nextInt(4) match {
+      for (_ <- 1 to 4) rnd.nextInt(5) match {
         case 0 if cursor < pool.size => // append fresh docs
           val batch = pool.slice(cursor,
             math.min(cursor + 3 + rnd.nextInt(5), pool.size))
@@ -388,6 +390,22 @@ class PropertySpec extends SparkTestBase {
           val (id, txt) = purged.toSeq.minBy(_._1)
           DedupIndex.append(Seq((id, txt)).toDF("doc_id", "text"), dir)
           live += id -> txt; purged -= id
+        case 4 if cursor < pool.size => // merge an independent shard
+          // build fresh docs as their OWN shard index and merge with
+          // the current one (any pending tombstones ride along in
+          // the unioned deletes asset); the lifecycle continues on
+          // the merged dir
+          val batch = pool.slice(cursor,
+            math.min(cursor + 2 + rnd.nextInt(4), pool.size))
+          cursor += batch.size
+          val shard = java.nio.file.Files
+            .createTempDirectory(s"d15rs$seqNo").toString
+          DedupIndex.build(batch.toDF("doc_id", "text"), shard)
+          val mergedDir = java.nio.file.Files
+            .createTempDirectory(s"d15rm$seqNo").toString
+          DedupIndex.merge(spark, Seq(dir, shard), mergedDir)
+          dir = mergedDir
+          live ++= batch
         case _ => () // op not applicable in this state — skip
       }
       // probe: random docs + one exact copy of a live doc so the
@@ -409,14 +427,18 @@ class PropertySpec extends SparkTestBase {
       s"only $nonVacuous sequences exercised retract+hit — weak seed")
   }
 
-  test("ann index: 20 random append/remove/compact/re-append interleavings") {
+  test("ann index: 20 random append/remove/compact/re-append/merge " +
+      "interleavings") {
     import graft.ext.AnnIndex
     // the x-family twin of the randomized lifecycle above: random op
-    // chains over a stored IVFADC index, then tombstone-filtered
-    // serve ≡ the FILTERED probe over a removal-free twin index with
-    // identical assets (build set unchanged; append packaging
-    // invariance is pinned by the packaging test above), plus
-    // content-ensure freshness over the survivors.
+    // chains over a stored IVFADC index — including shardFrom+merge
+    // (fresh vectors encoded against the CURRENT index's assets as
+    // their own shard, merged in; pending tombstones ride along) —
+    // then tombstone-filtered serve ≡ the FILTERED probe over a
+    // removal-free twin index with identical assets (build set
+    // unchanged; append packaging invariance is pinned by the
+    // packaging test above), plus content-ensure freshness over the
+    // survivors.
     val rnd = new scala.util.Random(101)
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
       .filter($"vec_id" < 80).localCheckpoint()
@@ -428,13 +450,13 @@ class PropertySpec extends SparkTestBase {
       var everIn = live
       var pending = Set.empty[Long]
       var purged = Set.empty[Long]
-      val dir = java.nio.file.Files
+      var dir = java.nio.file.Files
         .createTempDirectory(s"annrand$seqNo").toString + "/ix"
       def rows(ids: Set[Long]) =
         embs.filter($"vec_id".isInCollection(ids))
       AnnIndex.build(rows(live), dir)
       var removedOnce = false
-      for (_ <- 1 to 4) rnd.nextInt(4) match {
+      for (_ <- 1 to 4) rnd.nextInt(5) match {
         case 0 if cursor < 80L => // append fresh vectors
           val hi = math.min(cursor + 5 + rnd.nextInt(6), 80L)
           val ids = (cursor until hi).toSet
@@ -456,6 +478,18 @@ class PropertySpec extends SparkTestBase {
           val id = purged.min
           AnnIndex.append(rows(Set(id)), dir)
           live += id; purged -= id
+        case 4 if cursor < 80L => // shard-encode fresh ids and merge
+          val hi = math.min(cursor + 4 + rnd.nextInt(5), 80L)
+          val ids = (cursor until hi).toSet
+          cursor = hi
+          val shard = java.nio.file.Files
+            .createTempDirectory(s"annrs$seqNo").toString + "/ix"
+          AnnIndex.shardFrom(dir, rows(ids), shard)
+          val mergedDir = java.nio.file.Files
+            .createTempDirectory(s"annrm$seqNo").toString + "/ix"
+          AnnIndex.merge(spark, Seq(dir, shard), mergedDir)
+          dir = mergedDir
+          live ++= ids; everIn ++= ids
         case _ => ()
       }
       // twin: same build set, everything else ever appended, NO

@@ -122,6 +122,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // plan) — x9's one-row-asset argument verbatim
     "x14_ann_lifecycle" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x15: the x9 probe chain over a shard-merged index — the
+    // trainer/shardFrom/merge side effects run eagerly outside the
+    // probed plan; x9's one-row-asset argument verbatim
+    "x15_ann_shard_merge" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // st12: the symmetric difference of TWO x9 probe chains (the
     // streamed-lifecycle index vs the batch-lifecycle twin) — the
     // one-row centroid/codebook broadcasts appear on both sides;

@@ -701,4 +701,68 @@ class StreamingSpec extends SparkTestBase {
     // and crucially: the previously ingested postings are untouched
     assert(spark.read.parquet(s"$ix/postings").count() == 100)
   }
+
+  test("predicate takedown: retractWhere resolves ids against the " +
+      "stores, both families") {
+    import graft.ext.{AnnIndex, DedupIndex}
+    import graft.streaming.StreamingDedupIngest
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_rw_").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    def dIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+
+    // --- dedup family: the predicate runs over corpus AND quarantine
+    val ingest = new StreamingDedupIngest(spark, s"$root/ix",
+      s"$root/corpus", s"$root/q")
+    // a predicate takedown BEFORE any ingest is a clean no-op: no
+    // stored row can match, so there are no concrete ids to ledger
+    ingest.retractWhere($"doc_id" % 10 === 3)
+    assert(!new java.io.File(s"$root/corpus_retracted").exists(),
+      "no-match predicate takedown must not create a ledger")
+    stage(docs.filter($"doc_id" < 200), s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    // an exact dup under a doomed id: it only survives in QUARANTINE,
+    // and the predicate must still find it there
+    stage(docs.filter($"doc_id" === 7)
+      .select(lit(9103L).as("doc_id"), $"text"), s"$root/staging", "d2")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(dIds(spark.read.parquet(s"$root/q")).contains(9103L))
+    ingest.retractWhere($"doc_id" % 10 === 3)
+    assert(dIds(ingest.corpus()).forall(_ % 10 != 3),
+      "matching docs must leave the corpus store")
+    assert(!dIds(spark.read.parquet(s"$root/q")).contains(9103L),
+      "the quarantined-only copy must be found by the predicate")
+    assert(!DedupIndex.ensure(ingest.corpus(), s"$root/ix"),
+      "index must stay content-fresh over the purged corpus")
+    // the resolved ids are ledgered like any takedown: sticky
+    stage(docs.filter($"doc_id" === 3), s"$root/staging", "re3")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(!dIds(ingest.corpus()).contains(3L),
+      "re-delivered predicate-retracted doc must stay out")
+
+    // --- ANN family: store posture required, then the same contract
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    def vIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val annNoStore =
+      new StreamingAnnIngest(spark, s"$root/aix0")
+    intercept[IllegalStateException] {
+      annNoStore.retractWhere($"vec_id" === 1L)
+    }
+    val ann = new StreamingAnnIngest(spark, s"$root/aix",
+      storeDir = Some(s"$root/astore"))
+    stage(embs.filter($"vec_id" < 200), s"$root/astaging", "a1")
+    ann.ingestAvailable(s"$root/astaging", s"$root/ackpt")
+    ann.retractWhere($"vec_id" % 7 === 1)
+    assert(vIds(ann.store()).forall(_ % 7 != 1),
+      "matching vectors must leave the store")
+    val live = embs.filter($"vec_id" < 200 && $"vec_id" % 7 =!= 1)
+    assert(!AnnIndex.ensure(live, s"$root/aix"),
+      "ANN index must stay content-fresh over the live remainder")
+  }
 }
