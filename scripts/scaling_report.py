@@ -34,6 +34,8 @@ PAIR_FAMILIES = {
     # d15 (and re-runs the direct gate for the consistency diff), so
     # the identical twin-inflated candidate mass drives its time
     "d18_index_merge",
+    # d19 runs the same d15-class probe chain over the absorbed index
+    "d19_index_absorb",
     "st5_stream_interval_join",
     # every replica doc's 9 identical twins share whole-document spans,
     # so the span pair list itself scales ~copies^2

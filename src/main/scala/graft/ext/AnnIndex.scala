@@ -341,6 +341,71 @@ object AnnIndex {
     StoredIndex.writeFoldedMeta(spark, outDir, metas, version)
   }
 
+  /** Ingest a built shard index INTO a live index in place — the
+    * O(batch) tail of continuous bulk loading ([[merge]] is the
+    * O(total) one-shot): [[shardFrom]] encodes the slice off the
+    * serving path as its own job, then the shard lands here as an
+    * O(shard-files) posting copy + meta fold — the big index's
+    * postings are never read, never rewritten. Equivalent to
+    * [[append]] of the slice but without paying the encode inside
+    * the serving index's commit window.
+    *
+    * The shared-assets contract is VERIFIED, not assumed: the
+    * shard's centroid/codebook fingerprints must equal the
+    * target's — postings encoded by a different codebook would
+    * score against the wrong reconstruction table, silently. Guard,
+    * crash posture, and bloom algebra mirror [[DedupIndex.absorb]]:
+    * bloom-gated raw-id disjointness, commit marker before the
+    * first copy, bloom union (dropped if the shard predates the
+    * bloom asset), version cleared, pending shard tombstones ride
+    * along. The shard dir stays servable; delete it after a
+    * successful absorb. */
+  def absorb(spark: SparkSession, shardDir: String, dir: String,
+             checkIds: Boolean = true): Unit = {
+    require(shardDir != dir, "AnnIndex.absorb: shard IS the target")
+    val dirMeta = StoredIndex.readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"AnnIndex.absorb: target $dir has no committed meta — " +
+          "build it first (or use merge into a fresh dir)"))
+    val shardMeta = StoredIndex.readMeta(spark, shardDir).getOrElse(
+      throw new IllegalStateException(
+        s"AnnIndex.absorb: shard $shardDir has no committed meta — " +
+          "finish (or rerun) its build before absorbing"))
+    require(assetFingerprint(spark, shardDir) ==
+        assetFingerprint(spark, dir),
+      s"AnnIndex.absorb: shard $shardDir was encoded against " +
+        s"DIFFERENT quantization assets than $dir — only shards " +
+        "built by shardFrom off this index (or its trainer) absorb")
+    if (checkIds)
+      StoredIndex.requireNewIds(spark, dir,
+        spark.read.parquet(s"$shardDir/postings")
+          .select(col("nid").as("id")),
+        spark.read.parquet(s"$dir/postings")
+          .select(col("nid").as("id")),
+        "AnnIndex.absorb")
+    val shardBloom = StoredIndex.readIdBloomAsset(spark, shardDir)
+    StoredIndex.invalidate(spark, dir) // commit marker
+    StoredIndex.copyAssetFiles(spark, s"$shardDir/postings",
+      s"$dir/postings", "ab_")
+    StoredIndex.copyAssetFiles(spark, s"$shardDir/deletes",
+      s"$dir/deletes", "ab_")
+    (StoredIndex.readIdBloomAsset(spark, dir), shardBloom) match {
+      case (None, _) => () // pre-bloom target stays pre-bloom
+      case (Some(_), None) => // pre-bloom shard: drop the asset
+        StoredIndex.fsOf(spark, dir)
+          .delete(new org.apache.hadoop.fs.Path(s"$dir/idbloom"), true)
+      case (Some(a), Some(b)) =>
+        StoredIndex.writeBloomBytes(spark, dir,
+          (a.toList ++ b.toList) match {
+            case Nil => null // both provably empty
+            case one :: Nil => one
+            case both => StoredIndex.mergedBloomBytes(both)
+          })
+    }
+    StoredIndex.writeFoldedMeta(spark, dir, Seq(dirMeta, shardMeta),
+      version = None)
+  }
+
   /** Postings with tombstoned rows filtered out — what every probe
     * searches. The tombstone side is retraction-sized (broadcast). */
   private def livePostings(spark: SparkSession,
@@ -446,6 +511,43 @@ object AnnIndex {
       spark.read.parquet(s"$dir/codebook"),
       livePostings(spark, dir),
       queries, k, nprobe, m, dim, vecCol, idCol)
+
+  /** RANGE (threshold) serve from the stored index: every live
+    * candidate in the probed buckets whose ADC score clears
+    * `threshold` — [[Similarity.ivfPqRange]] over the tombstone-
+    * filtered postings. The query side of a SEMANTIC DEDUP GATE
+    * (all matches above a similarity bar, unranked); [[probeTopK]]
+    * is retrieval (best k regardless of bar). No per-qid rank
+    * window, so the serve plan is join→score→filter, fully
+    * pipelined. */
+  def probeRange(spark: SparkSession, dir: String, queries: DataFrame,
+                 threshold: Double, nprobe: Int = 12, m: Int = 4,
+                 dim: Int = 64, vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame =
+    Similarity.ivfPqRange(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      livePostings(spark, dir),
+      queries, threshold, nprobe, m, dim, vecCol, idCol)
+
+  /** Semantic near-dup gate served from the stored index: for each
+    * batch vector, its single best live match (IVFADC argmax) IF
+    * that match clears `threshold` — the accept/quarantine decision
+    * a semantic dedup pass makes per incoming document, priced as
+    * one stored-index probe (the corpus is never re-encoded; the
+    * MinHash twin is [[DedupIndex.probe]], this is the embedding-
+    * space gate d5/d9 run index-free). Batch vectors with no match
+    * above the bar are absent from the result — they are the
+    * ACCEPTED set; returned rows are the rejections with their
+    * duplicate-of evidence. */
+  def semanticGate(spark: SparkSession, dir: String, batch: DataFrame,
+                   threshold: Double, nprobe: Int = 12, m: Int = 4,
+                   dim: Int = 64, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame =
+    probeTopK(spark, dir, batch, k = 1, nprobe, m, dim, vecCol, idCol)
+      .filter(col("score") >= threshold)
+      .select("qid", "nid", "score")
+      .orderBy("qid")
 
   /** Filtered serve: top-k among an ALLOWED id subset only — the
     * metadata-filtered vector search every production ANN deployment

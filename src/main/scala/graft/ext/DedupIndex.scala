@@ -256,6 +256,72 @@ object DedupIndex {
     StoredIndex.writeFoldedMeta(spark, outDir, metas, version)
   }
 
+  /** Ingest a built shard index INTO a live index in place — the
+    * O(batch) tail of continuous bulk loading, where [[merge]] is
+    * the O(total) one-shot: an hourly slice builds as its own job
+    * (signature/banding pass, the expensive part, runs off the
+    * serving path), then lands in the serving index as an
+    * O(shard-files) copy + meta fold — the big index's bucket files
+    * are never read, never rewritten. Equivalent to [[append]] of
+    * the shard's corpus but without re-deriving signatures, and
+    * equivalent to [[merge]] of the two but without copying the
+    * large side. The shard's pending tombstones ride along.
+    *
+    * Guard, crash posture, and bloom algebra mirror [[append]]:
+    * the raw-id disjointness check is bloom-gated to O(shard) for
+    * the common all-new slice; the commit marker drops before the
+    * first copy, so a crash mid-absorb leaves a validation-failing
+    * index (the next ensure() rebuilds), never a half-union; the
+    * target's bloom unions with the shard's driver-side — unless
+    * the SHARD predates the bloom asset (its ids unknown), in which
+    * case the target's bloom is dropped rather than left claiming
+    * coverage it no longer has (the no-false-negatives contract).
+    * The target's version is cleared: absorbed content invalidates
+    * any caller-pinned corpus version, exactly as [[append]] keeps
+    * only what still holds. The shard dir is left untouched and
+    * servable; delete it after a successful absorb. */
+  def absorb(spark: SparkSession, shardDir: String, dir: String,
+             checkIds: Boolean = true): Unit = {
+    require(shardDir != dir, "DedupIndex.absorb: shard IS the target")
+    val dirMeta = StoredIndex.readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"DedupIndex.absorb: target $dir has no committed meta — " +
+          "build it first (or use merge into a fresh dir)"))
+    val shardMeta = StoredIndex.readMeta(spark, shardDir).getOrElse(
+      throw new IllegalStateException(
+        s"DedupIndex.absorb: shard $shardDir has no committed meta — " +
+          "finish (or rerun) its build before absorbing"))
+    if (checkIds)
+      StoredIndex.requireNewIds(spark, dir,
+        spark.read.parquet(s"$shardDir/buckets")
+          .select(explode(col("ids")).as("id")),
+        spark.read.parquet(s"$dir/buckets")
+          .select(explode(col("ids")).as("id")),
+        "DedupIndex.absorb")
+    val shardBloom = StoredIndex.readIdBloomAsset(spark, shardDir)
+    StoredIndex.invalidate(spark, dir) // commit marker
+    StoredIndex.copyAssetFiles(spark, s"$shardDir/buckets",
+      s"$dir/buckets", "ab_")
+    StoredIndex.copyAssetFiles(spark, s"$shardDir/deletes",
+      s"$dir/deletes", "ab_")
+    (StoredIndex.readIdBloomAsset(spark, dir), shardBloom) match {
+      case (None, _) => () // pre-bloom target stays pre-bloom
+      case (Some(_), None) => // pre-bloom shard: target bloom would
+        // now miss the shard's ids — drop the asset entirely
+        StoredIndex.fsOf(spark, dir)
+          .delete(new org.apache.hadoop.fs.Path(s"$dir/idbloom"), true)
+      case (Some(a), Some(b)) =>
+        StoredIndex.writeBloomBytes(spark, dir,
+          (a.toList ++ b.toList) match {
+            case Nil => null // both provably empty
+            case one :: Nil => one
+            case both => StoredIndex.mergedBloomBytes(both)
+          })
+    }
+    StoredIndex.writeFoldedMeta(spark, dir, Seq(dirMeta, shardMeta),
+      version = None)
+  }
+
   /** Live indexed ids: every id in the stored shards minus the
     * tombstones — keys-only, index-sized. Public because takedown
     * orchestration ([[graft.streaming.StreamingDedupIngest]]

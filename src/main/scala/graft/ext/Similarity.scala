@@ -747,4 +747,39 @@ object Similarity {
       .select("qid", "rank", "nid", "score")
       .orderBy("qid", "rank")
   }
+
+  /** RANGE (threshold) search over the same IVFADC chain as
+    * [[ivfPqProbe]]: every candidate in the probed buckets whose ADC
+    * score clears `threshold`, unranked — what a semantic dedup gate
+    * consumes (all matches above a similarity bar), where top-k
+    * serves retrieval (the best k regardless of bar). No window
+    * function: the per-query ROW_NUMBER rank is the one piece of
+    * [[ivfPqProbe]] a threshold filter makes unnecessary, so the
+    * plan is join→score→filter, fully pipelined, no per-qid sort
+    * shuffle. Same approximation contract as top-k: candidates
+    * outside the nprobe probed buckets are not seen. */
+  def ivfPqRange(cents: DataFrame, cb: DataFrame, index: DataFrame,
+                 queries: DataFrame, threshold: Double,
+                 nprobe: Int = 12, m: Int = 4, dim: Int = 64,
+                 vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    val sub = dim / m
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cid").asc)
+    val probed = q.join(broadcast(cents))
+      .withColumn("qcos", cosine(col("qvec"), col("cvec")))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= nprobe)
+      .select("qid", "cid")
+    val lut = pqLut(queries, cb, m, sub, vecCol, idCol)
+    probed.join(index, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(lut), Seq("qid"))
+      .withColumn("score", graft.ops.Ops.roundDet(pqScore(m), 4))
+      .filter(col("score") >= threshold)
+      .select("qid", "nid", "score")
+      .orderBy("qid", "nid")
+  }
 }

@@ -1267,6 +1267,44 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS jaccard
               WHERE FALSE""")),
 
+    // d19: the continuous BULK-LOAD story — a live serving index
+    // absorbs an independently built shard IN PLACE in
+    // O(shard-files): the expensive signature pass ran off the
+    // serving path (the shard's own build job), the landing is a
+    // file copy + meta fold, and the big index's buckets are never
+    // read or rewritten (merge's O(total) copy is the one-shot
+    // alternative). A pending tombstone sits in the TARGET through
+    // the absorb. The absorbed probe must equal the one-shot gate
+    // over the union LIVE corpus — empty symmetric difference,
+    // hash-exact WHERE FALSE.
+    Q("d19_index_absorb",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = graft.ext.DedupIndex.dirFor(dir)
+        val (ixT, ixS) = (base + "_abT", base + "_abS")
+        val a = docs.filter(col("doc_id") < 150)
+        val b = docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+        val gone = docs.filter(col("doc_id") >= 140 &&
+          col("doc_id") < 150)
+        graft.ext.DedupIndex.build(a, ixT)
+        graft.ext.DedupIndex.remove(gone, ixT)
+        graft.ext.DedupIndex.build(b, ixS)
+        graft.ext.DedupIndex.absorb(s, ixS, ixT)
+        val live = docs.filter(col("doc_id") < 140 ||
+          (col("doc_id") >= 150 && col("doc_id") < 300))
+        val batch = docs.filter(col("doc_id") >= 300)
+        val stored = graft.ext.DedupIndex.probe(batch, ixT, live,
+          threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(batch, live,
+          threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute
@@ -2737,6 +2775,44 @@ object ExtQueries {
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // x17: RANGE (threshold) search from the stored index — every
+    // live candidate in the probed buckets above the similarity
+    // bar, unranked (no per-qid window in the serve plan: join →
+    // ADC score → filter, fully pipelined). The oracle replays the
+    // identical IVFADC chain and filters x8score — rank-free — at
+    // the same bar.
+    Q("x17_ann_range",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir)
+        graft.ext.AnnIndex.ensure(embs, ix)
+        graft.ext.AnnIndex.probeRange(s, ix,
+          embs.filter(col("vec_id") < 20), threshold = 0.3)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes
+               SELECT qid, nid, score
+               FROM x8score WHERE score >= 0.3 ORDER BY qid, nid""")),
+
+    // d20: the SEMANTIC dedup gate served from the stored ANN
+    // index — per batch vector, its best live match IF that match
+    // clears the bar (the accept/quarantine decision per incoming
+    // doc), priced as one stored-index probe with the corpus never
+    // re-encoded. The MinHash-space twin is d15; this is the
+    // embedding-space gate d5/d9 run index-free. Oracle: the x8
+    // rank chain at rank 1, threshold-filtered.
+    Q("d20_semantic_gate",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir)
+        graft.ext.AnnIndex.ensure(embs, ix)
+        graft.ext.AnnIndex.semanticGate(s, ix,
+          embs.filter(col("vec_id") < 20), threshold = 0.3)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes
+               SELECT qid, nid, score
+               FROM x8r WHERE rank = 1 AND score >= 0.3
+               ORDER BY qid""")),
+
     // x9v: the PRODUCTION serve posture — ensure(version = Some(v))
     // validates with ONE 1-row meta read, zero corpus scans (the x9
     // probe row deliberately pays the content-fingerprint scan
@@ -2896,6 +2972,34 @@ object ExtQueries {
           embs.filter(col("vec_id") >= half), shard)
         graft.ext.AnnIndex.merge(s, Seq(trainer, shard), merged)
         graft.ext.AnnIndex.probeTopK(s, merged,
+          embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH ${sqlIvfCtesFor(SqlLowerHalfPred)},
+                    ${sqlPqCtesFor(SqlLowerHalfPred)},
+                    $SqlIvfPqRankCtes
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x16: the ANN continuous BULK-LOAD — the serving index absorbs
+    // a shardFrom-encoded slice IN PLACE in O(shard-files): the
+    // encode ran off the serving path, the landing is a posting
+    // file copy + meta fold (asset fingerprints verified equal
+    // first), and the big index's postings are never read or
+    // rewritten. Content-identical to x10's build-then-append by
+    // construction — the x10 oracle must match hash-exact.
+    Q("x16_ann_absorb",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val base = graft.ext.AnnIndex.dirFor(dir)
+        val (ixT, ixS) = (base + "_abT", base + "_abS")
+        val half = embs.agg((max(col("vec_id")) + 1) / 2)
+          .head.getDouble(0).toLong
+        graft.ext.AnnIndex.build(
+          embs.filter(col("vec_id") < half), ixT)
+        graft.ext.AnnIndex.shardFrom(ixT,
+          embs.filter(col("vec_id") >= half), ixS)
+        graft.ext.AnnIndex.absorb(s, ixS, ixT)
+        graft.ext.AnnIndex.probeTopK(s, ixT,
           embs.filter(col("vec_id") < 20), k = 5)
       },
       Some(s"""WITH ${sqlIvfCtesFor(SqlLowerHalfPred)},

@@ -274,6 +274,80 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("AnnIndex probeRange: threshold serve equals filtered deep " +
+      "top-k; tombstones and the gate contract hold") {
+    import graft.ext.AnnIndex
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("x17ix").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    val q = embs.filter($"vec_id" < 10)
+    val t = 0.3
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "score")
+        .as[(Long, Long, Double)].collect().toSet
+    val range = triples(AnnIndex.probeRange(spark, dir, q, t))
+    assert(range.nonEmpty, "fixture must produce above-bar matches")
+    // range = the unranked deep top-k filtered at the same bar
+    val deep = triples(AnnIndex.probeTopK(spark, dir, q,
+      k = Int.MaxValue).filter($"score" >= t))
+    assert(range == deep,
+      "range serve must equal threshold-filtered unbounded top-k")
+    // the gate is per-qid argmax of the range result: at most one
+    // row per qid, and exactly the max-score row (ties to lower nid)
+    val gate = triples(AnnIndex.semanticGate(spark, dir, q, t))
+    val best = range.groupBy(_._1).map { case (_, rs) =>
+      rs.minBy(r => (-r._3, r._2))
+    }.toSet
+    assert(gate == best, "gate must be the per-query argmax above bar")
+    // retraction filters the range serve
+    val goneIds = range.map(_._2).take(2)
+    AnnIndex.remove(embs.filter($"vec_id".isInCollection(goneIds)), dir)
+    val after = triples(AnnIndex.probeRange(spark, dir, q, t))
+    assert(after.forall(r => !goneIds.contains(r._2)),
+      "tombstoned ids must leave the range result")
+    assert(after == range.filter(r => !goneIds.contains(r._2)),
+      "retraction must remove exactly the tombstoned candidates")
+  }
+
+  test("AnnIndex absorb: in-place shard ingest equals build+append; " +
+      "mismatched assets and double-absorb rejected") {
+    import graft.ext.AnnIndex
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(p).toString + "/ix"
+    val lower = embs.filter($"vec_id" < 300)
+    val upper = embs.filter($"vec_id" >= 300)
+    val (target, shard, twin) = (tmp("x16T"), tmp("x16S"), tmp("x16W"))
+    AnnIndex.build(lower, target)
+    AnnIndex.shardFrom(target, upper, shard)
+    AnnIndex.absorb(spark, shard, target)
+    AnnIndex.build(lower, twin)
+    AnnIndex.append(upper, twin)
+    val q = embs.filter($"vec_id" < 5)
+    def top(ix: String) =
+      AnnIndex.probeTopK(spark, ix, q, k = 3).collect().toSet
+    assert(top(target) == top(twin),
+      "absorbed probe must equal the build+append chain")
+    assert(!AnnIndex.ensure(embs, target),
+      "absorbed index must be content-fresh over the union corpus")
+    // double-absorb of the same shard: raw-id overlap refuses
+    intercept[IllegalArgumentException] {
+      AnnIndex.absorb(spark, shard, target)
+    }
+    // a shard trained independently (different assets) refuses
+    val indep = tmp("x16I")
+    AnnIndex.build(upper, indep)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.absorb(spark, indep, target)
+    }
+    assert(ex.getMessage.contains("quantization assets"))
+    assert(!AnnIndex.ensure(embs, target),
+      "failed absorbs must leave the target committed and fresh")
+  }
+
   test("multi-probe IVF assignment contains single-probe; pairs are a superset") {
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cents = Similarity.centroids(embs, stride = 20)
@@ -553,6 +627,61 @@ class ExtSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       DedupIndex.merge(spark, Seq(dirA, dirB), dirA)
     }
+  }
+
+  test("dedup index absorb: in-place shard ingest equals append, " +
+      "tombstones on both sides survive, guards hold") {
+    import graft.ext.DedupIndex
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpusA = Seq(
+      (0L, base),
+      (1L, "completely different words about spark catalyst plans here today"),
+      (2L, base.replace("river", "creek"))).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (3L, base.replace("dog", "cat")),
+      (4L, "another unrelated corpus document speaking of benchmarks only")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("quick", "swift")),
+      (11L, "unrelated text with nothing shared at all in any shingle window")
+    ).toDF("doc_id", "text")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val (dirT, dirS) = (tmp("d19T"), tmp("d19S"))
+    DedupIndex.build(corpusA, dirT)
+    // pending tombstone in the TARGET survives the in-place absorb
+    DedupIndex.remove(corpusA.filter($"doc_id" === 1L), dirT)
+    DedupIndex.build(corpusB, dirS)
+    // pending tombstone in the SHARD rides along too
+    DedupIndex.remove(corpusB.filter($"doc_id" === 4L), dirS)
+    DedupIndex.absorb(spark, dirS, dirT)
+    val live = corpusA.unionByName(corpusB)
+      .filter($"doc_id" =!= 1L && $"doc_id" =!= 4L)
+    assert(rows(DedupIndex.probe(batch, dirT, live, 0.4)) ==
+      rows(Dedup.minhashIncrementalNearDups(batch, live, 0.4)),
+      "absorbed probe must equal the one-shot gate over the live union")
+    assert(!DedupIndex.ensure(live, dirT),
+      "absorbed index must be content-fresh for the live union")
+    // the merged bloom covers shard ids: the duplicate-id guard holds
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(corpusB.filter($"doc_id" === 3L)
+        .withColumn("text", lit("fresh text, recycled id")), dirT)
+    }
+    // overlap (absorbing a shard twice) and self-absorb refuse
+    intercept[IllegalArgumentException] {
+      DedupIndex.absorb(spark, dirS, dirT)
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.absorb(spark, dirT, dirT)
+    }
+    // an uncommitted shard refuses before the target is touched
+    intercept[IllegalStateException] {
+      DedupIndex.absorb(spark, tmp("d19E"), dirT)
+    }
+    assert(!DedupIndex.ensure(live, dirT),
+      "failed absorbs must leave the target committed and fresh")
   }
 
   test("dedup index: bucket cap applies to the MERGED bucket across " +

@@ -337,8 +337,8 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("dedup index: 30 random append/remove/compact/re-append/merge " +
-      "interleavings") {
+  test("dedup index: 30 random append/remove/compact/re-append/merge/" +
+      "absorb interleavings") {
     import graft.ext.DedupIndex
     // takedown-inclusive randomized lifecycle coverage: every
     // sequence drives a RANDOM op chain — append fresh docs, retract
@@ -368,7 +368,7 @@ class PropertySpec extends SparkTestBase {
         .createTempDirectory(s"d15rand$seqNo").toString
       DedupIndex.build(live.toSeq.toDF("doc_id", "text"), dir)
       var removedOnce = false
-      for (_ <- 1 to 4) rnd.nextInt(5) match {
+      for (_ <- 1 to 4) rnd.nextInt(6) match {
         case 0 if cursor < pool.size => // append fresh docs
           val batch = pool.slice(cursor,
             math.min(cursor + 3 + rnd.nextInt(5), pool.size))
@@ -406,6 +406,15 @@ class PropertySpec extends SparkTestBase {
           DedupIndex.merge(spark, Seq(dir, shard), mergedDir)
           dir = mergedDir
           live ++= batch
+        case 5 if cursor < pool.size => // absorb a shard IN PLACE
+          val batch = pool.slice(cursor,
+            math.min(cursor + 2 + rnd.nextInt(4), pool.size))
+          cursor += batch.size
+          val shard = java.nio.file.Files
+            .createTempDirectory(s"d15ra$seqNo").toString
+          DedupIndex.build(batch.toDF("doc_id", "text"), shard)
+          DedupIndex.absorb(spark, shard, dir)
+          live ++= batch
         case _ => () // op not applicable in this state — skip
       }
       // probe: random docs + one exact copy of a live doc so the
@@ -427,8 +436,8 @@ class PropertySpec extends SparkTestBase {
       s"only $nonVacuous sequences exercised retract+hit — weak seed")
   }
 
-  test("ann index: 20 random append/remove/compact/re-append/merge " +
-      "interleavings") {
+  test("ann index: 20 random append/remove/compact/re-append/merge/" +
+      "absorb interleavings") {
     import graft.ext.AnnIndex
     // the x-family twin of the randomized lifecycle above: random op
     // chains over a stored IVFADC index — including shardFrom+merge
@@ -439,7 +448,11 @@ class PropertySpec extends SparkTestBase {
     // unchanged; append packaging invariance is pinned by the
     // packaging test above), plus content-ensure freshness over the
     // survivors.
-    val rnd = new scala.util.Random(101)
+    // seed chosen by simulating the op-chain bookkeeping driver-side:
+    // 107 deals 13/20 sequences that exercise retract+serve (the
+    // non-vacuity floor below); 101 dealt only 5 once the op mix
+    // widened to 6
+    val rnd = new scala.util.Random(107)
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
       .filter($"vec_id" < 80).localCheckpoint()
     val q = embs.filter($"vec_id" < 5).localCheckpoint()
@@ -456,7 +469,7 @@ class PropertySpec extends SparkTestBase {
         embs.filter($"vec_id".isInCollection(ids))
       AnnIndex.build(rows(live), dir)
       var removedOnce = false
-      for (_ <- 1 to 4) rnd.nextInt(5) match {
+      for (_ <- 1 to 4) rnd.nextInt(6) match {
         case 0 if cursor < 80L => // append fresh vectors
           val hi = math.min(cursor + 5 + rnd.nextInt(6), 80L)
           val ids = (cursor until hi).toSet
@@ -489,6 +502,15 @@ class PropertySpec extends SparkTestBase {
             .createTempDirectory(s"annrm$seqNo").toString + "/ix"
           AnnIndex.merge(spark, Seq(dir, shard), mergedDir)
           dir = mergedDir
+          live ++= ids; everIn ++= ids
+        case 5 if cursor < 80L => // shard-encode and absorb IN PLACE
+          val hi = math.min(cursor + 4 + rnd.nextInt(5), 80L)
+          val ids = (cursor until hi).toSet
+          cursor = hi
+          val shard = java.nio.file.Files
+            .createTempDirectory(s"annra$seqNo").toString + "/ix"
+          AnnIndex.shardFrom(dir, rows(ids), shard)
+          AnnIndex.absorb(spark, shard, dir)
           live ++= ids; everIn ++= ids
         case _ => ()
       }

@@ -127,6 +127,17 @@ class RegistryGuardSpec extends SparkTestBase {
     // probed plan; x9's one-row-asset argument verbatim
     "x15_ann_shard_merge" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x17/d20: the x9 serve chain minus (x17) or with (d20) the
+    // rank window, same one-row centroid/codebook broadcasts
+    "x17_ann_range" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    "d20_semantic_gate" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x16: the x9 probe chain over an absorbed index — the
+    // build/shardFrom/absorb side effects run eagerly outside the
+    // probed plan; x9's one-row-asset argument verbatim
+    "x16_ann_absorb" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // st12: the symmetric difference of TWO x9 probe chains (the
     // streamed-lifecycle index vs the batch-lifecycle twin) — the
     // one-row centroid/codebook broadcasts appear on both sides;
