@@ -591,4 +591,54 @@ object AnnIndex {
         lit(spark.read.parquet(s"$dir/$p").count()).as("n_rows"))
     }.reduce(_ unionByName _).orderBy("part")
   }
+
+  /** Operational health report of a stored ANN index — the numbers
+    * an index-serving deployment watches, as one (metric, value)
+    * frame:
+    *
+    *  - `n_centroids` / `n_codebook` / `n_postings`: asset sizes as
+    *    durably written (postings INCLUDING tombstoned rows — the
+    *    physical footprint a compact would rewrite);
+    *  - `n_tombstoned` / `n_live`: the LSM split's two sides — how
+    *    much retraction debt is pending vs what probes actually
+    *    search;
+    *  - `n_cids_live` / `max_bucket` / `p50_bucket` / `avg_bucket`:
+    *    the live per-centroid posting histogram — probe latency is
+    *    driven by the probed buckets' sizes, so a max_bucket pulling
+    *    away from p50 is the serving hot-spot signal (one giant
+    *    cluster absorbing the corpus) that says retrain centroids;
+    *  - `bloom_present`: whether the O(batch) append fast path is
+    *    armed (pre-bloom indexes fall back to the exact id check).
+    *
+    * Everything here is index-asset-sized or smaller — the corpus is
+    * never read, and the whole report is one composed plan (no
+    * driver-side counting beyond the bloom-asset existence probe).
+    * Fresh-built indexes are DuckDB-oracle-able from the source
+    * corpus (the x18 row re-derives the assignment histogram in
+    * SQL); tombstone-bearing states are spec-gated (ExtSpec). */
+  def health(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ops.roundDet
+    val postings = spark.read.parquet(s"$dir/postings")
+    val deletes = StoredIndex.readDeleteIds(spark, dir)
+    val live = StoredIndex.filterTombstones(deletes, postings, "nid")
+    val perCid = live.groupBy("cid").agg(count(lit(1L)).as("n"))
+    val bloomPresent =
+      if (StoredIndex.readIdBloom(spark, dir).isDefined) 1d else 0d
+    import StoredIndex.{litMetricRow, metricRow, tombstoneMetricRow}
+    Seq(
+      metricRow("avg_bucket", perCid, roundDet(avg(col("n")), 4)),
+      litMetricRow(spark, "bloom_present", bloomPresent),
+      metricRow("max_bucket", perCid, max(col("n"))),
+      metricRow("n_cids_live", perCid, count(lit(1L))),
+      metricRow("n_centroids",
+        spark.read.parquet(s"$dir/centroids"), count(lit(1L))),
+      metricRow("n_codebook",
+        spark.read.parquet(s"$dir/codebook"), count(lit(1L))),
+      metricRow("n_live", live, count(lit(1L))),
+      metricRow("n_postings", postings, count(lit(1L))),
+      tombstoneMetricRow(spark, dir),
+      metricRow("p50_bucket", perCid,
+        roundDet(percentile(col("n"), lit(0.5)), 4))
+    ).reduce(_ unionByName _).orderBy("metric")
+  }
 }

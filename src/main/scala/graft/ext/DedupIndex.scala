@@ -400,4 +400,82 @@ object DedupIndex {
     df.groupBy("band", "bhash")
       .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"))
       .repartition(col("band")).sortWithinPartitions("band", "bhash")
+
+  /** Operational health report of a stored dedup index —
+    * [[AnnIndex.health]]'s sibling, as one (metric, value) frame:
+    *
+    *  - `n_bucket_rows`: physical shard rows as durably written
+    *    (append accretes partial rows per batch; compact folds them
+    *    — the gap between this and `n_buckets` is the accretion debt
+    *    a compact would clear);
+    *  - `n_buckets` / `max_bucket` / `p50_bucket` / `avg_bucket`:
+    *    the MERGED live bucket histogram — probe cost is driven by
+    *    matched bucket sizes, and a max_bucket near the probe-side
+    *    maxBucket cap is the signal that boilerplate-heavy ingest is
+    *    pushing candidate mass toward the cap's recall trade;
+    *  - `n_entries_live` / `n_docs_live`: live posting mass (≈ docs
+    *    × bands) vs distinct live documents;
+    *  - `n_tombstoned` / `bloom_present`: retraction debt pending
+    *    compact, and whether the O(batch) append guard is armed.
+    *
+    * Index-asset-sized throughout (the corpus text is never read);
+    * one composed plan. [[healthFromCorpus]] re-derives the same
+    * frame from the corpus through the in-query banding path — the
+    * d21 registry row pins stored ≡ derived on a fresh index, and
+    * ExtSpec gates the tombstone-bearing states. */
+  def health(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ops.roundDet
+    import StoredIndex.{litMetricRow, metricRow, tombstoneMetricRow}
+    val raw = spark.read.parquet(s"$dir/buckets")
+    val deletes = StoredIndex.readDeleteIds(spark, dir)
+    val entries = StoredIndex.filterTombstones(deletes,
+      raw.select(col("band"), col("bhash"),
+        explode(col("ids")).as("id")), "id")
+    val perBucket = entries.groupBy("band", "bhash")
+      .agg(count(lit(1L)).as("n"))
+    val bloomPresent =
+      if (StoredIndex.readIdBloom(spark, dir).isDefined) 1d else 0d
+    Seq(
+      metricRow("avg_bucket", perBucket, roundDet(avg(col("n")), 4)),
+      litMetricRow(spark, "bloom_present", bloomPresent),
+      metricRow("max_bucket", perBucket, max(col("n"))),
+      metricRow("n_bucket_rows", raw, count(lit(1L))),
+      metricRow("n_buckets", perBucket, count(lit(1L))),
+      metricRow("n_docs_live",
+        entries.select("id").distinct(), count(lit(1L))),
+      metricRow("n_entries_live", entries, count(lit(1L))),
+      tombstoneMetricRow(spark, dir),
+      metricRow("p50_bucket", perBucket,
+        roundDet(percentile(col("n"), lit(0.5)), 4))
+    ).reduce(_ unionByName _).orderBy("metric")
+  }
+
+  /** The health frame a FRESH build of `corpus` must report,
+    * derived through the in-query banding path without touching any
+    * stored asset — [[health]]'s independent oracle. A fresh build
+    * writes one bucket row per (band, bhash) (`n_bucket_rows` =
+    * `n_buckets`), holds no tombstones, and mints the id bloom. */
+  def healthFromCorpus(corpus: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import graft.ops.Ops.roundDet
+    import StoredIndex.{litMetricRow, metricRow}
+    val spark = corpus.sparkSession
+    val entries = Dedup.bandedOf(corpus, textCol, idCol)
+    val perBucket = entries.groupBy("band", "bhash")
+      .agg(count(lit(1L)).as("n"))
+    Seq(
+      metricRow("avg_bucket", perBucket, roundDet(avg(col("n")), 4)),
+      litMetricRow(spark, "bloom_present", 1d),
+      metricRow("max_bucket", perBucket, max(col("n"))),
+      metricRow("n_bucket_rows", perBucket, count(lit(1L))),
+      metricRow("n_buckets", perBucket, count(lit(1L))),
+      metricRow("n_docs_live",
+        entries.select("id").distinct(), count(lit(1L))),
+      metricRow("n_entries_live", entries, count(lit(1L))),
+      litMetricRow(spark, "n_tombstoned", 0d),
+      metricRow("p50_bucket", perBucket,
+        roundDet(percentile(col("n"), lit(0.5)), 4))
+    ).reduce(_ unionByName _).orderBy("metric")
+  }
 }

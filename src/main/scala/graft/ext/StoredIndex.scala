@@ -463,6 +463,30 @@ object StoredIndex {
       f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 
+  /** One (metric, value) health row from an aggregate over `df` —
+    * the building block both families' `health()` reports union.
+    * Values are DOUBLE uniformly so counts and averaged/interpolated
+    * gauges share one schema (counts at index scale are far inside
+    * double's 2^53 exact-integer range). */
+  def metricRow(name: String, df: DataFrame, v: Column): DataFrame =
+    df.agg(v.cast("double").as("value"))
+      .select(lit(name).as("metric"), col("value"))
+
+  /** A driver-known constant as a (metric, value) row — asset
+    * presence flags and the no-tombstones zero. */
+  def litMetricRow(spark: SparkSession, name: String,
+                   value: Double): DataFrame =
+    spark.range(1).select(lit(name).as("metric"),
+      lit(value).cast("double").as("value"))
+
+  /** Tombstone-count health row shared by both families: the
+    * retraction-sized deletes asset, 0 when none is pending. */
+  def tombstoneMetricRow(spark: SparkSession, dir: String): DataFrame =
+    readDeleteIds(spark, dir) match {
+      case Some(d) => metricRow("n_tombstoned", d, count(lit(1L)))
+      case None    => litMetricRow(spark, "n_tombstoned", 0d)
+    }
+
   /** Compact when the asset has accreted past `maxFiles` part files
     * — the self-maintenance form of [[compactAsset]] a long append
     * chain (streaming ingest) calls after each append: amortized

@@ -1305,6 +1305,35 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS jaccard
               WHERE FALSE""")),
 
+    // d21: the stored dedup index's operational HEALTH report —
+    // x18's MinHash-LSH sibling (accretion debt = bucket_rows vs
+    // merged buckets, retraction debt, the merged live bucket
+    // histogram whose max nearing the probe cap is the boilerplate-
+    // mass signal, bloom armed). The contract: health read from the
+    // stored assets must equal the health a FRESH build of the same
+    // corpus reports, re-derived through the in-query banding path
+    // without touching any asset (DedupIndex.healthFromCorpus) —
+    // empty symmetric difference, hash-exact WHERE FALSE. MinHash
+    // values are engine-specific (xxhash64), so the histogram is not
+    // DuckDB-derivable — this asset-vs-derivation pin is the d15-
+    // family's established closure for exactly that; tombstone-
+    // bearing states are spec-gated (ExtSpec).
+    Q("d21_index_health",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val ix = graft.ext.DedupIndex.dirFor(dir)
+        graft.ext.DedupIndex.ensure(corpus, ix)
+        val stored = graft.ext.DedupIndex.health(s, ix)
+        val derived = graft.ext.DedupIndex.healthFromCorpus(corpus)
+        stored.exceptAll(derived)
+          .unionByName(derived.exceptAll(stored))
+          .orderBy("metric")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS metric,
+                     CAST(NULL AS DOUBLE) AS value
+              WHERE FALSE""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute
@@ -2345,6 +2374,85 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS score
               WHERE FALSE""")),
 
+    // st13: the REPRODUCIBILITY contract of the streamed corpus
+    // store — corpusAsOf(batch) re-serves exactly what the ingest
+    // had accepted at that batch, bit-identical after later drops
+    // land AND after small-file compaction rewrites every batch dir
+    // (compactStores(1) forces the rewrite of each multi-file
+    // partition through the crash-safe stage-then-swap before the
+    // as-of read). The pin: as-of at the first drop's high batch ≡
+    // the corpus of a reference ingest that only ever saw that drop
+    // — empty symmetric difference, hash-exact WHERE FALSE. This is
+    // "train on exactly what batch N had" made checkable; takedowns
+    // deliberately pierce it (history is purged in place).
+    Q("st13_corpus_asof",
+      (s, dir) => {
+        import graft.streaming.StreamingDedupIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st13_").toString
+        val drop1 = docs.filter(col("doc_id") < 150)
+        val ingest = new StreamingDedupIngest(s, s"$root/ix",
+          s"$root/corpus", s"$root/quar")
+        StreamingDedupIngest.stage(drop1, s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        val cut = ingest.batchLedger()
+          .agg(max(col("batch"))).head.getLong(0)
+        StreamingDedupIngest.stage(
+          docs.filter(col("doc_id") >= 150 && col("doc_id") < 260),
+          s"$root/staging", "d2")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        ingest.compactStores(maxFilesPerBatch = 1)
+        val asof = ingest.corpusAsOf(cut)
+        val ref = new StreamingDedupIngest(s, s"$root/ix2",
+          s"$root/corpus2", s"$root/quar2")
+        StreamingDedupIngest.stage(drop1, s"$root/staging2", "d1")
+        ref.ingestAvailable(s"$root/staging2", s"$root/ckpt2")
+        val expect = ref.corpus()
+        asof.exceptAll(expect).unionByName(expect.exceptAll(asof))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                     CAST(NULL AS VARCHAR) AS text
+              WHERE FALSE""")),
+
+    // st14: the BOOTSTRAP path — a production ingest rarely starts
+    // empty; seed() lands an existing corpus as batch -1 and builds
+    // the index over it, so the FIRST streamed drop gates against
+    // the seeded state instead of seeding itself. The pin: the
+    // accepted corpus after seed + one gated drop ≡ seed ∪ (drop
+    // minus the in-query incremental gate's near-dups) — empty
+    // symmetric difference, hash-exact WHERE FALSE. (The gate itself
+    // is d15-probe ≡ d11-direct, already pinned by st11/d15; this
+    // row pins that the seed participates as full corpus-side
+    // standing, batch ordering included.)
+    Q("st14_seeded_gate",
+      (s, dir) => {
+        import graft.streaming.StreamingDedupIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st14_").toString
+        val seedDocs = docs.filter(col("doc_id") < 250)
+        val drop = docs.filter(col("doc_id") >= 250 &&
+          col("doc_id") < 400)
+        val ingest = new StreamingDedupIngest(s, s"$root/ix",
+          s"$root/corpus", s"$root/quar")
+        ingest.seed(seedDocs)
+        StreamingDedupIngest.stage(drop, s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        val dups = Dedup.minhashIncrementalNearDups(drop, seedDocs,
+            threshold = 0.4)
+          .select(col("batch_id").as("doc_id")).distinct()
+        val expect = seedDocs.unionByName(
+          drop.join(dups, Seq("doc_id"), "left_anti"))
+        val got = ingest.corpus()
+        got.exceptAll(expect).unionByName(expect.exceptAll(got))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                     CAST(NULL AS VARCHAR) AS text
+              WHERE FALSE""")),
+
     Q("st10_stream_drift_psi",
       (s, dir) => StreamingOps.streamingDriftPsi(s, dir),
       Some(s"""WITH rr AS (
@@ -2812,6 +2920,59 @@ object ExtQueries {
                SELECT qid, nid, score
                FROM x8r WHERE rank = 1 AND score >= 0.3
                ORDER BY qid""")),
+
+    // x18: the stored ANN index's operational HEALTH report — asset
+    // sizes, the live/tombstoned LSM split, and the live per-centroid
+    // posting histogram (max/p50/avg bucket — probe latency is probed
+    // bucket size, so max pulling away from p50 is the retrain-
+    // centroids hot-spot signal), plus whether the O(batch) append
+    // bloom is armed. Index-asset-sized, corpus never read. The
+    // oracle re-derives every number from the source embeddings: the
+    // assignment histogram via the x-family's own IVF CTEs (stride
+    // centroids, cosine argmax, ties to lower cid), fresh-build
+    // invariants for the rest (postings = corpus rows, no
+    // tombstones, bloom minted). Tombstone-bearing states are
+    // spec-gated (ExtSpec: health after remove / after compact).
+    Q("x18_index_health",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir)
+        graft.ext.AnnIndex.ensure(embs, ix)
+        graft.ext.AnnIndex.health(s, ix)
+      },
+      Some(s"""WITH ${sqlIvfStrideCteFor("TRUE")},
+                 ic AS (SELECT vec_id AS cid,
+                               CAST(embedding AS DOUBLE[]) AS cvec
+                        FROM embeddings, ist WHERE vec_id % ist.st = 0),
+                 iv AS (SELECT vec_id AS nid,
+                               CAST(embedding AS DOUBLE[]) AS nvec
+                        FROM embeddings),
+                 iasg AS (SELECT nid, cid FROM (
+                     SELECT iv.nid, ic.cid,
+                       ROW_NUMBER() OVER (PARTITION BY iv.nid ORDER BY
+                         ${sqlCosRaw("iv.nvec", "ic.cvec")} DESC, ic.cid)
+                         AS rk
+                     FROM iv, ic) WHERE rk = 1),
+                 pc AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS n
+                        FROM iasg GROUP BY cid),
+                 m AS (
+                   SELECT 'avg_bucket' AS metric,
+                          ${sqlRoundDet("AVG(n)", 4)} AS value FROM pc
+                   UNION ALL SELECT 'bloom_present', 1
+                   UNION ALL SELECT 'max_bucket', MAX(n) FROM pc
+                   UNION ALL SELECT 'n_cids_live', COUNT(*) FROM pc
+                   UNION ALL SELECT 'n_centroids',
+                     (SELECT COUNT(*) FROM ic)
+                   UNION ALL SELECT 'n_codebook', 1
+                   UNION ALL SELECT 'n_live',
+                     (SELECT COUNT(*) FROM iasg)
+                   UNION ALL SELECT 'n_postings',
+                     (SELECT COUNT(*) FROM iasg)
+                   UNION ALL SELECT 'n_tombstoned', 0
+                   UNION ALL SELECT 'p50_bucket',
+                     ${sqlRoundDet("quantile_cont(n, 0.5)", 4)} FROM pc)
+               SELECT metric, CAST(value AS DOUBLE) AS value
+               FROM m ORDER BY metric""")),
 
     // x9v: the PRODUCTION serve posture — ensure(version = Some(v))
     // validates with ONE 1-row meta read, zero corpus scans (the x9

@@ -84,8 +84,63 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
     * crash recovery and the row source for [[retract]]'s un-mix. */
   def store(): DataFrame = {
     val dir = requireStore("store")
+    // resolve any crashed compactStores swap FIRST: this read feeds
+    // the crash-recovery index rebuild, which must never lose a
+    // batch to a half-finished store compaction
+    StoreMaintenance.heal(spark, dir)
     spark.read.parquet(dir).select("vec_id", "embedding")
   }
+
+  /** The vector store as of micro-batch `maxBatch` (inclusive) —
+    * the reproducibility read: re-serves exactly what the ingest had
+    * accepted at that batch, bit-identical after later batches land
+    * (modulo takedowns, which purge history in place by design).
+    * Partition-pruned on the batch dirs ([[StoreMaintenance.asOf]]).
+    * Store posture only. */
+  def storeAsOf(maxBatch: Long): DataFrame =
+    StoreMaintenance.asOf(spark, requireStore("storeAsOf"), maxBatch)
+      .select("vec_id", "embedding")
+
+  /** The vectors accepted in batches (fromBatch, toBatch] — the
+    * incremental read, partition-pruned on both bounds.
+    * storeAsOf(to) ≡ storeAsOf(from) ∪ delta(from, to). Store
+    * posture only. */
+  def storeDelta(fromBatch: Long, toBatch: Long): DataFrame =
+    StoreMaintenance.delta(spark, requireStore("storeDelta"),
+      fromBatch, toBatch).select("vec_id", "embedding")
+
+  /** (batch, n_rows) ledger of landed micro-batches — the spine the
+    * as-of contract pins against. Store posture only. */
+  def batchLedger(): DataFrame =
+    StoreMaintenance.batches(spark, requireStore("batchLedger"))
+
+  /** Bootstrap a VIRGIN store-posture ingest from an existing vector
+    * corpus: the seed lands as partition `batch=-1` and the index
+    * builds over it, so streamed drops append only not-yet-indexed
+    * ids against the seeded state ([[StreamingDedupIngest.seed]]'s
+    * contract — refuses a non-virgin target). */
+  def seed(df: DataFrame): Unit = {
+    val dir = requireStore("seed")
+    val storePath = new org.apache.hadoop.fs.Path(dir)
+    require(!storePath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(storePath),
+      s"seed: vector store already exists at $dir — seeding is " +
+        "bootstrap-only; ingest new vectors through the stream")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/meta")),
+      s"seed: index already exists at $indexDir")
+    val fresh = dropRetracted(df.dropDuplicates("vec_id"))
+      .localCheckpoint()
+    writePartition(fresh, dir, -1L)
+    AnnIndex.build(store(), indexDir)
+  }
+
+  /** Rewrite over-threshold batch dirs of the vector store down to
+    * one file each ([[StoreMaintenance.compactStore]] — crash-safe,
+    * layout-preserving). Returns rewritten-dir count. Store posture
+    * only. */
+  def compactStores(maxFilesPerBatch: Int = 4): Int =
+    StoreMaintenance.compactStore(spark, requireStore("compactStores"),
+      maxFilesPerBatch)
 
   /** Sticky takedown-intent ledger beside the vector store — the
     * exact [[StreamingDedupIngest]] discipline: every micro-batch

@@ -92,8 +92,76 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     * split: the index holds signatures, THIS store holds text — and
     * probe's exact-Jaccard verification reads it for candidate ids
     * only. */
-  def corpus(): DataFrame =
+  def corpus(): DataFrame = {
+    // resolve any crashed compactStores swap FIRST: this read feeds
+    // the crash-recovery index rebuild, which must never lose a
+    // batch to a half-finished store compaction
+    StoreMaintenance.heal(spark, corpusDir)
     spark.read.parquet(corpusDir).select("doc_id", "text")
+  }
+
+  /** The accepted corpus as of micro-batch `maxBatch` (inclusive) —
+    * the reproducibility read a training run pins its inputs with:
+    * re-serves exactly what the ingest had accepted at that batch,
+    * bit-identical after any number of later drops (modulo
+    * takedowns, which purge history in place by design — an as-of
+    * read never resurrects retracted text). Partition-pruned on the
+    * batch dirs ([[StoreMaintenance.asOf]]); later batches are never
+    * opened. */
+  def corpusAsOf(maxBatch: Long): DataFrame =
+    StoreMaintenance.asOf(spark, corpusDir, maxBatch)
+      .select("doc_id", "text")
+
+  /** The documents accepted in batches (fromBatch, toBatch] — the
+    * incremental-training read: train on exactly what arrived since
+    * the run that stopped at `fromBatch`, partition-pruned on both
+    * bounds. corpusAsOf(to) ≡ corpusAsOf(from) ∪ delta(from, to). */
+  def corpusDelta(fromBatch: Long, toBatch: Long): DataFrame =
+    StoreMaintenance.delta(spark, corpusDir, fromBatch, toBatch)
+      .select("doc_id", "text")
+
+  /** (batch, n_rows) ledger of landed micro-batches over the
+    * accepted corpus — the spine the as-of contract pins against
+    * ([[StoreMaintenance.batches]]). */
+  def batchLedger(): DataFrame =
+    StoreMaintenance.batches(spark, corpusDir)
+
+  /** Bootstrap a VIRGIN ingest from an existing batch corpus: the
+    * seed lands as partition `batch=-1` (below any micro-batch id,
+    * so as-of/delta reads order it before every streamed drop) and
+    * the index builds over it — the first streamed drop then GATES
+    * against the seeded corpus instead of seeding itself. The seed
+    * is taken as-is (in-batch id dedup + the sticky takedown filter
+    * only): dedup the bootstrap corpus upstream (e1/e2) — gating a
+    * corpus against itself is a batch job, not an ingest. Refuses a
+    * non-virgin target: seeding UNDER an existing corpus/index would
+    * silently bypass the gate for every seeded doc. */
+  def seed(df: DataFrame): Unit = {
+    val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+    require(!corpusPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(corpusPath),
+      s"seed: corpus store already exists at $corpusDir — seeding is " +
+        "bootstrap-only; ingest new documents through the stream")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/meta")),
+      s"seed: index already exists at $indexDir")
+    val fresh = dropRetracted(df.dropDuplicates("doc_id"))
+      .localCheckpoint()
+    writePartition(fresh, corpusDir, -1L)
+    DedupIndex.build(corpus(), indexDir)
+  }
+
+  /** Rewrite over-threshold batch dirs of BOTH durable stores
+    * (corpus and quarantine) down to one file each
+    * ([[StoreMaintenance.compactStore]] — crash-safe swap,
+    * batch=… layout preserved so as-of, replay idempotency, and
+    * purge pruning survive). Returns the rewritten-dir count: the
+    * long-running ingest's answer to the streaming small-file
+    * liability, priced O(over-threshold batches), never
+    * corpus-sized. */
+  def compactStores(maxFilesPerBatch: Int = 4): Int =
+    StoreMaintenance.compactStore(spark, corpusDir, maxFilesPerBatch) +
+      StoreMaintenance.compactStore(spark, quarantineDir,
+        maxFilesPerBatch)
 
   /** Durable takedown-intent ledger beside the corpus store:
     * [[retract]] records the ids HERE FIRST, and every micro-batch

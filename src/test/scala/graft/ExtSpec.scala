@@ -1672,4 +1672,81 @@ class ExtSpec extends SparkTestBase {
     assert(flat.filter($"code" < 0 || $"code" >= k).count() == 0)
     assert(flat.groupBy("nid").count().filter($"count" =!= 4).count() == 0)
   }
+
+  private def healthMap(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Double] =
+    df.as[(String, Double)].collect().toMap
+
+  test("AnnIndex.health: fresh, tombstoned, and compacted states") {
+    import graft.ext.AnnIndex
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annhl_").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    val n = embs.count().toDouble
+
+    val fresh = healthMap(AnnIndex.health(spark, dir))
+    assert(fresh("n_postings") == n && fresh("n_live") == n)
+    assert(fresh("n_tombstoned") == 0 && fresh("bloom_present") == 1)
+    assert(fresh("n_codebook") == 1)
+    assert(fresh("n_cids_live") <= fresh("n_centroids"))
+    assert(fresh("max_bucket") >= fresh("p50_bucket") &&
+      fresh("max_bucket") >= fresh("avg_bucket"))
+    // bucket mass accounts for every live posting (avg is rounded to
+    // 4dp, so the product carries up to n_cids * 5e-5 of rounding)
+    assert(math.abs(fresh("avg_bucket") * fresh("n_cids_live") - n) < 0.01)
+
+    // retraction: tombstone debt visible, physical footprint untouched
+    val gone = embs.filter($"vec_id" % 7 === 3).localCheckpoint()
+    val g = gone.count().toDouble
+    AnnIndex.remove(gone, dir)
+    val tomb = healthMap(AnnIndex.health(spark, dir))
+    assert(tomb("n_tombstoned") == g, "tombstones = retraction size")
+    assert(tomb("n_live") == n - g, "live = postings minus tombstones")
+    assert(tomb("n_postings") == n,
+      "physical postings untouched until compact")
+
+    // compact materializes: debt cleared, footprint shrinks to live
+    AnnIndex.compact(spark, dir)
+    val comp = healthMap(AnnIndex.health(spark, dir))
+    assert(comp("n_tombstoned") == 0 && comp("n_postings") == n - g &&
+      comp("n_live") == n - g)
+  }
+
+  test("DedupIndex.health == healthFromCorpus fresh; tracks retract/compact") {
+    import graft.ext.DedupIndex
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").filter($"doc_id" < 200)
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_d21hl_").toString + "/ix"
+    DedupIndex.build(corpus, dir)
+
+    // the d21 pin, spec-side: stored assets report exactly what the
+    // in-query banding derivation predicts
+    val stored = healthMap(DedupIndex.health(spark, dir))
+    val derived = healthMap(DedupIndex.healthFromCorpus(corpus))
+    assert(stored == derived, s"stored $stored != derived $derived")
+
+    val gone = corpus.filter($"doc_id" % 9 === 2).localCheckpoint()
+    val g = gone.count().toDouble
+    DedupIndex.remove(gone, dir)
+    val tomb = healthMap(DedupIndex.health(spark, dir))
+    assert(tomb("n_tombstoned") == g)
+    assert(tomb("n_docs_live") == stored("n_docs_live") - g)
+    assert(tomb("n_bucket_rows") == stored("n_bucket_rows"),
+      "physical shard rows untouched until compact")
+
+    // compact: debt cleared, accretion folded, and the report again
+    // equals the live-corpus derivation
+    DedupIndex.compact(spark, dir)
+    val live = corpus.filter($"doc_id" % 9 =!= 2).localCheckpoint()
+    val comp = healthMap(DedupIndex.health(spark, dir))
+    assert(comp("n_tombstoned") == 0)
+    assert(comp("n_bucket_rows") == comp("n_buckets"),
+      "compacted index holds one row per merged bucket")
+    assert(comp == healthMap(DedupIndex.healthFromCorpus(live)),
+      "post-compact health == fresh-build prediction over the live set")
+  }
 }

@@ -765,4 +765,181 @@ class StreamingSpec extends SparkTestBase {
     assert(!AnnIndex.ensure(live, s"$root/aix"),
       "ANN index must stay content-fresh over the live remainder")
   }
+
+  test("corpus as-of: batch ledger, prefix reads, compaction identity, " +
+      "crash heal") {
+    import graft.streaming.StreamingDedupIngest
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_asof_").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSet
+
+    val ingest = new StreamingDedupIngest(spark, s"$root/ix",
+      s"$root/corpus", s"$root/q")
+    stage(docs.filter($"doc_id" < 150), s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    val cut = ingest.batchLedger().agg(max($"batch")).as[Long].head()
+    val atCut = rows(ingest.corpus())
+
+    stage(docs.filter($"doc_id" >= 150 && $"doc_id" < 260),
+      s"$root/staging", "d2")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    // the as-of read is the FIRST drop's accepted corpus exactly,
+    // even though a later batch has landed since
+    assert(rows(ingest.corpusAsOf(cut)) == atCut)
+    // the ledger accounts for every accepted row, batch-partitioned
+    val ledger = ingest.batchLedger()
+      .as[(Long, Long)].collect().toMap
+    assert(ledger.values.sum == ingest.corpus().count())
+    assert(ledger.keySet.max > cut, "second drop landed a later batch")
+
+    // compaction on the live ingest's stores is content-neutral
+    // whatever the file counts (AQE coalesces these tiny batches to
+    // one file already, so this is usually a no-op)
+    val before = rows(ingest.corpus())
+    ingest.compactStores(maxFilesPerBatch = 1)
+    assert(rows(ingest.corpus()) == before)
+    assert(rows(ingest.corpusAsOf(cut)) == atCut)
+
+    // small-file compaction proper, on a synthetically multi-file
+    // store (the production shape: a micro-batch lands one file per
+    // shuffle partition): every over-threshold batch dir rewrites to
+    // ONE file, bit-identical content, idempotent second pass
+    val mroot = s"$root/mstore"
+    docs.filter($"doc_id" < 60).repartition(3)
+      .write.parquet(s"$mroot/batch=0")
+    docs.filter($"doc_id" >= 60 && $"doc_id" < 90).repartition(2)
+      .write.parquet(s"$mroot/batch=1")
+    val m = new StreamingDedupIngest(spark, s"$root/mix", mroot,
+      s"$root/mq")
+    val mBefore = rows(m.corpus())
+    assert(m.compactStores(maxFilesPerBatch = 1) == 2,
+      "both multi-file batch dirs must rewrite")
+    val corpusRoot = new java.io.File(mroot)
+    corpusRoot.listFiles.filter(_.getName.startsWith("batch="))
+      .foreach { d =>
+        assert(d.listFiles.count(_.getName.endsWith(".parquet")) == 1,
+          s"${d.getName} not compacted to one file")
+      }
+    assert(rows(m.corpus()) == mBefore)
+    // idempotent: nothing left over threshold
+    assert(m.compactStores(maxFilesPerBatch = 1) == 0)
+
+    // crash window between delete and rename: the staged dir holds
+    // the batch's full content and the next reader heals it in
+    val victim = corpusRoot.listFiles
+      .filter(_.getName.startsWith("batch=")).head
+    val staged = new java.io.File(corpusRoot,
+      s".${victim.getName}.compact")
+    spark.read.option("basePath", mroot)
+      .parquet(victim.getPath).drop("batch").localCheckpoint()
+      .coalesce(1).write.parquet(staged.getPath)
+    val victimPath = new org.apache.hadoop.fs.Path(victim.getPath)
+    victimPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victimPath, true)
+    assert(rows(m.corpus()) == mBefore,
+      "reader must heal the crashed swap — no batch goes invisible")
+    assert(!staged.exists() && victim.exists())
+
+    // crash window before the delete: live intact, staged redundant
+    val staged2 = new java.io.File(corpusRoot,
+      s".${victim.getName}.compact")
+    spark.read.option("basePath", mroot)
+      .parquet(victim.getPath).drop("batch").localCheckpoint()
+      .coalesce(1).write.parquet(staged2.getPath)
+    assert(rows(m.corpus()) == mBefore)
+    assert(!staged2.exists(), "redundant staged copy must be dropped")
+  }
+
+  test("ANN store as-of mirrors the corpus contract (store posture)") {
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_vasof_").toString
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    def vIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+
+    val ann = new StreamingAnnIngest(spark, s"$root/ix",
+      storeDir = Some(s"$root/store"))
+    val drop1 = embs.filter($"vec_id" < 120)
+    stage(drop1, s"$root/staging", "a1")
+    ann.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    val cut = ann.batchLedger().agg(max($"batch")).as[Long].head()
+    stage(embs.filter($"vec_id" >= 120 && $"vec_id" < 240),
+      s"$root/staging", "a2")
+    ann.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(vIds(ann.storeAsOf(cut)) == vIds(drop1))
+    assert(vIds(ann.store()).size > vIds(drop1).size)
+    // delta = exactly the second drop; asOf ∪ delta = the full store
+    val hi = ann.batchLedger().agg(max($"batch")).as[Long].head()
+    assert(vIds(ann.storeDelta(cut, hi)) ==
+      vIds(ann.store()) -- vIds(drop1))
+    // compaction preserves both reads
+    val full = vIds(ann.store())
+    ann.compactStores(maxFilesPerBatch = 1)
+    assert(vIds(ann.store()) == full)
+    assert(vIds(ann.storeAsOf(cut)) == vIds(drop1))
+  }
+
+  test("seeded bootstrap: streamed drops gate against the seed corpus") {
+    import graft.ext.{AnnIndex, DedupIndex}
+    import graft.streaming.StreamingDedupIngest
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_seed_").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    def dIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+
+    val ingest = new StreamingDedupIngest(spark, s"$root/ix",
+      s"$root/corpus", s"$root/q")
+    val seedDocs = docs.filter($"doc_id" < 200)
+    ingest.seed(seedDocs)
+    assert(dIds(ingest.corpus()) == dIds(seedDocs))
+    assert(!DedupIndex.ensure(ingest.corpus(), s"$root/ix"),
+      "seeded index must be content-fresh over the seed corpus")
+    // re-seeding or seeding under an existing corpus refuses
+    intercept[IllegalArgumentException] { ingest.seed(seedDocs) }
+
+    // the first streamed drop gates against the SEED: an exact dup
+    // of a seeded doc quarantines, the new docs land
+    val dupOfSeed = docs.filter($"doc_id" === 3)
+      .select(lit(9201L).as("doc_id"), $"text")
+    val drop = docs.filter($"doc_id" >= 200 && $"doc_id" < 300)
+    stage(drop.unionByName(dupOfSeed), s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(dIds(spark.read.parquet(s"$root/q")).contains(9201L),
+      "near-dup of a seeded doc must quarantine")
+    assert(dIds(ingest.corpus()).contains(200L))
+    // the seed is batch -1: as-of below the first streamed batch
+    // serves it alone, and the delta to the head is the drop
+    assert(dIds(ingest.corpusAsOf(-1L)) == dIds(seedDocs))
+    val hi = ingest.batchLedger().agg(max($"batch")).as[Long].head()
+    assert(dIds(ingest.corpusDelta(-1L, hi)) ==
+      dIds(ingest.corpus()) -- dIds(seedDocs))
+
+    // ANN family: same bootstrap contract under the store posture
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    def vIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val ann = new StreamingAnnIngest(spark, s"$root/aix",
+      storeDir = Some(s"$root/astore"))
+    val seedVecs = embs.filter($"vec_id" < 150)
+    ann.seed(seedVecs)
+    assert(vIds(ann.store()) == vIds(seedVecs))
+    // a drop that re-delivers seeded ids appends only the new ones
+    stage(embs.filter($"vec_id" < 250), s"$root/astaging", "a1")
+    ann.ingestAvailable(s"$root/astaging", s"$root/ackpt")
+    assert(vIds(ann.store()) == vIds(embs.filter($"vec_id" < 250)))
+    assert(!AnnIndex.ensure(ann.store(), s"$root/aix"),
+      "streamed-over-seed index must be content-fresh")
+    assert(vIds(ann.storeAsOf(-1L)) == vIds(seedVecs))
+  }
 }
