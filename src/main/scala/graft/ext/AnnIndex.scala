@@ -132,6 +132,34 @@ object AnnIndex {
     !fresh
   }
 
+  /** Serve-while-rebuilding retrain — the actionable response to
+    * [[health]]'s hot-spot signal (max_bucket pulling away from p50:
+    * the stored centroids no longer fit the drifted live
+    * distribution). [[build]] in place invalidates the live commit
+    * marker before its first expensive pass, so a retrain through it
+    * takes the index out of service for the entire O(N·K)
+    * assign/encode — hours at 100 TB. This splits it: the full
+    * rebuild (fresh centroids + codebook from `corpus`, complete
+    * with its own meta) lands in a staging dir beside the live
+    * assets, which keep validating and serving throughout; then
+    * [[StoredIndex.swapStaged]] replaces the index in a rename-sized
+    * window. A crash during the staged build leaves the live index
+    * untouched (residue is cleared by the next retrain); a crash
+    * inside the swap leaves a validation-failing index that
+    * ensure() rebuilds — never a half-swapped mix of generations. */
+  def rebuildStaged(corpus: DataFrame, dir: String, stride: Int = 20,
+                    m: Int = 4, dim: Int = 64, maxCentroids: Int = 4096,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id",
+                    version: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
+    val staging = StoredIndex.freshStaging(spark, dir)
+    build(corpus, staging, stride, m, dim, maxCentroids, vecCol,
+      idCol, version)
+    StoredIndex.swapStaged(spark, dir,
+      Seq("centroids", "codebook", "postings"))
+  }
+
   /** Incremental index maintenance: append a batch of NEW vectors to
     * a stored index WITHOUT rebuilding. The batch is encoded and
     * assigned against the STORED centroids/codebook (append cost

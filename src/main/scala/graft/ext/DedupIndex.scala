@@ -105,6 +105,25 @@ object DedupIndex {
     !fresh
   }
 
+  /** Serve-while-rebuilding rebuild — [[AnnIndex.rebuildStaged]]'s
+    * dedup twin: the full fresh build (one corpus banding pass,
+    * complete with its own meta commit marker) lands in a staging
+    * dir while the live buckets keep validating and serving probes,
+    * then [[StoredIndex.swapStaged]] replaces the index in a
+    * rename-sized window. The periodic remedy for a long
+    * append/retract lifecycle (folds accreted partial bucket rows,
+    * materializes tombstones, re-mints the id bloom) WITHOUT
+    * [[compact]]'s constraint of keeping the same generation — and
+    * without [[build]]-in-place's full-build serve outage. */
+  def rebuildStaged(corpus: DataFrame, dir: String,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    version: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
+    val staging = StoredIndex.freshStaging(spark, dir)
+    build(corpus, staging, textCol, idCol, version)
+    StoredIndex.swapStaged(spark, dir, Seq("buckets"))
+  }
+
   /** Near-dup gate for a batch against the STORED corpus buckets:
     * band the batch, semi-join the stored shards down to the batch's
     * (band, bhash) keys, merge + cap those buckets, then run the

@@ -540,6 +540,64 @@ object StoredIndex {
     meta.write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  // -------------------------------------------- staged rebuild/swap
+
+  /** Staging dir of a serve-while-rebuilding retrain: a COMPLETE
+    * independent index — its own meta commit marker written last —
+    * is built here by the family's `rebuildStaged`, then
+    * [[swapStaged]] moves it over the live index in a RENAME-sized
+    * window. Contrast `build` in place: that invalidates the live
+    * commit marker before its first expensive pass, so the index is
+    * unserveable for the whole build — hours at 100 TB. With the
+    * staged split, probes validate and serve the OLD index for the
+    * entire staged build (the scaladoc posture "serve from the old
+    * index until the new one's meta lands", now actually true of a
+    * single dir). Dot-prefixed inside the index dir: every reader
+    * opens named asset subdirs, nothing lists the root. */
+  def stagingDirOf(dir: String): String = s"$dir/.staging"
+
+  /** Delete any staging residue of a crashed previous staged rebuild
+    * — the live index was untouched by it (a staged build never
+    * opens the live commit window), so residue is garbage, not
+    * state — and return the staging dir for the fresh build. */
+  def freshStaging(spark: SparkSession, dir: String): String = {
+    val st = stagingDirOf(dir)
+    fsOf(spark, dir).delete(new Path(st), true)
+    st
+  }
+
+  /** Swap a COMPLETE staged index over the live one. Refuses a
+    * meta-less staging dir (an unfinished staged build must never
+    * replace a serving index). The swap window is the only
+    * unserveable span and it is all renames/deletes:
+    * live meta out FIRST (commit marker — same invariant as every
+    * other mutation here), stale tombstones out (the staged build is
+    * a clean rebuild; a previous generation's delete list would
+    * filter legitimately-live ids), each asset delete+rename, staged
+    * meta renamed in LAST. A crash anywhere inside leaves a
+    * validation-failing index — ensure() rebuilds, never serves a
+    * half-swapped mix of generations. */
+  def swapStaged(spark: SparkSession, dir: String,
+                 assets: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    val staging = stagingDirOf(dir)
+    require(fs.exists(new Path(s"$staging/meta")),
+      s"swapStaged: no complete staged build at $staging — " +
+        "meta commit marker missing")
+    invalidate(spark, dir) // swap window opens
+    clearDeleteIds(spark, dir)
+    (assets :+ "idbloom").foreach { a =>
+      val live = new Path(s"$dir/$a")
+      val st = new Path(s"$staging/$a")
+      fs.delete(live, true)
+      if (fs.exists(st)) require(fs.rename(st, live),
+        s"swapStaged: rename $st -> $live failed")
+    }
+    require(fs.rename(new Path(s"$staging/meta"), new Path(s"$dir/meta")),
+      s"swapStaged: staged meta rename into $dir failed")
+    fs.delete(new Path(staging), true)
+  }
+
   // ----------------------------------------------------- shard merge
 
   /** Copy the data files of asset dir `fromDir` into `toDir` under a

@@ -1334,6 +1334,40 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS value
               WHERE FALSE""")),
 
+    // d22: serve-while-rebuilding RETRAIN of the dedup index — after
+    // an append/retract lifecycle, rebuildStaged lands a complete
+    // fresh build (folded buckets, materialized tombstones, re-minted
+    // bloom) in a staging dir while the live buckets keep serving,
+    // then swaps in a rename-sized window. The swapped-in probe must
+    // equal the one-shot gate over the live corpus bit-exactly —
+    // empty symmetric difference, hash-exact WHERE FALSE (d17's
+    // contract, reached through the staged path instead of
+    // compact-in-generation).
+    Q("d22_staged_rebuild",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.DedupIndex.dirFor(dir) + "_staged"
+        graft.ext.DedupIndex.build(docs.filter(col("doc_id") < 150), ix)
+        graft.ext.DedupIndex.append(
+          docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), ix)
+        graft.ext.DedupIndex.remove(
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), ix)
+        val live = docs.filter((col("doc_id") < 100 ||
+          col("doc_id") >= 200) && col("doc_id") < 300)
+        graft.ext.DedupIndex.rebuildStaged(live, ix)
+        val batch = docs.filter(col("doc_id") >= 300)
+        val stored = graft.ext.DedupIndex.probe(batch, ix, live,
+          threshold = 0.4)
+        val direct = Dedup.minhashIncrementalNearDups(batch, live,
+          threshold = 0.4)
+        stored.exceptAll(direct).unionByName(direct.exceptAll(stored))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS batch_id,
+                     CAST(NULL AS BIGINT) AS corpus_id,
+                     CAST(NULL AS DOUBLE) AS jaccard
+              WHERE FALSE""")),
+
     // The unblocked-corpus near-dup path d5's scaladoc promises: no
     // natural blocking column, so ivfAssign buckets the corpus by
     // nearest centroid (zero-shuffle codegen argmax) and the brute
@@ -2453,6 +2487,61 @@ object ExtQueries {
                      CAST(NULL AS VARCHAR) AS text
               WHERE FALSE""")),
 
+    // st15: the FALSE-POSITIVE recovery path — readmit moves
+    // reviewer-overruled documents from quarantine into the accepted
+    // corpus (into their ORIGINAL batch partition: the corrected
+    // history is "the gate accepted them in batch N") and indexes
+    // them. The drop here is exact copies of seeded docs under fresh
+    // ids, so the gate quarantines all of them deterministically;
+    // the even ids are then readmitted. Pins: corpus ≡ seed ∪
+    // readmitted evens, quarantine ≡ the odd remainder, AND the
+    // index is content-fresh over the final corpus (a violation row
+    // fires if ensure() had to rebuild — readmit must maintain the
+    // index incrementally, not leave it stale). Empty union of the
+    // three violation sets, hash-exact WHERE FALSE. Refusal paths
+    // (retracted id, not-quarantined id) are spec-gated.
+    Q("st15_readmit",
+      (s, dir) => {
+        import graft.streaming.StreamingDedupIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st15_").toString
+        val seedDocs = docs.filter(col("doc_id") < 200)
+        val ingest = new StreamingDedupIngest(s, s"$root/ix",
+          s"$root/corpus", s"$root/quar")
+        ingest.seed(seedDocs)
+        val dupDrop = docs.filter(col("doc_id") < 60)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+        StreamingDedupIngest.stage(dupDrop, s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        val evens = dupDrop.filter(col("doc_id") % 2 === 0)
+          .select("doc_id")
+        ingest.readmit(evens)
+        val expectCorpus = seedDocs.unionByName(
+          dupDrop.join(evens, Seq("doc_id"), "left_semi"))
+        val expectQuar = dupDrop.join(evens, Seq("doc_id"), "left_anti")
+        val gotCorpus = ingest.corpus()
+        val gotQuar = s.read.parquet(s"$root/quar")
+          .select("doc_id", "text")
+        val corpusViol = gotCorpus.exceptAll(expectCorpus)
+          .unionByName(expectCorpus.exceptAll(gotCorpus))
+          .select(lit("corpus_diff").as("chk"), col("doc_id"))
+        val quarViol = gotQuar.exceptAll(expectQuar)
+          .unionByName(expectQuar.exceptAll(gotQuar))
+          .select(lit("quarantine_diff").as("chk"), col("doc_id"))
+        val staleViol =
+          if (graft.ext.DedupIndex.ensure(gotCorpus, s"$root/ix"))
+            s.range(1).select(lit("index_was_stale").as("chk"),
+              lit(-1L).as("doc_id"))
+          else s.range(0).select(lit("").as("chk"),
+            col("id").as("doc_id"))
+        corpusViol.unionByName(quarViol).unionByName(staleViol)
+          .orderBy("chk", "doc_id")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS chk,
+                     CAST(NULL AS BIGINT) AS doc_id
+              WHERE FALSE""")),
+
     Q("st10_stream_drift_psi",
       (s, dir) => StreamingOps.streamingDriftPsi(s, dir),
       Some(s"""WITH rr AS (
@@ -2973,6 +3062,39 @@ object ExtQueries {
                      ${sqlRoundDet("quantile_cont(n, 0.5)", 4)} FROM pc)
                SELECT metric, CAST(value AS DOUBLE) AS value
                FROM m ORDER BY metric""")),
+
+    // x19: serve-while-rebuilding RETRAIN — the actionable response
+    // to x18's hot-spot signal. After build(lower half) + append
+    // (rest) + retract (every 5th id), rebuildStaged retrains
+    // centroids + codebook on the FULL LIVE set in a staging dir
+    // (the old index keeps serving throughout) and swaps in a
+    // rename-sized window. HASH-EXACT against DuckDB: the oracle
+    // trains its IVF/PQ CTEs on the live predicate (every stride-20
+    // sample id is ≡0 mod 5, so the sampled sets are well-defined
+    // under the filter) and restricts candidates to live ids —
+    // exactly what a fresh build over the live corpus serves.
+    Q("x19_staged_retrain",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_retrain"
+        val half = embs.agg((max(col("vec_id")) + 1) / 2)
+          .head.getDouble(0).toLong
+        graft.ext.AnnIndex.build(
+          embs.filter(col("vec_id") < half), ix)
+        graft.ext.AnnIndex.append(
+          embs.filter(col("vec_id") >= half), ix)
+        graft.ext.AnnIndex.remove(
+          embs.filter(col("vec_id") % 5 === 4), ix)
+        graft.ext.AnnIndex.rebuildStaged(
+          embs.filter(col("vec_id") % 5 =!= 4), ix)
+        graft.ext.AnnIndex.probeTopK(s, ix,
+          embs.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(s"""WITH ${sqlIvfCtesFor("NOT (vec_id % 5 = 4)")},
+                    ${sqlPqCtesFor("NOT (vec_id % 5 = 4)")},
+                    ${sqlIvfPqRankCtesWhere("NOT (iasg.nid % 5 = 4)")}
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
     // x9v: the PRODUCTION serve posture — ensure(version = Some(v))
     // validates with ONE 1-row meta read, zero corpus scans (the x9

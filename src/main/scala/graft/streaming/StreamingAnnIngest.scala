@@ -213,6 +213,19 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
     df.select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$root/batch=$batchId")
 
+  /** Retrain the stream-maintained index from the durable vector
+    * store with FRESH centroids/codebook — the actionable response
+    * to [[graft.ext.AnnIndex.health]]'s hot-spot signal when a long
+    * streamed append chain has drifted away from the original
+    * training distribution. Serve-while-rebuilding
+    * ([[AnnIndex.rebuildStaged]]): probes keep validating and
+    * serving the OLD index for the entire O(N·K) staged rebuild;
+    * only the rename-sized swap window is unserveable. Store
+    * posture only (the store is what holds the raw vectors a
+    * retrain must re-encode). */
+  def retrain(): Unit =
+    AnnIndex.rebuildStaged(store(), indexDir)
+
   private def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
     // in-batch dedup first (a staged drop may repeat ids), then the
     // sticky takedown filter (store posture — see retractedDir);

@@ -229,6 +229,99 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
   private def purgeStore(root: String, ids: DataFrame): Unit =
     Takedown.purgeStore(spark, root, ids, "doc_id", Seq("text"))
 
+  /** Reverse a FALSE-POSITIVE gate decision: move quarantined
+    * documents into the accepted corpus and index them — the human-
+    * review recovery path the quarantine store exists to serve (a
+    * near-dup verdict a reviewer overrules: boilerplate-heavy but
+    * distinct docs, a threshold set too low for a subdomain).
+    *
+    * Each document re-enters its ORIGINAL batch partition — the
+    * corrected history IS "the gate accepted it in batch N", so
+    * as-of/delta reads at cuts >= N serve it exactly as if the gate
+    * had been right, and no synthetic batch id can ever collide with
+    * a future micro-batch's idempotent partition rewrite. (Like a
+    * takedown, this pierces already-taken as-of snapshots in place —
+    * any correction of history must.)
+    *
+    * Refusals are loud, not silent: every requested id must be
+    * quarantined RIGHT NOW (readmitting an accepted or never-seen id
+    * is a caller bug), and none may be retraction-ledgered
+    * (readmitting a taken-down document contradicts the sticky
+    * compliance guarantee — route genuinely-returning content
+    * through a fresh ingest id).
+    *
+    * Crash-ordering (converges under re-run, never loses the doc):
+    * corpus partitions gain the rows FIRST (idempotent: the rewrite
+    * unions existing-minus-want), the index appends the not-yet-
+    * indexed ids second (bloom-gated, so a re-run skips them), the
+    * quarantine purge runs LAST — a crash at any point leaves the
+    * document in at least one durable store and a re-run completes
+    * the move. Serial per-affected-batch rewrites, same bound as
+    * [[Takedown.purgeStore]]: review-scale id lists, not corpora. */
+  def readmit(ids: DataFrame): Unit = {
+    import graft.ext.DedupIndex
+    val want = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    Takedown.ledgeredIds(spark, retractedDir, "doc_id").foreach { r =>
+      require(want.join(r, Seq("doc_id"), "left_semi").limit(1).isEmpty,
+        "readmit: request names retraction-ledgered ids — a taken-" +
+          "down document cannot be readmitted (sticky compliance " +
+          "guarantee); ingest genuinely-returning content under a " +
+          "fresh id")
+    }
+    val quarPath = new org.apache.hadoop.fs.Path(quarantineDir)
+    require(quarPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(quarPath),
+      s"readmit: no quarantine store at $quarantineDir")
+    // the quarantined rows, with the batch each arrived in
+    val rows = spark.read.parquet(quarantineDir)
+      .select(col("doc_id"), col("text"),
+        col("batch").cast("long").as("batch"))
+      .join(want, Seq("doc_id"), "left_semi").localCheckpoint()
+    val nMissing = want.count() - rows.count()
+    require(nMissing == 0L,
+      s"readmit: $nMissing requested id(s) are not quarantined — " +
+        "only currently-quarantined documents can be readmitted")
+    // 1. corpus partitions FIRST, idempotent per batch dir
+    val affected = rows.select("batch").distinct()
+      .collect().map(_.getLong(0))
+    affected.foreach { b =>
+      val pdir = s"$corpusDir/batch=$b"
+      val pPath = new org.apache.hadoop.fs.Path(pdir)
+      val incoming = rows.filter(col("batch") === b)
+        .select("doc_id", "text")
+      val merged = (if (pPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(pPath))
+        spark.read.option("basePath", corpusDir).parquet(pdir)
+          .select("doc_id", "text")
+          .join(want, Seq("doc_id"), "left_anti")
+          .unionByName(incoming)
+      else incoming).localCheckpoint() // materialize before overwrite
+      merged.write.mode("overwrite").parquet(pdir)
+    }
+    // 2. index the not-yet-indexed readmits (bloom-gated: a crash
+    // re-run that already appended them skips here)
+    val newOnly = StoredIndex.bloomGatedNewOnly(
+      spark, indexDir, rows.select("doc_id", "text"), "doc_id",
+      spark.read.parquet(s"$indexDir/buckets")
+        .select(explode(col("ids")).as("doc_id")).distinct())
+      .localCheckpoint()
+    if (!newOnly.isEmpty)
+      DedupIndex.append(newOnly, indexDir, checkIds = false)
+    // 3. quarantine purge LAST: until here a crash leaves the doc
+    // quarantined (and possibly also accepted) — re-run converges
+    purgeStore(quarantineDir, want)
+  }
+
+  /** Serve-while-rebuilding index maintenance from the durable
+    * corpus store ([[DedupIndex.rebuildStaged]]): probes keep
+    * serving the old buckets for the whole rebuild pass; only the
+    * rename-sized swap window is unserveable. The periodic remedy
+    * for a long append/retract lifecycle — folds accreted shard
+    * rows, materializes tombstones, re-mints the bloom. */
+  def rebuildIndex(): Unit =
+    graft.ext.DedupIndex.rebuildStaged(corpus(), indexDir)
+
   private def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
     // in-batch id dedup first (a staged drop may repeat ids), then
     // the sticky takedown filter (see retractedDir);

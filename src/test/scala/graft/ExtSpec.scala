@@ -1749,4 +1749,92 @@ class ExtSpec extends SparkTestBase {
     assert(comp == healthMap(DedupIndex.healthFromCorpus(live)),
       "post-compact health == fresh-build prediction over the live set")
   }
+
+  test("rebuildStaged: old index serves through the staged build; " +
+      "swap is exact; crash windows") {
+    import graft.ext.{AnnIndex, DedupIndex, StoredIndex}
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .localCheckpoint()
+    val a = embs.filter($"vec_id" < 150).localCheckpoint()
+    val b = embs.filter($"vec_id" < 250).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stgrb_").toString + "/ix"
+    AnnIndex.build(a, dir)
+
+    // swapStaged refuses when no complete staged build exists —
+    // including a staged build in progress (assets, no meta yet)
+    val staging = StoredIndex.freshStaging(spark, dir)
+    intercept[IllegalArgumentException] {
+      StoredIndex.swapStaged(spark, dir,
+        Seq("centroids", "codebook", "postings"))
+    }
+
+    // a staged build IS the serve window: land the full B index in
+    // staging and verify the live index still validates and serves A
+    // — build-in-place would have invalidated it at the first step
+    AnnIndex.build(b, staging)
+    assert(!AnnIndex.ensure(a, dir),
+      "live index must stay fresh over A during the staged build")
+    val beforeSwap = AnnIndex.probeTopK(spark, dir,
+      embs.filter($"vec_id" < 5), k = 3).collect()
+    assert(beforeSwap.nonEmpty)
+
+    // the swap: rename-sized window, then the index IS the B build
+    StoredIndex.swapStaged(spark, dir,
+      Seq("centroids", "codebook", "postings"))
+    assert(!AnnIndex.ensure(b, dir),
+      "swapped index must be content-fresh over B")
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_stgrb2_").toString + "/ix"
+    AnnIndex.build(b, dirB)
+    val q = embs.filter($"vec_id" < 10)
+    assert(AnnIndex.probeTopK(spark, dir, q, k = 3).collect().toSeq ==
+      AnnIndex.probeTopK(spark, dirB, q, k = 3).collect().toSeq,
+      "swapped-in probe == fresh-build probe")
+
+    // rebuildStaged end-to-end over a retract lifecycle: tombstones
+    // materialized, bloom re-minted, staging residue cleared
+    AnnIndex.remove(b.filter($"vec_id" % 5 === 4), dir)
+    val live = b.filter($"vec_id" % 5 =!= 4).localCheckpoint()
+    AnnIndex.rebuildStaged(live, dir)
+    val h = AnnIndex.health(spark, dir).as[(String, Double)]
+      .collect().toMap
+    assert(h("n_tombstoned") == 0 &&
+      h("n_postings") == live.count().toDouble)
+    assert(!new java.io.File(StoredIndex.stagingDirOf(dir)).exists(),
+      "staging dir must be gone after the swap")
+    // the re-minted bloom accepts a retracted id as NEW again
+    AnnIndex.append(b.filter($"vec_id" === 4), dir)
+    assert(!AnnIndex.ensure(
+      live.unionByName(b.filter($"vec_id" === 4)), dir))
+
+    // crash residue mid-staged-build (assets, no meta): live index
+    // untouched, and the next rebuildStaged clears it and completes
+    val partial = StoredIndex.freshStaging(spark, dir)
+    a.limit(10).write.parquet(s"$partial/postings")
+    assert(!AnnIndex.ensure(
+      live.unionByName(b.filter($"vec_id" === 4)), dir),
+      "staging residue must not affect the live index")
+    AnnIndex.rebuildStaged(a, dir)
+    assert(!AnnIndex.ensure(a, dir))
+
+    // dedup twin: lifecycle then staged rebuild folds accretion and
+    // re-derives exactly the fresh-build frame over the live corpus
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    val ddir = java.nio.file.Files
+      .createTempDirectory("graft_stgrd_").toString + "/ix"
+    DedupIndex.build(docs.filter($"doc_id" < 150), ddir)
+    DedupIndex.append(
+      docs.filter($"doc_id" >= 150 && $"doc_id" < 250), ddir)
+    DedupIndex.remove(
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 200), ddir)
+    val dlive = docs.filter(($"doc_id" < 100 || $"doc_id" >= 200) &&
+      $"doc_id" < 250).localCheckpoint()
+    DedupIndex.rebuildStaged(dlive, ddir)
+    assert(healthMap(DedupIndex.health(spark, ddir)) ==
+      healthMap(DedupIndex.healthFromCorpus(dlive)),
+      "staged-rebuilt index == fresh-build health frame")
+    assert(!DedupIndex.ensure(dlive, ddir))
+  }
 }

@@ -942,4 +942,122 @@ class StreamingSpec extends SparkTestBase {
       "streamed-over-seed index must be content-fresh")
     assert(vIds(ann.storeAsOf(-1L)) == vIds(seedVecs))
   }
+
+  test("readmit: refusals, re-delivery immunity, and as-of placement") {
+    import graft.ext.DedupIndex
+    import graft.streaming.StreamingDedupIngest
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_readm_").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    def dIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+
+    val ingest = new StreamingDedupIngest(spark, s"$root/ix",
+      s"$root/corpus", s"$root/q")
+    val seedDocs = docs.filter($"doc_id" < 100)
+    ingest.seed(seedDocs)
+    // exact copies of seeded docs under fresh ids: quarantined
+    val dupDrop = docs.filter($"doc_id" < 40)
+      .select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    stage(dupDrop, s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(dIds(spark.read.parquet(s"$root/q")) == dIds(dupDrop))
+    val quarBatch = spark.read.parquet(s"$root/q")
+      .select($"batch".cast("long")).as[Long].head()
+
+    // refusal: an id that is not quarantined (accepted, or never seen)
+    intercept[IllegalArgumentException] {
+      ingest.readmit(spark.range(1).select(lit(3L).as("doc_id")))
+    }
+    intercept[IllegalArgumentException] {
+      ingest.readmit(spark.range(1).select(lit(999999L).as("doc_id")))
+    }
+    // refusal: a retraction-ledgered id stays out (sticky compliance)
+    ingest.retract(spark.range(1).select(lit(5007L).as("doc_id")))
+    intercept[IllegalArgumentException] {
+      ingest.readmit(spark.range(1).select(lit(5007L).as("doc_id")))
+    }
+
+    // the readmit: evens move to the corpus IN THE QUARANTINED BATCH
+    // (corrected history), index maintained incrementally
+    val evens = dupDrop.filter($"doc_id" % 2 === 0).select("doc_id")
+    ingest.readmit(evens)
+    assert(dIds(ingest.corpus()) == dIds(seedDocs) ++ dIds(evens))
+    assert(dIds(ingest.corpusAsOf(quarBatch)) ==
+      dIds(seedDocs) ++ dIds(evens),
+      "readmitted docs join their original batch in as-of reads")
+    assert(dIds(spark.read.parquet(s"$root/q")) ==
+      dIds(dupDrop) -- dIds(evens) - 5007L)
+    assert(!DedupIndex.ensure(ingest.corpus(), s"$root/ix"),
+      "index must be content-fresh after readmit, no rebuild")
+
+    // re-delivery immunity: the same drop replayed through a fresh
+    // staging lands nothing new — readmitted ids are indexed (bloom
+    // skip), the rest re-quarantine idempotently
+    val before = dIds(ingest.corpus())
+    stage(dupDrop, s"$root/staging2", "d1")
+    ingest.ingestAvailable(s"$root/staging2", s"$root/ckpt2")
+    assert(dIds(ingest.corpus()) == before,
+      "re-delivered readmitted docs must not duplicate")
+
+    // idempotent re-run convergence: readmit the same (now-empty)
+    // request fails the not-quarantined refusal — but a crash BETWEEN
+    // corpus write and quarantine purge re-runs cleanly: simulate by
+    // re-inserting the quarantine rows for the evens and re-running
+    val evenRows = dupDrop.join(evens, Seq("doc_id"), "left_semi")
+    val withCrash = spark.read.option("basePath", s"$root/q")
+      .parquet(s"$root/q/batch=$quarBatch").select("doc_id", "text")
+      .unionByName(evenRows).localCheckpoint()
+    withCrash.write.mode("overwrite")
+      .parquet(s"$root/q/batch=$quarBatch")
+    ingest.readmit(evens)
+    assert(dIds(ingest.corpus()) == before,
+      "re-run after simulated crash converges, no duplicates")
+    assert(dIds(spark.read.parquet(s"$root/q")) ==
+      dIds(dupDrop) -- dIds(evens) - 5007L,
+      "re-run purges only the readmitted ids from quarantine")
+    assert(!DedupIndex.ensure(ingest.corpus(), s"$root/ix"))
+  }
+
+  test("serve-while-rebuilding maintenance: rebuildIndex and retrain") {
+    import graft.ext.{AnnIndex, DedupIndex}
+    import graft.streaming.StreamingDedupIngest
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_retrn_").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+
+    val ingest = new StreamingDedupIngest(spark, s"$root/ix",
+      s"$root/corpus", s"$root/q")
+    stage(docs.filter($"doc_id" < 200), s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    ingest.retract(docs.filter($"doc_id" < 30).select("doc_id"))
+    ingest.rebuildIndex()
+    val h = DedupIndex.health(spark, s"$root/ix")
+      .as[(String, Double)].collect().toMap
+    assert(h("n_tombstoned") == 0 &&
+      h("n_bucket_rows") == h("n_buckets"),
+      "rebuildIndex folds accretion and materializes tombstones")
+    assert(!DedupIndex.ensure(ingest.corpus(), s"$root/ix"))
+
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val ann = new StreamingAnnIngest(spark, s"$root/aix",
+      storeDir = Some(s"$root/astore"))
+    stage(embs.filter($"vec_id" < 200), s"$root/astaging", "a1")
+    ann.ingestAvailable(s"$root/astaging", s"$root/ackpt")
+    ann.retract(embs.filter($"vec_id" % 7 === 2 && $"vec_id" < 200)
+      .select("vec_id"))
+    ann.retrain()
+    val ah = AnnIndex.health(spark, s"$root/aix")
+      .as[(String, Double)].collect().toMap
+    assert(ah("n_tombstoned") == 0 && ah("n_postings") == ah("n_live"),
+      "retrain rebuilds clean over the live store")
+    assert(!AnnIndex.ensure(ann.store(), s"$root/aix"),
+      "retrained index content-fresh over the live vector store")
+  }
 }
