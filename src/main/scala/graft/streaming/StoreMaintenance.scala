@@ -141,10 +141,13 @@ private[streaming] object StoreMaintenance {
       val staged = new Path(rootPath, stagedName(name))
       // hidden (dot-prefixed) staging dir: parquet listing ignores
       // it, so readers racing the compaction never see both copies
-      spark.read.option("basePath", root)
+      val rows = spark.read.option("basePath", root)
         .parquet(st.getPath.toString)
         .drop("batch")
-        .coalesce(1)
+      // re-sort by the store's id column (first column, by both
+      // families' writePartition convention) so the compacted file's
+      // row-group stats stay as takedown-prunable as the originals
+      rows.coalesce(1).sortWithinPartitions(rows.columns.head)
         .write.mode("overwrite").parquet(staged.toString)
       fs.delete(st.getPath, true)
       require(fs.rename(staged, st.getPath),

@@ -208,9 +208,12 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
     new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
+  // id-sorted within each part file so parquet row-group id stats
+  // are tight — what makes a takedown's pushed IN predicate skip
+  // unaffected row groups on footers alone (Takedown.idLiterals)
   private def writePartition(df: DataFrame, root: String,
                              batchId: Long): Unit =
-    df.select("vec_id", "embedding")
+    df.select("vec_id", "embedding").sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(s"$root/batch=$batchId")
 
   /** Retrain the stream-maintained index from the durable vector

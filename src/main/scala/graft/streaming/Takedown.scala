@@ -79,10 +79,32 @@ private[streaming] object Takedown {
       .filter(cond).select(idCol).distinct())
   }
 
+  /** The takedown id set as driver-side literals when the request is
+    * small enough to become a pushdown-friendly predicate — None
+    * above the cap (fall back to the semi-join). A compliance
+    * takedown names few ids, so this is the overwhelmingly common
+    * path, and it changes the affected-batch discovery from a
+    * FULL-STORE scan (the semi-join reads every row of every batch
+    * at 100 TB) to a footer-bound one: an IN/min-max predicate
+    * reaches the parquet reader ([[purgeStore]] asserts it lands in
+    * PushedFilters), so row groups whose id-column stats exclude the
+    * request never decompress — and the per-batch id sort
+    * (`writePartition` in both ingests) keeps those stats tight. */
+  private[streaming] def idLiterals(ids: DataFrame, idCol: String,
+                                    cap: Int): Option[Seq[Long]] = {
+    val rows = ids.select(col(idCol).cast("long")).distinct()
+      .limit(cap + 1).collect()
+    if (rows.length > cap) None
+    else Some(rows.map(_.getLong(0)).toIndexedSeq)
+  }
+
   /** Rewrite ONLY the per-batch partition dirs that hold any of the
     * purged ids (partition-pruned: untouched batches never rewrite).
     * The affected-partition list is a bounded driver read — batch
-    * ids, not rows.
+    * ids, not rows — and for requests under `pushdownCap` ids the
+    * discovery scan itself is footer-bound ([[idLiterals]]): the id
+    * predicate pushes to parquet, so unaffected row groups are
+    * skipped on stats instead of read.
     *
     * Cost note: the affected partitions rewrite SERIALLY on the
     * driver, one small Spark job each — bounded by the takedown
@@ -93,19 +115,29 @@ private[streaming] object Takedown {
     * batch such requests through a full store rewrite + index
     * rebuild instead. */
   def purgeStore(spark: SparkSession, root: String, ids: DataFrame,
-                 idCol: String, cols: Seq[String]): Unit = {
+                 idCol: String, cols: Seq[String],
+                 pushdownCap: Int = 10000): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (!rootPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration).exists(rootPath)) return
-    val affected = spark.read.parquet(root)
-      .join(ids, Seq(idCol), "left_semi")
+    val lits = idLiterals(ids, idCol, pushdownCap)
+    if (lits.exists(_.isEmpty)) return // nothing to purge
+    def hits(df: DataFrame): DataFrame = lits match {
+      case Some(l) => df.filter(col(idCol).isin(l: _*))
+      case None    => df.join(ids, Seq(idCol), "left_semi")
+    }
+    def drops(df: DataFrame): DataFrame = lits match {
+      case Some(l) => df.filter(!col(idCol).isin(l: _*))
+      case None    => df.join(ids, Seq(idCol), "left_anti")
+    }
+    val affected = hits(spark.read.parquet(root))
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0))
     affected.foreach { b =>
       val pdir = s"$root/batch=$b"
       // materialize BEFORE overwriting the dir being read
-      val remaining = spark.read.option("basePath", root).parquet(pdir)
-        .join(ids, Seq(idCol), "left_anti")
+      val remaining = drops(
+          spark.read.option("basePath", root).parquet(pdir))
         .select(idCol, cols: _*).localCheckpoint()
       remaining.write.mode("overwrite").parquet(pdir)
     }
@@ -150,10 +182,18 @@ private[streaming] object Takedown {
     if (!primaryPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration).exists(primaryPath))
       return
-    // fetch the rows BEFORE purging: the index un-mix needs them
-    val rows = spark.read.parquet(primaryStore)
-      .select(idCol, cols: _*)
-      .join(want, Seq(idCol), "left_semi")
+    // fetch the rows BEFORE purging: the index un-mix needs them.
+    // Same pushdown split as purgeStore: a compliance-scale request
+    // becomes an IN predicate the parquet reader prunes row groups
+    // with, instead of a full-store semi-join scan
+    val rows = (idLiterals(want, idCol, 10000) match {
+        case Some(l) if l.nonEmpty => spark.read.parquet(primaryStore)
+          .filter(col(idCol).isin(l: _*))
+        case Some(_) => spark.read.parquet(primaryStore)
+          .filter(lit(false))
+        case None => spark.read.parquet(primaryStore)
+          .join(want, Seq(idCol), "left_semi")
+      }).select(idCol, cols: _*)
       .localCheckpoint()
     (primaryStore +: extraStores).foreach(st =>
       purgeStore(spark, st, want, idCol, cols))

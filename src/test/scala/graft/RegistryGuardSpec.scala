@@ -122,6 +122,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // plan) — x9's one-row-asset argument verbatim
     "x14_ann_lifecycle" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x19: the x9 probe chain over a staged-retrained index — the
+    // build/append/remove/rebuildStaged side effects run eagerly
+    // outside the probed plan; x9's one-row-asset argument verbatim
+    "x19_staged_retrain" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // x15: the x9 probe chain over a shard-merged index — the
     // trainer/shardFrom/merge side effects run eagerly outside the
     // probed plan; x9's one-row-asset argument verbatim
