@@ -338,17 +338,19 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("dedup index: 30 random append/remove/compact/re-append/merge/" +
-      "absorb interleavings") {
+      "absorb/staged-rebuild interleavings") {
     import graft.ext.DedupIndex
     // takedown-inclusive randomized lifecycle coverage: every
     // sequence drives a RANDOM op chain — append fresh docs, retract
     // a random live subset, compact (materializing the tombstones),
-    // re-append a previously-materialized doc, or MERGE with an
+    // re-append a previously-materialized doc, MERGE with an
     // independently built shard index (pending tombstones riding
-    // along) — and then pins the stored probe ≡ the direct one-shot
-    // gate over the surviving corpus, plus content-ensure freshness
-    // (the XOR meta algebra surviving the whole chain). d17 gates
-    // ONE interleaving; this gates whatever 30 the seed deals.
+    // along), or REBUILD STAGED over the live survivors (the
+    // serve-while-rebuilding swap landing mid-lifecycle) — and then
+    // pins the stored probe ≡ the direct one-shot gate over the
+    // surviving corpus, plus content-ensure freshness (the XOR meta
+    // algebra surviving the whole chain). d17 gates ONE
+    // interleaving; this gates whatever 30 the seed deals.
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa")
     val rnd = new scala.util.Random(97)
@@ -368,7 +370,7 @@ class PropertySpec extends SparkTestBase {
         .createTempDirectory(s"d15rand$seqNo").toString
       DedupIndex.build(live.toSeq.toDF("doc_id", "text"), dir)
       var removedOnce = false
-      for (_ <- 1 to 4) rnd.nextInt(6) match {
+      for (_ <- 1 to 4) rnd.nextInt(7) match {
         case 0 if cursor < pool.size => // append fresh docs
           val batch = pool.slice(cursor,
             math.min(cursor + 3 + rnd.nextInt(5), pool.size))
@@ -415,6 +417,12 @@ class PropertySpec extends SparkTestBase {
           DedupIndex.build(batch.toDF("doc_id", "text"), shard)
           DedupIndex.absorb(spark, shard, dir)
           live ++= batch
+        case 6 => // staged rebuild over the survivors: tombstones
+          // materialize (cleared with the old generation) and every
+          // non-live id is re-appendable against the re-minted bloom
+          DedupIndex.rebuildStaged(live.toSeq.toDF("doc_id", "text"),
+            dir)
+          purged ++= pending; pending = Map.empty
         case _ => () // op not applicable in this state — skip
       }
       // probe: random docs + one exact copy of a live doc so the
@@ -437,7 +445,7 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("ann index: 20 random append/remove/compact/re-append/merge/" +
-      "absorb interleavings") {
+      "absorb/staged-retrain interleavings") {
     import graft.ext.AnnIndex
     // the x-family twin of the randomized lifecycle above: random op
     // chains over a stored IVFADC index — including shardFrom+merge
@@ -460,6 +468,11 @@ class PropertySpec extends SparkTestBase {
     for (seqNo <- 1 to 20) {
       var cursor = 30L
       var live = (0L until 30L).toSet
+      // the twin below replays dir's ASSET history: built over
+      // buildSet (the set the current centroids/codebook were
+      // trained on — updated by a staged retrain), then appends of
+      // everything that entered since
+      var buildSet = live
       var everIn = live
       var pending = Set.empty[Long]
       var purged = Set.empty[Long]
@@ -469,7 +482,7 @@ class PropertySpec extends SparkTestBase {
         embs.filter($"vec_id".isInCollection(ids))
       AnnIndex.build(rows(live), dir)
       var removedOnce = false
-      for (_ <- 1 to 4) rnd.nextInt(6) match {
+      for (_ <- 1 to 4) rnd.nextInt(7) match {
         case 0 if cursor < 80L => // append fresh vectors
           val hi = math.min(cursor + 5 + rnd.nextInt(6), 80L)
           val ids = (cursor until hi).toSet
@@ -491,6 +504,7 @@ class PropertySpec extends SparkTestBase {
           val id = purged.min
           AnnIndex.append(rows(Set(id)), dir)
           live += id; purged -= id
+          everIn += id // no-op pre-retrain; a retrain resets everIn
         case 4 if cursor < 80L => // shard-encode fresh ids and merge
           val hi = math.min(cursor + 4 + rnd.nextInt(5), 80L)
           val ids = (cursor until hi).toSet
@@ -512,15 +526,23 @@ class PropertySpec extends SparkTestBase {
           AnnIndex.shardFrom(dir, rows(ids), shard)
           AnnIndex.absorb(spark, shard, dir)
           live ++= ids; everIn ++= ids
+        case 6 => // staged retrain over the survivors: fresh
+          // centroids/codebook from the live distribution, deletions
+          // materialized with the old generation, every non-live id
+          // re-appendable against the re-minted bloom
+          AnnIndex.rebuildStaged(rows(live), dir)
+          buildSet = live; everIn = live
+          purged ++= pending; pending = Set.empty
         case _ => ()
       }
-      // twin: same build set, everything else ever appended, NO
-      // removals — the filtered serve over it is an independent code
-      // path to the same live sub-corpus
+      // twin: the SAME asset history (built over buildSet, then the
+      // post-build entrants appended), NO removals — the filtered
+      // serve over it is an independent code path to the same live
+      // sub-corpus
       val twin = java.nio.file.Files
         .createTempDirectory(s"annrandT$seqNo").toString + "/ix"
-      AnnIndex.build(rows((0L until 30L).toSet), twin)
-      val later = everIn.diff((0L until 30L).toSet)
+      AnnIndex.build(rows(buildSet), twin)
+      val later = everIn.diff(buildSet)
       if (later.nonEmpty) AnnIndex.append(rows(later), twin)
       val served = AnnIndex.probeTopK(spark, dir, q, k = 3)
         .collect().toSet
