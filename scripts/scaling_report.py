@@ -30,6 +30,9 @@ PAIR_FAMILIES = {
     "d15v_index_probe_versioned", "d15v_consistency",
     "d15c_compact_probe", "d16_dedup_retract",
     "d17_dedup_lifecycle",
+    # d22 runs d17's probe chain (plus the direct gate re-derivation)
+    # over the staged-rebuilt index — same twin-inflated candidate mass
+    "d22_staged_rebuild",
     # d18 probes the merged index with the same full-batch chain as
     # d15 (and re-runs the direct gate for the consistency diff), so
     # the identical twin-inflated candidate mass drives its time

@@ -316,6 +316,20 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     purgeStore(quarantineDir, want)
   }
 
+  /** Predicate readmit — [[retractWhere]]'s mirror: a review verdict
+    * usually arrives as a condition ("everything quarantined from
+    * source X"), not an id list. Resolves `cond` against the
+    * QUARANTINE store only (readmit's domain — accepted rows can't
+    * be readmitted, and [[readmit]] would refuse their ids loudly)
+    * and executes [[readmit]] over the matches. A no-op when no
+    * quarantine store exists or nothing matches; evaluated once, at
+    * call time. */
+  def readmitWhere(cond: org.apache.spark.sql.Column): Unit =
+    Takedown.idsMatching(spark, Seq(quarantineDir), cond,
+        "doc_id", Seq("text"))
+      .map(_.localCheckpoint()).filter(!_.isEmpty)
+      .foreach(ids => readmit(ids))
+
   /** Serve-while-rebuilding index maintenance from the durable
     * corpus store ([[DedupIndex.rebuildStaged]]): probes keep
     * serving the old buckets for the whole rebuild pass; only the

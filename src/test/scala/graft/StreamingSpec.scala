@@ -1019,6 +1019,19 @@ class StreamingSpec extends SparkTestBase {
       dIds(dupDrop) -- dIds(evens) - 5007L,
       "re-run purges only the readmitted ids from quarantine")
     assert(!DedupIndex.ensure(ingest.corpus(), s"$root/ix"))
+
+    // predicate form: resolves against the quarantine store only
+    val wantWhere = (dIds(dupDrop) -- dIds(evens) - 5007L)
+      .filter(_ % 10 == 1)
+    assert(wantWhere.nonEmpty)
+    ingest.readmitWhere($"doc_id" % 10 === 1)
+    assert(dIds(ingest.corpus()) == before ++ wantWhere)
+    assert(dIds(spark.read.parquet(s"$root/q")) ==
+      dIds(dupDrop) -- dIds(evens) - 5007L -- wantWhere)
+    // nothing left matching: a repeat is a no-op, not a refusal
+    ingest.readmitWhere($"doc_id" % 10 === 1)
+    assert(dIds(ingest.corpus()) == before ++ wantWhere)
+    assert(!DedupIndex.ensure(ingest.corpus(), s"$root/ix"))
   }
 
   test("serve-while-rebuilding maintenance: rebuildIndex and retrain") {
