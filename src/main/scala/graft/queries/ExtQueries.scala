@@ -2542,6 +2542,51 @@ object ExtQueries {
                      CAST(NULL AS BIGINT) AS doc_id
               WHERE FALSE""")),
 
+    // st16: the INGEST-level health report — the d21 index frame
+    // extended with the store-side gauges (accept vs quarantine
+    // mass, landed batch dirs, sticky-ledger size). The ingest here
+    // is fully deterministic: seed, then a drop of exact seed copies
+    // (all quarantine), then a takedown of two quarantined ids — so
+    // every gauge is predictable in-query: the index part must equal
+    // healthFromCorpus(seed) (untouched by quarantined-only drops
+    // and non-indexed retractions), corpus = seed mass, quarantine =
+    // drop minus the two retracted, batches = the SEED dir alone
+    // (an all-quarantined drop lands no accepted-corpus partition —
+    // the ledger tracks accepted batches, not trigger firings),
+    // ledger = 2. Empty symmetric difference, hash-exact WHERE
+    // FALSE.
+    Q("st16_ingest_health",
+      (s, dir) => {
+        import graft.ext.StoredIndex.{litMetricRow, metricRow}
+        import graft.streaming.StreamingDedupIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st16_").toString
+        val seedDocs = docs.filter(col("doc_id") < 200)
+        val ingest = new StreamingDedupIngest(s, s"$root/ix",
+          s"$root/corpus", s"$root/quar")
+        ingest.seed(seedDocs)
+        val dupDrop = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+        StreamingDedupIngest.stage(dupDrop, s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        ingest.retract(s.range(2)
+          .select((col("id") + 20000L).as("doc_id")))
+        val got = ingest.health()
+        val expect = graft.ext.DedupIndex.healthFromCorpus(seedDocs)
+          .unionByName(metricRow("store_corpus_rows", seedDocs,
+            count(lit(1L))))
+          .unionByName(metricRow("store_quarantine_rows",
+            dupDrop.filter(col("doc_id") >= 20002L), count(lit(1L))))
+          .unionByName(litMetricRow(s, "store_batches", 1d))
+          .unionByName(litMetricRow(s, "retracted_ids", 2d))
+        got.exceptAll(expect).unionByName(expect.exceptAll(got))
+          .orderBy("metric")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS metric,
+                     CAST(NULL AS DOUBLE) AS value
+              WHERE FALSE""")),
+
     Q("st10_stream_drift_psi",
       (s, dir) => StreamingOps.streamingDriftPsi(s, dir),
       Some(s"""WITH rr AS (

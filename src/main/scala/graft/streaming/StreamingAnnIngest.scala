@@ -216,6 +216,30 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
     df.select("vec_id", "embedding").sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(s"$root/batch=$batchId")
 
+  /** Operational health of the WHOLE ingest —
+    * [[StreamingDedupIngest.health]]'s ANN twin: the index family's
+    * frame ([[AnnIndex.health]]: LSM split, live posting histogram —
+    * the retrain signal — bloom armed) extended with the store-side
+    * gauges: `store_rows` (durable vector mass), `store_batches`
+    * (landed micro-batch dirs incl. a seed), `retracted_ids` (sticky
+    * compliance ledger size). Store posture only. */
+  def health(): DataFrame = {
+    import graft.ext.StoredIndex
+    val dir = requireStore("health")
+    val retracted = retractedDir
+      .flatMap(d => Takedown.ledgeredIds(spark, d, "vec_id"))
+      .map(r => StoredIndex.metricRow("retracted_ids", r,
+        count(lit(1L))))
+      .getOrElse(StoredIndex.litMetricRow(spark, "retracted_ids", 0d))
+    AnnIndex.health(spark, indexDir)
+      .unionByName(StoredIndex.metricRow("store_rows",
+        store(), count(lit(1L))))
+      .unionByName(StoredIndex.metricRow("store_batches",
+        batchLedger(), count(lit(1L))))
+      .unionByName(retracted)
+      .orderBy("metric")
+  }
+
   /** Retrain the stream-maintained index from the durable vector
     * store with FRESH centroids/codebook — the actionable response
     * to [[graft.ext.AnnIndex.health]]'s hot-spot signal when a long

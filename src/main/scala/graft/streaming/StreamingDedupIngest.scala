@@ -316,6 +316,40 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     purgeStore(quarantineDir, want)
   }
 
+  /** Operational health of the WHOLE ingest — the index family's
+    * `health` frame ([[DedupIndex.health]]: live/tombstoned split,
+    * bucket histogram, accretion debt, bloom armed) extended with
+    * the store-side gauges an ingest deployment watches:
+    * `store_corpus_rows` / `store_quarantine_rows` (accept vs
+    * quarantine mass — a quarantine share trending up is the
+    * boilerplate-ingest signal), `store_batches` (landed micro-batch
+    * dirs incl. a seed, the small-file pressure `compactStores`
+    * clears), `retracted_ids` (the sticky compliance ledger's size —
+    * monotone by design). One composed plan; counts come from
+    * parquet footers, text never read. */
+  def health(): DataFrame = {
+    import graft.ext.{DedupIndex, StoredIndex}
+    val quarPath = new org.apache.hadoop.fs.Path(quarantineDir)
+    val quarRows =
+      if (quarPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(quarPath))
+        StoredIndex.metricRow("store_quarantine_rows",
+          spark.read.parquet(quarantineDir), count(lit(1L)))
+      else StoredIndex.litMetricRow(spark, "store_quarantine_rows", 0d)
+    val retracted = Takedown.ledgeredIds(spark, retractedDir, "doc_id")
+      .map(r => StoredIndex.metricRow("retracted_ids", r,
+        count(lit(1L))))
+      .getOrElse(StoredIndex.litMetricRow(spark, "retracted_ids", 0d))
+    DedupIndex.health(spark, indexDir)
+      .unionByName(StoredIndex.metricRow("store_corpus_rows",
+        corpus(), count(lit(1L))))
+      .unionByName(StoredIndex.metricRow("store_batches",
+        batchLedger(), count(lit(1L))))
+      .unionByName(quarRows)
+      .unionByName(retracted)
+      .orderBy("metric")
+  }
+
   /** Predicate readmit — [[retractWhere]]'s mirror: a review verdict
     * usually arrives as a condition ("everything quarantined from
     * source X"), not an id list. Resolves `cond` against the

@@ -1072,5 +1072,13 @@ class StreamingSpec extends SparkTestBase {
       "retrain rebuilds clean over the live store")
     assert(!AnnIndex.ensure(ann.store(), s"$root/aix"),
       "retrained index content-fresh over the live vector store")
+
+    // ingest-level health: index frame + store gauges in one report
+    val ih = ann.health().as[(String, Double)].collect().toMap
+    assert(ih("store_rows") == ih("n_live"),
+      "retrained index serves exactly the durable store")
+    assert(ih("store_batches") == 1d && ih("retracted_ids") ==
+      embs.filter($"vec_id" % 7 === 2 && $"vec_id" < 200).count()
+        .toDouble)
   }
 }
