@@ -2587,6 +2587,62 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS value
               WHERE FALSE""")),
 
+    // st17: st16's ANN twin. Unlike the dedup ingest (whose content
+    // gate makes the index untouchable by a duplicate drop), the ANN
+    // gate is id-keyed, so the deterministic arrangement here runs
+    // the FULL lifecycle — seed, a drop mixing 50 new ids with 30
+    // re-delivered seed ids (gated out), a takedown of two streamed
+    // ids — and pins the ingest's health report against a batch-side
+    // replay: a twin index built from the IDENTICAL seed partition
+    // (storeAsOf(-1), the exact parquet the ingest's own build
+    // consumed — same files, same centroids), appended with the same
+    // new ids, removed of the same two. Every health metric is an
+    // aggregate (counts/histograms), so the comparison is robust to
+    // row order while still pinning the LSM split (n_tombstoned = 2,
+    // postings untouched until compact), the live bucket histogram,
+    // and the store gauges (248 rows after the purge, seed + one
+    // accepted batch dir, ledger = 2). Empty symmetric difference,
+    // hash-exact WHERE FALSE.
+    Q("st17_ann_ingest_health",
+      (s, dir) => {
+        import graft.ext.AnnIndex
+        import graft.ext.StoredIndex.{litMetricRow, metricRow}
+        import graft.streaming.{StreamingAnnIngest,
+          StreamingDedupIngest}
+        val embs = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st17_").toString
+        val seed = embs.filter(col("vec_id") < 200)
+        val ingest = new StreamingAnnIngest(s, s"$root/ix",
+          storeDir = Some(s"$root/store"))
+        ingest.seed(seed)
+        val newVecs = embs
+          .filter(col("vec_id") >= 200 && col("vec_id") < 250)
+        StreamingDedupIngest.stage(
+          newVecs.unionByName(seed.filter(col("vec_id") < 30)),
+          s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        val slice = embs.filter(col("vec_id").isin(200L, 201L))
+        ingest.retract(slice.select("vec_id"))
+        val got = ingest.health()
+        val twin = s"$root/twin"
+        AnnIndex.build(ingest.storeAsOf(-1L), twin)
+        AnnIndex.append(newVecs, twin)
+        AnnIndex.remove(slice, twin)
+        val expect = AnnIndex.health(s, twin)
+          .unionByName(metricRow("store_rows",
+            seed.unionByName(newVecs)
+              .join(slice.select("vec_id"), Seq("vec_id"), "left_anti"),
+            count(lit(1L))))
+          .unionByName(litMetricRow(s, "store_batches", 2d))
+          .unionByName(litMetricRow(s, "retracted_ids", 2d))
+        got.exceptAll(expect).unionByName(expect.exceptAll(got))
+          .orderBy("metric")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS metric,
+                     CAST(NULL AS DOUBLE) AS value
+              WHERE FALSE""")),
+
     Q("st10_stream_drift_psi",
       (s, dir) => StreamingOps.streamingDriftPsi(s, dir),
       Some(s"""WITH rr AS (
