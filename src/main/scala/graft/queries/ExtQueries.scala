@@ -2643,6 +2643,70 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS value
               WHERE FALSE""")),
 
+    // st18: the JOINT ingest's cross-family invariant — "the vectors
+    // you can search are exactly the documents you may train on" —
+    // held through a full lifecycle that exercises every
+    // coordination path: seed (sync admits seed vectors), a drop
+    // mixing 50 new docs with 30 near-dup copies (gate quarantines
+    // the copies; their embeddings must NOT be admitted), a joint
+    // takedown of one seed + one streamed id (both families purge +
+    // tombstone), a readmit of two quarantined copies (original-
+    // batch re-entry below the sync mark — the repairAlignment path,
+    // not the delta path, admits their vectors). Audited three ways:
+    // store alignment (corpus ids ≡ vector-store ids), ANN LIVE
+    // index ids ≡ corpus, dedup LIVE index ids ≡ corpus. All empty,
+    // hash-exact WHERE FALSE.
+    Q("st18_corpus_joint_lifecycle",
+      (s, dir) => {
+        import graft.ext.{AnnIndex, DedupIndex}
+        import graft.streaming.{StreamingCorpusIngest,
+          StreamingDedupIngest}
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val base = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        // provider covers the near-dup copies' ids too: a readmit
+        // needs the quarantined documents' embeddings
+        val embs = base.unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            col("embedding")))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st18_").toString
+        val joint = new StreamingCorpusIngest(s, root)
+        joint.seed(docs.filter(col("doc_id") < 200), embs)
+        val drop = docs
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+          .unionByName(docs.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              col("text")))
+        StreamingDedupIngest.stage(drop, s"$root/staging", "d1")
+        joint.ingestAvailable(s"$root/staging", s"$root/ckpt", embs)
+        joint.retract(s.createDataFrame(Seq(
+          Tuple1(5L), Tuple1(210L))).toDF("doc_id"))
+        joint.readmit(s.createDataFrame(Seq(
+          Tuple1(20000L), Tuple1(20001L))).toDF("doc_id"), embs)
+        val corpusIds = joint.text.corpus().select("doc_id")
+        def symDiff(live: org.apache.spark.sql.DataFrame,
+                    side: String) = {
+          val ids = live.withColumnRenamed("id", "doc_id")
+          corpusIds.join(ids, Seq("doc_id"), "left_anti")
+            .select(lit(s"corpus_not_$side").as("side"),
+              col("doc_id"))
+            .unionByName(ids.join(corpusIds, Seq("doc_id"), "left_anti")
+              .select(lit(s"${side}_not_corpus").as("side"),
+                col("doc_id")))
+        }
+        joint.alignment()
+          .unionByName(symDiff(
+            AnnIndex.liveIndexedIds(s, s"$root/ann_index"), "ann"))
+          .unionByName(symDiff(
+            DedupIndex.liveIndexedIds(s, s"$root/dedup_index"),
+            "dedup"))
+          .orderBy("side", "doc_id")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS side,
+                     CAST(NULL AS BIGINT) AS doc_id
+              WHERE FALSE""")),
+
     Q("st10_stream_drift_psi",
       (s, dir) => StreamingOps.streamingDriftPsi(s, dir),
       Some(s"""WITH rr AS (

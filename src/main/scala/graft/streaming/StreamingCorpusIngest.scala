@@ -1,0 +1,278 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The JOINT training-corpus ingest: one coordinator maintaining BOTH
+  * serving families over the same document ids — the near-dup-gated
+  * text corpus + stored dedup index ([[StreamingDedupIngest]]) and
+  * the ANN index + durable vector store ([[StreamingAnnIngest]]) —
+  * with the cross-family invariant a training pipeline actually
+  * needs: **the vectors you can search are exactly the documents you
+  * may train on.**
+  *
+  * Why a coordinator instead of two independent ingests: the dedup
+  * gate DECIDES (accept vs quarantine vs takedown), and the vector
+  * side must FOLLOW — a quarantined near-dup's embedding must never
+  * be searchable, a takedown must reach both families, a readmit
+  * must restore both. Feeding the two ingests the same drops
+  * independently would index quarantined docs' vectors; this class
+  * routes vectors strictly downstream of the text gate's verdict.
+  *
+  * Vector admission is PULL, not push — two paths, one invariant:
+  *
+  *  - [[syncVectors]], the O(delta) fast path: after each text
+  *    ingest, the accepted-corpus delta since the durable sync mark
+  *    (partition-pruned batch dirs — [[StreamingDedupIngest
+  *    .corpusDelta]]) names the newly accepted ids; their embeddings
+  *    are fetched from the caller-supplied relation (the pipeline's
+  *    embedding store — joined keys-first, so at 100 TB the probe is
+  *    a broadcast semi-join of delta ids, never an embeddings scan
+  *    for the corpus' sake) and staged through the ANN ingest's own
+  *    gated stream. Per-sync cost is batch-sized: the corpus is
+  *    never re-listed beyond the mark.
+  *  - [[repairAlignment]], the O(keys) slow path: a full keys-only
+  *    reconciliation (corpus ids vs vector-store ids vs the two
+  *    takedown ledgers) that converges the vector side from ANY
+  *    drift — a crash between the halves of a joint [[retract]], a
+  *    [[readmit]] (which re-enters the document's ORIGINAL batch
+  *    partition, below the sync mark, so the delta path can never
+  *    see it), a missed sync. Ids-only columns are read; text and
+  *    embeddings bodies only for the rows actually repaired.
+  *
+  * Crash-ordering: every public mutation is a sequence of the two
+  * families' own crash-safe idempotent steps, ordered so a crash at
+  * any point leaves a state that (a) never serves retracted content,
+  * and (b) [[repairAlignment]] converges back to aligned. The
+  * compliance direction always runs text-first ([[retract]]: the
+  * text IS the sensitive content; a window where the vector is still
+  * searchable but its text is purged cannot leak text — ANN probe
+  * output is ids and scores), the admission direction vector-last
+  * (vectors only ever index ids the text gate already accepted).
+  * [[alignment]] is the audit that says whether a repair is needed.
+  */
+final class StreamingCorpusIngest(spark: SparkSession, root: String,
+                                  threshold: Double = 0.4) {
+
+  /** The text half: near-dup gate, accepted corpus, quarantine,
+    * stored dedup index. Public — every single-family read
+    * (corpus/asOf/delta/health/probe) is reached through it. */
+  val text = new StreamingDedupIngest(spark, s"$root/dedup_index",
+    s"$root/corpus", s"$root/quarantine", threshold)
+
+  /** The vector half, always in the store posture (the coordinator's
+    * repair and takedown contracts need the durable vector store). */
+  val vectors = new StreamingAnnIngest(spark, s"$root/ann_index",
+    storeDir = Some(s"$root/vectors"))
+
+  private val annStaging = s"$root/ann_staging"
+  private val annCkpt = s"$root/ann_ckpt"
+  private val syncMarkDir = s"$root/vectors_syncmark"
+
+  private def fs =
+    new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Bootstrap a virgin joint ingest: seed the text side (batch -1),
+    * then admit the seed's vectors through the normal sync path —
+    * the seeded index state is exactly what the streamed path would
+    * have produced. */
+  def seed(docs: DataFrame, embeddings: DataFrame): Unit = {
+    text.seed(docs)
+    syncVectors(embeddings)
+  }
+
+  /** Ingest everything staged through the text gate, then admit the
+    * newly accepted documents' vectors. One call = both families
+    * caught up to the same cut. */
+  def ingestAvailable(stagingDir: String, checkpointDir: String,
+                      embeddings: DataFrame): Unit = {
+    text.ingestAvailable(stagingDir, checkpointDir)
+    syncVectors(embeddings)
+  }
+
+  /** Admit vectors for every document accepted since the last sync —
+    * the O(delta) fast path. `embeddings` is the pipeline's
+    * embedding relation, `(doc_id, embedding)`; only delta ids are
+    * fetched from it. Every accepted document MUST have an embedding
+    * row — a missing one fails loudly (silently skipping would park
+    * the corpus permanently misaligned). Crash-safe: the mark
+    * advances only after the ANN ingest committed; a replayed sync
+    * re-stages the same delta and the ANN ingest's bloom-gated
+    * already-indexed filter drops it. */
+  def syncVectors(embeddings: DataFrame): Unit = {
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$root/corpus")
+    if (!fs.exists(corpusPath)) return // virgin: nothing accepted yet
+    val from = readMark()
+    val to = text.batchLedger().agg(max(col("batch"))).head.getLong(0)
+    if (to <= from) return
+    val delta = text.corpusDelta(from, to).select("doc_id")
+      .localCheckpoint()
+    if (!delta.isEmpty) stageAndIngest(delta, embeddings,
+      s"sync_${from}_$to")
+    writeMark(to)
+  }
+
+  /** Fetch `ids`' embeddings (loud on absences), stage them as one
+    * uniquely-named drop, run the ANN ingest over the staging dir.
+    * Re-delivery-safe at every layer: an already-staged name is
+    * reused as-is (same deterministic content), already-indexed rows
+    * are dropped by the ANN gate, ledgered ids by the sticky
+    * takedown filter. */
+  private def stageAndIngest(ids: DataFrame, embeddings: DataFrame,
+                             name: String): Unit = {
+    val missing = ids.join(embeddings, Seq("doc_id"), "left_anti")
+    require(missing.limit(1).isEmpty,
+      "syncVectors: accepted document(s) with no embedding row — " +
+        "every accepted doc_id must appear in the embeddings " +
+        "relation (first absent: " +
+        s"${missing.limit(1).collect().headOption.map(_.get(0))})")
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$annStaging/$name.parquet")
+    if (!fs.exists(staged))
+      StreamingDedupIngest.stage(
+        embeddings.join(ids, Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        annStaging, name)
+    vectors.ingestAvailable(annStaging, annCkpt)
+  }
+
+  /** Joint compliance takedown, text-first (see class scaladoc for
+    * the ordering argument). Both halves are idempotent, so a crash
+    * between them is converged by re-running — or by
+    * [[repairAlignment]], which finishes the vector half from the
+    * text ledger. */
+  def retract(ids: DataFrame): Unit = {
+    val want = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    text.retract(want)
+    vectors.retract(want.select(col("doc_id").as("vec_id")))
+  }
+
+  /** Joint predicate takedown: resolve against the text stores
+    * (corpus AND quarantine — the only stores holding the matchable
+    * content), then execute the joint [[retract]] over the matches. */
+  def retractWhere(cond: org.apache.spark.sql.Column): Unit =
+    Takedown.idsMatching(spark,
+        Seq(s"$root/corpus", s"$root/quarantine"), cond,
+        "doc_id", Seq("text"))
+      .map(_.localCheckpoint()).filter(!_.isEmpty)
+      .foreach(ids => retract(ids))
+
+  /** Reverse a false-positive gate verdict on BOTH families: readmit
+    * the quarantined documents into the corpus + dedup index
+    * ([[StreamingDedupIngest.readmit]] — original-batch re-entry,
+    * loud on non-quarantined or ledgered ids), then admit their
+    * vectors. The re-entered rows land BELOW the sync mark, so the
+    * vector half goes through [[repairAlignment]] — the generic
+    * converger — rather than a special-cased stage: a crash anywhere
+    * in between is fixed by re-running repairAlignment alone. */
+  def readmit(ids: DataFrame, embeddings: DataFrame): Unit = {
+    text.readmit(ids)
+    repairAlignment(embeddings)
+  }
+
+  /** Converge the vector side from ANY drift — the O(keys) slow
+    * path. Two reconciliations, both keys-only until the repair
+    * itself:
+    *
+    *  1. pending takedowns: ids ledgered on the text side but not on
+    *     the vector side (a crash between [[retract]]'s halves) are
+    *     retracted from the vector family;
+    *  2. missing vectors: accepted corpus ids absent from the vector
+    *     store (a readmit, a missed sync) have their embeddings
+    *     admitted through the gated stream.
+    *
+    * Extra live vectors beyond the corpus arise only inside a joint
+    * takedown's crash window (text purged, vectors not yet) — and
+    * those are exactly what reconciliation 1 retracts, from the
+    * ledger diff. A `vectors_only` id WITHOUT a text-ledger entry
+    * cannot arise from this class's operations (admission is
+    * text-gate-first) — that is external interference with the
+    * stores, surfaced by [[alignment]] and left to the operator
+    * rather than silently deleted. */
+  def repairAlignment(embeddings: DataFrame): Unit = {
+    // 1. finish any half-applied joint takedown
+    Takedown.ledgeredIds(spark, s"$root/corpus_retracted", "doc_id")
+      .foreach { textLedger =>
+        val vecLedger = Takedown.ledgeredIds(spark,
+            s"$root/vectors_retracted", "vec_id")
+          .getOrElse(spark.range(0).select(col("id").as("vec_id")))
+        val pending = textLedger
+          .join(vecLedger.withColumnRenamed("vec_id", "doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (!pending.isEmpty)
+          vectors.retract(pending.select(col("doc_id").as("vec_id")))
+      }
+    // 2. admit vectors the corpus has accepted but the store lacks
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$root/corpus")
+    if (!fs.exists(corpusPath)) return
+    val have = {
+      val storePath = new org.apache.hadoop.fs.Path(s"$root/vectors")
+      if (fs.exists(storePath))
+        vectors.store().select(col("vec_id").as("doc_id"))
+      else spark.range(0).select(col("id").as("doc_id"))
+    }
+    val missing = text.corpus().select("doc_id")
+      .join(have, Seq("doc_id"), "left_anti").localCheckpoint()
+    if (!missing.isEmpty)
+      stageAndIngest(missing, embeddings,
+        s"repair_${System.nanoTime()}")
+  }
+
+  /** The cross-family audit: `(side, doc_id)` for every id on one
+    * side only — `corpus_only` (vector missing: run
+    * [[repairAlignment]]) or `vectors_only` (a takedown window or
+    * external interference). Empty ⇔ aligned. Keys-only: two
+    * id-column scans, no text, no embeddings. A virgin side (store
+    * dir absent — e.g. text seeded but vectors never synced) reads
+    * as empty rather than erroring: that IS a reportable drift. */
+  def alignment(): DataFrame = {
+    def orEmpty(dir: String)(read: => DataFrame) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir))) read
+      else spark.range(0).select(col("id").as("doc_id"))
+    // the family reads (heal-first) when the store exists
+    val c = orEmpty(s"$root/corpus")(text.corpus().select("doc_id"))
+    val v = orEmpty(s"$root/vectors")(
+      vectors.store().select(col("vec_id").as("doc_id")))
+    c.join(v, Seq("doc_id"), "left_anti")
+      .select(lit("corpus_only").as("side"), col("doc_id"))
+      .unionByName(v.join(c, Seq("doc_id"), "left_anti")
+        .select(lit("vectors_only").as("side"), col("doc_id")))
+      .orderBy("side", "doc_id")
+  }
+
+  /** Both families' ingest-level health frames in one report, metric
+    * names prefixed `text_` / `ann_`. The alignment audit stays a
+    * separate call ([[alignment]]): health is footer-priced by
+    * contract, alignment reads id columns. */
+  def health(): DataFrame = {
+    val t = text.health().select(
+      concat(lit("text_"), col("metric")).as("metric"), col("value"))
+    val a = vectors.health().select(
+      concat(lit("ann_"), col("metric")).as("metric"), col("value"))
+    t.unionByName(a).orderBy("metric")
+  }
+
+  /** Durable sync high-water mark (max text batch whose vectors are
+    * admitted). Missing ⇒ -2 (below the seed's batch -1): the fast
+    * path re-syncs from the beginning and the ANN gate drops every
+    * already-indexed row — losing the mark costs work, never
+    * correctness, which is why the stage-then-rename swap below may
+    * leave it absent but never half-written. */
+  private def readMark(): Long = {
+    val p = new org.apache.hadoop.fs.Path(syncMarkDir)
+    if (!fs.exists(p)) -2L
+    else spark.read.parquet(syncMarkDir).head.getLong(0)
+  }
+
+  private def writeMark(to: Long): Unit = {
+    val stage = syncMarkDir + "_stage"
+    spark.range(1).select(lit(to).as("batch"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val markPath = new org.apache.hadoop.fs.Path(syncMarkDir)
+    if (fs.exists(markPath)) fs.delete(markPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(stage), markPath)
+  }
+}
