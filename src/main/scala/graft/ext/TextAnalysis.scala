@@ -244,4 +244,65 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  /** One-pass corpus data card: the `(metric, value)` report a
+    * training run pins its input corpus with — volume (docs, tokens,
+    * chars, averages), hygiene (exact-dup rate via the content
+    * fingerprint, low-quality share under the standard 0.5 gate) and
+    * language mix (share per [[LangMarkers]] language + `und`).
+    *
+    * One scan, one aggregation: every per-doc signal (token count,
+    * quality, language, fingerprint) is projected in a single fused
+    * pass over the text ([[graft.functions.TextStats]] — codegen'd,
+    * no UDFs), then all card metrics reduce in one `agg` whose only
+    * full-shuffle participant is the exact-dup `count_distinct` on
+    * the 16-byte fingerprint (inherent to an EXACT dup rate; the
+    * approximate posture is `approx_count_distinct`, the a11 recipe).
+    * At 100 TB: map-side partials for everything else, a keys-only
+    * (fingerprint) exchange, a 1-row result exploded to metric rows.
+    *
+    * Quality sums in DECIMAL(18,4) — per-doc scores are exact 4-dp
+    * values, so the sum is order-independent and the avg
+    * oracle-exact (the money-sum discipline, [[graft.ops.Ops
+    * .sumMoney]]). Ratios round via roundDet (4dp averages, 6dp
+    * rates). */
+  def datacard(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val proj = docs.select(
+      tokenCount(text).cast("double").as("t"),
+      qualityScore(text).as("q"),
+      langId(text).as("l"),
+      fingerprint(text).as("f"),
+      length(text).cast("double").as("c"))
+    val langs = LangMarkers.map(_._1) :+ "und"
+    val aggs: Seq[Column] = Seq(
+      sum(col("t")).as("n_tokens"),
+      sum(col("c")).as("n_chars"),
+      sum(col("q").cast("decimal(18,4)")).as("q_sum"),
+      count_distinct(col("f")).cast("double").as("n_fp"),
+      sum(when(col("q") < 0.5, 1L).otherwise(0L)).cast("double")
+        .as("n_lowq")) ++
+      langs.map(lg => sum(when(col("l") === lg, 1L).otherwise(0L))
+        .cast("double").as(s"n_$lg"))
+    val one = proj.agg(
+      count(lit(1)).cast("double").as("n_docs"), aggs: _*)
+    def rd(c: Column, s: Int) = graft.ops.Ops.roundDet(c, s)
+    val metrics: Seq[(String, Column)] = Seq(
+      "n_docs" -> col("n_docs"),
+      "n_tokens" -> col("n_tokens"),
+      "n_chars" -> col("n_chars"),
+      "avg_tokens" -> rd(col("n_tokens") / col("n_docs"), 4),
+      "avg_chars" -> rd(col("n_chars") / col("n_docs"), 4),
+      "avg_quality" -> rd(col("q_sum").cast("double") / col("n_docs"), 4),
+      "dup_rate" -> rd(lit(1.0) - col("n_fp") / col("n_docs"), 6),
+      "low_quality_rate" -> rd(col("n_lowq") / col("n_docs"), 6)) ++
+      langs.map(lg =>
+        s"share_$lg" -> rd(col(s"n_$lg") / col("n_docs"), 6))
+    one.select(array(metrics.map { case (n, c) =>
+        struct(lit(n).as("metric"), c.cast("double").as("value"))
+      }: _*).as("a"))
+      .select(explode(col("a")).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy("metric")
+  }
 }

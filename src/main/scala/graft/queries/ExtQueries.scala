@@ -1941,6 +1941,67 @@ object ExtQueries {
                WHERE c_ab >= 5
                ORDER BY pmi DESC, lw, rw LIMIT 50""")),
 
+    // t17: the corpus data card — one scan, one aggregation, a
+    // (metric, value) report of volume / hygiene / language mix. The
+    // oracle re-derives every per-doc signal with the t1/t2/t3/t4
+    // fragments and reduces them in one pass; quality sums in
+    // DECIMAL(18,4) on both engines (per-doc scores are exact 4-dp,
+    // so the sum is order-independent → avg hash-exact).
+    Q("t17_datacard",
+      (s, dir) => TextAnalysis.datacard(t(s, dir, "documents")),
+      Some(s"""WITH sc AS (
+                SELECT text, $SqlTokens AS t, $SqlQuality AS q,
+                       length(text) AS c, $SqlFp AS f,
+                  len(list_filter(string_split_regex(text,'\\s+'),
+                    x -> list_contains(['the','a','and','of','to','is'], x))) AS s_en,
+                  len(list_filter(string_split_regex(text,'\\s+'),
+                    x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+                  len(list_filter(string_split_regex(text,'\\s+'),
+                    x -> list_contains(['el','la','los','que','es','y'], x))) AS s_es,
+                  len(list_filter(string_split_regex(text,'\\s+'),
+                    x -> list_contains(['le','la','les','est','et','ne'], x))) AS s_fr,
+                  len(list_filter(string_split_regex(text,'\\s+'),
+                    x -> list_contains(['de','shi','bu','le','wo','ni'], x))) AS s_zh
+                FROM documents),
+              lab AS (
+                SELECT *,
+                  CASE WHEN GREATEST(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+                       WHEN s_en = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                       WHEN s_de = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+                       WHEN s_es = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                       WHEN s_fr = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                       ELSE 'zh' END AS l
+                FROM sc),
+              a AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       CAST(SUM(t) AS DOUBLE) AS n_tokens,
+                       CAST(SUM(c) AS DOUBLE) AS n_chars,
+                       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS q_sum,
+                       CAST(COUNT(DISTINCT f) AS DOUBLE) AS n_fp,
+                       CAST(SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) AS n_lowq,
+                       CAST(SUM(CASE WHEN l = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_en,
+                       CAST(SUM(CASE WHEN l = 'de' THEN 1 ELSE 0 END) AS DOUBLE) AS n_de,
+                       CAST(SUM(CASE WHEN l = 'es' THEN 1 ELSE 0 END) AS DOUBLE) AS n_es,
+                       CAST(SUM(CASE WHEN l = 'fr' THEN 1 ELSE 0 END) AS DOUBLE) AS n_fr,
+                       CAST(SUM(CASE WHEN l = 'zh' THEN 1 ELSE 0 END) AS DOUBLE) AS n_zh,
+                       CAST(SUM(CASE WHEN l = 'und' THEN 1 ELSE 0 END) AS DOUBLE) AS n_und
+                FROM lab)
+              SELECT 'n_docs' AS metric, n_docs AS value FROM a
+              UNION ALL SELECT 'n_tokens', n_tokens FROM a
+              UNION ALL SELECT 'n_chars', n_chars FROM a
+              UNION ALL SELECT 'avg_tokens', ${sqlRoundDet("n_tokens / n_docs", 4)} FROM a
+              UNION ALL SELECT 'avg_chars', ${sqlRoundDet("n_chars / n_docs", 4)} FROM a
+              UNION ALL SELECT 'avg_quality', ${sqlRoundDet("q_sum / n_docs", 4)} FROM a
+              UNION ALL SELECT 'dup_rate', ${sqlRoundDet("1.0 - n_fp / n_docs", 6)} FROM a
+              UNION ALL SELECT 'low_quality_rate', ${sqlRoundDet("n_lowq / n_docs", 6)} FROM a
+              UNION ALL SELECT 'share_en', ${sqlRoundDet("n_en / n_docs", 6)} FROM a
+              UNION ALL SELECT 'share_de', ${sqlRoundDet("n_de / n_docs", 6)} FROM a
+              UNION ALL SELECT 'share_es', ${sqlRoundDet("n_es / n_docs", 6)} FROM a
+              UNION ALL SELECT 'share_fr', ${sqlRoundDet("n_fr / n_docs", 6)} FROM a
+              UNION ALL SELECT 'share_zh', ${sqlRoundDet("n_zh / n_docs", 6)} FROM a
+              UNION ALL SELECT 'share_und', ${sqlRoundDet("n_und / n_docs", 6)} FROM a
+              ORDER BY metric""")),
+
     // ---- multimodal plumbing -----------------------------------------
 
     // container sizes: PNG = 8 signature + 25 IHDR chunk; WAVE = 44
