@@ -122,6 +122,103 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     assert(joint.alignment().isEmpty)
   }
 
+  test("joint lifecycle: 8 random drop/retract/readmit/crash-repair " +
+      "interleavings hold the cross-family invariant") {
+    // the joint-level analog of the per-family randomized mixes
+    // (PropertySpec): every sequence drives a random op chain —
+    // gated drops mixing unique docs with exact copies (copies
+    // quarantine deterministically: token-disjoint fresh docs can
+    // never near-dup), joint takedowns, readmits, and the
+    // crash-window form (text-half retract, then repairAlignment
+    // finishes the vector half) — then pins the full serving matrix
+    // against a driver-side model: corpus ids, vector-store ids,
+    // BOTH live index id sets, and the quarantine, all ≡ the model;
+    // alignment() empty.
+    val rnd = new scala.util.Random(41)
+    def txt(id: Long): String =
+      (0 until 6).map(j => s"tok${id}x$j").mkString(" ")
+    val allIds = (0L until 400L)
+    val embAll = allIds.map(i => (i,
+        Array.tabulate(8)(d => (((i + 3) * (d + 7)) % 11).toFloat)))
+      .toDF("doc_id", "embedding").localCheckpoint()
+    var nQuar = 0; var nRetract = 0; var nReadmit = 0
+    for (seqNo <- 1 to 8) {
+      val root = Files.createTempDirectory(s"graft_jrand$seqNo").toString
+      val joint = new StreamingCorpusIngest(spark, root)
+      var cursor = 4L + seqNo * 40L
+      var live = (seqNo * 40L until seqNo * 40L + 4L)
+        .map(i => i -> txt(i)).toMap
+      var quar = Map.empty[Long, String]
+      var ledgered = Set.empty[Long]
+      joint.seed(live.toSeq.toDF("doc_id", "text"), embAll)
+      var drops = 0
+      for (_ <- 1 to 5) rnd.nextInt(5) match {
+        case 0 => // gated drop: fresh unique docs + copies of live
+          val fresh = (cursor until cursor + 2 + rnd.nextInt(3))
+            .map(i => i -> txt(i))
+          cursor += fresh.size
+          val copies = live.toSeq.sortBy(_._1)
+            .filter(_ => rnd.nextInt(3) == 0).take(2)
+            .map { case (_, t) => val id = cursor; cursor += 1; id -> t }
+          drops += 1
+          stage((fresh ++ copies).toDF("doc_id", "text"),
+            s"$root/staging", s"d$drops")
+          joint.ingestAvailable(s"$root/staging", s"$root/ckpt", embAll)
+          live ++= fresh; quar ++= copies; nQuar += copies.size
+        case 1 if live.size > 3 => // joint takedown
+          val gone = live.keys.toSeq.sorted
+            .filter(_ => rnd.nextInt(4) == 0).take(2)
+          if (gone.nonEmpty) {
+            joint.retract(gone.toDF("doc_id"))
+            live --= gone; ledgered ++= gone; nRetract += gone.size
+          }
+        case 2 | 4 if quar.nonEmpty => // readmit a quarantined copy
+          val (id, t) = quar.toSeq.minBy(_._1)
+          joint.readmit(Seq(id).toDF("doc_id"), embAll)
+          live += id -> t; quar -= id; nReadmit += 1
+        case 3 if live.size > 3 => // crash window: text half only,
+          // then the generic converger finishes the takedown
+          val gone = live.keys.toSeq.sorted.take(1)
+          joint.text.retract(gone.toDF("doc_id"))
+          joint.repairAlignment(embAll)
+          live --= gone; ledgered ++= gone; nRetract += gone.size
+        case 4 => // quarantine empty: gratuitous repair, a no-op
+          joint.repairAlignment(embAll)
+        case _ => ()
+      }
+      // deterministic coverage: if the deal left anything in
+      // quarantine, close the sequence with a readmit — the op most
+      // sensitive to everything that ran before it (original-batch
+      // re-entry below the sync mark, repair-path vector admission)
+      if (quar.nonEmpty) {
+        val (id, t) = quar.toSeq.minBy(_._1)
+        joint.readmit(Seq(id).toDF("doc_id"), embAll)
+        live += id -> t; quar -= id; nReadmit += 1
+      }
+      assert(joint.alignment().isEmpty,
+        s"sequence $seqNo: families misaligned")
+      assert(ids(joint.text.corpus()) == live.keySet,
+        s"sequence $seqNo: corpus != model")
+      assert(ids(joint.vectors.store(), "vec_id") == live.keySet,
+        s"sequence $seqNo: vector store != model")
+      assert(ids(AnnIndex.liveIndexedIds(spark, s"$root/ann_index"),
+        "id") == live.keySet,
+        s"sequence $seqNo: live ANN index != model")
+      assert(ids(DedupIndex.liveIndexedIds(spark, s"$root/dedup_index"),
+        "id") == live.keySet,
+        s"sequence $seqNo: live dedup index != model")
+      val quarIds =
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$root/quarantine")))
+          ids(spark.read.parquet(s"$root/quarantine").select("doc_id"))
+        else Set.empty[Long]
+      assert(quarIds == quar.keySet,
+        s"sequence $seqNo: quarantine != model")
+    }
+    assert(nQuar >= 4 && nRetract >= 4 && nReadmit >= 2,
+      s"weak seed: quar=$nQuar retract=$nRetract readmit=$nReadmit")
+  }
+
   test("missed sync converges through repairAlignment; absent " +
       "embedding rows fail loudly") {
     val root = Files.createTempDirectory("graft_jrepair_").toString
