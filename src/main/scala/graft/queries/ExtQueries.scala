@@ -2418,6 +2418,57 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS jaccard
               WHERE FALSE""")),
 
+    // st19: the ADMISSION GATE (quality predicate riding the ingest,
+    // the filter every training pipeline runs beside dedup) commutes
+    // with pre-filtering the stream: the same two drops through (a)
+    // an ingest with admit = quality >= 0.5 and (b) an ungated ingest
+    // fed only the quality-passing rows must build IDENTICAL corpora
+    // (admission runs before the near-dup gate, so the gate sees the
+    // same rows in the same batches), while (a)'s quarantine holds
+    // exactly (b)'s near-dups ∪ the quality rejects. Both audited as
+    // empty symmetric differences, hash-exact WHERE FALSE.
+    Q("st19_quality_gated_ingest",
+      (s, dir) => {
+        import graft.streaming.StreamingDedupIngest
+        import graft.streaming.StreamingDedupIngest.stage
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .localCheckpoint()
+        val q = TextAnalysis.qualityScore(col("text"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st19_").toString
+        val gated = new StreamingDedupIngest(s, s"$root/gx",
+          s"$root/gc", s"$root/gq", admit = Some(q >= 0.5))
+        val plain = new StreamingDedupIngest(s, s"$root/px",
+          s"$root/pc", s"$root/pq")
+        def drop(f: org.apache.spark.sql.DataFrame, n: String): Unit = {
+          stage(f, s"$root/gs", n)
+          stage(f.filter(q >= 0.5), s"$root/ps", n)
+          gated.ingestAvailable(s"$root/gs", s"$root/gck")
+          plain.ingestAvailable(s"$root/ps", s"$root/pck")
+        }
+        drop(docs.filter(col("doc_id") < 250), "d1")
+        drop(docs.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+          "d2")
+        def sd(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame, side: String) = {
+          val l = a.select("doc_id", "text")
+          val r = b.select("doc_id", "text")
+          l.exceptAll(r).unionByName(r.exceptAll(l))
+            .select(lit(side).as("side"), col("doc_id"))
+        }
+        val staged = docs.filter(col("doc_id") < 400)
+        val quarExpected = s.read.parquet(s"$root/pq")
+          .select("doc_id", "text")
+          .unionByName(staged.filter(!(q >= 0.5)))
+        sd(gated.corpus(), plain.corpus(), "corpus")
+          .unionByName(sd(s.read.parquet(s"$root/gq"), quarExpected,
+            "quarantine"))
+          .orderBy("side", "doc_id")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS side,
+                     CAST(NULL AS BIGINT) AS doc_id
+              WHERE FALSE""")),
+
     // st12: the stream-maintained ANN index can execute a COMPLIANCE
     // TAKEDOWN — the round-8 serving-matrix asymmetry, closed. The
     // replay ingests the embeddings in two drops through

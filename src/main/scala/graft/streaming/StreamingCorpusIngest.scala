@@ -51,14 +51,21 @@ import org.apache.spark.sql.functions._
   * (vectors only ever index ids the text gate already accepted).
   * [[alignment]] is the audit that says whether a repair is needed.
   */
+/** @param admit optional admission predicate forwarded to the text
+  *   gate ([[StreamingDedupIngest]]'s `admit`): quality/policy rejects
+  *   quarantine beside the near-dups, and — because vector admission
+  *   is strictly downstream of the text verdict — their embeddings
+  *   are never indexed either, with no extra coordination. */
 final class StreamingCorpusIngest(spark: SparkSession, root: String,
-                                  threshold: Double = 0.4) {
+                                  threshold: Double = 0.4,
+                                  admit: Option[org.apache.spark.sql
+                                    .Column] = None) {
 
   /** The text half: near-dup gate, accepted corpus, quarantine,
     * stored dedup index. Public — every single-family read
     * (corpus/asOf/delta/health/probe) is reached through it. */
   val text = new StreamingDedupIngest(spark, s"$root/dedup_index",
-    s"$root/corpus", s"$root/quarantine", threshold)
+    s"$root/corpus", s"$root/quarantine", threshold, admit = admit)
 
   /** The vector half, always in the store posture (the coordinator's
     * repair and takedown contracts need the durable vector store). */

@@ -61,10 +61,27 @@ object StreamingDedupIngest {
   }
 }
 
+/** @param admit optional ADMISSION PREDICATE over the batch columns
+  *   (e.g. `TextAnalysis.qualityScore(col("text")) >= 0.5` — the
+  *   quality gate every training pipeline runs beside dedup): rows
+  *   failing it (or evaluating to NULL) are quarantined alongside the
+  *   near-dups — a rejected document never costs a probe and is
+  *   never indexed. The predicate runs AFTER the re-delivery gate,
+  *   so a re-delivered already-accepted id (e.g. a readmitted
+  *   quality reject) is dropped as already-indexed and can never be
+  *   re-quarantined by the predicate. Deterministic w.r.t. the row
+  *   by construction (a Column, not a stateful callback), so replays
+  *   re-derive the same verdict and every crash-recovery argument is
+  *   unchanged. [[seed]] is deliberately ungated: it
+  *   bootstraps from an existing corpus the caller vouches for.
+  *   [[readmit]] overrides the verdict for quality rejects exactly as
+  *   it does for near-dup false positives — that is its job. */
 final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
                                  corpusDir: String, quarantineDir: String,
                                  threshold: Double = 0.4,
-                                 compactAfterFiles: Int = 64) {
+                                 compactAfterFiles: Int = 64,
+                                 admit: Option[org.apache.spark.sql.Column] =
+                                   None) {
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -407,11 +424,35 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         DedupIndex.build(corpus(), indexDir)
         if (!fresh.isEmpty) appendGated(fresh, batchId)
       } else if (!fresh.isEmpty) {
-        // first batch seeds the corpus (nothing to collide with yet)
-        writePartition(fresh, corpusDir, batchId)
-        DedupIndex.build(corpus(), indexDir)
+        // first batch seeds the corpus (nothing to collide with yet
+        // — but the admission gate still applies; a virgin index has
+        // no re-deliveries to skip, so splitting here is the same
+        // verdict appendGated would reach)
+        val (admitted, rejected) = admissionSplit(fresh)
+        rejected.foreach(r => writePartition(r, quarantineDir, batchId))
+        if (!admitted.isEmpty) {
+          writePartition(admitted, corpusDir, batchId)
+          DedupIndex.build(corpus(), indexDir)
+        }
       }
     } else if (!fresh.isEmpty) appendGated(fresh, batchId)
+  }
+
+  /** Split a definitely-new slice by the admission predicate: rows
+    * failing it (or evaluating to NULL — coalesce false, so no row
+    * can vanish from both splits) quarantine without ever costing a
+    * probe. Runs AFTER the re-delivery gate by design: an already-
+    * accepted id (e.g. a readmitted quality reject) re-delivered
+    * later is dropped as already-indexed BEFORE the predicate, so
+    * admission can never re-quarantine an accepted document. */
+  private def admissionSplit(
+      rows: DataFrame): (DataFrame, Option[DataFrame]) = admit match {
+    case Some(p) =>
+      val verdict = coalesce(p, lit(false))
+      (rows.filter(verdict).localCheckpoint(),
+        Some(rows.filter(!verdict).localCheckpoint())
+          .filter(!_.isEmpty))
+    case None => (rows, None)
   }
 
   private def appendGated(fresh: DataFrame, batchId: Long): Unit = {
@@ -423,15 +464,23 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         .select(explode(col("ids")).as("doc_id")).distinct())
       .localCheckpoint()
     if (!newOnly.isEmpty) {
+      // admission gate on the definitely-new rows: rejects skip the
+      // probe entirely and quarantine with the near-dups below
+      val (admitted, rejected) = admissionSplit(newOnly)
       // the d15 gate: batch-banded probe against the stored buckets,
       // exact-Jaccard verify against the corpus store
-      val dupIds = DedupIndex.probe(newOnly, indexDir, corpus(),
-          threshold)
-        .select(col("batch_id").as("doc_id")).distinct()
-      val clean = newOnly.join(dupIds, Seq("doc_id"), "left_anti")
+      val dupIds =
+        if (admitted.isEmpty)
+          spark.range(0).select(col("id").as("doc_id"))
+        else DedupIndex.probe(admitted, indexDir, corpus(), threshold)
+          .select(col("batch_id").as("doc_id")).distinct()
+      val clean = admitted.join(dupIds, Seq("doc_id"), "left_anti")
         .localCheckpoint()
+      // ONE quarantine write per batch (the partition is overwrite-
+      // keyed on batchId): near-dups ∪ admission rejects
+      val dupRows = admitted.join(dupIds, Seq("doc_id"), "left_semi")
       writePartition(
-        newOnly.join(dupIds, Seq("doc_id"), "left_semi"),
+        rejected.fold(dupRows)(r => dupRows.unionByName(r)),
         quarantineDir, batchId)
       if (!clean.isEmpty) {
         // corpus FIRST, then index: a crash between the two leaves a

@@ -943,6 +943,87 @@ class StreamingSpec extends SparkTestBase {
     assert(vIds(ann.storeAsOf(-1L)) == vIds(seedVecs))
   }
 
+  test("admission gate: rejects quarantine un-indexed; readmit " +
+      "overrides; re-delivery never re-quarantines an accepted doc") {
+    import graft.ext.{DedupIndex, TextAnalysis}
+    import graft.streaming.StreamingDedupIngest
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_admit_").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    def dIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val q = TextAnalysis.qualityScore($"text")
+    val slice = docs.filter($"doc_id" < 200)
+    val rejectIds = dIds(slice.filter(!(q >= 0.5)))
+    assert(rejectIds.nonEmpty, "fixture must carry low-quality docs")
+
+    val ingest = new StreamingDedupIngest(spark, s"$root/ix",
+      s"$root/corpus", s"$root/q", admit = Some(q >= 0.5))
+    stage(slice, s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    // first batch: quarantine = exactly the quality rejects (the
+    // near-dup gate has nothing to collide with yet), corpus and
+    // index = the admitted remainder
+    assert(dIds(spark.read.parquet(s"$root/q")) == rejectIds)
+    assert(dIds(ingest.corpus()) == dIds(slice) -- rejectIds)
+    assert(dIds(DedupIndex.liveIndexedIds(spark, s"$root/ix")
+      .withColumnRenamed("id", "doc_id")) == dIds(slice) -- rejectIds)
+
+    // second drop: rejects and near-dups share the quarantine; an
+    // exact copy of an accepted doc quarantines as a near-dup
+    val acceptedId = (dIds(slice) -- rejectIds).min
+    val copy = docs.filter($"doc_id" === acceptedId)
+      .select(lit(7001L).as("doc_id"), $"text")
+    val d2 = docs.filter($"doc_id" >= 200 && $"doc_id" < 300)
+      .unionByName(copy)
+    val rejects2 = dIds(d2.filter(!(q >= 0.5)))
+    stage(d2, s"$root/staging", "d2")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    val quar2 = dIds(spark.read.parquet(s"$root/q"))
+    assert(quar2.contains(7001L), "near-dup must still quarantine")
+    assert(rejects2.subsetOf(quar2), "quality rejects must quarantine")
+    assert((dIds(ingest.corpus()) & rejects2).isEmpty)
+
+    // readmit overrides the quality verdict (the human-review path)
+    val one = rejectIds.min
+    ingest.readmit(spark.range(1).select(lit(one).as("doc_id")))
+    assert(dIds(ingest.corpus()).contains(one))
+    assert(!dIds(spark.read.parquet(s"$root/q")).contains(one))
+    // re-delivery of the original drop: the readmitted doc is
+    // already indexed, so the re-delivery gate drops it BEFORE the
+    // admission predicate — it must NOT be re-quarantined, and the
+    // corpus must be unchanged
+    val corpusBefore = dIds(ingest.corpus())
+    stage(slice, s"$root/staging", "d3")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(dIds(ingest.corpus()) == corpusBefore)
+    assert(dIds(ingest.corpus()).contains(one),
+      "re-delivery must not evict a readmitted doc")
+    val quarByBatch = spark.read.parquet(s"$root/q")
+      .filter($"doc_id" === one)
+    assert(quarByBatch.isEmpty,
+      "re-delivered readmitted doc must not re-quarantine")
+
+    // NULL verdicts reject instead of vanishing: with a predicate
+    // that is genuinely NULL on null text (length(text) >= 10 —
+    // unlike qualityScore, whose fused stats are null-safe), the
+    // null-text doc lands in quarantine, not in the corpus and not
+    // dropped from both splits
+    val nroot = Files.createTempDirectory("graft_admitn_").toString
+    val ningest = new StreamingDedupIngest(spark, s"$nroot/ix",
+      s"$nroot/corpus", s"$nroot/q",
+      admit = Some(length($"text") >= 10))
+    stage(docs.filter($"doc_id" < 5).unionByName(
+        spark.range(1).select(lit(7100L).as("doc_id"),
+          lit(null).cast("string").as("text"))),
+      s"$nroot/staging", "d1")
+    ningest.ingestAvailable(s"$nroot/staging", s"$nroot/ckpt")
+    assert(dIds(spark.read.parquet(s"$nroot/q")) == Set(7100L))
+    assert(dIds(ningest.corpus()) == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("readmit: refusals, re-delivery immunity, and as-of placement") {
     import graft.ext.DedupIndex
     import graft.streaming.StreamingDedupIngest
