@@ -97,19 +97,8 @@ object Relevance {
         terms.indices.map(i =>
           sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
 
-    val scored = base.join(broadcast(stats)).withColumn("score", {
-      val nD = col("n_docs").cast("double")
-      val avgdl = col("sum_dl").cast("double") / nD
-      val dlNorm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
-      val termScore = (i: Int) => {
-        val tfD = col(s"tf_$i").cast("double")
-        val dfD = col(s"df_$i").cast("double")
-        val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-        idf * (tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * dlNorm)
-      }
-      Ops.roundDet(
-        terms.indices.map(termScore).reduceLeft((a, c) => a + c), 4)
-    })
+    val scored = base.join(broadcast(stats))
+      .withColumn("score", bm25Score(terms.size, k1, b))
 
     // two-phase partial top-N (the bruteForceTopK pattern): rank
     // within each scan partition first, so the global window only
@@ -125,6 +114,56 @@ object Relevance {
       .filter(col("rank") <= topN)
       .select("rank", "doc_id", "score")
       .orderBy("rank")
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a dense result page —
+    * the standard hybrid-retrieval combiner (rrf(d) = Σ 1/(k +
+    * rank_list(d)), Cormack et al.'s k=60 default): each side
+    * contributes 1/(k + rank) for documents it ranked and exactly
+    * 0.0 for documents it did not, summed lexical-then-dense so the
+    * DuckDB oracle reproduces the double bit-for-bit before the
+    * 6 dp rounding. Both inputs are top-k pages (≤ k rows each, the
+    * caller's contract), so the full-outer union and the final rank
+    * window are bounded by construction — this operator never sees
+    * the corpus, only two result pages. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, topN: Int,
+              k: Int = 60): DataFrame = {
+    val l = lex.select(col("doc_id"), col("rank").cast("long").as("__lr"))
+    val d = dense.select(col("doc_id"), col("rank").cast("long").as("__dr"))
+    val fused = l.join(d, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", Ops.roundDet(
+        coalesce(lit(1.0) / (lit(k.toDouble) + col("__lr").cast("double")),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k.toDouble) + col("__dr").cast("double")),
+            lit(0.0)), 6))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("doc_id"), col("rrf"))
+      .orderBy("rank")
+  }
+
+  /** The BM25 score tree over the standard projected inputs —
+    * columns `tf_i` / `df_i` (i < nTerms, query-term order), `dl`,
+    * and the one-row corpus stats `n_docs` / `sum_dl`. Factored out
+    * so [[bm25TopDocs]] (in-query scoring) and
+    * [[KeywordIndex.probe]] (stored-postings scoring) build the
+    * IDENTICAL fixed-shape expression — same subtree order, same
+    * left-to-right term sum, same [[Ops.roundDet]] — which is what
+    * makes the stored-index serve bit-exact against both the
+    * in-query twin and the DuckDB oracle. */
+  def bm25Score(nTerms: Int, k1: Double, b: Double): Column = {
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val dlNorm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val termScore = (i: Int) => {
+      val tfD = col(s"tf_$i").cast("double")
+      val dfD = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+      idf * (tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * dlNorm)
+    }
+    Ops.roundDet(
+      (0 until nTerms).map(termScore).reduceLeft((a, c) => a + c), 4)
   }
 
   /** Vocabulary coverage: what fraction of token OCCURRENCES a

@@ -62,6 +62,43 @@ object ExtQueries {
              * (CAST(dl AS DOUBLE)
                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
 
+  // k-family (stored keyword index) query bag: distinct from t7's so
+  // the two families' bench rows don't share plans; "shuffle" has
+  // df = 0 on the fixture vocabulary, exercising the absent-term
+  // (idf of an unseen term, all-zero tf) paths in BOTH engines.
+  private val KwTerms = Seq("data", "query", "shuffle")
+
+  /** The full t7 BM25 oracle, parameterized on the LIVE corpus
+    * predicate — the k-family's whole index lifecycle (append,
+    * retract, compact, shard merge) serves bit-exact BM25 over its
+    * live set, so every lifecycle row shares this one SQL shape with
+    * only `livePred` changing. Same CTE chain, same score tree
+    * ([[sqlBm25Term]]), same rounding as t7. */
+  private def sqlKwBm25(livePred: String, terms: Seq[String],
+                        topN: Int): String =
+    s"""WITH base AS (SELECT doc_id,
+                      len(string_split_regex(text, '\\s+')) AS dl,
+                      ${terms.zipWithIndex.map { case (tm, i) =>
+                        s"""len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x = '$tm')) AS tf_$i""" }.mkString(",\n")}
+                    FROM documents WHERE $livePred),
+               stats AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                      ${terms.indices.map(i =>
+                        s"""CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS df_$i""").mkString(",\n")}
+                    FROM base),
+               scored AS (SELECT doc_id,
+                   ${sqlRoundDet(
+                     terms.indices.map(sqlBm25Term).mkString(" + "), 4)}
+                     AS score
+                 FROM base CROSS JOIN stats),
+               ranked AS (SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+                 FROM scored)
+               SELECT rank, doc_id, score FROM ranked
+               WHERE rank <= $topN ORDER BY rank"""
+
   /** Oracle-side twin of [[Curation.weightedMix]]'s per-class bound:
     * floor(rate·65536) as 4 lowercase hex digits, the fixed width at
     * which lexicographic string compare equals integer compare. A
@@ -4094,7 +4131,162 @@ object ExtQueries {
           .select(col("word"))
           .orderBy("word")
       },
-      Some("SELECT CAST(NULL AS VARCHAR) AS word WHERE FALSE"))
+      Some("SELECT CAST(NULL AS VARCHAR) AS word WHERE FALSE")),
+
+    // ---- k-family: stored keyword (inverted) index, BM25 serving ----
+    // The third StoredIndex family (AnnIndex = dense, DedupIndex =
+    // identity, this = lexical). Every row below is hash-exact
+    // against the SAME DuckDB BM25 SQL with only the live-set
+    // predicate changing — the one index family whose complete
+    // lifecycle is DuckDB-oracled rather than contract-twinned,
+    // because BM25 over the live corpus is SQL-expressible while
+    // IVFADC/MinHash internals are not.
+
+    // k1: the build/serve split itself — ensure (content fingerprint
+    // posture) + one stored-postings probe. t7 re-tokenizes the
+    // corpus per query; this reads the three query terms' postings
+    // slice + the keys-only doclens. Bench them side by side: the
+    // delta is the tokenize pass the stored index amortizes.
+    Q("k1_keyword_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("TRUE", KwTerms, 20))),
+
+    // k2: O(batch) append — build on two thirds, append the rest,
+    // probe. The served page must equal a one-shot build over the
+    // union corpus (the full-corpus oracle), pinning the partial-
+    // shard regroup, the df/stats reduction over mixed shards, and
+    // the XOR meta merge at once.
+    Q("k2_keyword_append",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir) + "_append"
+        graft.ext.KeywordIndex.build(
+          docs.filter(col("doc_id") % 3 < 2), ix)
+        graft.ext.KeywordIndex.append(
+          docs.filter(col("doc_id") % 3 === 2), ix)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("TRUE", KwTerms, 20))),
+
+    // k3: retraction — tombstone every 7th-mod-3 doc (O(batch)
+    // deletes asset, XOR-unmixed meta, no asset rewrite) and serve.
+    // BM25 is corpus-statistics-sensitive, so this pins more than
+    // membership: df, N and Σdl must all reflect the live set (a
+    // probe that only filtered retracted docs from the PAGE would
+    // still score with stale statistics and hash-mismatch here).
+    Q("k3_keyword_retract",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir) + "_retract"
+        graft.ext.KeywordIndex.build(docs, ix)
+        graft.ext.KeywordIndex.remove(
+          docs.filter(col("doc_id") % 7 === 3), ix)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("NOT (doc_id % 7 = 3)", KwTerms, 20))),
+
+    // k4: the full lifecycle chain (d17/x14's sibling, but DuckDB-
+    // oracled): build → append → retract → compact (materializes the
+    // deletions, re-clusters postings by term range, re-mints the id
+    // bloom) → append AGAIN into the compacted index → probe. The
+    // final append is the interleaving that catches a compact
+    // leaving stale tombstones or a bloom that rejects legitimately
+    // new ids.
+    Q("k4_keyword_lifecycle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir) + "_lc"
+        graft.ext.KeywordIndex.build(
+          docs.filter(col("doc_id") % 3 === 0), ix)
+        graft.ext.KeywordIndex.append(
+          docs.filter(col("doc_id") % 3 === 1), ix)
+        graft.ext.KeywordIndex.remove(
+          docs.filter(col("doc_id") % 6 === 0), ix)
+        graft.ext.KeywordIndex.compact(s, ix)
+        graft.ext.KeywordIndex.append(
+          docs.filter(col("doc_id") % 3 === 2), ix)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("NOT (doc_id % 6 = 0)", KwTerms, 20))),
+
+    // k5: health report — stored gauges ≡ the corpus-derived oracle
+    // frame on a fresh index (d21's empty-symmetric-difference
+    // pattern; tombstone-bearing states are spec-gated).
+    Q("k5_keyword_health",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val ix = graft.ext.KeywordIndex.dirFor(dir) + "_h"
+        graft.ext.KeywordIndex.ensure(corpus, ix)
+        val stored = graft.ext.KeywordIndex.health(s, ix)
+        val derived = graft.ext.KeywordIndex.healthFromCorpus(corpus)
+        stored.exceptAll(derived)
+          .unionByName(derived.exceptAll(stored))
+          .orderBy("metric")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS metric,
+                     CAST(NULL AS DOUBLE) AS value
+              WHERE FALSE""")),
+
+    // k6: distributed shard build — three disjoint slices each built
+    // as an independent job, merged in O(asset files) (no decode, no
+    // shuffle), then served. The page equals a one-shot build over
+    // the union corpus — and unlike d18/x15 (contract-twinned), the
+    // equality here is against DuckDB itself.
+    Q("k6_keyword_shard_merge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = graft.ext.KeywordIndex.dirFor(dir)
+        val shards = (0 to 2).map { i =>
+          val sd = s"${base}_s$i"
+          graft.ext.KeywordIndex.build(
+            docs.filter(col("doc_id") % 3 === i), sd)
+          sd
+        }
+        val merged = base + "_m"
+        graft.ext.KeywordIndex.merge(s, shards, merged)
+        graft.ext.KeywordIndex.probe(s, merged, KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("TRUE", KwTerms, 20))),
+
+    // k7: hybrid retrieval — the stored lexical page (k1's index)
+    // fused with the exact dense page (x1's brute-force chain, one
+    // query vector) by reciprocal-rank fusion. doc_id and vec_id
+    // share an id space on the fixture corpus by construction.
+    // Oracle: both ranked CTE chains composed with the RRF sum,
+    // lexical term first — bit-exact before the 6 dp rounding.
+    Q("k7_hybrid_rrf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        val lex = graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+        val dense = Similarity.bruteForceTopK(embs,
+            embs.filter(col("vec_id") === 7), k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        Relevance.rrfFuse(lex, dense, topN = 10)
+      },
+      Some(s"""WITH kb AS (${sqlKwBm25("TRUE", KwTerms, 20)}),
+                    $SqlBruteCtes,
+                    ka AS (SELECT nid AS doc_id, rank FROM br
+                           WHERE qid = 7 AND rank <= 20),
+                    kf AS (SELECT COALESCE(kb.doc_id, ka.doc_id) AS doc_id,
+                        ${sqlRoundDet(
+                          "COALESCE(1.0 / (60.0 + CAST(kb.rank AS DOUBLE)), 0.0)" +
+                            " + COALESCE(1.0 / (60.0 + CAST(ka.rank AS DOUBLE)), 0.0)",
+                          6)} AS rrf
+                      FROM kb FULL OUTER JOIN ka ON ka.doc_id = kb.doc_id),
+                    kr AS (SELECT doc_id, rrf,
+                        ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+                      FROM kf)
+               SELECT rank, doc_id, rrf FROM kr
+               WHERE rank <= 10 ORDER BY rank"""))
   )
 
   // DuckDB twin of Layout.spread16/zorderKey2: the identical

@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{KeywordIndex, Relevance, StoredIndex}
+
+/** The stored keyword (inverted) index family: every lifecycle path
+  * pinned bit-exact against [[Relevance.bm25TopDocs]] over the live
+  * corpus — the in-query scorer IS the family's oracle (and t7's
+  * DuckDB SQL is ITS oracle, so the chain grounds out cross-engine).
+  * Mirrors the d15/x9 spec discipline: build/probe identity, append
+  * ≡ one-shot, retract moves the STATISTICS not just the page,
+  * compact/bloom hygiene, shard merge/absorb guards, crash-window
+  * behavior, and a randomized interleaving sweep. */
+class KeywordIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta", "iota", "kappa")
+  private val rnd = new scala.util.Random(23)
+  private def doc(): String =
+    Seq.fill(6 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+  // one common, one mid, one ABSENT term: the absent term drives the
+  // df = 0 / all-zero-tf legs in both the stored and in-query paths
+  private val terms = Seq("alpha", "theta", "nosuchterm")
+
+  private def corpusOf(n: Int, from: Long = 0L): DataFrame =
+    (from until from + n).map(i => (i, doc())).toDF("doc_id", "text")
+      .localCheckpoint()
+
+  private def page(df: DataFrame): Seq[(Int, Long, Double)] =
+    df.as[(Int, Long, Double)].collect().toSeq
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def assertServes(dir: String, live: DataFrame, topN: Int = 8,
+                           what: String = ""): Unit = {
+    val stored = page(KeywordIndex.probe(spark, dir, terms, topN))
+    val direct = page(Relevance.bm25TopDocs(live, terms, topN))
+    assert(stored == direct, s"$what: stored page != in-query scorer")
+  }
+
+  test("k: build + probe ≡ in-query BM25, including the zero-fill " +
+      "tail of a short page") {
+    val corpus = corpusOf(24)
+    val dir = tmp("kwix")
+    KeywordIndex.build(corpus, dir)
+    assertServes(dir, corpus, topN = 8, what = "fresh build")
+    // page larger than the candidate set: every document contains a
+    // vocab word, but a query of ONLY the absent term leaves zero
+    // candidates — the page must fill with smallest-id zero-score
+    // docs exactly as the in-query ranking does
+    val onlyAbsent = Seq("nosuchterm")
+    val stored = page(KeywordIndex.probe(spark, dir, onlyAbsent, 5))
+    val direct = page(Relevance.bm25TopDocs(corpus, onlyAbsent, 5))
+    assert(stored == direct, "all-zero page must match (id-ordered)")
+    assert(stored.map(_._3).forall(_ == 0.0))
+    // and freshness: a content ensure over the same corpus is a no-op
+    assert(!KeywordIndex.ensure(corpus, dir), "must stay fresh")
+    assert(KeywordIndex.ensure(corpus.filter($"doc_id" < 12L), dir),
+      "stale index must rebuild")
+  }
+
+  test("k: append chain ≡ one-shot build; id guard; empty-batch " +
+      "guard; probe rejects non-distinct terms") {
+    val a = corpusOf(16)
+    val b = corpusOf(8, from = 16L)
+    val union = a.unionByName(b).localCheckpoint()
+    val oneShot = tmp("kwos")
+    KeywordIndex.build(union, oneShot)
+    val chained = tmp("kwch")
+    KeywordIndex.build(a, chained)
+    KeywordIndex.append(b, chained)
+    assertServes(chained, union, what = "append chain")
+    assert(page(KeywordIndex.probe(spark, chained, terms, 8)) ==
+      page(KeywordIndex.probe(spark, oneShot, terms, 8)),
+      "append chain must serve the one-shot page")
+    assert(!KeywordIndex.ensure(union, chained),
+      "XOR meta merge must stay content-fresh")
+    intercept[IllegalArgumentException] {
+      KeywordIndex.append(b, chained) // re-used ids
+    }
+    intercept[IllegalArgumentException] {
+      KeywordIndex.append(b.filter($"doc_id" < 0L), chained) // empty
+    }
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probe(spark, chained, Seq("alpha", "alpha"), 5)
+    }
+  }
+
+  test("k: retraction moves the corpus STATISTICS, not just the " +
+      "page; compact materializes, re-mints the bloom, and allows " +
+      "re-append") {
+    val corpus = corpusOf(20)
+    val live = corpus.filter($"doc_id" % 4 =!= 1L).localCheckpoint()
+    val gone = corpus.filter($"doc_id" % 4 === 1L).localCheckpoint()
+    val dir = tmp("kwrt")
+    KeywordIndex.build(corpus, dir)
+    KeywordIndex.remove(gone, dir)
+    // the tombstoned serve must equal a fresh build over the live
+    // set — BM25's df/N/Σdl all shift, so a page-only filter fails
+    assertServes(dir, live, what = "tombstoned serve")
+    assert(!KeywordIndex.ensure(live, dir),
+      "XOR un-mix must leave the live-content fingerprint")
+    // double-retraction of the same ids must be refused
+    intercept[IllegalArgumentException] {
+      KeywordIndex.remove(gone, dir)
+    }
+    // compact: same page, deletes dropped, bloom re-minted
+    KeywordIndex.compact(spark, dir)
+    assertServes(dir, live, what = "compacted serve")
+    assert(StoredIndex.readDeleteIds(spark, dir).isEmpty,
+      "compact must drop the materialized tombstones")
+    val bloom = StoredIndex.readIdBloom(spark, dir)
+    assert(bloom.isDefined, "compact must keep the bloom armed")
+    val goneIds = gone.select($"doc_id").as[Long].collect()
+    val hits = live.sparkSession.range(0, 20)
+      .select(col("id"),
+        StoredIndex.mightContain(bloom.get, col("id")).as("h"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(goneIds.forall(id => !hits(id)),
+      "purged ids must be bloom-negative after the compact re-mint")
+    // and the purged ids are re-appendable into the compacted index
+    KeywordIndex.append(gone, dir)
+    assertServes(dir, corpus, what = "re-append after compact")
+  }
+
+  test("k: shard merge / absorb ≡ union build; disjointness and " +
+      "committed-meta guards hold") {
+    val a = corpusOf(12)
+    val b = corpusOf(12, from = 12L)
+    val union = a.unionByName(b).localCheckpoint()
+    val dirA = tmp("kwsa"); val dirB = tmp("kwsb"); val dirM = tmp("kwsm")
+    KeywordIndex.build(a, dirA)
+    KeywordIndex.build(b, dirB)
+    KeywordIndex.merge(spark, Seq(dirA, dirB), dirM)
+    assertServes(dirM, union, what = "merged shards")
+    assert(!KeywordIndex.ensure(union, dirM),
+      "folded meta must equal the one-shot fingerprint")
+    intercept[IllegalArgumentException] { // shared ids
+      KeywordIndex.merge(spark, Seq(dirA, dirA), tmp("kwsx"))
+    }
+    intercept[IllegalArgumentException] { // outDir is a shard
+      KeywordIndex.merge(spark, Seq(dirA, dirB), dirA)
+    }
+    // absorb in place: A absorbs B, serves the union
+    KeywordIndex.absorb(spark, dirB, dirA)
+    assertServes(dirA, union, what = "absorbed shard")
+    intercept[IllegalStateException] { // meta-less target
+      KeywordIndex.absorb(spark, dirB, tmp("kwse"))
+    }
+  }
+
+  test("k: staged rebuild swaps under a serving index and clears " +
+      "stale tombstones") {
+    val corpus = corpusOf(18)
+    val dir = tmp("kwsg")
+    KeywordIndex.build(corpus, dir)
+    KeywordIndex.remove(corpus.filter($"doc_id" < 3L), dir)
+    val live = corpus.filter($"doc_id" >= 3L).localCheckpoint()
+    // retrain over the survivors: the staged build must land its OWN
+    // clean generation (no deletes asset carried over) and serve it
+    KeywordIndex.rebuildStaged(live, dir)
+    assert(StoredIndex.readDeleteIds(spark, dir).isEmpty,
+      "swap must not carry the old generation's tombstones")
+    assertServes(dir, live, what = "staged rebuild")
+    // ids retracted in the OLD generation are live-new in this one
+    KeywordIndex.append(corpus.filter($"doc_id" < 3L), dir)
+    assertServes(dir, corpus, what = "append after staged rebuild")
+  }
+
+  test("k: health stored ≡ derived on fresh build; tombstone state " +
+      "gauges move and settle at compact") {
+    val corpus = corpusOf(15)
+    val dir = tmp("kwhl")
+    KeywordIndex.build(corpus, dir)
+    val stored = KeywordIndex.health(spark, dir)
+    val derived = KeywordIndex.healthFromCorpus(corpus)
+    assert(stored.exceptAll(derived).unionByName(
+      derived.exceptAll(stored)).isEmpty,
+      "fresh-build health must equal the corpus-derived frame")
+    def gauge(name: String): Double =
+      KeywordIndex.health(spark, dir)
+        .filter($"metric" === name).head.getDouble(1)
+    val liveBefore = gauge("n_docs_live")
+    KeywordIndex.remove(corpus.filter($"doc_id" < 4L), dir)
+    assert(gauge("n_tombstoned") == 4d)
+    assert(gauge("n_docs_live") == liveBefore - 4d)
+    KeywordIndex.compact(spark, dir)
+    assert(gauge("n_tombstoned") == 0d)
+    assert(gauge("n_docs_live") == liveBefore - 4d)
+  }
+
+  test("k: a crash inside the commit window leaves a validation-" +
+      "failing index that ensure() rebuilds") {
+    val corpus = corpusOf(10)
+    val dir = tmp("kwcr")
+    KeywordIndex.build(corpus, dir)
+    // simulate a crash mid-mutation: the commit marker is deleted
+    // first by every mutation, so the on-disk state after a crash is
+    // exactly "assets present, meta absent"
+    StoredIndex.invalidate(spark, dir)
+    assert(KeywordIndex.ensure(corpus, dir),
+      "meta-less index must rebuild, not serve")
+    assertServes(dir, corpus, what = "post-crash rebuild")
+  }
+
+  test("k: 20 random append/remove/compact/re-append/merge/absorb/" +
+      "staged-rebuild interleavings serve the in-query page") {
+    val lrnd = new scala.util.Random(61)
+    def ldoc(): String =
+      Seq.fill(6 + lrnd.nextInt(7))(vocab(lrnd.nextInt(vocab.size)))
+        .mkString(" ")
+    var nonVacuous = 0
+    for (seqNo <- 1 to 20) {
+      val pool = (0L until 28L).map(i => (i, ldoc()))
+      var cursor = 10
+      var live = pool.take(10).toMap
+      var pending = Map.empty[Long, String]
+      var purged = Map.empty[Long, String]
+      var dir = tmp(s"kwrand$seqNo")
+      KeywordIndex.build(live.toSeq.toDF("doc_id", "text"), dir)
+      var removedOnce = false
+      for (_ <- 1 to 4) lrnd.nextInt(7) match {
+        case 0 if cursor < pool.size =>
+          val batch = pool.slice(cursor,
+            math.min(cursor + 3 + lrnd.nextInt(4), pool.size))
+          cursor += batch.size
+          KeywordIndex.append(batch.toDF("doc_id", "text"), dir)
+          live ++= batch
+        case 1 if live.size > 4 =>
+          val gone = live.toSeq.sortBy(_._1)
+            .filter(_ => lrnd.nextInt(3) == 0).take(live.size - 3)
+          if (gone.nonEmpty) {
+            KeywordIndex.remove(gone.toDF("doc_id", "text"), dir)
+            live --= gone.map(_._1); pending ++= gone
+            removedOnce = true
+          }
+        case 2 =>
+          KeywordIndex.compact(spark, dir)
+          purged ++= pending; pending = Map.empty
+        case 3 if purged.nonEmpty =>
+          val (id, txt) = purged.toSeq.minBy(_._1)
+          KeywordIndex.append(Seq((id, txt)).toDF("doc_id", "text"), dir)
+          live += id -> txt; purged -= id
+        case 4 if cursor < pool.size =>
+          val batch = pool.slice(cursor,
+            math.min(cursor + 2 + lrnd.nextInt(3), pool.size))
+          cursor += batch.size
+          val shard = tmp(s"kwrs$seqNo")
+          KeywordIndex.build(batch.toDF("doc_id", "text"), shard)
+          val mergedDir = tmp(s"kwrm$seqNo")
+          KeywordIndex.merge(spark, Seq(dir, shard), mergedDir)
+          dir = mergedDir
+          live ++= batch
+        case 5 if cursor < pool.size =>
+          val batch = pool.slice(cursor,
+            math.min(cursor + 2 + lrnd.nextInt(3), pool.size))
+          cursor += batch.size
+          val shard = tmp(s"kwra$seqNo")
+          KeywordIndex.build(batch.toDF("doc_id", "text"), shard)
+          KeywordIndex.absorb(spark, shard, dir)
+          live ++= batch
+        case 6 =>
+          KeywordIndex.rebuildStaged(
+            live.toSeq.toDF("doc_id", "text"), dir)
+          purged ++= pending; pending = Map.empty
+        case _ => ()
+      }
+      val liveDf = live.toSeq.toDF("doc_id", "text").localCheckpoint()
+      assertServes(dir, liveDf, topN = 6, what = s"sequence $seqNo")
+      assert(!KeywordIndex.ensure(liveDf, dir),
+        s"sequence $seqNo: meta must stay content-fresh for survivors")
+      if (removedOnce) nonVacuous += 1
+    }
+    assert(nonVacuous >= 6,
+      s"only $nonVacuous sequences exercised retraction — weak seed")
+  }
+}

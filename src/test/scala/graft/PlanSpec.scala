@@ -505,6 +505,33 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("keyword probe: term IN pushed to the postings scan, no " +
+      "tokenize, corpus text never read (k1 plan)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_plan").toString
+    KeywordIndex.build(docs, dir)
+    val probed = KeywordIndex.probe(spark, dir,
+      Seq("data", "query", "shuffle"), topN = 20)
+    val plan = executed(probed)
+    // the build/serve split's whole point: the probe reads the query
+    // terms' postings NEIGHBORHOOD (term IN (...) reaching the
+    // parquet reader prunes row groups once compact/build has
+    // term-range-clustered the files), never the corpus text, and
+    // re-tokenizes nothing (t7 pays one split per doc per query —
+    // the index paid it once at build)
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined,
+      s"term IN not pushed to the postings scan in:\n$plan")
+    assert(!plan.contains("split("),
+      s"probe re-tokenizes text in:\n$plan")
+    assert(!plan.contains("text#"),
+      s"probe reads corpus text in:\n$plan")
+    // the zero-fill tail is orderBy+limit (TakeOrderedAndProject),
+    // not a corpus-wide rank window
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"zero-fill page is not a bounded top-k in:\n$plan")
+  }
+
   test("nested rollup: one key shuffle builds the array, no Window (n1)") {
     val li = graft.queries.Q.t(spark, sf001, "lineitem")
     val df = li.groupBy(col("l_orderkey"))

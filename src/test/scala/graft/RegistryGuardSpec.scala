@@ -53,6 +53,30 @@ class RegistryGuardSpec extends SparkTestBase {
     // rows — the two-phase pattern PlanSpec locks for x1/t7); its
     // deferred HOF term counts sit under the ONE-ROW stats join, so
     // the per-pair multiplier is exactly 1 — benign by construction
+    // k-family (stored keyword index, KeywordIndex.probe): the two
+    // ONE-ROW corpus-stat broadcasts (live N/Σdl and the per-query-
+    // term df vector — both single-row aggregates by construction,
+    // t7's shape); the final rank window is global BUT bounded: its
+    // input is per-partition pre-truncated candidates (≤ topN ×
+    // partitions) unioned with the ≤ topN zero-fill page (orderBy+
+    // limit). Unlike t7, NO deferred-derivation finding: the stored
+    // probe carries no HOF — the tokenize pass it would defer is
+    // exactly what the index amortized away at build time.
+    "k1_keyword_topk" ->
+      Set("unconditional-nested-loop", "global-window"),
+    "k2_keyword_append" ->
+      Set("unconditional-nested-loop", "global-window"),
+    "k3_keyword_retract" ->
+      Set("unconditional-nested-loop", "global-window"),
+    "k4_keyword_lifecycle" ->
+      Set("unconditional-nested-loop", "global-window"),
+    "k6_keyword_shard_merge" ->
+      Set("unconditional-nested-loop", "global-window"),
+    // k7: k1's probe chain + rrfFuse's SECOND global window — over
+    // the full-outer union of two ≤ topN result PAGES (≤ 40 rows by
+    // the caller's contract; the fusion never sees the corpus)
+    "k7_hybrid_rrf" ->
+      Set("unconditional-nested-loop", "global-window"),
     // centroid-array / exact-top-k one-row sides in the ANN chain
     "x2_sim_ivf_topk" -> Set("unconditional-nested-loop"),
     "x2_recall" -> Set("unconditional-nested-loop"),
