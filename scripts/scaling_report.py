@@ -43,6 +43,10 @@ PAIR_FAMILIES = {
     # every replica doc's 9 identical twins share whole-document spans,
     # so the span pair list itself scales ~copies^2
     "d12_duplicate_spans",
+    # d23 runs d12's pair/diagonal chain internally before the
+    # corpus-sized rewrite, so the same twin-inflated span mass
+    # drives its time (and the interval lists it merges)
+    "d23_scrub_spans",
     # components over the embedding pair list — the pair mass itself
     # is ~copies^2 under exact vector replication
     "d13_semantic_groups",

@@ -569,6 +569,120 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** REMOVE cross-document duplicated spans from every document —
+    * the rewrite [[duplicateSpans]] only reports: the exact-substring
+    * deduplication step of LLM corpus curation (cut the verbatim
+    * boilerplate/quotation mass; reference: "Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2021 — their
+    * suffix-array dedup, re-expressed as the positional-n-gram
+    * diagonal-island chain that Spark can run keyed, never all-pairs).
+    *
+    * Pipeline = [[duplicateSpans]]'s chain through the diagonal
+    * islands, then three more keyed/bounded steps:
+    *
+    *  5. each qualifying island becomes a token INTERVAL on BOTH
+    *     documents of its pair (the b-side start is the a-start
+    *     shifted by the diagonal);
+    *  6. intervals merge per document (gaps-and-islands again — a
+    *     doc-keyed window over its own intervals, bounded by the
+    *     doc's span count);
+    *  7. the merged interval list joins back doc-keyed and a codegen
+    *     HOF drops covered token positions; survivors reassemble in
+    *     order.
+    *
+    * Removal is SYMMETRIC (the span leaves every document carrying
+    * it) — the conservative curation posture, mirroring
+    * [[TextAnalysis.scrubBoilerplateLines]]' line-level policy;
+    * keep-one-canonical-copy is the document-granularity survivor
+    * path ([[CorpusPipeline]]'s e15). Intra-document repetition is
+    * t11's axis, not this one: only cross-document spans scrub.
+    *
+    * Returns ALL documents — (doc_id, clean_text, n_scrubbed),
+    * ordered; untouched docs pass through with n_scrubbed = 0 (their
+    * text normalized through the same tokenize/rejoin as t8's
+    * scrubber, so output text is whitespace-canonical in both
+    * engines). The pair chain inside is pair-family (~N² under exact
+    * replication) even though the OUTPUT is corpus-sized. */
+  def scrubDuplicateSpans(docs: DataFrame, minSpan: Int = 10, n: Int = 5,
+                          maxDf: Int = 128,
+                          blockCol: String = "lang",
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(minSpan >= n, s"minSpan ($minSpan) must be >= n ($n): a " +
+      "span shorter than one n-gram has no n-gram evidence")
+    val grams = docs
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col("id"), col("blk"),
+        posexplode(transform(sequence(lit(0), size(col("__tk")) - n),
+          i => concat_ws(" ",
+            (1 to n).map(j => element_at(col("__tk"), i + j)): _*)))
+          .as(Seq("pos", "gram")))
+    val hot = grams.groupBy("blk", "gram")
+      .agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("blk", "gram")
+    val pruned = grams.join(hot, Seq("blk", "gram"), "left_anti")
+    val m = pruned.select(col("blk"), col("gram"),
+        col("id").as("id_a"), col("pos").as("pos_a"))
+      .join(pruned.select(col("blk"), col("gram"),
+        col("id").as("id_b"), col("pos").as("pos_b")), Seq("blk", "gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val wIsl = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    // 5. islands → (doc, token-interval) on both pair sides. m rows
+    // are unique per (id_a, id_b, pos_a, diag) by construction (one
+    // gram per (doc, pos); the diagonal pins pos_b), so row_number
+    // island arithmetic is safe without a dedup pass
+    val spans = m
+      .withColumn("__island", col("pos_a") - row_number().over(wIsl))
+      .groupBy("id_a", "id_b", "diag", "__island")
+      .agg(min(col("pos_a")).as("p0"),
+        (count(lit(1)) + (n - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+    val iv = spans
+      .select(col("id_a").as("id"), col("p0").as("s"),
+        (col("p0") + col("span_tokens") - 1).as("e"))
+      .unionByName(spans.select(col("id_b").as("id"),
+        (col("p0") - col("diag")).as("s"),
+        (col("p0") - col("diag") + col("span_tokens") - 1).as("e")))
+    // 6. merge overlapping/adjacent-by-overlap intervals per doc
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val pmax = max(col("e")).over(
+      wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = iv
+      .withColumn("__grp", sum(
+          when(pmax.isNull || col("s") > pmax, 1L).otherwise(0L))
+        .over(wOrd))
+      .groupBy("id", "__grp")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__iv"))
+    // 7. doc-keyed join back; HOF position filter; ordered reassembly
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .join(merged, Seq("id"), "left")
+      .select(col("id"), col("__tk"), col("__iv"),
+        transform(
+          filter(
+            transform(col("__tk"),
+              (x, i) => struct(x.as("t"), i.as("p"))),
+            kp => !exists(col("__iv"),
+              v => kp("p") >= v("s") && kp("p") <= v("e"))),
+          kp => kp("t")).as("__kept"))
+      .select(col("id").as("doc_id"),
+        when(col("__iv").isNull, concat_ws(" ", col("__tk")))
+          .otherwise(concat_ws(" ", col("__kept"))).as("clean_text"),
+        when(col("__iv").isNull, lit(0L))
+          .otherwise((size(col("__tk")) - size(col("__kept")))
+            .cast("long")).as("n_scrubbed"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------- components / canonical
 
   /** Connected components over a near-duplicate pair list — the step

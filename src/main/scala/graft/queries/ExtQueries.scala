@@ -847,6 +847,89 @@ object ExtQueries {
               FROM spans GROUP BY id_a, id_b
               ORDER BY id_a, id_b""")),
 
+    // d23: the REWRITE d12 only reports — exact-substring dedup (cut
+    // every cross-document duplicated span of >= minSpan tokens from
+    // every document carrying it; Lee et al. 2021's curation step).
+    // Oracle: d12's CTE chain through the diagonal islands, extended
+    // with the interval union (both pair sides), the per-doc
+    // gaps-and-islands interval merge, and a positional anti-join
+    // scrub — hash-exact, every document in the output.
+    Q("d23_scrub_spans",
+      (s, dir) => Dedup.scrubDuplicateSpans(t(s, dir, "documents"),
+        minSpan = 10, n = 5, maxDf = 128),
+      Some(s"""WITH toks AS (
+                SELECT doc_id, lang, string_split_regex(text, '\\s+') AS tk
+                FROM documents),
+              grams AS (
+                SELECT doc_id, lang, i AS pos,
+                       array_to_string(tk[i+1:i+5], ' ') AS gram
+                FROM toks, UNNEST(range(0, GREATEST(len(tk)-5+1, 0))) AS u(i)
+                WHERE len(tk) >= 5),
+              hot AS (
+                SELECT lang, gram FROM grams GROUP BY lang, gram
+                HAVING COUNT(DISTINCT doc_id) > 128),
+              pruned AS (
+                SELECT g.* FROM grams g ANTI JOIN hot h
+                ON g.lang = h.lang AND g.gram = h.gram),
+              m AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.pos AS pos_a, a.pos - b.pos AS diag
+                FROM pruned a JOIN pruned b
+                  ON a.lang = b.lang AND a.gram = b.gram
+                 AND a.doc_id < b.doc_id),
+              isl AS (
+                SELECT id_a, id_b, diag, pos_a,
+                       pos_a - ROW_NUMBER() OVER (
+                         PARTITION BY id_a, id_b, diag
+                         ORDER BY pos_a) AS island
+                FROM m),
+              spans AS (
+                SELECT id_a, id_b, diag, MIN(pos_a) AS p0,
+                       COUNT(*) + 5 - 1 AS span_tokens
+                FROM isl GROUP BY id_a, id_b, diag, island
+                HAVING COUNT(*) + 5 - 1 >= 10),
+              iv AS (
+                SELECT id_a AS doc_id, p0 AS s,
+                       p0 + span_tokens - 1 AS e FROM spans
+                UNION ALL
+                SELECT id_b, p0 - diag,
+                       p0 - diag + span_tokens - 1 FROM spans),
+              ivo AS (
+                SELECT doc_id, s, e,
+                       MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pmax
+                FROM iv),
+              ivg AS (
+                SELECT doc_id, s, e,
+                       SUM(CASE WHEN pmax IS NULL OR s > pmax
+                           THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+                FROM ivo),
+              ivm AS (
+                SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+                FROM ivg GROUP BY doc_id, grp),
+              tokpos AS (
+                SELECT doc_id, i AS pos, tk[i+1] AS tok
+                FROM toks, UNNEST(range(0, len(tk))) AS u(i)),
+              keep AS (
+                SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+                WHERE NOT EXISTS (SELECT 1 FROM ivm v
+                  WHERE v.doc_id = t.doc_id
+                    AND t.pos BETWEEN v.s AND v.e)),
+              agg AS (
+                SELECT doc_id,
+                       array_to_string(list(tok ORDER BY pos), ' ')
+                         AS kept_text,
+                       COUNT(*) AS n_kept
+                FROM keep GROUP BY doc_id)
+              SELECT k.doc_id AS doc_id,
+                     COALESCE(a.kept_text, '') AS clean_text,
+                     CAST(len(k.tk) - COALESCE(a.n_kept, 0) AS BIGINT)
+                       AS n_scrubbed
+              FROM toks k LEFT JOIN agg a ON a.doc_id = k.doc_id
+              ORDER BY k.doc_id""")),
+
     // Near-dup pairs → dedup GROUPS: connected components by min-label
     // propagation over the (hash-exact, see d4) jaccard pair list. The
     // oracle computes the same components with a recursive reachability
@@ -2557,6 +2640,40 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS score
               WHERE FALSE""")),
 
+    // st20: the stream-maintained KEYWORD index with a takedown —
+    // completing the streaming-maintenance matrix (st11 identity,
+    // st12 dense, this lexical). Two drops ingest through
+    // StreamingKeywordIngest (store posture), a compliance takedown
+    // retracts every 5th doc, a slice of the retracted docs is
+    // RE-DELIVERED (at-least-once; the sticky ledger must keep them
+    // out), and the served page is pinned — not against a batch twin
+    // like st12, but against DUCKDB ITSELF: the k-family's BM25 SQL
+    // over the live predicate. A streamed lifecycle whose end state
+    // is hash-exact against an independent engine.
+    Q("st20_keyword_ingest_retract",
+      (s, dir) => {
+        import graft.streaming.{StreamingDedupIngest,
+          StreamingKeywordIngest}
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st20_").toString
+        val ingest = new StreamingKeywordIngest(s, s"$root/ix",
+          storeDir = Some(s"$root/store"))
+        StreamingDedupIngest.stage(
+          docs.filter(col("doc_id") < 300), s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        StreamingDedupIngest.stage(
+          docs.filter(col("doc_id") >= 300), s"$root/staging", "d2")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        val slice = docs.filter(col("doc_id") % 5 === 4)
+        ingest.retract(slice.select("doc_id"))
+        StreamingDedupIngest.stage(
+          slice.filter(col("doc_id") < 60), s"$root/staging", "d3")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        graft.ext.KeywordIndex.probe(s, s"$root/ix", KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("NOT (doc_id % 5 = 4)", KwTerms, 20))),
+
     // st13: the REPRODUCIBILITY contract of the streamed corpus
     // store — corpusAsOf(batch) re-serves exactly what the ingest
     // had accepted at that batch, bit-identical after later drops
@@ -2850,6 +2967,57 @@ object ExtQueries {
           .unionByName(symDiff(
             DedupIndex.liveIndexedIds(s, s"$root/dedup_index"),
             "dedup"))
+          .orderBy("side", "doc_id")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS side,
+                     CAST(NULL AS BIGINT) AS doc_id
+              WHERE FALSE""")),
+
+    // st21: the joint coordinator with the LEXICAL third enabled —
+    // st18's lifecycle (seed → gated drop with near-dup copies →
+    // joint takedown → readmit) with keywordServing = true, pinning
+    // the cross-family invariant on the new axis: the documents you
+    // can lexically search are exactly the documents you may train
+    // on. The returned frame is the coordinator's full alignment
+    // audit (now including the keyword sides) unioned with the
+    // symmetric difference of the SERVED BM25 page vs the in-query
+    // scorer over the live corpus — all empty, WHERE FALSE. (The
+    // live set depends on MinHash gate verdicts, so unlike st20 the
+    // end state is twin-pinned, not directly SQL-expressible.)
+    Q("st21_joint_keyword_serve",
+      (s, dir) => {
+        import graft.streaming.{StreamingCorpusIngest,
+          StreamingDedupIngest}
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val base = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val embs = base.unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            col("embedding")))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st21_").toString
+        val joint = new StreamingCorpusIngest(s, root,
+          keywordServing = true)
+        joint.seed(docs.filter(col("doc_id") < 200), embs)
+        val drop = docs
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+          .unionByName(docs.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              col("text")))
+        StreamingDedupIngest.stage(drop, s"$root/staging", "d1")
+        joint.ingestAvailable(s"$root/staging", s"$root/ckpt", embs)
+        joint.retract(s.createDataFrame(Seq(
+          Tuple1(5L), Tuple1(210L))).toDF("doc_id"))
+        joint.readmit(s.createDataFrame(Seq(
+          Tuple1(20000L), Tuple1(20001L))).toDF("doc_id"), embs)
+        val served = joint.probeKeywords(KwTerms, topN = 20)
+        val direct = Relevance.bm25TopDocs(
+          joint.text.corpus().localCheckpoint(), KwTerms, topN = 20)
+        joint.alignment()
+          .unionByName(served.exceptAll(direct)
+            .unionByName(direct.exceptAll(served))
+            .select(lit("served_page_diff").as("side"),
+              col("doc_id")))
           .orderBy("side", "doc_id")
       },
       Some("""SELECT CAST(NULL AS VARCHAR) AS side,

@@ -55,11 +55,27 @@ import org.apache.spark.sql.functions._
   *   gate ([[StreamingDedupIngest]]'s `admit`): quality/policy rejects
   *   quarantine beside the near-dups, and — because vector admission
   *   is strictly downstream of the text verdict — their embeddings
-  *   are never indexed either, with no extra coordination. */
+  *   are never indexed either, with no extra coordination.
+  * @param keywordServing opt-in third family: co-maintain a stored
+  *   [[graft.ext.KeywordIndex]] over the accepted corpus, so lexical
+  *   (BM25) serving obeys the same invariant as the vectors — **the
+  *   documents you can search are exactly the documents you may
+  *   train on**. Unlike the vector half it needs no external
+  *   relation and no second store: postings derive from the corpus
+  *   text itself, so admission is an O(delta) append of the accepted
+  *   rows ([[syncKeywords]]), a joint [[retract]] un-mixes it with
+  *   rows fetched BEFORE the text purge (text-first ordering
+  *   preserved: the fetch is driver-internal, nothing sensitive is
+  *   served in the window), and [[repairKeywords]] converges it from
+  *   ANY drift with the corpus as ground truth — including the
+  *   crash-between-halves window, where the purged text makes the
+  *   XOR un-mix impossible and a staged rebuild over the surviving
+  *   corpus is the correct (and crash-safe) remedy. */
 final class StreamingCorpusIngest(spark: SparkSession, root: String,
                                   threshold: Double = 0.4,
                                   admit: Option[org.apache.spark.sql
-                                    .Column] = None) {
+                                    .Column] = None,
+                                  keywordServing: Boolean = false) {
 
   /** The text half: near-dup gate, accepted corpus, quarantine,
     * stored dedup index. Public — every single-family read
@@ -72,9 +88,16 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
   val vectors = new StreamingAnnIngest(spark, s"$root/ann_index",
     storeDir = Some(s"$root/vectors"))
 
+  /** The lexical third (when [[keywordServing]]): a stored
+    * [[graft.ext.KeywordIndex]] over the accepted corpus, probed via
+    * [[probeKeywords]]. No separate store — the text corpus IS its
+    * durable source of truth. */
+  val keywordDir = s"$root/keyword_index"
+
   private val annStaging = s"$root/ann_staging"
   private val annCkpt = s"$root/ann_ckpt"
   private val syncMarkDir = s"$root/vectors_syncmark"
+  private val kwMarkDir = s"$root/keyword_syncmark"
 
   private def fs =
     new org.apache.hadoop.fs.Path(root).getFileSystem(
@@ -87,6 +110,7 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
   def seed(docs: DataFrame, embeddings: DataFrame): Unit = {
     text.seed(docs)
     syncVectors(embeddings)
+    if (keywordServing) syncKeywords()
   }
 
   /** Ingest everything staged through the text gate, then admit the
@@ -96,6 +120,7 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
                       embeddings: DataFrame): Unit = {
     text.ingestAvailable(stagingDir, checkpointDir)
     syncVectors(embeddings)
+    if (keywordServing) syncKeywords()
   }
 
   /** Admit vectors for every document accepted since the last sync —
@@ -144,6 +169,101 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     vectors.ingestAvailable(annStaging, annCkpt)
   }
 
+  /** Admit the accepted-corpus delta into the keyword index — the
+    * lexical twin of [[syncVectors]], minus the external relation:
+    * the delta rows already CARRY the text postings derive from, so
+    * admission is one batch tokenize + O(batch) append. Crash-safe
+    * like the vector sync: the mark advances only after the append
+    * committed, a replayed sync is dropped by the bloom-gated
+    * already-indexed filter, and a crash INSIDE an append (assets
+    * without their commit marker) self-heals by rebuild from the
+    * corpus — the coordinator always has the durable text store the
+    * standalone index-only posture lacks. */
+  def syncKeywords(): Unit = {
+    requireKeywordServing("syncKeywords")
+    import graft.ext.{KeywordIndex, StoredIndex}
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$root/corpus")
+    if (!fs.exists(corpusPath)) return // virgin: nothing accepted yet
+    val to = text.batchLedger().agg(max(col("batch"))).head.getLong(0)
+    val metaP = new org.apache.hadoop.fs.Path(s"$keywordDir/meta")
+    if (!fs.exists(metaP)) {
+      // virgin index — or a crash mid-append left assets without
+      // their commit marker: both rebuild from the corpus, the
+      // coordinator's ground truth (never from a delta slice)
+      KeywordIndex.build(text.corpus(), keywordDir)
+      writeMarkAt(kwMarkDir, to)
+      return
+    }
+    val from = readMarkAt(kwMarkDir)
+    if (to <= from) return
+    val delta = text.corpusDelta(from, to).localCheckpoint()
+    val newOnly = StoredIndex.bloomGatedNewOnly(spark, keywordDir,
+        delta, "doc_id",
+        spark.read.parquet(s"$keywordDir/doclens")
+          .select(col("id").as("doc_id")))
+      .localCheckpoint()
+    if (!newOnly.isEmpty)
+      KeywordIndex.append(newOnly, keywordDir, checkIds = false)
+    writeMarkAt(kwMarkDir, to)
+  }
+
+  /** Converge the keyword index from ANY drift, with the accepted
+    * corpus as ground truth — [[repairAlignment]]'s lexical sibling:
+    *
+    *  1. no commit marker (virgin, or a crash inside an append) →
+    *     rebuild from the corpus;
+    *  2. half-applied joint takedown (text-ledgered ids still live
+    *     in the index): the purged text makes the XOR un-mix
+    *     impossible, so serve-while-rebuilding over the survivors
+    *     ([[graft.ext.KeywordIndex.rebuildStaged]]) is the remedy —
+    *     the same unmixable-residue rule [[Takedown.retract]]
+    *     applies;
+    *  3. missing documents (a readmit re-entered below the sync
+    *     mark, a missed sync) → append their rows straight from the
+    *     corpus. A tombstoned-but-in-corpus id cannot arise from
+    *     this class's operations (retraction purges the corpus
+    *     first, and readmit refuses ledgered ids), so the re-append
+    *     is always into clean id space. */
+  def repairKeywords(): Unit = {
+    requireKeywordServing("repairKeywords")
+    import graft.ext.KeywordIndex
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$root/corpus")
+    if (!fs.exists(corpusPath)) return
+    val to = text.batchLedger().agg(max(col("batch"))).head.getLong(0)
+    val metaP = new org.apache.hadoop.fs.Path(s"$keywordDir/meta")
+    if (!fs.exists(metaP)) {
+      KeywordIndex.build(text.corpus(), keywordDir)
+      writeMarkAt(kwMarkDir, to)
+      return
+    }
+    val live = KeywordIndex.liveIndexedIds(spark, keywordDir)
+      .withColumnRenamed("id", "doc_id").localCheckpoint()
+    val pending = Takedown
+      .ledgeredIds(spark, s"$root/corpus_retracted", "doc_id")
+      .map(l => l.join(live, Seq("doc_id"), "left_semi"))
+    if (pending.exists(!_.limit(1).isEmpty)) {
+      KeywordIndex.rebuildStaged(text.corpus(), keywordDir)
+    } else {
+      val missing = text.corpus()
+        .join(live, Seq("doc_id"), "left_anti").localCheckpoint()
+      if (!missing.isEmpty)
+        KeywordIndex.append(missing, keywordDir, checkIds = false)
+    }
+    writeMarkAt(kwMarkDir, to)
+  }
+
+  /** BM25 top-N from the co-maintained keyword index (see
+    * [[graft.ext.KeywordIndex.probe]]). */
+  def probeKeywords(terms: Seq[String], topN: Int): DataFrame = {
+    requireKeywordServing("probeKeywords")
+    graft.ext.KeywordIndex.probe(spark, keywordDir, terms, topN)
+  }
+
+  private def requireKeywordServing(what: String): Unit =
+    require(keywordServing,
+      s"StreamingCorpusIngest.$what requires keywordServing = true " +
+        "— construct the coordinator with the lexical family enabled")
+
   /** Joint compliance takedown, text-first (see class scaladoc for
     * the ordering argument). Both halves are idempotent, so a crash
     * between them is converged by re-running — or by
@@ -152,7 +272,26 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
   def retract(ids: DataFrame): Unit = {
     val want = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().localCheckpoint()
+    // the keyword un-mix needs the retracted rows' (id, text)
+    // identity, and text.retract purges exactly that — fetch first
+    // (driver-internal; nothing is served from this frame), remove
+    // AFTER the text half so the compliance ordering stays
+    // text-first. A crash between the halves strands a live kw
+    // entry; repairKeywords rebuilds from the purged corpus.
+    val kwRows =
+      if (keywordServing && fs.exists(
+          new org.apache.hadoop.fs.Path(s"$keywordDir/meta"))) {
+        import graft.ext.KeywordIndex
+        val live = KeywordIndex.liveIndexedIds(spark, keywordDir)
+          .withColumnRenamed("id", "doc_id")
+        Some(text.corpus()
+          .join(want, Seq("doc_id"), "left_semi")
+          .join(live, Seq("doc_id"), "left_semi")
+          .localCheckpoint())
+      } else None
     text.retract(want)
+    kwRows.filter(!_.isEmpty).foreach(rows =>
+      graft.ext.KeywordIndex.remove(rows, keywordDir))
     vectors.retract(want.select(col("doc_id").as("vec_id")))
   }
 
@@ -177,6 +316,7 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
   def readmit(ids: DataFrame, embeddings: DataFrame): Unit = {
     text.readmit(ids)
     repairAlignment(embeddings)
+    if (keywordServing) repairKeywords()
   }
 
   /** Converge the vector side from ANY drift — the O(keys) slow
@@ -243,11 +383,23 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     val c = orEmpty(s"$root/corpus")(text.corpus().select("doc_id"))
     val v = orEmpty(s"$root/vectors")(
       vectors.store().select(col("vec_id").as("doc_id")))
-    c.join(v, Seq("doc_id"), "left_anti")
+    val textVsVectors = c.join(v, Seq("doc_id"), "left_anti")
       .select(lit("corpus_only").as("side"), col("doc_id"))
       .unionByName(v.join(c, Seq("doc_id"), "left_anti")
         .select(lit("vectors_only").as("side"), col("doc_id")))
-      .orderBy("side", "doc_id")
+    val withKeyword =
+      if (!keywordServing) textVsVectors
+      else {
+        val k = orEmpty(s"$keywordDir/meta")(
+          graft.ext.KeywordIndex.liveIndexedIds(spark, keywordDir)
+            .withColumnRenamed("id", "doc_id"))
+        textVsVectors
+          .unionByName(c.join(k, Seq("doc_id"), "left_anti")
+            .select(lit("keyword_missing").as("side"), col("doc_id")))
+          .unionByName(k.join(c, Seq("doc_id"), "left_anti")
+            .select(lit("keyword_only").as("side"), col("doc_id")))
+      }
+    withKeyword.orderBy("side", "doc_id")
   }
 
   /** Both families' ingest-level health frames in one report, metric
@@ -259,7 +411,16 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
       concat(lit("text_"), col("metric")).as("metric"), col("value"))
     val a = vectors.health().select(
       concat(lit("ann_"), col("metric")).as("metric"), col("value"))
-    t.unionByName(a).orderBy("metric")
+    val base = t.unionByName(a)
+    val withKw =
+      if (keywordServing && fs.exists(
+          new org.apache.hadoop.fs.Path(s"$keywordDir/meta")))
+        base.unionByName(
+          graft.ext.KeywordIndex.health(spark, keywordDir).select(
+            concat(lit("kw_"), col("metric")).as("metric"),
+            col("value")))
+      else base
+    withKw.orderBy("metric")
   }
 
   /** Durable sync high-water mark (max text batch whose vectors are
@@ -268,17 +429,21 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     * already-indexed row — losing the mark costs work, never
     * correctness, which is why the stage-then-rename swap below may
     * leave it absent but never half-written. */
-  private def readMark(): Long = {
-    val p = new org.apache.hadoop.fs.Path(syncMarkDir)
+  private def readMark(): Long = readMarkAt(syncMarkDir)
+
+  private def writeMark(to: Long): Unit = writeMarkAt(syncMarkDir, to)
+
+  private def readMarkAt(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(p)) -2L
-    else spark.read.parquet(syncMarkDir).head.getLong(0)
+    else spark.read.parquet(dir).head.getLong(0)
   }
 
-  private def writeMark(to: Long): Unit = {
-    val stage = syncMarkDir + "_stage"
+  private def writeMarkAt(dir: String, to: Long): Unit = {
+    val stage = dir + "_stage"
     spark.range(1).select(lit(to).as("batch"))
       .coalesce(1).write.mode("overwrite").parquet(stage)
-    val markPath = new org.apache.hadoop.fs.Path(syncMarkDir)
+    val markPath = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(markPath)) fs.delete(markPath, true)
     fs.rename(new org.apache.hadoop.fs.Path(stage), markPath)
   }

@@ -108,6 +108,49 @@ class ExtSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("scrubDuplicateSpans cuts exactly the shared passage from " +
+      "every carrier; short overlaps and clean docs pass through") {
+    // the d12 fixture's semantics, applied as a REWRITE: the
+    // 20-token passage must leave docs 0, 1 and 2 (both occurrences
+    // in 2); the 8-token overlap is below minSpan and stays; doc 3
+    // passes through untouched (n_scrubbed = 0)
+    val span = (0 until 20).map(i => s"shared$i").mkString(" ")
+    val eight = (0 until 8).map(i => s"shared$i").mkString(" ")
+    def uniq(p: String, k: Int) = (0 until k).map(i => s"$p$i").mkString(" ")
+    val spanDocs = Seq(
+      (0L, s"${uniq("a", 10)} $span ${uniq("b", 10)}"),
+      (1L, s"${uniq("c", 12)} $span ${uniq("d", 8)}"),
+      (2L, s"$span ${uniq("e", 6)} $span"),
+      (3L, s"${uniq("f", 15)} $eight ${uniq("g", 15)}")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = Dedup.scrubDuplicateSpans(spanDocs, minSpan = 10, n = 5)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) == (s"${uniq("a", 10)} ${uniq("b", 10)}", 20L))
+    assert(out(1L) == (s"${uniq("c", 12)} ${uniq("d", 8)}", 20L))
+    assert(out(2L) == (uniq("e", 6), 40L),
+      "both occurrences in doc 2 must scrub")
+    assert(out(3L) ==
+      (s"${uniq("f", 15)} $eight ${uniq("g", 15)}", 0L),
+      "sub-minSpan overlap must survive, text pass-through")
+    // overlapping spans merge: docs sharing a longer passage that
+    // CONTAINS a shorter one shared with a third doc — the merged
+    // interval scrubs once, never double-counts
+    val long = (0 until 30).map(i => s"p$i").mkString(" ")
+    val mid = (5 until 25).map(i => s"p$i").mkString(" ")
+    val ov = Seq(
+      (10L, s"${uniq("h", 6)} $long ${uniq("i", 6)}"),
+      (11L, s"${uniq("j", 6)} $long ${uniq("k", 6)}"),
+      (12L, s"${uniq("l", 9)} $mid ${uniq("m", 9)}")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val ovOut = Dedup.scrubDuplicateSpans(ov, minSpan = 10, n = 5)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ovOut(10L) == (s"${uniq("h", 6)} ${uniq("i", 6)}", 30L),
+      "nested/overlapping intervals must merge before the cut")
+    assert(ovOut(12L) == (s"${uniq("l", 9)} ${uniq("m", 9)}", 20L))
+  }
+
   test("kmeans-refined IVF clears 0.8 recall and beats stride seeds") {
     // bench config (stride=20, nprobe=12) on the sf0.001 fixture:
     // measured stride recall 0.79, kmeans(2) 0.90 — assert the refined

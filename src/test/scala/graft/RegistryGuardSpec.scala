@@ -77,6 +77,19 @@ class RegistryGuardSpec extends SparkTestBase {
     // the caller's contract; the fusion never sees the corpus)
     "k7_hybrid_rrf" ->
       Set("unconditional-nested-loop", "global-window"),
+    // st20: the returned frame IS KeywordIndex.probe over the
+    // stream-maintained index (the ingest/takedown side effects run
+    // eagerly outside the probed plan) — k1's audited shapes
+    "st20_keyword_ingest_retract" ->
+      Set("unconditional-nested-loop", "global-window"),
+    // st21: the joint alignment audit unioned with the symmetric
+    // difference of TWO BM25 pages — the stored probe (k1's audited
+    // shapes) and the IN-QUERY scorer over the live corpus, which
+    // carries t7's audited deferred-HOF-under-one-row-stats-join
+    // (per-pair multiplier exactly 1 — benign by construction)
+    "st21_joint_keyword_serve" ->
+      Set("unconditional-nested-loop", "global-window",
+        "bnlj-deferred-derivation"),
     // centroid-array / exact-top-k one-row sides in the ANN chain
     "x2_sim_ivf_topk" -> Set("unconditional-nested-loop"),
     "x2_recall" -> Set("unconditional-nested-loop"),

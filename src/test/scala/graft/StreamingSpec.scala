@@ -656,6 +656,104 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("storeDir"))
   }
 
+  test("streaming keyword ingest (store posture): gate, takedown, " +
+      "sticky re-delivery, crash windows") {
+    import graft.ext.KeywordIndex
+    import graft.streaming.StreamingDedupIngest.stage
+    val root = Files.createTempDirectory("graft_stkw_").toString
+    val (ix, store) = (s"$root/ix", s"$root/store")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val ingest = new graft.streaming.StreamingKeywordIngest(spark, ix,
+      storeDir = Some(store))
+    val drop1 = docs.filter($"doc_id" < 30)
+    val drop2 = docs.filter($"doc_id" >= 30)
+    stage(drop1, s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(ids(ingest.store()) == ids(drop1), "first drop seeds store")
+    // second drop + a re-delivered slice: the gate must skip repeats
+    stage(drop2.unionByName(drop1.limit(5)), s"$root/staging", "d2")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(ids(ingest.store()) == ids(docs))
+    assert(!KeywordIndex.ensure(docs, ix),
+      "streamed index content-fresh over the full corpus")
+    // streamed serve == in-query scorer over the full corpus
+    val terms = Seq("data", "query")
+    def stored() = KeywordIndex.probe(spark, ix, terms, 10)
+      .collect().toSeq
+    assert(stored() ==
+      graft.ext.Relevance.bm25TopDocs(docs, terms, 10).collect().toSeq,
+      "streamed keyword serve != in-query BM25")
+
+    // takedown: purge 3 docs — store loses them, index un-mixes,
+    // BM25 statistics shift to the live remainder
+    val goneIds = Set(5L, 17L, 40L)
+    val live = docs.filter(!$"doc_id".isin(goneIds.toSeq: _*))
+      .localCheckpoint()
+    ingest.retract(goneIds.toSeq.toDF("doc_id"))
+    assert(ids(ingest.store()).intersect(goneIds).isEmpty,
+      "retracted docs must leave the store")
+    assert(!KeywordIndex.ensure(live, ix),
+      "post-retract index content-fresh over the LIVE corpus")
+    assert(stored() ==
+      graft.ext.Relevance.bm25TopDocs(live, terms, 10).collect().toSeq,
+      "post-takedown serve != in-query BM25 over survivors")
+    // idempotent replay: no ledger growth
+    val ledgerRows = spark.read.parquet(store + "_retracted").count()
+    ingest.retract(goneIds.toSeq.toDF("doc_id"))
+    assert(spark.read.parquet(store + "_retracted").count()
+      == ledgerRows, "replayed takedown must not grow the ledger")
+    // STICKY: compact materializes the tombstones, then re-deliver a
+    // retracted id — the ledger must keep it out
+    KeywordIndex.compact(spark, ix)
+    stage(docs.filter($"doc_id" === 5), s"$root/staging", "redeliver5")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(!ids(ingest.store()).contains(5L),
+      "re-delivered retracted doc must stay out (sticky ledger)")
+    assert(spark.read.parquet(s"$ix/doclens")
+      .filter($"id" === 5L).isEmpty,
+      "re-delivered retracted doc must not re-enter the index")
+    // crash residue: store purged but index remove never ran —
+    // retract must rebuild from the purged store
+    val m = classOf[graft.streaming.StreamingKeywordIngest]
+      .getDeclaredMethod("purgeStore", classOf[String],
+        classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
+    m.invoke(ingest, store,
+      Seq(23L).toDF("doc_id").select($"doc_id".cast("long").as("doc_id")))
+    ingest.retract(Seq(23L).toDF("doc_id"))
+    assert(!ids(ingest.store()).contains(23L))
+    assert(!KeywordIndex.ensure(ingest.store(), ix),
+      "post-crash retract must leave a fresh index over the store")
+    // crash mid-append self-heals from the store
+    val metaPath = new org.apache.hadoop.fs.Path(s"$ix/meta")
+    metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
+    stage(docs.filter($"doc_id" === 5), s"$root/staging", "d3")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(!KeywordIndex.ensure(ingest.store(), ix),
+      "rebuilt-from-store index must be fresh (and doc 5 still out)")
+    // early retract on a virgin ingest is ledger-only; index-only
+    // posture refuses takedowns loudly
+    val ingest2 = new graft.streaming.StreamingKeywordIngest(spark,
+      s"$root/ix2", storeDir = Some(s"$root/store2"))
+    ingest2.retract(Seq(3L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$root/store2_retracted").count() == 1L)
+    stage(docs.filter($"doc_id" < 10), s"$root/staging2", "d1")
+    ingest2.ingestAvailable(s"$root/staging2", s"$root/ckpt2")
+    assert(ingest2.store().filter($"doc_id" === 3L).isEmpty,
+      "pre-ingest-retracted doc must never be admitted")
+    val bare = new graft.streaming.StreamingKeywordIngest(spark,
+      s"$root/bare_ix")
+    val e = intercept[IllegalStateException] {
+      bare.retract(Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("storeDir"))
+  }
+
   test("streaming ANN ingest: mid-append crash replay fails loudly") {
     val ix = Files.createTempDirectory("graft_stann_cr_").toString + "/ix"
     val staging = Files.createTempDirectory("graft_stann_crs_").toString

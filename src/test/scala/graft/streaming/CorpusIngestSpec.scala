@@ -95,6 +95,97 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     assert(h("ann_store_rows") == readmitted.size.toDouble)
   }
 
+  test("joint ingest with keyword serving: gate verdicts bind the " +
+      "lexical side; takedown, readmit, crash windows converge") {
+    import graft.ext.{KeywordIndex, Relevance}
+    val root = Files.createTempDirectory("graft_jkw_").toString
+    val joint = new StreamingCorpusIngest(spark, root,
+      keywordServing = true)
+    val e = embsWithCopies
+    val kwIx = joint.keywordDir
+    val terms = Seq("data", "query")
+    def kwLive() = ids(KeywordIndex.liveIndexedIds(spark, kwIx), "id")
+    def serveMatches(what: String): Unit = {
+      val live = joint.text.corpus().localCheckpoint()
+      assert(joint.probeKeywords(terms, 10).collect().toSeq ==
+        Relevance.bm25TopDocs(live, terms, 10).collect().toSeq,
+        s"$what: keyword serve != in-query BM25 over the corpus")
+    }
+
+    joint.seed(docs.filter($"doc_id" < 200), e)
+    assert(kwLive() == ids(joint.text.corpus()),
+      "seed must index exactly the accepted corpus")
+    serveMatches("seed")
+
+    // gate verdicts bind: quarantined near-dup copies never indexed
+    val drop = docs.filter($"doc_id" >= 200 && $"doc_id" < 250)
+      .unionByName(docs.filter($"doc_id" < 30)
+        .select(($"doc_id" + 20000L).as("doc_id"), $"text"))
+    stage(drop, s"$root/staging", "d1")
+    joint.ingestAvailable(s"$root/staging", s"$root/ckpt", e)
+    assert(kwLive() == ids(joint.text.corpus()))
+    assert(!kwLive().exists(_ >= 20000L),
+      "quarantined copies must not be lexically searchable")
+    serveMatches("delta sync")
+    assert(joint.alignment().isEmpty)
+
+    // replayed sync: mark + bloom gate make it a no-op
+    val before = kwLive()
+    joint.syncKeywords()
+    assert(kwLive() == before)
+
+    // joint takedown reaches the lexical family: live set, serve
+    // STATISTICS, and content freshness all move to the survivors
+    joint.retract(Seq(7L, 205L).toDF("doc_id"))
+    assert(!kwLive().contains(7L) && !kwLive().contains(205L))
+    assert(kwLive() == ids(joint.text.corpus()))
+    serveMatches("post-takedown")
+    assert(!KeywordIndex.ensure(joint.text.corpus(), kwIx),
+      "post-takedown index must stay content-fresh for survivors")
+    assert(joint.alignment().isEmpty)
+
+    // readmit lands below the sync mark → repairKeywords (inside
+    // readmit) must admit the restored docs
+    joint.readmit(Seq(20000L, 20001L).toDF("doc_id"), e)
+    assert(kwLive().contains(20000L) && kwLive().contains(20001L))
+    assert(kwLive() == ids(joint.text.corpus()))
+    serveMatches("post-readmit")
+    assert(joint.alignment().isEmpty)
+
+    // health: the third family's frame rides along, prefixed
+    val h = joint.health().as[(String, Double)].collect().toMap
+    assert(h.keys.exists(_.startsWith("kw_")))
+    assert(h("kw_n_docs_live") == kwLive().size.toDouble)
+
+    // crash between the halves of a joint retract: text purged +
+    // ledgered, keyword index still live → the audit names the
+    // stranded ids keyword_only, and repairKeywords converges by
+    // staged rebuild (the un-mix text is gone)
+    joint.text.retract(Seq(9L).toDF("doc_id"))
+    assert(joint.alignment().filter($"side" === "keyword_only")
+      .select("doc_id").as[Long].collect().toSet == Set(9L))
+    joint.repairKeywords()
+    assert(!kwLive().contains(9L))
+    assert(joint.alignment().filter($"side".contains("keyword")).isEmpty)
+    serveMatches("post-crash-repair")
+
+    // crash INSIDE a keyword append (assets, no commit marker): the
+    // next sync rebuilds from the corpus — the durable truth
+    val metaPath = new org.apache.hadoop.fs.Path(s"$kwIx/meta")
+    metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
+    joint.syncKeywords()
+    assert(kwLive() == ids(joint.text.corpus()))
+    serveMatches("post-append-crash")
+
+    // keyword ops on a coordinator without the family are refused
+    val bare = new StreamingCorpusIngest(spark,
+      Files.createTempDirectory("graft_jkwoff_").toString)
+    intercept[IllegalArgumentException] {
+      bare.probeKeywords(terms, 5)
+    }
+  }
+
   test("crash between the halves of a joint retract: text ledgered, " +
       "vectors still live — repairAlignment finishes the takedown") {
     val root = Files.createTempDirectory("graft_jcrash_").toString
