@@ -4422,6 +4422,62 @@ object ExtQueries {
       },
       Some(sqlKwBm25("TRUE", KwTerms, 20))),
 
+    // k8: the PRODUCTION serve posture for the lexical family —
+    // ensure(version = fileVersion) validates with ONE 1-row meta
+    // read, zero corpus scans (x9v/d15f's posture split, now on the
+    // third family). Read its bench row beside k1: the delta IS the
+    // content-fingerprint scan the versioned posture removes.
+    Q("k8_keyword_versioned",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir) + "_v"
+        val v = graft.ext.StoredIndex.fileVersion(s,
+          s"$dir/documents.parquet")
+        graft.ext.KeywordIndex.ensure(docs, ix, version = Some(v))
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("TRUE", KwTerms, 20))),
+
+    // k9: continuous-bulk-load tail — a quarter of the corpus built
+    // as its own shard job, absorbed INTO the live index in
+    // O(shard files) (d19/x16's absorb, but pinned against DuckDB
+    // rather than a contract twin).
+    Q("k9_keyword_absorb",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = graft.ext.KeywordIndex.dirFor(dir)
+        val target = base + "_abt"
+        val shard = base + "_abs"
+        graft.ext.KeywordIndex.build(
+          docs.filter(col("doc_id") % 4 < 3), target)
+        graft.ext.KeywordIndex.build(
+          docs.filter(col("doc_id") % 4 === 3), shard)
+        graft.ext.KeywordIndex.absorb(s, shard, target)
+        graft.ext.KeywordIndex.probe(s, target, KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("TRUE", KwTerms, 20))),
+
+    // k10: serve-while-rebuilding retrain (x19's lexical sibling) —
+    // build(lower two thirds) + append(rest) + retract(every 5th),
+    // then rebuildStaged over the LIVE set (old index serves through
+    // the whole staged build; the swap is rename-sized) and probe.
+    // DuckDB-oracled over the live predicate.
+    Q("k10_keyword_staged_rebuild",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir) + "_sr"
+        graft.ext.KeywordIndex.build(
+          docs.filter(col("doc_id") % 3 < 2), ix)
+        graft.ext.KeywordIndex.append(
+          docs.filter(col("doc_id") % 3 === 2), ix)
+        graft.ext.KeywordIndex.remove(
+          docs.filter(col("doc_id") % 5 === 4), ix)
+        graft.ext.KeywordIndex.rebuildStaged(
+          docs.filter(col("doc_id") % 5 =!= 4), ix)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+      },
+      Some(sqlKwBm25("NOT (doc_id % 5 = 4)", KwTerms, 20))),
+
     // k7: hybrid retrieval — the stored lexical page (k1's index)
     // fused with the exact dense page (x1's brute-force chain, one
     // query vector) by reciprocal-rank fusion. doc_id and vec_id

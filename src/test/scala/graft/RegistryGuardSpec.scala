@@ -72,6 +72,12 @@ class RegistryGuardSpec extends SparkTestBase {
       Set("unconditional-nested-loop", "global-window"),
     "k6_keyword_shard_merge" ->
       Set("unconditional-nested-loop", "global-window"),
+    "k8_keyword_versioned" ->
+      Set("unconditional-nested-loop", "global-window"),
+    "k9_keyword_absorb" ->
+      Set("unconditional-nested-loop", "global-window"),
+    "k10_keyword_staged_rebuild" ->
+      Set("unconditional-nested-loop", "global-window"),
     // k7: k1's probe chain + rrfFuse's SECOND global window — over
     // the full-outer union of two ≤ topN result PAGES (≤ 40 rows by
     // the caller's contract; the fusion never sees the corpus)
