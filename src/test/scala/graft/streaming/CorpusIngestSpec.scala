@@ -220,10 +220,12 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     // gated drops mixing unique docs with exact copies (copies
     // quarantine deterministically: token-disjoint fresh docs can
     // never near-dup), joint takedowns, readmits, and the
-    // crash-window form (text-half retract, then repairAlignment
-    // finishes the vector half) — then pins the full serving matrix
-    // against a driver-side model: corpus ids, vector-store ids,
-    // BOTH live index id sets, and the quarantine, all ≡ the model;
+    // crash-window form (text-half retract, then the per-family
+    // convergers finish the other halves) — then pins the full
+    // serving matrix against a driver-side model: corpus ids,
+    // vector-store ids, all THREE live index id sets (the
+    // coordinator runs with the lexical family enabled), the
+    // quarantine, AND the served BM25 page, all ≡ the model;
     // alignment() empty.
     val rnd = new scala.util.Random(41)
     def txt(id: Long): String =
@@ -235,7 +237,8 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     var nQuar = 0; var nRetract = 0; var nReadmit = 0
     for (seqNo <- 1 to 8) {
       val root = Files.createTempDirectory(s"graft_jrand$seqNo").toString
-      val joint = new StreamingCorpusIngest(spark, root)
+      val joint = new StreamingCorpusIngest(spark, root,
+        keywordServing = true)
       var cursor = 4L + seqNo * 40L
       var live = (seqNo * 40L until seqNo * 40L + 4L)
         .map(i => i -> txt(i)).toMap
@@ -272,6 +275,7 @@ class CorpusIngestSpec extends graft.SparkTestBase {
           val gone = live.keys.toSeq.sorted.take(1)
           joint.text.retract(gone.toDF("doc_id"))
           joint.repairAlignment(embAll)
+          joint.repairKeywords()
           live --= gone; ledgered ++= gone; nRetract += gone.size
         case 4 => // quarantine empty: gratuitous repair, a no-op
           joint.repairAlignment(embAll)
@@ -298,6 +302,18 @@ class CorpusIngestSpec extends graft.SparkTestBase {
       assert(ids(DedupIndex.liveIndexedIds(spark, s"$root/dedup_index"),
         "id") == live.keySet,
         s"sequence $seqNo: live dedup index != model")
+      assert(ids(graft.ext.KeywordIndex.liveIndexedIds(spark,
+        joint.keywordDir), "id") == live.keySet,
+        s"sequence $seqNo: live keyword index != model")
+      // the served BM25 page over a live doc's (unique) token must
+      // equal the in-query scorer over the surviving corpus — the
+      // statistics (df/N/sum dl) have to reflect every op above
+      val qt = Seq(s"tok${live.keySet.min}x0")
+      assert(joint.probeKeywords(qt, 5).collect().toSeq ==
+        graft.ext.Relevance.bm25TopDocs(
+          joint.text.corpus().localCheckpoint(), qt, 5)
+          .collect().toSeq,
+        s"sequence $seqNo: served keyword page != in-query scorer")
       val quarIds =
         if (java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$root/quarantine")))
