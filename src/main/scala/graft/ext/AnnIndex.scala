@@ -318,8 +318,8 @@ object AnnIndex {
             outDir: String, checkIds: Boolean = true,
             version: Option[String] = None): Unit = {
     require(shardDirs.nonEmpty, "AnnIndex.merge: no shards")
-    require(!shardDirs.contains(outDir),
-      "AnnIndex.merge: outDir must not be one of the shards")
+    StoredIndex.requireDisjointDirs(spark, outDir, shardDirs,
+      "AnnIndex.merge")
     val metas = shardDirs.map(d =>
       StoredIndex.readMeta(spark, d).getOrElse(
         throw new IllegalStateException(

@@ -233,8 +233,8 @@ object DedupIndex {
             outDir: String, checkIds: Boolean = true,
             version: Option[String] = None): Unit = {
     require(shardDirs.nonEmpty, "DedupIndex.merge: no shards")
-    require(!shardDirs.contains(outDir),
-      "DedupIndex.merge: outDir must not be one of the shards")
+    StoredIndex.requireDisjointDirs(spark, outDir, shardDirs,
+      "DedupIndex.merge")
     val metas = shardDirs.map(d =>
       StoredIndex.readMeta(spark, d).getOrElse(
         throw new IllegalStateException(

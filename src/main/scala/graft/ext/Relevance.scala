@@ -154,16 +154,38 @@ object Relevance {
     * in-query twin and the DuckDB oracle. */
   def bm25Score(nTerms: Int, k1: Double, b: Double): Column = {
     val nD = col("n_docs").cast("double")
-    val avgdl = col("sum_dl").cast("double") / nD
-    val dlNorm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
-    val termScore = (i: Int) => {
-      val tfD = col(s"tf_$i").cast("double")
-      val dfD = col(s"df_$i").cast("double")
-      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-      idf * (tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * dlNorm)
-    }
+    val dlNorm = bm25DlNorm(b)
     Ops.roundDet(
-      (0 until nTerms).map(termScore).reduceLeft((a, c) => a + c), 4)
+      (0 until nTerms).map(i => bm25TermScore(
+          col(s"tf_$i").cast("double"), col(s"df_$i").cast("double"),
+          nD, dlNorm, k1))
+        .reduceLeft((a, c) => a + c), 4)
+  }
+
+  /** The per-document length-normalization factor of the BM25 tree
+    * over the standard projected inputs (`dl`, 1-row `n_docs` /
+    * `sum_dl`) — factored with [[bm25TermScore]] so every scorer
+    * builds the identical subtree. */
+  def bm25DlNorm(b: Double): Column = {
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
+  }
+
+  /** ONE query term's BM25 contribution —
+    * idf(df) · tf·(k1+1) / (tf + k1·dlNorm), the exact subtree
+    * [[bm25Score]] sums in fixed term order. Public so
+    * [[KeywordIndex.probeMany]]'s ordered HOF fold adds literally
+    * this expression per held term: a term the document does NOT
+    * hold contributes exactly 0.0 in the fixed-order sum (tf = 0 ⇒
+    * the numerator is 0.0 and idf is finite), and x + 0.0 ≡ x
+    * bit-for-bit over the non-negative partial sums, so folding only
+    * the held terms in ascending term order is bit-identical to the
+    * full fixed-order sum. */
+  def bm25TermScore(tfD: Column, dfD: Column, nD: Column,
+                    dlNorm: Column, k1: Double): Column = {
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    idf * (tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * dlNorm)
   }
 
   /** Vocabulary coverage: what fraction of token OCCURRENCES a

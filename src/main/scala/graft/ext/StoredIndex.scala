@@ -370,10 +370,14 @@ object StoredIndex {
     * and the meta algebra live here once. `liveIds` is the family's
     * live indexed id set ("id" column), read ONCE (localCheckpoint)
     * and reused for the not-live guard AND the live-max recompute —
-    * one keys-only pass per retraction, not two. */
+    * one keys-only pass per retraction, not two. `beforeMeta` runs
+    * INSIDE the commit window (after the tombstone append, before
+    * the meta write) — the hook a family with extra additive gauge
+    * assets ([[KeywordIndex]]'s `stats/`) uses to fold the removal
+    * into them without breaking the meta-written-last invariant. */
   def removeIds(spark: SparkSession, dir: String, ids: DataFrame,
                 removedMeta: Row, liveIds: DataFrame,
-                what: String): Unit = {
+                what: String, beforeMeta: () => Unit = () => ()): Unit = {
     val storedMeta = spark.read.parquet(s"$dir/meta").head
     require(removedMeta.getLong(0) > 0L,
       s"$what: retraction batch is empty — nothing to remove at $dir")
@@ -389,6 +393,7 @@ object StoredIndex {
         "them out would corrupt the fingerprint")
     invalidate(spark, dir) // commit marker
     appendDeleteIds(spark, dir, ids)
+    beforeMeta()
     val liveMax = live.join(broadcast(ids), Seq("id"), "left_anti")
       .agg(max(col("id"))).head.getAs[java.lang.Long](0)
     writeRemovedMeta(spark, dir, storedMeta, removedMeta, liveMax)
@@ -599,6 +604,28 @@ object StoredIndex {
   }
 
   // ----------------------------------------------------- shard merge
+
+  /** Reject an `outDir` that equals, contains, or is contained in
+    * any shard dir — the families' merge deletes outDir recursively
+    * before the file copies, so ANY path overlap (not just equality)
+    * would destroy shard assets mid-merge. Qualified-path compare,
+    * so relative/absolute/scheme-prefixed spellings of the same
+    * location agree; the trailing-slash guard keeps `/a/b` from
+    * matching `/a/bc` as a prefix. */
+  def requireDisjointDirs(spark: SparkSession, outDir: String,
+                          shardDirs: Seq[String], what: String): Unit = {
+    def qualified(p: String): String =
+      fsOf(spark, p).makeQualified(new Path(p)).toString
+        .stripSuffix("/") + "/"
+    val out = qualified(outDir)
+    shardDirs.foreach { d =>
+      val s = qualified(d)
+      require(!out.startsWith(s) && !s.startsWith(out),
+        s"$what: outDir $outDir overlaps shard dir $d — the merge " +
+          "deletes outDir recursively, so the paths must be disjoint " +
+          "(no nesting in either direction)")
+    }
+  }
 
   /** Copy the data files of asset dir `fromDir` into `toDir` under a
     * caller-unique name prefix — the file-level union a shard merge

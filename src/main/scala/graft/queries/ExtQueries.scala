@@ -68,15 +68,14 @@ object ExtQueries {
   // (idf of an unseen term, all-zero tf) paths in BOTH engines.
   private val KwTerms = Seq("data", "query", "shuffle")
 
-  /** The full t7 BM25 oracle, parameterized on the LIVE corpus
-    * predicate — the k-family's whole index lifecycle (append,
-    * retract, compact, shard merge) serves bit-exact BM25 over its
-    * live set, so every lifecycle row shares this one SQL shape with
-    * only `livePred` changing. Same CTE chain, same score tree
-    * ([[sqlBm25Term]]), same rounding as t7. */
-  private def sqlKwBm25(livePred: String, terms: Seq[String],
-                        topN: Int): String =
-    s"""WITH base AS (SELECT doc_id,
+  /** The t7/k-family BM25 CTE chain (base → stats → scored),
+    * parameterized on the LIVE corpus predicate — shared by the
+    * ranked top-N oracle ([[sqlKwBm25]]) and the threshold oracle
+    * (k12), so both serve shapes score through literally the same
+    * SQL tree. */
+  private def sqlKwBm25Ctes(livePred: String,
+                            terms: Seq[String]): String =
+    s"""base AS (SELECT doc_id,
                       len(string_split_regex(text, '\\s+')) AS dl,
                       ${terms.zipWithIndex.map { case (tm, i) =>
                         s"""len(list_filter(string_split_regex(text, '\\s+'),
@@ -91,8 +90,45 @@ object ExtQueries {
                scored AS (SELECT doc_id,
                    ${sqlRoundDet(
                      terms.indices.map(sqlBm25Term).mkString(" + "), 4)}
-                     AS score
-                 FROM base CROSS JOIN stats),
+                     AS score,
+                   ${terms.indices.map(i => s"tf_$i").mkString(", ")}
+                 FROM base CROSS JOIN stats)"""
+
+  /** One qid's CANDIDATES-ONLY BM25 page (docs holding ≥ 1 query
+    * term — the production no-zero-fill posture probeMany serves):
+    * the same CTE chain, ranked after the tf filter, tagged with the
+    * qid literal so the k13 multi-query oracle is a UNION ALL of
+    * these. */
+  private def sqlKwBm25CandPage(qid: Long, terms: Seq[String],
+                                topN: Int): String =
+    s"""SELECT $qid AS qid, rank, doc_id, score FROM (
+          WITH ${sqlKwBm25Ctes("TRUE", terms)},
+               ranked AS (SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+                 FROM scored
+                 WHERE ${terms.indices.map(i => s"tf_$i > 0")
+                   .mkString(" OR ")})
+          SELECT rank, doc_id, score FROM ranked
+          WHERE rank <= $topN)"""
+
+  // k13's query batch: KwTerms (shared with k1 — the two rows must
+  // agree on qid 0's candidates), t7's Bm25Terms (different df
+  // spread), and a two-term query with one absent term ("index" has
+  // df = 0 on every fixture) exercising the held-terms-only fold.
+  private val KwMulti: Seq[(Long, Seq[String])] = Seq(
+    0L -> KwTerms,
+    1L -> Bm25Terms,
+    2L -> Seq("stream", "index"))
+
+  /** The full t7 BM25 oracle, parameterized on the LIVE corpus
+    * predicate — the k-family's whole index lifecycle (append,
+    * retract, compact, shard merge) serves bit-exact BM25 over its
+    * live set, so every lifecycle row shares this one SQL shape with
+    * only `livePred` changing. Same CTE chain, same score tree
+    * ([[sqlBm25Term]]), same rounding as t7. */
+  private def sqlKwBm25(livePred: String, terms: Seq[String],
+                        topN: Int): String =
+    s"""WITH ${sqlKwBm25Ctes(livePred, terms)},
                ranked AS (SELECT doc_id, score,
                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
                  FROM scored)
@@ -1804,12 +1840,58 @@ object ExtQueries {
     // query (k chained argmax steps, each conditioned on the previous
     // picks) → rows-only check, with the full selection contract
     // closed by x6_precision below — the d2/d3/x3 playbook.
+    // x6: MMR-diversified top-k — HASH-EXACT since round 10: the
+    // greedy chain is deterministic over 4dp-rounded cosines (see
+    // Similarity.mmrTopK's determinism contract), so DuckDB replays
+    // it as a recursive CTE — per iteration, the argmax-gain pick is
+    // min(struct(-gain, nid, …)) over the not-yet-selected pool
+    // (struct compare = lexicographic = the Spark side's
+    // (-gain, nid) array_sort head), with the selected vectors
+    // carried as a list for the max-sim term. (1.0 - 0.7) appears
+    // textually so both engines compute the identical double
+    // 0.30000000000000004 — b1_bpe_merges' literal-fidelity rule.
     Q("x6_mmr_topk",
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
         Similarity.mmrTopK(embs, embs.filter(col("vec_id") < 20),
           k = 5, poolSize = 20, lambdaDiv = 0.7)
-      }, None),
+      },
+      Some {
+        val gainExpr = sqlRoundDet(
+          "0.7 * c.score - (1.0 - 0.7) * COALESCE(list_max(" +
+            "list_transform(m.sel_vecs, s -> " +
+            s"${sqlRoundDet(sqlCosRaw("c.nvec", "s"), 4)})), 0.0)", 4)
+        s"""WITH RECURSIVE $SqlBruteCtes,
+             pv AS (SELECT br.qid, br.nid, br.cosine AS score, bc.nvec
+                    FROM br JOIN bc ON bc.nid = br.nid
+                    WHERE br.rank <= 20),
+             mmr AS (
+               SELECT qid, 0 AS sel_rank, CAST(NULL AS BIGINT) AS nid,
+                      CAST(NULL AS DOUBLE) AS score,
+                      CAST(NULL AS DOUBLE) AS gain,
+                      CAST([] AS BIGINT[]) AS sel_ids,
+                      CAST([] AS DOUBLE[][]) AS sel_vecs
+               FROM (SELECT DISTINCT qid FROM pv)
+               UNION ALL
+               SELECT qid, sel_rank + 1, pick.nid, pick.score, pick.gain,
+                      list_append(sel_ids, pick.nid),
+                      list_append(sel_vecs, pick.nvec)
+               FROM (
+                 SELECT m.qid, m.sel_rank, m.sel_ids, m.sel_vecs,
+                        min(struct_pack(ng := -($gainExpr),
+                                        nid := c.nid,
+                                        gain := $gainExpr,
+                                        score := c.score,
+                                        nvec := c.nvec)) AS pick
+                 FROM mmr m JOIN pv c ON c.qid = m.qid
+                 WHERE m.sel_rank < 5
+                   AND NOT list_contains(m.sel_ids, c.nid)
+                 GROUP BY ALL
+               )
+             )
+             SELECT qid, sel_rank, nid, score, gain FROM mmr
+             WHERE sel_rank >= 1 ORDER BY qid, sel_rank"""
+      }),
 
     // x6 contract: greedy optimality AT EVERY STEP — no candidate
     // still open at step i (in the pool, not yet selected) may beat
@@ -2670,9 +2752,59 @@ object ExtQueries {
         StreamingDedupIngest.stage(
           slice.filter(col("doc_id") < 60), s"$root/staging", "d3")
         ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
-        graft.ext.KeywordIndex.probe(s, s"$root/ix", KwTerms, topN = 20)
+        graft.ext.KeywordIndex.probe(s, s"$root/ix", KwTerms, topN = 20,
+          zeroFill = true)
       },
       Some(sqlKwBm25("NOT (doc_id % 5 = 4)", KwTerms, 20))),
+
+    // st22: st16/st17's KEYWORD twin — the lexical ingest's health
+    // report pinned against a batch-side replay: a twin index built
+    // from the IDENTICAL seed partition (storeAsOf(-1)), appended
+    // with the same 50 new docs (the 30 re-delivered seed ids gated
+    // out by the bloom), removed of the same two takedown ids. Every
+    // metric is an aggregate (df histogram, LSM split, token mass,
+    // store gauges), so the pin is row-order-robust while still
+    // catching a drifted stats gauge, a stale tombstone count, or a
+    // bloom left unarmed. Empty symmetric difference, WHERE FALSE.
+    Q("st22_keyword_ingest_health",
+      (s, dir) => {
+        import graft.ext.KeywordIndex
+        import graft.ext.StoredIndex.{litMetricRow, metricRow}
+        import graft.streaming.{StreamingDedupIngest,
+          StreamingKeywordIngest}
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st22_").toString
+        val seed = docs.filter(col("doc_id") < 200)
+        val ingest = new StreamingKeywordIngest(s, s"$root/ix",
+          storeDir = Some(s"$root/store"))
+        ingest.seed(seed)
+        val newDocs = docs
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+        StreamingDedupIngest.stage(
+          newDocs.unionByName(seed.filter(col("doc_id") < 30)),
+          s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        val slice = docs.filter(col("doc_id").isin(200L, 201L))
+        ingest.retract(slice.select("doc_id"))
+        val got = ingest.health()
+        val twin = s"$root/twin"
+        KeywordIndex.build(ingest.storeAsOf(-1L), twin)
+        KeywordIndex.append(newDocs, twin)
+        KeywordIndex.remove(slice, twin)
+        val expect = KeywordIndex.health(s, twin)
+          .unionByName(metricRow("store_rows",
+            seed.unionByName(newDocs)
+              .join(slice.select("doc_id"), Seq("doc_id"), "left_anti"),
+            count(lit(1L))))
+          .unionByName(litMetricRow(s, "store_batches", 2d))
+          .unionByName(litMetricRow(s, "retracted_ids", 2d))
+        got.exceptAll(expect).unionByName(expect.exceptAll(got))
+          .orderBy("metric")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS metric,
+                     CAST(NULL AS DOUBLE) AS value
+              WHERE FALSE""")),
 
     // st13: the REPRODUCIBILITY contract of the streamed corpus
     // store — corpusAsOf(batch) re-serves exactly what the ingest
@@ -3010,7 +3142,8 @@ object ExtQueries {
           Tuple1(5L), Tuple1(210L))).toDF("doc_id"))
         joint.readmit(s.createDataFrame(Seq(
           Tuple1(20000L), Tuple1(20001L))).toDF("doc_id"), embs)
-        val served = joint.probeKeywords(KwTerms, topN = 20)
+        val served = joint.probeKeywords(KwTerms, topN = 20,
+          zeroFill = true)
         val direct = Relevance.bm25TopDocs(
           joint.text.corpus().localCheckpoint(), KwTerms, topN = 20)
         joint.alignment()
@@ -4320,7 +4453,8 @@ object ExtQueries {
         val docs = t(s, dir, "documents")
         val ix = graft.ext.KeywordIndex.dirFor(dir)
         graft.ext.KeywordIndex.ensure(docs, ix)
-        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20,
+          zeroFill = true)
       },
       Some(sqlKwBm25("TRUE", KwTerms, 20))),
 
@@ -4337,7 +4471,8 @@ object ExtQueries {
           docs.filter(col("doc_id") % 3 < 2), ix)
         graft.ext.KeywordIndex.append(
           docs.filter(col("doc_id") % 3 === 2), ix)
-        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20,
+          zeroFill = true)
       },
       Some(sqlKwBm25("TRUE", KwTerms, 20))),
 
@@ -4354,7 +4489,8 @@ object ExtQueries {
         graft.ext.KeywordIndex.build(docs, ix)
         graft.ext.KeywordIndex.remove(
           docs.filter(col("doc_id") % 7 === 3), ix)
-        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20,
+          zeroFill = true)
       },
       Some(sqlKwBm25("NOT (doc_id % 7 = 3)", KwTerms, 20))),
 
@@ -4378,7 +4514,8 @@ object ExtQueries {
         graft.ext.KeywordIndex.compact(s, ix)
         graft.ext.KeywordIndex.append(
           docs.filter(col("doc_id") % 3 === 2), ix)
-        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20,
+          zeroFill = true)
       },
       Some(sqlKwBm25("NOT (doc_id % 6 = 0)", KwTerms, 20))),
 
@@ -4418,7 +4555,8 @@ object ExtQueries {
         }
         val merged = base + "_m"
         graft.ext.KeywordIndex.merge(s, shards, merged)
-        graft.ext.KeywordIndex.probe(s, merged, KwTerms, topN = 20)
+        graft.ext.KeywordIndex.probe(s, merged, KwTerms, topN = 20,
+          zeroFill = true)
       },
       Some(sqlKwBm25("TRUE", KwTerms, 20))),
 
@@ -4453,7 +4591,8 @@ object ExtQueries {
         graft.ext.KeywordIndex.build(
           docs.filter(col("doc_id") % 4 === 3), shard)
         graft.ext.KeywordIndex.absorb(s, shard, target)
-        graft.ext.KeywordIndex.probe(s, target, KwTerms, topN = 20)
+        graft.ext.KeywordIndex.probe(s, target, KwTerms, topN = 20,
+          zeroFill = true)
       },
       Some(sqlKwBm25("TRUE", KwTerms, 20))),
 
@@ -4474,7 +4613,8 @@ object ExtQueries {
           docs.filter(col("doc_id") % 5 === 4), ix)
         graft.ext.KeywordIndex.rebuildStaged(
           docs.filter(col("doc_id") % 5 =!= 4), ix)
-        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+        graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20,
+          zeroFill = true)
       },
       Some(sqlKwBm25("NOT (doc_id % 5 = 4)", KwTerms, 20))),
 
@@ -4490,7 +4630,8 @@ object ExtQueries {
         val embs = t(s, dir, "embeddings")
         val ix = graft.ext.KeywordIndex.dirFor(dir)
         graft.ext.KeywordIndex.ensure(docs, ix)
-        val lex = graft.ext.KeywordIndex.probe(s, ix, KwTerms, topN = 20)
+        val lex = graft.ext.KeywordIndex.probe(s, ix, KwTerms,
+          topN = 20, zeroFill = true)
         val dense = Similarity.bruteForceTopK(embs,
             embs.filter(col("vec_id") === 7), k = 20)
           .select(col("nid").as("doc_id"), col("rank"))
@@ -4510,7 +4651,105 @@ object ExtQueries {
                         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
                       FROM kf)
                SELECT rank, doc_id, rrf FROM kr
-               WHERE rank <= 10 ORDER BY rank"""))
+               WHERE rank <= 10 ORDER BY rank""")),
+
+    // k7b: the PRODUCTION hybrid — k7's fusion with BOTH pages
+    // served from stored assets: KeywordIndex.probe (postings slice
+    // + 1-row stats gauge) fused with AnnIndex.probeTopK (IVFADC
+    // over centroids/codebook/postings — the embeddings table is
+    // never scanned at query time, the cost k7's in-query dense side
+    // pays on every call). Oracle: the k-family BM25 SQL fused with
+    // the x8/x9 IVFADC chain (the same CTEs that oracle the stored
+    // ANN probe), RRF'd lexical-then-dense exactly as k7.
+    Q("k7b_hybrid_stored",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val embs = t(s, dir, "embeddings")
+        val kix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, kix)
+        val aix = graft.ext.AnnIndex.dirFor(dir)
+        graft.ext.AnnIndex.ensure(embs, aix)
+        val lex = graft.ext.KeywordIndex.probe(s, kix, KwTerms,
+          topN = 20, zeroFill = true)
+        val dense = graft.ext.AnnIndex.probeTopK(s, aix,
+            embs.filter(col("vec_id") === 7), k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        Relevance.rrfFuse(lex, dense, topN = 10)
+      },
+      Some(s"""WITH kb AS (${sqlKwBm25("TRUE", KwTerms, 20)}),
+                    $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes,
+                    ka AS (SELECT nid AS doc_id, rank FROM x8r
+                           WHERE qid = 7 AND rank <= 20),
+                    kf AS (SELECT COALESCE(kb.doc_id, ka.doc_id) AS doc_id,
+                        ${sqlRoundDet(
+                          "COALESCE(1.0 / (60.0 + CAST(kb.rank AS DOUBLE)), 0.0)" +
+                            " + COALESCE(1.0 / (60.0 + CAST(ka.rank AS DOUBLE)), 0.0)",
+                          6)} AS rrf
+                      FROM kb FULL OUTER JOIN ka ON ka.doc_id = kb.doc_id),
+                    kr AS (SELECT doc_id, rrf,
+                        ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+                      FROM kf)
+               SELECT rank, doc_id, rrf FROM kr
+               WHERE rank <= 10 ORDER BY rank""")),
+
+    // k11: filtered (ACL/tenant) lexical serve — BM25 top-k WITHIN
+    // an allowed doc-id subset, AnnIndex.probeTopKFiltered's (x11)
+    // lexical twin, with SCOPED-CORPUS statistics: the subset IS the
+    // scoring corpus, so the oracle is the family's one BM25 SQL
+    // with the subset predicate folded into its live-set condition —
+    // the page equals what a dedicated per-tenant index would serve.
+    Q("k11_keyword_filtered",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.probeTopKFiltered(s, ix, KwTerms,
+          topN = 20,
+          allowed = docs.filter(col("doc_id") % 3 === 0)
+            .select("doc_id"),
+          zeroFill = true)
+      },
+      Some(sqlKwBm25("doc_id % 3 = 0", KwTerms, 20))),
+
+    // k13: BATCHED lexical serve — AnnIndex.probeTopK's many-queries
+    // shape on the keyword family: three term queries served from
+    // ONE composed plan (one postings scan over the union term set,
+    // shared per-term dfs, candidates shuffled once on (qid, id),
+    // every rank window qid-PARTITIONED — no global window). Scores
+    // come from the ordered held-terms fold; each page is pinned
+    // hash-exact against the candidates-only BM25 SQL UNION'd per
+    // qid. qid 0 repeats k1's terms, so the two serve shapes are
+    // also pinned against the SAME oracle ranking.
+    Q("k13_keyword_multi",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.probeMany(s, ix, KwMulti, topN = 10)
+      },
+      Some(KwMulti.map { case (q, ts) => sqlKwBm25CandPage(q, ts, 10) }
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY qid, rank"))),
+
+    // k12: threshold (range) lexical serve — every live doc whose
+    // BM25 score clears the bar, AnnIndex.probeRange's (x17) lexical
+    // twin: join→score→filter, no rank window at all. Completes the
+    // serve matrix (top-k / filtered / threshold × dense / identity
+    // / lexical). Bar 0.7 sits inside the fixture score range
+    // (max ≈ 0.81-0.94 across SFs) so the row is non-vacuous at
+    // every scale; zero-score docs are excluded by construction on
+    // both sides (no query term → score exactly 0.0 < bar).
+    Q("k12_keyword_range",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.probeRange(s, ix, KwTerms,
+          minScore = 0.7)
+      },
+      Some(s"""WITH ${sqlKwBm25Ctes("TRUE", KwTerms)}
+               SELECT doc_id, score FROM scored
+               WHERE score >= 0.7 ORDER BY doc_id"""))
   )
 
   // DuckDB twin of Layout.spread16/zorderKey2: the identical

@@ -226,7 +226,7 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     *     is always into clean id space. */
   def repairKeywords(): Unit = {
     requireKeywordServing("repairKeywords")
-    import graft.ext.KeywordIndex
+    import graft.ext.{KeywordIndex, StoredIndex}
     val corpusPath = new org.apache.hadoop.fs.Path(s"$root/corpus")
     if (!fs.exists(corpusPath)) return
     val to = text.batchLedger().agg(max(col("batch"))).head.getLong(0)
@@ -244,8 +244,18 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     if (pending.exists(!_.limit(1).isEmpty)) {
       KeywordIndex.rebuildStaged(text.corpus(), keywordDir)
     } else {
-      val missing = text.corpus()
-        .join(live, Seq("doc_id"), "left_anti").localCheckpoint()
+      // defense-in-depth: a tombstoned-but-in-corpus id is
+      // unreachable via this class's operations (see the scaladoc),
+      // but an out-of-band KeywordIndex.remove against the shared
+      // dir could create one — appending it with checkIds = false
+      // would land rows the tombstone permanently filters, silently
+      // skewing the fingerprint and the served statistics. Exclude
+      // tombstoned ids from the repair append instead.
+      val missing = StoredIndex.filterTombstones(
+          StoredIndex.readDeleteIds(spark, keywordDir),
+          text.corpus().join(live, Seq("doc_id"), "left_anti"),
+          "doc_id")
+        .localCheckpoint()
       if (!missing.isEmpty)
         KeywordIndex.append(missing, keywordDir, checkIds = false)
     }
@@ -254,9 +264,11 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
 
   /** BM25 top-N from the co-maintained keyword index (see
     * [[graft.ext.KeywordIndex.probe]]). */
-  def probeKeywords(terms: Seq[String], topN: Int): DataFrame = {
+  def probeKeywords(terms: Seq[String], topN: Int,
+                    zeroFill: Boolean = false): DataFrame = {
     requireKeywordServing("probeKeywords")
-    graft.ext.KeywordIndex.probe(spark, keywordDir, terms, topN)
+    graft.ext.KeywordIndex.probe(spark, keywordDir, terms, topN,
+      zeroFill = zeroFill)
   }
 
   private def requireKeywordServing(what: String): Unit =

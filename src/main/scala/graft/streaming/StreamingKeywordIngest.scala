@@ -209,7 +209,7 @@ final class StreamingKeywordIngest(spark: SparkSession, indexDir: String,
     // must run regardless (StreamingAnnIngest's NOTE applies)
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
     if (!fs.exists(metaPath)) {
-      val orphaned = Seq("postings", "doclens").filter(a =>
+      val orphaned = Seq("postings", "doclens", "stats").filter(a =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$a")))
       val storeExists = storeDir.exists { d =>
         val p = new org.apache.hadoop.fs.Path(d)

@@ -38,7 +38,12 @@ class KeywordIndexSpec extends SparkTestBase {
 
   private def assertServes(dir: String, live: DataFrame, topN: Int = 8,
                            what: String = ""): Unit = {
-    val stored = page(KeywordIndex.probe(spark, dir, terms, topN))
+    // zeroFill = true: bm25TopDocs ranks the WHOLE live corpus, so
+    // the stored page must opt into the zero-score tail to match a
+    // short page bit-for-bit (the oracle posture; the default
+    // production page is candidates-only — tested separately)
+    val stored = page(KeywordIndex.probe(spark, dir, terms, topN,
+      zeroFill = true))
     val direct = page(Relevance.bm25TopDocs(live, terms, topN))
     assert(stored == direct, s"$what: stored page != in-query scorer")
   }
@@ -54,10 +59,16 @@ class KeywordIndexSpec extends SparkTestBase {
     // candidates — the page must fill with smallest-id zero-score
     // docs exactly as the in-query ranking does
     val onlyAbsent = Seq("nosuchterm")
-    val stored = page(KeywordIndex.probe(spark, dir, onlyAbsent, 5))
+    val stored = page(KeywordIndex.probe(spark, dir, onlyAbsent, 5,
+      zeroFill = true))
     val direct = page(Relevance.bm25TopDocs(corpus, onlyAbsent, 5))
     assert(stored == direct, "all-zero page must match (id-ordered)")
     assert(stored.map(_._3).forall(_ == 0.0))
+    // the DEFAULT (production) page is candidates-only: no query
+    // term matches anything, so the honest answer is an empty page —
+    // and no doclens read ever happens (PlanSpec gates the plan)
+    assert(page(KeywordIndex.probe(spark, dir, onlyAbsent, 5)).isEmpty,
+      "default page must be candidates-only (short, not zero-filled)")
     // and freshness: a content ensure over the same corpus is a no-op
     assert(!KeywordIndex.ensure(corpus, dir), "must stay fresh")
     assert(KeywordIndex.ensure(corpus.filter($"doc_id" < 12L), dir),
@@ -78,6 +89,16 @@ class KeywordIndexSpec extends SparkTestBase {
     assert(page(KeywordIndex.probe(spark, chained, terms, 8)) ==
       page(KeywordIndex.probe(spark, oneShot, terms, 8)),
       "append chain must serve the one-shot page")
+    // the default page is the candidates-only PREFIX of the
+    // zero-filled ranking: same rows wherever scores are positive
+    val full = page(KeywordIndex.probe(spark, chained, terms, 8,
+      zeroFill = true))
+    val short = page(KeywordIndex.probe(spark, chained, terms, 8))
+    assert(short == full.take(short.size) &&
+      short.forall(_._3 > 0.0) &&
+      full.drop(short.size).forall(_._3 == 0.0),
+      "default page must be the positive-score prefix of the " +
+        "zero-filled ranking")
     assert(!KeywordIndex.ensure(union, chained),
       "XOR meta merge must stay content-fresh")
     intercept[IllegalArgumentException] {
@@ -208,6 +229,147 @@ class KeywordIndexSpec extends SparkTestBase {
     assertServes(dir, corpus, what = "post-crash rebuild")
   }
 
+  test("k: filtered serve ≡ in-query BM25 over the allowed subset " +
+      "(scoped-corpus statistics)") {
+    val corpus = corpusOf(30)
+    val dir = tmp("kwfl")
+    KeywordIndex.build(corpus, dir)
+    val allowed = corpus.filter($"doc_id" % 3 === 0L)
+    val stored = page(KeywordIndex.probeTopKFiltered(spark, dir, terms,
+      topN = 6, allowed = allowed.select("doc_id"), zeroFill = true))
+    val direct = page(Relevance.bm25TopDocs(allowed, terms, 6))
+    assert(stored == direct,
+      "filtered page must equal a dedicated subset-corpus index")
+    // and under pending tombstones: the live∩allowed corpus
+    KeywordIndex.remove(corpus.filter($"doc_id" % 5 === 0L), dir)
+    val liveAllowed = allowed.filter($"doc_id" % 5 =!= 0L)
+    val stored2 = page(KeywordIndex.probeTopKFiltered(spark, dir, terms,
+      topN = 6, allowed = allowed.select("doc_id"), zeroFill = true))
+    assert(stored2 == page(Relevance.bm25TopDocs(liveAllowed, terms, 6)),
+      "filtered page must track the live∩allowed set")
+  }
+
+  test("k: threshold serve = exactly the docs clearing the bar, " +
+      "doc_id-ordered, no rank window; bar must be positive") {
+    val corpus = corpusOf(30)
+    val dir = tmp("kwrg")
+    KeywordIndex.build(corpus, dir)
+    // full ranking from the in-query scorer, then cut at the bar —
+    // the expected range answer
+    val bar = 0.8
+    val expected = page(Relevance.bm25TopDocs(corpus, terms, 30))
+      .filter(_._3 >= bar).map(r => (r._2, r._3)).sortBy(_._1)
+    val got = KeywordIndex.probeRange(spark, dir, terms, minScore = bar)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected, "range serve must cut the full ranking " +
+      s"at the bar (got ${got.size}, expected ${expected.size})")
+    assert(expected.nonEmpty, "vacuous bar — lower it")
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeRange(spark, dir, terms, minScore = 0.0)
+    }
+  }
+
+  test("k: a 40-term query still serves the exact in-query page " +
+      "(wide-pivot bound)") {
+    val corpus = corpusOf(25)
+    val dir = tmp("kwwd")
+    KeywordIndex.build(corpus, dir)
+    // every vocab word + 30 absent terms: the pivot mints 40
+    // aggregate pairs — wide but bounded, and bit-exact
+    val wide = vocab ++ (1 to 30).map(i => s"absent$i")
+    val stored = page(KeywordIndex.probe(spark, dir, wide, 10,
+      zeroFill = true))
+    val direct = page(Relevance.bm25TopDocs(corpus, wide, 10))
+    assert(stored == direct, "wide-term page must match")
+  }
+
+  test("k: probeMany ≡ the per-qid single probes, including an " +
+      "all-absent query's empty page; qid/term guards hold") {
+    val corpus = corpusOf(26)
+    val dir = tmp("kwpm")
+    KeywordIndex.build(corpus, dir)
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("alpha", "theta", "nosuchterm"),
+      1L -> Seq("beta"),
+      2L -> Seq("nosuchterm"))
+    val many = KeywordIndex.probeMany(spark, dir, qs, topN = 6)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val singles = qs.flatMap { case (q, ts) =>
+      KeywordIndex.probe(spark, dir, ts, 6)
+        .as[(Int, Long, Double)].collect().toSeq
+        .map(r => (q, r._1, r._2, r._3))
+    }
+    assert(many == singles,
+      "batched pages must equal the single-probe pages per qid")
+    // and under pending tombstones (stats/df/candidates all shift)
+    KeywordIndex.remove(corpus.filter($"doc_id" % 3 === 1L), dir)
+    val many2 = KeywordIndex.probeMany(spark, dir, qs, topN = 6)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val singles2 = qs.flatMap { case (q, ts) =>
+      KeywordIndex.probe(spark, dir, ts, 6)
+        .as[(Int, Long, Double)].collect().toSeq
+        .map(r => (q, r._1, r._2, r._3))
+    }
+    assert(many2 == singles2, "tombstoned batched pages must match")
+    intercept[IllegalArgumentException] { // duplicate qid
+      KeywordIndex.probeMany(spark, dir,
+        Seq(0L -> Seq("alpha"), 0L -> Seq("beta")), 3)
+    }
+    intercept[IllegalArgumentException] { // empty terms
+      KeywordIndex.probeMany(spark, dir, Seq(0L -> Seq.empty), 3)
+    }
+    intercept[IllegalArgumentException] { // repeated term
+      KeywordIndex.probeMany(spark, dir,
+        Seq(0L -> Seq("alpha", "alpha")), 3)
+    }
+  }
+
+  test("k: merge/absorb refuse a nested outDir (path-prefix " +
+      "overlap would destroy shard assets)") {
+    val a = corpusOf(8)
+    val dirA = tmp("kwov")
+    KeywordIndex.build(a, dirA)
+    intercept[IllegalArgumentException] { // outDir inside a shard
+      KeywordIndex.merge(spark, Seq(dirA), s"$dirA/nested")
+    }
+    intercept[IllegalArgumentException] { // shard inside outDir
+      val out = tmp("kwov2")
+      KeywordIndex.build(corpusOf(4, from = 100L), s"$out/sh")
+      KeywordIndex.merge(spark, Seq(s"$out/sh"), out)
+    }
+    intercept[IllegalArgumentException] { // absorb: shard nested
+      KeywordIndex.absorb(spark, s"$dirA/nested", dirA)
+    }
+  }
+
+  test("k: healthFromCorpus reports bloom_present = 0 on an empty " +
+      "corpus, matching build's null-bloom write") {
+    val empty = corpusOf(0)
+    val dir = tmp("kwem")
+    KeywordIndex.build(empty, dir)
+    assert(StoredIndex.readIdBloom(spark, dir).isEmpty,
+      "empty-corpus build writes a null bloom")
+    val stored = KeywordIndex.health(spark, dir)
+    val derived = KeywordIndex.healthFromCorpus(empty)
+    assert(stored.exceptAll(derived).unionByName(
+      derived.exceptAll(stored)).isEmpty,
+      "empty-corpus health must agree stored ≡ derived")
+  }
+
+  // the (n_docs, sum_dl) gauge must equal the doclens-derived truth
+  // after ANY lifecycle point — the invariant the O(1) probe
+  // statistics rest on
+  private def assertStatsGauge(dir: String, what: String): Unit = {
+    val gauge = spark.read.parquet(s"$dir/stats")
+      .as[(Long, Long)].head()
+    val truth = StoredIndex.filterTombstones(spark, dir,
+        spark.read.parquet(s"$dir/doclens"), "id")
+      .agg(count(lit(1L)), coalesce(sum($"dl"), lit(0L)))
+      .as[(Long, Long)].head()
+    assert(gauge == truth,
+      s"$what: stats gauge $gauge != doclens-derived $truth")
+  }
+
   test("k: 20 random append/remove/compact/re-append/merge/absorb/" +
       "staged-rebuild interleavings serve the in-query page") {
     val lrnd = new scala.util.Random(61)
@@ -272,6 +434,7 @@ class KeywordIndexSpec extends SparkTestBase {
       }
       val liveDf = live.toSeq.toDF("doc_id", "text").localCheckpoint()
       assertServes(dir, liveDf, topN = 6, what = s"sequence $seqNo")
+      assertStatsGauge(dir, s"sequence $seqNo")
       assert(!KeywordIndex.ensure(liveDf, dir),
         s"sequence $seqNo: meta must stay content-fresh for survivors")
       if (removedOnce) nonVacuous += 1

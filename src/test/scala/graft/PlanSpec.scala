@@ -505,8 +505,9 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
-  test("keyword probe: term IN pushed to the postings scan, no " +
-      "tokenize, corpus text never read (k1 plan)") {
+  test("keyword probe (default/production): term IN pushed to the " +
+      "postings scan, no tokenize, no corpus text, and NO doclens-" +
+      "wide work — stats come from the 1-row gauge (k8 plan)") {
     import graft.ext.KeywordIndex
     val dir = java.nio.file.Files
       .createTempDirectory("graft_kw_plan").toString
@@ -526,10 +527,67 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"probe re-tokenizes text in:\n$plan")
     assert(!plan.contains("text#"),
       s"probe reads corpus text in:\n$plan")
-    // the zero-fill tail is orderBy+limit (TakeOrderedAndProject),
-    // not a corpus-wide rank window
+    // the VERDICT-r9 `weak` closed: the default probe plan must not
+    // touch doclens AT ALL — candidate dl rides the postings rows,
+    // (n_docs, sum_dl) ride the 1-row stats gauge. Any doclens scan
+    // here would be a per-query O(live doc count) term at 100 TB.
+    assert(!plan.contains("doclens"),
+      s"default probe plan reads doclens in:\n$plan")
+  }
+
+  test("keyword probe (zeroFill, the oracle posture): the tail is " +
+      "orderBy+limit over doclens, not a corpus-wide rank window") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_planz").toString
+    KeywordIndex.build(docs, dir)
+    val plan = executed(KeywordIndex.probe(spark, dir,
+      Seq("data", "query", "shuffle"), topN = 20, zeroFill = true))
     assert(plan.contains("TakeOrderedAndProject"),
       s"zero-fill page is not a bounded top-k in:\n$plan")
+    assert(!plan.contains("split(") && !plan.contains("text#"),
+      s"zero-fill probe touches corpus text in:\n$plan")
+  }
+
+  test("keyword probeMany: one composed plan — no doclens, term IN " +
+      "pushed, and NO global window (every rank window qid-keyed)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_planm").toString
+    KeywordIndex.build(docs, dir)
+    val probed = KeywordIndex.probeMany(spark, dir,
+      Seq(0L -> Seq("data", "query"), 1L -> Seq("shuffle", "spark")),
+      topN = 10)
+    val plan = executed(probed)
+    assert(!plan.contains("doclens"),
+      s"batched probe reads doclens in:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined,
+      s"term IN not pushed in:\n$plan")
+    assert(!plan.contains("split(") && !plan.contains("text#"),
+      s"batched probe touches corpus text in:\n$plan")
+    // the batch dimension is the partition key: unlike the single
+    // probe's audited global rank window, the batched serve must
+    // plan ZERO global windows (PlanGuard's rule, asserted directly)
+    assert(!graft.plans.PlanGuard.findings(probed)
+      .exists(_.rule == "global-window"),
+      "batched probe plans a global window")
+  }
+
+  test("keyword range serve: join-score-filter only — no rank " +
+      "window, no doclens (k12 plan)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_planr").toString
+    KeywordIndex.build(docs, dir)
+    val plan = executed(KeywordIndex.probeRange(spark, dir,
+      Seq("data", "query", "shuffle"), minScore = 0.7))
+    assert(!plan.contains("doclens"),
+      s"range serve reads doclens in:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") &&
+      !plan.contains("row_number"),
+      s"range serve plans a rank window in:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined,
+      s"term IN not pushed in:\n$plan")
   }
 
   test("nested rollup: one key shuffle builds the array, no Window (n1)") {

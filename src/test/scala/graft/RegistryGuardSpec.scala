@@ -83,6 +83,25 @@ class RegistryGuardSpec extends SparkTestBase {
     // the caller's contract; the fusion never sees the corpus)
     "k7_hybrid_rrf" ->
       Set("unconditional-nested-loop", "global-window"),
+    // k7b: k7's fusion shapes with the STORED dense page — the x9
+    // probe chain's one-row centroid/codebook broadcasts and their
+    // benign deferred l2normalize (one-row build side, per-pair
+    // multiplier 1) join k1's audited shapes
+    "k7b_hybrid_stored" ->
+      Set("unconditional-nested-loop", "global-window",
+        "bnlj-deferred-derivation"),
+    // k11: k1's probe chain with the allowed set broadcast-semi-
+    // joined on id (keyed) and the subset stats as ANOTHER one-row
+    // aggregate broadcast — same audited shapes as k1
+    "k11_keyword_filtered" ->
+      Set("unconditional-nested-loop", "global-window"),
+    // k12: the threshold serve is join→score→filter — NO rank
+    // window; only the two one-row stat broadcasts remain
+    "k12_keyword_range" -> Set("unconditional-nested-loop"),
+    // k13: the batched serve's windows are all qid-partitioned (no
+    // global-window allowance — that IS the row's point); only the
+    // one-row stats-gauge broadcast remains
+    "k13_keyword_multi" -> Set("unconditional-nested-loop"),
     // st20: the returned frame IS KeywordIndex.probe over the
     // stream-maintained index (the ingest/takedown side effects run
     // eagerly outside the probed plan) — k1's audited shapes

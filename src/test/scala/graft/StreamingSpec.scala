@@ -682,8 +682,8 @@ class StreamingSpec extends SparkTestBase {
       "streamed index content-fresh over the full corpus")
     // streamed serve == in-query scorer over the full corpus
     val terms = Seq("data", "query")
-    def stored() = KeywordIndex.probe(spark, ix, terms, 10)
-      .collect().toSeq
+    def stored() = KeywordIndex.probe(spark, ix, terms, 10,
+      zeroFill = true).collect().toSeq
     assert(stored() ==
       graft.ext.Relevance.bm25TopDocs(docs, terms, 10).collect().toSeq,
       "streamed keyword serve != in-query BM25")

@@ -107,7 +107,8 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     def kwLive() = ids(KeywordIndex.liveIndexedIds(spark, kwIx), "id")
     def serveMatches(what: String): Unit = {
       val live = joint.text.corpus().localCheckpoint()
-      assert(joint.probeKeywords(terms, 10).collect().toSeq ==
+      assert(joint.probeKeywords(terms, 10, zeroFill = true)
+        .collect().toSeq ==
         Relevance.bm25TopDocs(live, terms, 10).collect().toSeq,
         s"$what: keyword serve != in-query BM25 over the corpus")
     }
@@ -309,7 +310,8 @@ class CorpusIngestSpec extends graft.SparkTestBase {
       // equal the in-query scorer over the surviving corpus — the
       // statistics (df/N/sum dl) have to reflect every op above
       val qt = Seq(s"tok${live.keySet.min}x0")
-      assert(joint.probeKeywords(qt, 5).collect().toSeq ==
+      assert(joint.probeKeywords(qt, 5, zeroFill = true)
+        .collect().toSeq ==
         graft.ext.Relevance.bm25TopDocs(
           joint.text.corpus().localCheckpoint(), qt, 5)
           .collect().toSeq,
