@@ -94,6 +94,61 @@ object ExtQueries {
                    ${terms.indices.map(i => s"tf_$i").mkString(", ")}
                  FROM base CROSS JOIN stats)"""
 
+  /** The BPE trainer's full iterative state as a DuckDB RECURSIVE
+    * chain — `bst(round, word, n, syms)` for rounds 0..`numMerges`,
+    * over the documents word-frequency table (the same whitespace
+    * tokenize + length>0 filter as [[graft.ext.Bpe.wordCounts]]).
+    * Each recursion step computes the argmax pair of the CURRENT
+    * state as one scalar `min(struct(-count, left, right))` (the
+    * trainer's exact (count desc, left, right) tie-break — struct
+    * compare is lexicographic) and applies the merge to every word's
+    * symbol list with leftmost-first overlap semantics: within a
+    * consecutive run of match positions, exactly the even-offset
+    * ones merge (the run-parity rule — equivalent to the Spark
+    * side's sequential left-to-right fold on overlaps like "aaa").
+    * Shared by the b2 (train) and b3 (encode) oracles. */
+  private def sqlBpeStateCtes(numMerges: Int): String = {
+    def matches(bl: String, br: String) =
+      s"""list_filter(range(1, len(syms)),
+          i -> syms[i] = $bl AND syms[i+1] = $br)"""
+    def starts(bl: String, br: String) =
+      s"""list_filter(${matches(bl, br)},
+          p -> NOT list_contains(${matches(bl, br)}, p - 1))"""
+    def kept(bl: String, br: String) =
+      s"""list_filter(${matches(bl, br)}, p -> CAST((p - list_max(
+          list_filter(${starts(bl, br)}, q -> q <= p))) AS BIGINT)
+          % 2 = 0)"""
+    def applyMerge(bl: String, br: String) =
+      s"""list_filter(list_transform(range(1, len(syms) + 1),
+          j -> CASE WHEN list_contains(${kept(bl, br)}, j)
+                      THEN $bl || $br
+                    WHEN list_contains(${kept(bl, br)}, j - 1)
+                      THEN CAST(NULL AS VARCHAR)
+                    ELSE syms[j] END), x -> x IS NOT NULL)"""
+    val best =
+      """(SELECT min(struct_pack(nc := -pair_count, l := lft, r := rgt))
+          FROM (SELECT syms[u.i] AS lft, syms[u.i+1] AS rgt,
+                       SUM(n) AS pair_count
+                FROM bst, unnest(range(1, len(syms))) AS u(i)
+                GROUP BY 1, 2))"""
+    s"""bwc AS (SELECT word, COUNT(*) AS n FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents)
+          WHERE length(word) > 0 GROUP BY word),
+        bw0 AS (SELECT word, n, list_append(list_transform(
+            range(1, length(word) + 1), i -> word[i:i]), '</w>')
+            AS syms
+          FROM bwc),
+        bst AS (
+          SELECT 0 AS round, word, n, syms FROM bw0
+          UNION ALL
+          SELECT round + 1, word, n,
+            (SELECT ${applyMerge("b.pick.l", "b.pick.r")})
+          FROM bst, (SELECT $best AS pick) b
+          WHERE round < $numMerges
+        )"""
+  }
+
   /** One qid's CANDIDATES-ONLY BM25 page (docs holding ≥ 1 query
     * term — the production no-zero-fill posture probeMany serves):
     * the same CTE chain, ranked after the tf filter, tagged with the
@@ -4330,12 +4385,37 @@ object ExtQueries {
                 AS m(r, l, rt, c)
               ORDER BY round""")),
 
+    // b2: the FULL iterative trainer, hash-exact against a DuckDB
+    // RECURSIVE replay (round 10; b1's fixture-pinned VALUES table
+    // remains as the independent cross-check of the same frame).
+    // The recursion carries the per-word symbol state; each step
+    // picks min(struct(-count, left, right)) — the trainer's exact
+    // (count desc, left, right) argmax — and applies the merge with
+    // leftmost-first overlap semantics via the run-parity rule (a
+    // position merges iff its offset within its consecutive match
+    // run is even — equivalent to the Spark side's left-to-right
+    // fold on runs like "aaa"). The reported merge table re-derives
+    // each round's argmax from the recursion's state, so both
+    // engines walk the identical greedy chain.
     Q("b2_bpe_train",
       (s, dir) => graft.ext.Bpe.train(s, t(s, dir, "documents"), 12)
         .select(col("round"), col("left").as("left_sym"),
           col("right").as("right_sym"), col("pair_count"))
         .orderBy("round"),
-      None),
+      Some(s"""WITH RECURSIVE ${sqlBpeStateCtes(12)},
+               pairs AS (SELECT round + 1 AS round, syms[u.i] AS left_sym,
+                           syms[u.i+1] AS right_sym, SUM(n) AS pair_count
+                         FROM bst, unnest(range(1, len(syms))) AS u(i)
+                         WHERE round < 12
+                         GROUP BY 1, 2, 3),
+               brk AS (SELECT round, left_sym, right_sym, pair_count,
+                         ROW_NUMBER() OVER (PARTITION BY round
+                           ORDER BY pair_count DESC, left_sym, right_sym)
+                           AS rk
+                       FROM pairs)
+               SELECT CAST(round AS INTEGER) AS round, left_sym,
+                      right_sym, CAST(pair_count AS BIGINT) AS pair_count
+               FROM brk WHERE rk = 1 ORDER BY round""")),
 
     Q("b2_bpe_contract",
       (s, dir) => {
@@ -4404,7 +4484,33 @@ object ExtQueries {
             coalesce(col("n_merged"), lit(0L)).as("n_merged"))
           .orderBy("doc_id")
       },
-      None),
+      // hash-exact since round 10: the encode chain replays in SQL —
+      // the b2 recursion's round-12 state IS the encoded distinct
+      // vocabulary (encode is word-local by construction), so the
+      // per-doc stats derive from it with one keyed join
+      Some(s"""WITH RECURSIVE ${sqlBpeStateCtes(12)},
+               benc AS (SELECT word, CAST(len(syms) AS BIGINT) AS nt,
+                          CAST(len(list_filter(syms, t ->
+                            length(t) > 1 AND t <> '</w>')) AS BIGINT)
+                            AS nm
+                        FROM bst WHERE round = 12),
+               bdw AS (SELECT doc_id, word FROM (
+                         SELECT doc_id, unnest(string_split_regex(
+                           text, '\\s+')) AS word
+                         FROM documents)
+                       WHERE length(word) > 0),
+               bagg AS (SELECT doc_id,
+                          CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                          CAST(SUM(nm) AS BIGINT) AS n_merged
+                        FROM bdw JOIN benc USING (word)
+                        GROUP BY doc_id)
+               SELECT d.doc_id,
+                      CAST(COALESCE(bagg.n_tokens, 0) AS BIGINT)
+                        AS n_tokens,
+                      CAST(COALESCE(bagg.n_merged, 0) AS BIGINT)
+                        AS n_merged
+               FROM documents d LEFT JOIN bagg USING (doc_id)
+               ORDER BY doc_id""")),
 
     // b3 twin: decode(encode(w)) must reconstruct EVERY word.
     // Bpe.encode is word-local by construction (symbolize per word,
