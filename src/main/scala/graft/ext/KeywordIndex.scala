@@ -210,18 +210,27 @@ object KeywordIndex {
     * than widen one plan unboundedly. */
   private def scoredCandidates(slice: DataFrame, stats: DataFrame,
                                terms: Seq[String], k1: Double,
-                               b: Double): DataFrame = {
+                               b: Double): DataFrame =
+    scoredCandidates(slice, slice, stats, terms, k1, b)
+
+  /** [[scoredCandidates]] with the df side split from the candidate
+    * side — the global-statistics filtered serve scores an
+    * allowed-subset candidate slice with document frequencies
+    * reduced over the FULL live slice. */
+  private def scoredCandidates(candSlice: DataFrame, dfSlice: DataFrame,
+                               stats: DataFrame, terms: Seq[String],
+                               k1: Double, b: Double): DataFrame = {
     // one-row per-term document frequencies (postings are one row
     // per (term, doc), so df is a plain conditional count over the
     // matched slice)
-    val dfs = slice.agg(
+    val dfs = dfSlice.agg(
       coalesce(sum(when(col("term") === lit(terms.head), 1L)), lit(0L))
         .as("df_0"),
       terms.zipWithIndex.tail.map { case (t, i) =>
         coalesce(sum(when(col("term") === lit(t), 1L)), lit(0L))
           .as(s"df_$i")
       }: _*)
-    val tfs = slice.groupBy("id").agg(
+    val tfs = candSlice.groupBy("id").agg(
       max(col("dl")).as("dl"), // every (term, id) row carries it
       terms.zipWithIndex.map { case (t, i) =>
         coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0L))
@@ -381,33 +390,47 @@ object KeywordIndex {
     * (and what the family's one oracle SQL produces with the subset
     * predicate folded into its live-set condition).
     *
-    * Cost: the candidate side stays O(matched postings) — the
-    * allowed set broadcasts into the pruned slice — but the subset
-    * statistics CANNOT be a stored gauge (they depend on the
-    * per-query subset), so this pays one broadcast-filtered doclens
-    * pass per probe. That is the price of scoped statistics, not an
-    * implementation shortfall; a caller content with GLOBAL
-    * statistics under an allowed-set candidate filter can get the
-    * O(matched postings) form by scoring against the stored gauge —
-    * but its ranking is then not any corpus's BM25, so the scoped
-    * form is the one served here. */
+    * Statistics scope — the two ACL-filtering semantics, both
+    * served:
+    *  - `scopedStats = true` (default): df/N/Σdl reduce over the
+    *    ALLOWED subset. The subset statistics cannot be a stored
+    *    gauge (they depend on the per-query subset), so this pays
+    *    one broadcast-filtered doclens pass per probe — the price
+    *    of per-tenant statistics, not an implementation shortfall.
+    *  - `scopedStats = false`: candidates are restricted to the
+    *    subset but scored with the GLOBAL live-corpus statistics
+    *    (the stored 1-row gauge + full-slice dfs) — x11's pre-filter
+    *    semantics on the dense side, and the scale posture: the
+    *    default plan is O(matched postings + candidates) with no
+    *    doclens work at all, identical to the unfiltered [[probe]].
+    *    Scores (not just ranks) then agree with the unfiltered
+    *    ranking, so pages from differently-filtered views compose
+    *    (e.g. into [[Relevance.rrfFuse]]) on one score scale. */
   def probeTopKFiltered(spark: SparkSession, dir: String,
                         terms: Seq[String], topN: Int,
                         allowed: DataFrame, k1: Double = 1.2,
                         b: Double = 0.75, zeroFill: Boolean = false,
+                        scopedStats: Boolean = true,
                         idCol: String = "doc_id"): DataFrame = {
     requireQueryTerms(terms, "KeywordIndex.probeTopKFiltered")
     val ids = allowed.select(col(idCol).cast("long").as("id")).distinct()
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val slice = sliceOf(spark, dir, dels, terms)
-      .join(broadcast(ids), Seq("id"), "left_semi")
-    val lens = StoredIndex.filterTombstones(dels,
+    val allowedSlice = slice.join(broadcast(ids), Seq("id"), "left_semi")
+    // by-name: the global-stats, no-zero-fill plan never reads it
+    lazy val lens = StoredIndex.filterTombstones(dels,
         spark.read.parquet(s"$dir/doclens"), "id")
       .join(broadcast(ids), Seq("id"), "left_semi")
-    val stats = lens.agg(count(lit(1L)).as("n_docs"),
-      coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
-    rankedPage(scoredCandidates(slice, stats, terms, k1, b),
-      lens, topN, zeroFill)
+    val cand =
+      if (scopedStats)
+        scoredCandidates(allowedSlice,
+          lens.agg(count(lit(1L)).as("n_docs"),
+            coalesce(sum(col("dl").cast("long")), lit(0L))
+              .as("sum_dl")),
+          terms, k1, b)
+      else scoredCandidates(allowedSlice, slice,
+        spark.read.parquet(s"$dir/stats"), terms, k1, b)
+    rankedPage(cand, lens, topN, zeroFill)
   }
 
   /** Threshold serve — [[AnnIndex.probeRange]]'s lexical twin: every

@@ -94,6 +94,54 @@ object ExtQueries {
                    ${terms.indices.map(i => s"tf_$i").mkString(", ")}
                  FROM base CROSS JOIN stats)"""
 
+  /** The incremental MinHash gate's oracle, shared verbatim by d11
+    * (in-query), d15/d15v (stored-index probes — pinned ≡ the gate
+    * by the d15 consistency twins, so one SQL serves all), and the
+    * d15f small probes: batch-side LSH buckets joined to corpus-side
+    * buckets on (band, bhash) (each side under its own 1024 cap,
+    * singletons kept), candidate (batch_id, corpus_id) pairs, exact
+    * shingle-Jaccard thresholded on the 4dp-rounded value. One
+    * [[XxhSql]] cascade over the UNION of the two sides; the
+    * predicates are given per column name so the same text filters
+    * `documents.doc_id` and `banded.id`. */
+  private def sqlMinhashIncrOracle(batchPred: String => String,
+                                   corpusPred: String => String,
+                                   threshold: Double): String = {
+    val unionPred =
+      s"(${batchPred("doc_id")}) OR (${corpusPred("doc_id")})"
+    s"""WITH ${XxhSql.minhashBandedCtes(unionPred)},
+        bb AS (SELECT band, bhash, id FROM banded
+               WHERE ${batchPred("id")}),
+        cc AS (SELECT band, bhash, id FROM banded
+               WHERE ${corpusPred("id")}),
+        bbsz AS (SELECT band, bhash, COUNT(*) AS c FROM bb
+                 GROUP BY band, bhash),
+        ccsz AS (SELECT band, bhash, COUNT(*) AS c FROM cc
+                 GROUP BY band, bhash),
+        cand AS (SELECT DISTINCT bb.id AS batch_id, cc.id AS corpus_id
+                 FROM bb JOIN cc ON bb.band = cc.band
+                   AND bb.bhash = cc.bhash
+                 JOIN bbsz ON bbsz.band = bb.band
+                   AND bbsz.bhash = bb.bhash AND bbsz.c <= 1024
+                 JOIN ccsz ON ccsz.band = cc.band
+                   AND ccsz.bhash = cc.bhash AND ccsz.c <= 1024),
+        ${XxhSql.shingleListCtes("shs", unionPred)},
+        scored AS (SELECT batch_id, corpus_id,
+            ${XxhSql.sqlJaccard4dp} AS jaccard
+          FROM cand
+          JOIN shs a ON a.id = batch_id
+          JOIN shs b ON b.id = corpus_id)
+        SELECT batch_id, corpus_id, jaccard FROM scored
+        WHERE jaccard >= $threshold ORDER BY batch_id, corpus_id"""
+  }
+
+  // the d11/d15/d15v split and the d15f small-batch slice, as the
+  // rows register them
+  private def SqlD11Oracle: String = sqlMinhashIncrOracle(
+    c => s"$c >= 300", c => s"$c < 300", 0.4)
+  private def SqlD15fOracle: String = sqlMinhashIncrOracle(
+    c => s"$c >= 300 AND $c < 310", c => s"$c < 300", 0.4)
+
   /** The BPE trainer's full iterative state as a DuckDB RECURSIVE
     * chain — `bst(round, word, n, syms)` for rounds 0..`numMerges`,
     * over the documents word-frequency table (the same whitespace
@@ -877,11 +925,73 @@ object ExtQueries {
               WHERE rn = 1 ORDER BY doc_id""")),
 
     // engine-specific hash families: rows-only driver check
+    // d2: MinHash+LSH near-dup pairs — HASH-EXACT since round 10:
+    // the oracle replays the ENTIRE pipeline in DuckDB SQL, custom
+    // Catalyst expressions included — XXH64(shingle, 42) via the
+    // XxhSql short-path cascade (mod-2^64 HUGEINT arithmetic,
+    // validated against Spark's xxhash64 reference vectors), the 64
+    // universal-hash minima, the 16 XXH64-chained band hashes, the
+    // (band, bhash) bucket join under the 1024 cap, and the exact
+    // shingle-Jaccard verification (threshold on the 4dp-rounded
+    // value, as the Spark verifier filters). The candidate SET —
+    // not just the verified pairs — is thereby pinned cross-engine.
     Q("d2_dedup_minhash",
-      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), 0.4), None),
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), 0.4),
+      Some(s"""WITH ${XxhSql.minhashBandedCtes("TRUE")},
+               bsz AS (SELECT band, bhash, COUNT(*) AS c FROM banded
+                       GROUP BY band, bhash),
+               cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+                        FROM banded l
+                        JOIN banded r ON l.band = r.band
+                          AND l.bhash = r.bhash AND l.id < r.id
+                        JOIN bsz ON bsz.band = l.band
+                          AND bsz.bhash = l.bhash AND bsz.c <= 1024),
+               ${XxhSql.shingleListCtes("shs", "TRUE")},
+               scored AS (SELECT id_a, id_b,
+                   ${XxhSql.sqlJaccard4dp} AS jaccard
+                 FROM cand
+                 JOIN shs a ON a.id = id_a
+                 JOIN shs b ON b.id = id_b)
+               SELECT id_a, id_b, jaccard FROM scored
+               WHERE jaccard >= 0.4 ORDER BY id_a, id_b""")),
 
+    // d3: SimHash near-dups — HASH-EXACT since round 10 by the same
+    // kernel replay: per-document signature = sign of the 64 per-bit
+    // vote sums over DISTINCT-token XXH64 hashes (SimHash64's seen-
+    // set), pigeonhole 16-bit chunk join, Hamming <= 3 via
+    // bit_count(xor). The signature LONGS agree bit-for-bit, so the
+    // chunk keys, the candidate set, and the distances all pin.
     Q("d3_dedup_simhash",
-      (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 3), None),
+      (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 3),
+      Some(s"""WITH dtok AS (SELECT id, unnest(list_distinct(tk)) AS sh
+                 FROM (SELECT doc_id AS id,
+                         string_split_regex(text, '\\s+') AS tk
+                       FROM documents)),
+               ${XxhSql.strHashCtes("dtok", Seq("id"))},
+               pw(i, p) AS (VALUES ${(0 until 64).map(i =>
+                 s"($i, ${BigInt(1) << i})").mkString(", ")}),
+               votes AS (SELECT id, i,
+                   SUM(CASE WHEN (hxx // p) % 2 = 1 THEN 1 ELSE -1 END)
+                     AS v, MAX(p) AS p
+                 FROM xav, pw GROUP BY id, i),
+               sigu AS (SELECT id,
+                   COALESCE(SUM(CASE WHEN v > 0 THEN p END),
+                     CAST(0 AS HUGEINT)) AS us
+                 FROM votes GROUP BY id),
+               chnk AS (SELECT id, us, c.c AS chunk,
+                   CAST((us // c.sh) % 65536 AS BIGINT) AS cval
+                 FROM sigu, (VALUES (0, 1), (1, 65536),
+                   (2, 4294967296), (3, 281474976710656)) c(c, sh)),
+               cnd AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                   l.us AS us_a, r.us AS us_b
+                 FROM chnk l JOIN chnk r ON l.chunk = r.chunk
+                   AND l.cval = r.cval AND l.id < r.id),
+               ham AS (SELECT id_a, id_b,
+                   CAST(bit_count(xor(CAST(us_a AS UBIGINT),
+                     CAST(us_b AS UBIGINT))) AS INTEGER) AS hamming
+                 FROM cnd)
+               SELECT id_a, id_b, hamming FROM ham
+               WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
     Q("d4_dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
@@ -1090,13 +1200,15 @@ object ExtQueries {
     // (see Dedup.minhashIncrementalNearDups). Banding is
     // engine-specific → rows-only driver check; d11_precision below
     // closes the contract with an empty-set oracle.
+    // d11: HASH-EXACT since round 10 — the full LSH candidate set
+    // and verification replayed in SQL (see sqlMinhashIncrOracle).
     Q("d11_dedup_minhash_incremental",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         Dedup.minhashIncrementalNearDups(
           docs.filter(col("doc_id") >= 300),
           docs.filter(col("doc_id") < 300), threshold = 0.4)
-      }, None),
+      }, Some(SqlD11Oracle)),
 
     // d11 contract: every emitted pair sits on the correct side of
     // the batch/corpus boundary and its exact shingle-Jaccard —
@@ -1213,7 +1325,10 @@ object ExtQueries {
         graft.ext.DedupIndex.ensure(corpus, ix)
         graft.ext.DedupIndex.probe(docs.filter(col("doc_id") >= 300),
           ix, corpus, threshold = 0.4)
-      }, None),
+      },
+      // HASH-EXACT since round 10: the stored probe ≡ the in-query
+      // gate (the d15 consistency twin), so d11's SQL oracles it too
+      Some(SqlD11Oracle)),
 
     // d15 twin: the stored-index probe must equal the in-query
     // incremental gate EXACTLY — same candidates (probe-side bucket
@@ -1261,7 +1376,10 @@ object ExtQueries {
         graft.ext.DedupIndex.ensure(corpus, ix, version = Some(v))
         graft.ext.DedupIndex.probe(docs.filter(col("doc_id") >= 300),
           ix, corpus, threshold = 0.4)
-      }, None),
+      },
+      // HASH-EXACT since round 10: the stored probe ≡ the in-query
+      // gate (the d15 consistency twin), so d11's SQL oracles it too
+      Some(SqlD11Oracle)),
 
     // d15v twin: the versioned-serve probe must equal the in-query
     // incremental gate exactly, same contract as d15_index_consistency
@@ -1306,7 +1424,7 @@ object ExtQueries {
         graft.ext.DedupIndex.probe(
           docs.filter(col("doc_id") >= 300 && col("doc_id") < 310),
           ix, corpus, threshold = 0.4)
-      }, None),
+      }, Some(SqlD15fOracle)), // hash-exact since round 10
 
     Q("d15f_probe_small_versioned",
       (s, dir) => {
@@ -1319,7 +1437,7 @@ object ExtQueries {
         graft.ext.DedupIndex.probe(
           docs.filter(col("doc_id") >= 300 && col("doc_id") < 310),
           ix, corpus, threshold = 0.4)
-      }, None),
+      }, Some(SqlD15fOracle)), // hash-exact since round 10
 
     // d15f twin: the small probe (versioned-ensure path — the same
     // probe PLAN as the content row, which differs only in work done
@@ -1793,9 +1911,14 @@ object ExtQueries {
     // keys per band still exceeds the tested corpus sizes (bandBits ≳
     // log2(n) rule). Production near-dup mining at cosine ≥ 0.9 uses
     // the defaults (32×16-bit bands ⇒ ~94% recall, 65k keys/band).
+    // x3: HASH-EXACT since round 10 — the sign matrix, the banded
+    // projections (ordered folds), the bucket join and the cosine
+    // verification all replayed in SQL (XxhSql scaladoc).
     Q("x3_sim_lsh_pairs",
       (s, dir) => Similarity.lshNearDups(t(s, dir, "embeddings"),
-        threshold = 0.3, numBands = 32, bandBits = 12), None),
+        threshold = 0.3, numBands = 32, bandBits = 12),
+      Some(XxhSql.hyperplaneLshPairsOracle(
+        threshold = 0.3, numBands = 32, bandBits = 12))),
 
     // ---- sketch-family contract checks --------------------------------
     // The MinHash/SimHash/LSH sketches are engine-specific (their
@@ -4816,6 +4939,36 @@ object ExtQueries {
           zeroFill = true)
       },
       Some(sqlKwBm25("doc_id % 3 = 0", KwTerms, 20))),
+
+    // k11g: the filtered serve's GLOBAL-statistics posture —
+    // candidates restricted to the allowed subset, scores from the
+    // full live corpus (x11's pre-filter semantics on the lexical
+    // family, and the scale posture: O(matched postings +
+    // candidates), zero doclens work — same plan class as the
+    // unfiltered probe). Oracle: the same BM25 CTE chain scored
+    // over ALL live docs, ranked only within the allowed candidate
+    // set.
+    Q("k11g_keyword_filtered_global",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.probeTopKFiltered(s, ix, KwTerms,
+          topN = 20,
+          allowed = docs.filter(col("doc_id") % 3 === 0)
+            .select("doc_id"),
+          scopedStats = false)
+      },
+      Some(s"""WITH ${sqlKwBm25Ctes("TRUE", KwTerms)},
+               ranked AS (SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                     AS rank
+                 FROM scored
+                 WHERE (doc_id % 3 = 0)
+                   AND (${KwTerms.indices.map(i => s"tf_$i > 0")
+                     .mkString(" OR ")}))
+               SELECT rank, doc_id, score FROM ranked
+               WHERE rank <= 20 ORDER BY rank""")),
 
     // k13: BATCHED lexical serve — AnnIndex.probeTopK's many-queries
     // shape on the keyword family: three term queries served from

@@ -240,6 +240,23 @@ class KeywordIndexSpec extends SparkTestBase {
     val direct = page(Relevance.bm25TopDocs(allowed, terms, 6))
     assert(stored == direct,
       "filtered page must equal a dedicated subset-corpus index")
+    // global-stats posture: candidates restricted to allowed, scores
+    // = the UNFILTERED ranking's (derive the expectation from the
+    // in-query scorer's full page, filtered to allowed, re-ranked)
+    def globalExpect(live: DataFrame, allowedIds: Set[Long],
+                     topN: Int): Seq[(Int, Long, Double)] =
+      page(Relevance.bm25TopDocs(live, terms,
+          live.count().toInt))
+        .filter(r => allowedIds(r._2) && r._3 > 0.0)
+        .sortBy(r => (-r._3, r._2)).take(topN).zipWithIndex
+        .map { case ((_, id, sc), i) => (i + 1, id, sc) }
+    val allowedIds = allowed.select("doc_id").as[Long].collect().toSet
+    val storedG = page(KeywordIndex.probeTopKFiltered(spark, dir, terms,
+      topN = 6, allowed = allowed.select("doc_id"),
+      scopedStats = false))
+    assert(storedG == globalExpect(corpus, allowedIds, 6),
+      "global-stats filtered page must be the unfiltered ranking " +
+        "restricted to the allowed candidates")
     // and under pending tombstones: the live∩allowed corpus
     KeywordIndex.remove(corpus.filter($"doc_id" % 5 === 0L), dir)
     val liveAllowed = allowed.filter($"doc_id" % 5 =!= 0L)
@@ -247,6 +264,14 @@ class KeywordIndexSpec extends SparkTestBase {
       topN = 6, allowed = allowed.select("doc_id"), zeroFill = true))
     assert(stored2 == page(Relevance.bm25TopDocs(liveAllowed, terms, 6)),
       "filtered page must track the live∩allowed set")
+    val live = corpus.filter($"doc_id" % 5 =!= 0L).localCheckpoint()
+    val storedG2 = page(KeywordIndex.probeTopKFiltered(spark, dir, terms,
+      topN = 6, allowed = allowed.select("doc_id"),
+      scopedStats = false))
+    assert(storedG2 == globalExpect(live,
+      allowedIds -- corpus.filter($"doc_id" % 5 === 0L)
+        .select("doc_id").as[Long].collect(), 6),
+      "tombstoned global-stats filtered page must track the live set")
   }
 
   test("k: threshold serve = exactly the docs clearing the bar, " +

@@ -573,6 +573,22 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       "batched probe plans a global window")
   }
 
+  test("keyword filtered serve, global-stats posture: no doclens — " +
+      "same plan class as the unfiltered probe (k11g plan)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_planf").toString
+    KeywordIndex.build(docs, dir)
+    val plan = executed(KeywordIndex.probeTopKFiltered(spark, dir,
+      Seq("data", "query", "shuffle"), topN = 20,
+      allowed = docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+      scopedStats = false))
+    assert(!plan.contains("doclens"),
+      s"global-stats filtered serve reads doclens in:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined,
+      s"term IN not pushed in:\n$plan")
+  }
+
   test("keyword range serve: join-score-filter only — no rank " +
       "window, no doclens (k12 plan)") {
     import graft.ext.KeywordIndex

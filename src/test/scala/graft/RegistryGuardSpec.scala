@@ -95,6 +95,11 @@ class RegistryGuardSpec extends SparkTestBase {
     // aggregate broadcast — same audited shapes as k1
     "k11_keyword_filtered" ->
       Set("unconditional-nested-loop", "global-window"),
+    // k11g: the same shapes with the stored gauge on the stats side
+    // (the allowed-set and df joins are keyed; the 1-row broadcasts
+    // and the bounded final rank window are k1's audited shapes)
+    "k11g_keyword_filtered_global" ->
+      Set("unconditional-nested-loop", "global-window"),
     // k12: the threshold serve is join→score→filter — NO rank
     // window; only the two one-row stat broadcasts remain
     "k12_keyword_range" -> Set("unconditional-nested-loop"),
