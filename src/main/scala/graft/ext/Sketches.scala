@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketches with CROSS-ENGINE determinISM as a design
+  * goal — the contrast to `approx_count_distinct` (HyperLogLog++,
+  * whose register layout is engine-specific, so its registry row a11
+  * can only be bounds-checked, never hash-compared).
+  *
+  * KMV ("k minimum values" / bottom-k, Bar-Yossef et al. 2002): hash
+  * every value with xxhash64 (seed 42 — the engine's one hash
+  * kernel), keep the k smallest DISTINCT hashes under unsigned
+  * order, and estimate |D| = (k−1) / u_k where u_k is the k-th
+  * minimum normalized into [0, 1). Every step is order-free
+  * (min-of-set), bounded (the kept set is k hashes regardless of
+  * scale), mergeable (union the bottom-k sets, re-take the bottom
+  * k — how partial aggregation already combines under the hood),
+  * and — because the hash is the replayable XXH64 —
+  * SQL-expressible: the a24 registry row pins the ESTIMATE itself
+  * hash-exact against DuckDB, not just error bounds.
+  *
+  * Plan: one scan → hash projection → hash-distinct (keys-only
+  * shuffle) → `orderBy(h).limit(k)` (TakeOrderedAndProject: per-
+  * partition bottom-k, then a k-sized driver-side merge — no global
+  * sort) → one-row aggregate. Numeric discipline for the
+  * cross-engine pin: unsigned hash order is realized by flipping the
+  * sign bit (adding Long.MinValue wraps — a total order identical to
+  * DuckDB's unsigned HUGEINT order); the k-th minimum of any corpus
+  * with ≥ 2k distinct values is a SMALL unsigned value (≈ k/|D| of
+  * 2^64), so it fits a signed long and converts to double with ONE
+  * rounding in both engines; (k−1)·2^64 is exact in a double (8
+  * significant bits). The estimate is 4dp-rounded via the shared
+  * deterministic rounding.
+  */
+object Sketches {
+
+  /** One-row KMV cardinality report over `key`:
+    * (n_kept, kth_hash, n_distinct_est) — n_kept < k means the
+    * distinct count was under the sketch size and the "estimate" is
+    * exact. */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvDistinct needs k >= 2, got $k")
+    // sign-bit flip: signed order of (h XOR sign bit) == unsigned
+    // order of h (xor, not a wrapping add — ANSI mode forbids the
+    // overflow the add relies on)
+    val bottom = df
+      .select(xxhash64(key).bitwiseXOR(lit(Long.MinValue)).as("hf"))
+      .distinct()
+      .orderBy(col("hf"))
+      .limit(k)
+    val twoPow64 = math.pow(2.0, 64) // exact: a power of two
+    bottom
+      .agg(count(lit(1L)).as("n_kept"),
+        max(col("hf")).bitwiseXOR(lit(Long.MinValue)).as("kth_hash"))
+      .select(col("n_kept"), col("kth_hash"),
+        graft.ops.Ops.roundDet(
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble * twoPow64) /
+              col("kth_hash").cast("double")), 4)
+          .as("n_distinct_est"))
+  }
+}

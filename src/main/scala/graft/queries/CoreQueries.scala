@@ -593,6 +593,35 @@ object CoreQueries {
                      CAST(NULL AS BIGINT) AS exact_parts
               WHERE FALSE""")),
 
+    // a24: the CROSS-ENGINE-DETERMINISTIC cardinality sketch — KMV
+    // bottom-k over xxhash64 (graft.ext.Sketches.kmvDistinct), the
+    // designed contrast to a11's HLL: the same O(1)-state mergeable
+    // estimate class, but every step replayable, so the ESTIMATE is
+    // hash-exact against DuckDB (the XxhSql hashLong cascade), not
+    // bounds-checked. 15k distinct orderkeys at k=256 ⇒ ~6% expected
+    // relative error, same sketch regardless of corpus scale.
+    Q("a24_kmv_distinct",
+      (s, dir) => graft.ext.Sketches.kmvDistinct(
+        t(s, dir, "lineitem"), col("l_orderkey"), k = 256),
+      Some(s"""WITH klv AS (SELECT DISTINCT l_orderkey AS lv
+                            FROM lineitem),
+               ${XxhSql.hashLongCtes("kh", "CAST(lv AS HUGEINT)",
+                 "CAST(42 AS HUGEINT)", "hxx", "klv", Seq("lv"))},
+               kbot AS (SELECT DISTINCT hxx FROM khe
+                        ORDER BY hxx LIMIT 256)
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      CAST(MAX(hxx) - CASE
+                          WHEN MAX(hxx) >= 9223372036854775808
+                          THEN 18446744073709551616 ELSE 0 END
+                        AS BIGINT) AS kth_hash,
+                      ${sqlRoundDet(
+                        """CASE WHEN COUNT(*) < 256
+                           THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE 255.0 * 18446744073709551616.0
+                                / CAST(MAX(hxx) AS DOUBLE) END""", 4)}
+                        AS n_distinct_est
+               FROM kbot""")),
+
     // Multiway join (TPC-H Q3 shape, beyond the reference's 2-table
     // joins): filtered fact × orders × broadcast customer dim, group
     // to per-order revenue, deterministic top-20. Catalyst gets

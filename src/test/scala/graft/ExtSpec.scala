@@ -1880,4 +1880,28 @@ class ExtSpec extends SparkTestBase {
       "staged-rebuilt index == fresh-build health frame")
     assert(!DedupIndex.ensure(dlive, ddir))
   }
+
+  test("kmvDistinct: estimate within the sketch's error envelope, " +
+      "exact below k, invariant to duplication and row order") {
+    import graft.ext.Sketches
+    // 10k distinct keys, each duplicated 3x — duplicates must not
+    // move the estimate (the sketch sees distinct hashes only)
+    val n = 10000L
+    val base = spark.range(n).select(($"id" * 7L + 13L).as("k"))
+    val dup = base.unionByName(base).unionByName(base)
+    val r = Sketches.kmvDistinct(dup, $"k", k = 256)
+      .as[(Long, Long, Double)].head()
+    assert(r._1 == 256L, s"kept ${r._1} of 256")
+    assert(math.abs(r._3 - n) < 0.15 * n,
+      s"estimate ${r._3} too far from $n (k=256 ⇒ ~6% expected)")
+    assert(r == Sketches.kmvDistinct(base.orderBy($"k".desc), $"k", 256)
+      .as[(Long, Long, Double)].head(),
+      "estimate must be order- and duplication-invariant")
+    // below the sketch size the answer is exact
+    val small = Sketches.kmvDistinct(spark.range(100).toDF(), $"id",
+        k = 256)
+      .as[(Long, Long, Double)].head()
+    assert(small._1 == 100L && small._3 == 100.0,
+      s"sub-k cardinality must be exact, got $small")
+  }
 }
