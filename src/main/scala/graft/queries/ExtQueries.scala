@@ -2984,6 +2984,64 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS value
               WHERE FALSE""")),
 
+    // st23: HYBRID retrieval over the stream-maintained JOINT corpus
+    // — k7b's production shape served by the coordinator
+    // (probeHybrid: stored lexical page + stored dense page, RRF),
+    // after a takedown, pinned against an independently derived
+    // twin: in-query BM25 over the accepted live corpus fused with
+    // the stored probe of a BATCH REPLAY of the vector store's own
+    // history (build on the seed batch, append the post-purge delta
+    // — same training set, same encode-against-assets, tombstone
+    // filtering ≡ absence for the served page). The invariant the
+    // row pins: what hybrid retrieval can SURFACE is exactly what
+    // the joint gate ADMITTED minus what compliance RETRACTED, on
+    // both modalities at once. Empty symmetric difference,
+    // hash-exact WHERE FALSE.
+    Q("st23_joint_hybrid_serve",
+      (s, dir) => {
+        import graft.streaming.{StreamingCorpusIngest,
+          StreamingDedupIngest}
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val embsJ = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st23_").toString
+        val joint = new StreamingCorpusIngest(s, root,
+          keywordServing = true)
+        joint.seed(docs.filter(col("doc_id") < 200), embsJ)
+        StreamingDedupIngest.stage(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 260),
+          s"$root/staging", "d1")
+        joint.ingestAvailable(s"$root/staging", s"$root/ckpt", embsJ)
+        joint.retract(s.createDataFrame(Seq(
+          Tuple1(210L), Tuple1(215L))).toDF("doc_id"))
+        val qv = t(s, dir, "embeddings").filter(col("vec_id") === 7)
+        val served = joint.probeHybrid(KwTerms, qv, topN = 10,
+          pageSize = 20, zeroFill = true)
+        // lexical twin: the in-query scorer over the live corpus
+        val lex = Relevance.bm25TopDocs(
+          joint.text.corpus().localCheckpoint(), KwTerms, topN = 20)
+        // dense twin: replay the vector store's own history — the
+        // seed batch trains, the post-purge delta appends (the
+        // retracted ids are gone from the store, so the twin simply
+        // never indexes them — page-equal to the tombstoned serve)
+        val maxB = joint.vectors.batchLedger()
+          .agg(max(col("batch"))).head.getLong(0)
+        val twin = s"$root/twin_ann"
+        graft.ext.AnnIndex.build(joint.vectors.storeAsOf(0L), twin)
+        graft.ext.AnnIndex.append(
+          joint.vectors.storeDelta(0L, maxB), twin)
+        val dense = graft.ext.AnnIndex.probeTopK(s, twin, qv, k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        val direct = Relevance.rrfFuse(lex, dense, topN = 10)
+        served.exceptAll(direct).unionByName(direct.exceptAll(served))
+          .orderBy("rank", "doc_id")
+      },
+      Some("""SELECT CAST(NULL AS INTEGER) AS rank,
+                     CAST(NULL AS BIGINT) AS doc_id,
+                     CAST(NULL AS DOUBLE) AS rrf
+              WHERE FALSE""")),
+
     // st13: the REPRODUCIBILITY contract of the streamed corpus
     // store — corpusAsOf(batch) re-serves exactly what the ingest
     // had accepted at that batch, bit-identical after later drops

@@ -271,6 +271,28 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
       zeroFill = zeroFill)
   }
 
+  /** Hybrid retrieval over the CO-MAINTAINED stored indexes: the
+    * lexical page ([[graft.ext.KeywordIndex.probe]] on the keyword
+    * family) RRF-fused with the dense page
+    * ([[graft.ext.AnnIndex.probeTopK]] on the stream-maintained ANN
+    * index) — k7b's production shape served from the joint
+    * coordinator, so both pages obey the searchable ≡ trainable
+    * invariant (a quarantined or taken-down document appears in
+    * NEITHER page, with no caller-side coordination). `queryVec` is
+    * one (vec_id, embedding) row; the corpus text and the embeddings
+    * table are never scanned at query time. */
+  def probeHybrid(terms: Seq[String], queryVec: DataFrame, topN: Int,
+                  pageSize: Int = 20,
+                  zeroFill: Boolean = false): DataFrame = {
+    requireKeywordServing("probeHybrid")
+    val lex = graft.ext.KeywordIndex.probe(spark, keywordDir, terms,
+      pageSize, zeroFill = zeroFill)
+    val dense = graft.ext.AnnIndex
+      .probeTopK(spark, s"$root/ann_index", queryVec, k = pageSize)
+      .select(col("nid").as("doc_id"), col("rank"))
+    graft.ext.Relevance.rrfFuse(lex, dense, topN)
+  }
+
   private def requireKeywordServing(what: String): Unit =
     require(keywordServing,
       s"StreamingCorpusIngest.$what requires keywordServing = true " +

@@ -120,6 +120,14 @@ class RegistryGuardSpec extends SparkTestBase {
     "st21_joint_keyword_serve" ->
       Set("unconditional-nested-loop", "global-window",
         "bnlj-deferred-derivation"),
+    // st23: the symmetric difference of two HYBRID pages — served
+    // (k7b's audited shapes: kw one-row broadcasts + x9's one-row
+    // assets with their benign deferred l2normalize + the two
+    // bounded RRF windows) vs the twin (t7's deferred HOF under
+    // one-row stats + the replay ANN probe chain)
+    "st23_joint_hybrid_serve" ->
+      Set("unconditional-nested-loop", "global-window",
+        "bnlj-deferred-derivation"),
     // centroid-array / exact-top-k one-row sides in the ANN chain
     "x2_sim_ivf_topk" -> Set("unconditional-nested-loop"),
     "x2_recall" -> Set("unconditional-nested-loop"),

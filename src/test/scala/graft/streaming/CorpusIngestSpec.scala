@@ -185,6 +185,12 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     intercept[IllegalArgumentException] {
       bare.probeKeywords(terms, 5)
     }
+    intercept[IllegalArgumentException] {
+      bare.probeHybrid(terms, spark.range(1)
+        .select($"id".as("vec_id"),
+          org.apache.spark.sql.functions.array($"id".cast("double"))
+            .as("embedding")), topN = 5)
+    }
   }
 
   test("crash between the halves of a joint retract: text ledgered, " +
