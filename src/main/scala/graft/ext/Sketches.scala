@@ -26,12 +26,16 @@ import org.apache.spark.sql.functions._
   * sort) → one-row aggregate. Numeric discipline for the
   * cross-engine pin: unsigned hash order is realized by flipping the
   * sign bit (adding Long.MinValue wraps — a total order identical to
-  * DuckDB's unsigned HUGEINT order); the k-th minimum of any corpus
-  * with ≥ 2k distinct values is a SMALL unsigned value (≈ k/|D| of
-  * 2^64), so it fits a signed long and converts to double with ONE
-  * rounding in both engines; (k−1)·2^64 is exact in a double (8
-  * significant bits). The estimate is 4dp-rounded via the shared
-  * deterministic rounding.
+  * DuckDB's unsigned HUGEINT order); the double-domain k-th minimum
+  * is recovered FROM the flipped value as `double(hf) + 2^63` — the
+  * flipped long is exact in the integer domain for every regime
+  * (including k ≤ |D| < 2k, where the unsigned k-th minimum exceeds
+  * 2^63 and a naive signed cast would go negative), its int64→double
+  * cast is one IEEE rounding, and the +2^63 addend is an exact power
+  * of two — so the oracle mirrors the same two-step expression
+  * bit-for-bit instead of casting the unsigned value directly.
+  * (k−1)·2^64 is exact in a double (8 significant bits). The
+  * estimate is 4dp-rounded via the shared deterministic rounding.
   */
 object Sketches {
 
@@ -50,14 +54,20 @@ object Sketches {
       .orderBy(col("hf"))
       .limit(k)
     val twoPow64 = math.pow(2.0, 64) // exact: a power of two
+    val twoPow63 = math.pow(2.0, 63) // exact: a power of two
     bottom
-      .agg(count(lit(1L)).as("n_kept"),
-        max(col("hf")).bitwiseXOR(lit(Long.MinValue)).as("kth_hash"))
-      .select(col("n_kept"), col("kth_hash"),
+      .agg(count(lit(1L)).as("n_kept"), max(col("hf")).as("hf_k"))
+      .select(col("n_kept"),
+        col("hf_k").bitwiseXOR(lit(Long.MinValue)).as("kth_hash"),
         graft.ops.Ops.roundDet(
           when(col("n_kept") < k, col("n_kept").cast("double"))
+            // u_k as a double, recovered from the flipped long:
+            // exact-integer hf → one cast rounding → one exact-
+            // power-of-two add. Valid for u_k anywhere in [0, 2^64),
+            // i.e. for every distinct count ≥ k — the oracle mirrors
+            // this exact expression (see CoreQueries a24).
             .otherwise(lit((k - 1).toDouble * twoPow64) /
-              col("kth_hash").cast("double")), 4)
+              (col("hf_k").cast("double") + lit(twoPow63))), 4)
           .as("n_distinct_est"))
   }
 }

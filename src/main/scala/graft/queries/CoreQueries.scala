@@ -615,10 +615,17 @@ object CoreQueries {
                           THEN 18446744073709551616 ELSE 0 END
                         AS BIGINT) AS kth_hash,
                       ${sqlRoundDet(
-                        """CASE WHEN COUNT(*) < 256
+                        // mirror Sketches.kmvDistinct bit-for-bit:
+                        // exact-integer (u_k - 2^63) → one int64→
+                        // double cast → + exact 2^63 (valid in the
+                        // k..2k regime where u_k itself > 2^63)
+                        s"""CASE WHEN COUNT(*) < 256
                            THEN CAST(COUNT(*) AS DOUBLE)
                            ELSE 255.0 * 18446744073709551616.0
-                                / CAST(MAX(hxx) AS DOUBLE) END""", 4)}
+                                / (CAST(CAST(MAX(hxx)
+                                     - 9223372036854775808 AS BIGINT)
+                                    AS DOUBLE)
+                                   + ${math.pow(2.0, 63)}) END""", 4)}
                         AS n_distinct_est
                FROM kbot""")),
 

@@ -165,7 +165,9 @@ private[queries] object XxhSql {
               FROM documents WHERE $livePred)),
       ${strHashCtes("docsh", Seq("id"))},
       prm(i, a, b) AS (VALUES $pvals),
-      hbase AS (SELECT id, CAST(hxx % $P AS BIGINT) AS bse FROM xav),
+      hbase AS (SELECT id, CAST((((CASE WHEN hxx >= 9223372036854775808
+              THEN hxx - 18446744073709551616 ELSE hxx END)
+            % $P + $P) % $P) AS BIGINT) AS bse FROM xav),
       mins AS (SELECT id, prm.i, MIN((prm.a * bse + prm.b) % $P) AS mn
                FROM hbase, prm GROUP BY id, prm.i),
       bmat AS (SELECT id, i // 4 AS band,

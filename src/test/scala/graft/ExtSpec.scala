@@ -1903,5 +1903,15 @@ class ExtSpec extends SparkTestBase {
       .as[(Long, Long, Double)].head()
     assert(small._1 == 100L && small._3 == 100.0,
       s"sub-k cardinality must be exact, got $small")
+    // the k..2k boundary regime: the unsigned k-th minimum sits above
+    // 2^63 (signed kth_hash is negative), which a naive signed-cast
+    // denominator turned into a negative "estimate" — the hf-domain
+    // denominator keeps the estimate sane here
+    val mid = Sketches.kmvDistinct(spark.range(384).toDF(), $"id",
+        k = 256)
+      .as[(Long, Long, Double)].head()
+    assert(mid._1 == 256L, s"kept ${mid._1} of 256")
+    assert(mid._3 > 0.0 && math.abs(mid._3 - 384.0) < 0.35 * 384.0,
+      s"k..2k estimate must be positive and near 384, got ${mid._3}")
   }
 }
