@@ -831,7 +831,17 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs within a blocking column
     * (label/cluster): brute force inside blocks only. For unblocked
     * corpora, run [[Similarity.ivfAssign]] first and block on the
-    * centroid id. */
+    * centroid id.
+    *
+    * Join strategy is PINNED to sort-merge: both sides of the
+    * blk-keyed self-join are the corpus itself, so broadcast is
+    * never right at scale — yet AQE's size estimates on the narrow
+    * projected sides sat close enough to the broadcast threshold to
+    * flip broadcast↔SMJ between runs (VERDICT r10 #4), which both
+    * destabilizes plan-digest regression adjudication and would OOM
+    * the driver the first time the corpus side got picked at real
+    * scale. The hint chooses the strategy that is correct at 100 TB
+    * at every scale. */
   def embeddingNearDups(embs: DataFrame, threshold: Double,
                         blockCol: String = "label",
                         vecCol: String = "embedding",
@@ -840,7 +850,7 @@ object Dedup {
       col(vecCol).cast("array<double>").as("vec"))
     val l = v.select(col("blk"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = v.select(col("blk"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("blk"))
+    l.hint("merge").join(r.hint("merge"), Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         graft.ops.Ops.roundDet(Similarity.cosine(col("vec_a"), col("vec_b")), 4))

@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   * is recovered FROM the flipped value as `double(hf) + 2^63` — the
   * flipped long is exact in the integer domain for every regime
   * (including k ≤ |D| < 2k, where the unsigned k-th minimum exceeds
-  * 2^63 and a naive signed cast would go negative), its int64→double
-  * cast is one IEEE rounding, and the +2^63 addend is an exact power
-  * of two — so the oracle mirrors the same two-step expression
+  * 2^63 and a naive signed cast would go negative); its int64→double
+  * cast is one IEEE rounding, and the +2^63 add is a SECOND
+  * correctly-rounded IEEE op (the add itself can round — near -2^63
+  * the cast has already absorbed up to ~2^10, and the sum rounds
+  * again). The cross-engine pin holds because BOTH engines execute
+  * the identical two-op rounded sequence, not because either op is
+  * exact — the oracle mirrors the same two-step expression
   * bit-for-bit instead of casting the unsigned value directly.
   * (k−1)·2^64 is exact in a double (8 significant bits). The
   * estimate is 4dp-rounded via the shared deterministic rounding.
@@ -62,10 +66,11 @@ object Sketches {
         graft.ops.Ops.roundDet(
           when(col("n_kept") < k, col("n_kept").cast("double"))
             // u_k as a double, recovered from the flipped long:
-            // exact-integer hf → one cast rounding → one exact-
-            // power-of-two add. Valid for u_k anywhere in [0, 2^64),
-            // i.e. for every distinct count ≥ k — the oracle mirrors
-            // this exact expression (see CoreQueries a24).
+            // exact-integer hf → one cast rounding → one more
+            // identically-rounded IEEE add of 2^63. Valid for u_k
+            // anywhere in [0, 2^64), i.e. for every distinct count
+            // ≥ k — the oracle mirrors this exact two-op sequence
+            // (see CoreQueries a24).
             .otherwise(lit((k - 1).toDouble * twoPow64) /
               (col("hf_k").cast("double") + lit(twoPow63))), 4)
           .as("n_distinct_est"))

@@ -617,15 +617,20 @@ object CoreQueries {
                       ${sqlRoundDet(
                         // mirror Sketches.kmvDistinct bit-for-bit:
                         // exact-integer (u_k - 2^63) → one int64→
-                        // double cast → + exact 2^63 (valid in the
-                        // k..2k regime where u_k itself > 2^63)
+                        // double cast → + 2^63, a second
+                        // identically-rounded IEEE add in both
+                        // engines (valid in the k..2k regime where
+                        // u_k itself > 2^63). The addend is the
+                        // exact decimal spelling of 2^63, so the
+                        // oracle text rests only on DuckDB parsing
+                        // an exactly-representable literal.
                         s"""CASE WHEN COUNT(*) < 256
                            THEN CAST(COUNT(*) AS DOUBLE)
                            ELSE 255.0 * 18446744073709551616.0
                                 / (CAST(CAST(MAX(hxx)
                                      - 9223372036854775808 AS BIGINT)
                                     AS DOUBLE)
-                                   + ${math.pow(2.0, 63)}) END""", 4)}
+                                   + 9223372036854775808.0) END""", 4)}
                         AS n_distinct_est
                FROM kbot""")),
 
