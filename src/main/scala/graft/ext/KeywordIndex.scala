@@ -675,7 +675,18 @@ object KeywordIndex {
     * `n_entries_live` only under pending tombstones), the live
     * df histogram (`max_df` near `n_docs_live` = a stopword-heavy
     * vocabulary inflating every probe's slice), token mass, and the
-    * retraction/guard gauges. */
+    * retraction/guard gauges.
+    *
+    * `n_docs_gauge` / `sum_dl_gauge` read the 1-row `stats/` asset —
+    * the statistics the production [[probe]] actually scores with —
+    * so the report pins the SERVING gauge against the doclens-derived
+    * `n_docs_live` / `sum_dl_live` twins: a gauge silently drifted by
+    * a missed lifecycle fold would serve wrong BM25 scores while the
+    * probes themselves stay plausible, and this is the frame that
+    * surfaces it (the two pairs diverge). For an uncorrupted index
+    * the pairs are equal through every lifecycle state — [[remove]]
+    * subtracts the retracted mass at retraction time, exactly when
+    * the tombstones start filtering the doclens view. */
   def health(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Ops.roundDet
     import StoredIndex.{litMetricRow, metricRow, tombstoneMetricRow}
@@ -685,16 +696,19 @@ object KeywordIndex {
     val lens = StoredIndex.filterTombstones(deletes,
       spark.read.parquet(s"$dir/doclens"), "id")
     val perTerm = entries.groupBy("term").agg(count(lit(1L)).as("df"))
+    val gauge = spark.read.parquet(s"$dir/stats")
     val bloomPresent =
       if (StoredIndex.readIdBloom(spark, dir).isDefined) 1d else 0d
     Seq(
       metricRow("avg_df", perTerm, roundDet(avg(col("df")), 4)),
       litMetricRow(spark, "bloom_present", bloomPresent),
       metricRow("max_df", perTerm, max(col("df"))),
+      metricRow("n_docs_gauge", gauge, sum(col("n_docs"))),
       metricRow("n_docs_live", lens, count(lit(1L))),
       metricRow("n_entries_live", entries, count(lit(1L))),
       metricRow("n_posting_rows", raw, count(lit(1L))),
       metricRow("n_terms_live", perTerm, count(lit(1L))),
+      metricRow("sum_dl_gauge", gauge, sum(col("sum_dl"))),
       metricRow("sum_dl_live", lens, sum(col("dl")).cast("double")),
       tombstoneMetricRow(spark, dir)
     ).reduce(_ unionByName _).orderBy("metric")
@@ -722,10 +736,17 @@ object KeywordIndex {
       metricRow("bloom_present", corpus,
         when(count(lit(1L)) > 0L, 1d).otherwise(0d)),
       metricRow("max_df", perTerm, max(col("df"))),
+      // a fresh build's gauge IS the doclens reduction — so the
+      // derived frame twins both rows from the same in-query pass
+      // (coalesced: the stored gauge is an additive counter, 0 on an
+      // empty corpus, where a bare sum over zero rows is NULL)
+      metricRow("n_docs_gauge", lens, count(lit(1L))),
       metricRow("n_docs_live", lens, count(lit(1L))),
       metricRow("n_entries_live", entries, count(lit(1L))),
       metricRow("n_posting_rows", entries, count(lit(1L))),
       metricRow("n_terms_live", perTerm, count(lit(1L))),
+      metricRow("sum_dl_gauge", lens,
+        coalesce(sum(col("dl")), lit(0L)).cast("double")),
       metricRow("sum_dl_live", lens, sum(col("dl")).cast("double")),
       litMetricRow(spark, "n_tombstoned", 0d)
     ).reduce(_ unionByName _).orderBy("metric")

@@ -2941,9 +2941,12 @@ object ExtQueries {
     // with the same 50 new docs (the 30 re-delivered seed ids gated
     // out by the bloom), removed of the same two takedown ids. Every
     // metric is an aggregate (df histogram, LSM split, token mass,
-    // store gauges), so the pin is row-order-robust while still
-    // catching a drifted stats gauge, a stale tombstone count, or a
-    // bloom left unarmed. Empty symmetric difference, WHERE FALSE.
+    // store gauges), so the pin is row-order-robust. The health frame
+    // reads the 1-row stats/ gauge directly (n_docs_gauge /
+    // sum_dl_gauge beside their doclens-derived _live twins), so a
+    // stats gauge whose lifecycle fold drifted from the twin's, a
+    // stale tombstone count, or a bloom left unarmed all land in the
+    // symmetric difference. Empty difference, hash-exact WHERE FALSE.
     Q("st22_keyword_ingest_health",
       (s, dir) => {
         import graft.ext.KeywordIndex

@@ -381,6 +381,37 @@ class KeywordIndexSpec extends SparkTestBase {
       "empty-corpus health must agree stored ≡ derived")
   }
 
+  test("k: health pins the SERVING stats gauge — a silently-drifted " +
+      "stats/ asset surfaces as gauge-vs-live divergence") {
+    val corpus = corpusOf(18)
+    val dir = tmp("kwgauge")
+    KeywordIndex.build(corpus, dir)
+    def metric(df: DataFrame, m: String): Double =
+      df.filter($"metric" === m).select("value").as[Double].head()
+    // uncorrupted: the gauge rows twin the doclens-derived rows, so
+    // the k5 stored-vs-derived pin now covers the serving asset too
+    val ok = KeywordIndex.health(spark, dir)
+    assert(metric(ok, "n_docs_gauge") == metric(ok, "n_docs_live") &&
+      metric(ok, "sum_dl_gauge") == metric(ok, "sum_dl_live"),
+      "fresh build: gauge rows must equal the doclens-derived truth")
+    // drift the gauge the way a missed lifecycle fold would (stats/
+    // content wrong, every other asset intact): probes keep running —
+    // they would serve wrong BM25 scores — and health must be the
+    // frame that surfaces it
+    spark.range(1)
+      .select(lit(metric(ok, "n_docs_live").toLong + 7L).as("n_docs"),
+        lit(1L).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val bad = KeywordIndex.health(spark, dir)
+    assert(metric(bad, "n_docs_gauge") != metric(bad, "n_docs_live"),
+      "drifted n_docs gauge must diverge from n_docs_live")
+    assert(metric(bad, "sum_dl_gauge") != metric(bad, "sum_dl_live"),
+      "drifted sum_dl gauge must diverge from sum_dl_live")
+    val derived = KeywordIndex.healthFromCorpus(corpus)
+    assert(!bad.exceptAll(derived).isEmpty,
+      "the stored-vs-derived pin must catch the drifted gauge")
+  }
+
   // the (n_docs, sum_dl) gauge must equal the doclens-derived truth
   // after ANY lifecycle point — the invariant the O(1) probe
   // statistics rest on
