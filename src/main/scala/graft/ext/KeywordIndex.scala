@@ -179,13 +179,42 @@ object KeywordIndex {
   /** The tombstone-filtered postings slice of a term set — what
     * every serve path scans: `term IN (…)` rides the parquet reader
     * (row-group-pruned once [[compact]] has term-clustered the
-    * files); pending retractions anti-join as a broadcast. */
+    * files); pending retractions anti-join as a broadcast. `idLits`
+    * (the filtered serve's driver-known allowed subset) adds an
+    * `id IN (…)` predicate BENEATH the tombstone join so it reaches
+    * the same scan. */
   private def sliceOf(spark: SparkSession, dir: String,
-                      dels: Option[DataFrame],
-                      terms: Seq[String]): DataFrame =
+                      dels: Option[DataFrame], terms: Seq[String],
+                      idLits: Option[Seq[Long]] = None): DataFrame = {
+    val scan = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
     StoredIndex.filterTombstones(dels,
-      spark.read.parquet(s"$dir/postings")
-        .filter(col("term").isin(terms: _*)), "id")
+      idLits.fold(scan)(l => scan.filter(col("id").isin(l: _*))), "id")
+  }
+
+  /** Driver-known id cap for the allowed-subset literal pushdown —
+    * [[graft.streaming.Takedown.purgeStore]]'s cap: an ACL/tenant
+    * grant names a bounded id set, so below the cap the subset
+    * becomes an `id IN (…)` predicate the parquet reader prunes on
+    * row-group stats ([[compact]] id-sorts doclens, so those stats
+    * are tight) instead of a broadcast semi-join that still SCANS
+    * the full asset. */
+  private val AllowedPushdownCap = 10000
+
+  /** The allowed id set as sorted driver-side literals when it is
+    * small enough to become a pushdown-friendly predicate — None
+    * above the cap (fall back to the broadcast semi-join). Sorted so
+    * the emitted plan (and its bench digest) is deterministic under
+    * any upstream partitioning. The collect is bounded at cap+1
+    * rows — the same driver price [[graft.streaming.Takedown]] pays
+    * for its literal discovery. */
+  private def allowedIdLiterals(ids: DataFrame,
+                                cap: Int): Option[Seq[Long]] = {
+    if (cap <= 0) return None
+    val rows = ids.limit(cap + 1).collect()
+    if (rows.length > cap) None
+    else Some(rows.map(_.getLong(0)).sorted.toIndexedSeq)
+  }
 
   private def requireQueryTerms(terms: Seq[String], what: String): Unit = {
     require(terms.nonEmpty, s"$what needs at least one term")
@@ -394,9 +423,18 @@ object KeywordIndex {
     * served:
     *  - `scopedStats = true` (default): df/N/Σdl reduce over the
     *    ALLOWED subset. The subset statistics cannot be a stored
-    *    gauge (they depend on the per-query subset), so this pays
-    *    one broadcast-filtered doclens pass per probe — the price
-    *    of per-tenant statistics, not an implementation shortfall.
+    *    gauge (they depend on the per-query subset), so a subset
+    *    reduction is irreducible — but it need not scan the asset:
+    *    when the subset is driver-known and at most `pushdownCap`
+    *    ids (the overwhelmingly common ACL shape), it collects to
+    *    sorted literals and the reduction reads only the row groups
+    *    whose id stats intersect the subset (`id IN (…)` pushed to
+    *    the id-sorted doclens files — [[graft.streaming.Takedown]]'s
+    *    footer-bound discovery pattern), so the per-probe cost
+    *    tracks the SUBSET size, not the live doc count. Above the
+    *    cap it falls back to one broadcast-semi-joined doclens
+    *    pass — the honest price of fresh statistics over a
+    *    corpus-sized grant.
     *  - `scopedStats = false`: candidates are restricted to the
     *    subset but scored with the GLOBAL live-corpus statistics
     *    (the stored 1-row gauge + full-slice dfs) — x11's pre-filter
@@ -411,16 +449,30 @@ object KeywordIndex {
                         allowed: DataFrame, k1: Double = 1.2,
                         b: Double = 0.75, zeroFill: Boolean = false,
                         scopedStats: Boolean = true,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        pushdownCap: Int = AllowedPushdownCap): DataFrame = {
     requireQueryTerms(terms, "KeywordIndex.probeTopKFiltered")
-    val ids = allowed.select(col(idCol).cast("long").as("id")).distinct()
+    val ids = allowed.select(col(idCol).cast("long").as("id"))
+      .na.drop().distinct()
+    val lits = allowedIdLiterals(ids, pushdownCap)
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val slice = sliceOf(spark, dir, dels, terms)
-    val allowedSlice = slice.join(broadcast(ids), Seq("id"), "left_semi")
+    // subset restriction: literal `id IN (…)` riding the scan when
+    // driver-known and small (every pruned row group is one the
+    // semi-join would have decompressed only to discard), broadcast
+    // semi-join above the cap
+    val allowedSlice = lits match {
+      case Some(_) => sliceOf(spark, dir, dels, terms, lits)
+      case None    => slice.join(broadcast(ids), Seq("id"), "left_semi")
+    }
     // by-name: the global-stats, no-zero-fill plan never reads it
-    lazy val lens = StoredIndex.filterTombstones(dels,
-        spark.read.parquet(s"$dir/doclens"), "id")
-      .join(broadcast(ids), Seq("id"), "left_semi")
+    lazy val lens = {
+      val raw = spark.read.parquet(s"$dir/doclens")
+      StoredIndex.filterTombstones(dels, lits match {
+        case Some(l) => raw.filter(col("id").isin(l: _*))
+        case None    => raw.join(broadcast(ids), Seq("id"), "left_semi")
+      }, "id")
+    }
     val cand =
       if (scopedStats)
         scoredCandidates(allowedSlice,

@@ -264,6 +264,14 @@ class KeywordIndexSpec extends SparkTestBase {
       topN = 6, allowed = allowed.select("doc_id"), zeroFill = true))
     assert(stored2 == page(Relevance.bm25TopDocs(liveAllowed, terms, 6)),
       "filtered page must track the live∩allowed set")
+    // the over-cap fallback (broadcast semi-join instead of the
+    // literal id IN pushdown) must serve the IDENTICAL page — the
+    // cap is a plan choice, never a semantics choice
+    val stored2Semi = page(KeywordIndex.probeTopKFiltered(spark, dir,
+      terms, topN = 6, allowed = allowed.select("doc_id"),
+      zeroFill = true, pushdownCap = 0))
+    assert(stored2Semi == stored2,
+      "semi-join fallback must serve the same page as the pushdown")
     val live = corpus.filter($"doc_id" % 5 =!= 0L).localCheckpoint()
     val storedG2 = page(KeywordIndex.probeTopKFiltered(spark, dir, terms,
       topN = 6, allowed = allowed.select("doc_id"),

@@ -589,6 +589,41 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"term IN not pushed in:\n$plan")
   }
 
+  test("keyword filtered serve, scoped-stats posture: a small " +
+      "allowed subset pushes id IN to BOTH scans — the doclens " +
+      "statistics reduction is footer-bound, not a full-asset " +
+      "semi-join scan (k11 plan)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_plans").toString
+    KeywordIndex.build(docs, dir)
+    // compact id-sorts doclens, the layout that makes the pushed id
+    // predicate actually prune row groups at scale
+    KeywordIndex.compact(spark, dir)
+    val plan = executed(KeywordIndex.probeTopKFiltered(spark, dir,
+      Seq("data", "query", "shuffle"), topN = 20,
+      allowed = docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+      zeroFill = true))
+    // the subset statistics (n_docs, sum_dl) must reduce over an
+    // id-IN-pruned doclens scan: the FileScan line whose Location is
+    // the doclens asset carries In(id…) in PushedFilters
+    assert("doclens[^\\n]*PushedFilters: \\[[^\\n]*In\\(id".r
+      .findFirstIn(plan).isDefined,
+      s"id IN not pushed to the doclens scan in:\n$plan")
+    // and the candidate slice carries it beside term IN
+    assert("postings[^\\n]*PushedFilters: \\[[^\\n]*In\\(term".r
+      .findFirstIn(plan).isDefined,
+      s"term IN not pushed to the postings scan in:\n$plan")
+    assert("postings[^\\n]*PushedFilters: \\[[^\\n]*In\\(id".r
+      .findFirstIn(plan).isDefined,
+      s"id IN not pushed to the candidate postings scan in:\n$plan")
+    // no broadcast semi-join restriction anywhere: the driver-known
+    // subset became literals, so nothing joins against the allowed
+    // frame (LeftSemi here would mean the full asset was scanned)
+    assert(!plan.contains("LeftSemi"),
+      s"semi-join restriction despite a driver-known small subset:\n$plan")
+  }
+
   test("keyword range serve: join-score-filter only — no rank " +
       "window, no doclens (k12 plan)") {
     import graft.ext.KeywordIndex
