@@ -138,6 +138,7 @@ object KeywordIndex {
     val spark = corpus.sparkSession
     StoredIndex.invalidate(spark, dir) // commit marker
     StoredIndex.clearDeleteIds(spark, dir) // rebuild = clean live state
+    dropTenantOverlay(spark, dir) // assignments name the OLD generation
     clusterPostings(postingsOf(corpus, textCol, idCol))
       .write.mode("overwrite").parquet(s"$dir/postings")
     doclensOf(spark.read.parquet(s"$dir/postings"))
@@ -172,8 +173,11 @@ object KeywordIndex {
     val spark = corpus.sparkSession
     val staging = StoredIndex.freshStaging(spark, dir)
     build(corpus, staging, textCol, idCol, version)
+    // tenant overlay assets ride the swap list with no staged
+    // counterpart: the swap DELETES the live overlay (assignments
+    // name ids of the replaced generation — re-register after)
     StoredIndex.swapStaged(spark, dir,
-      Seq("postings", "doclens", "stats"))
+      Seq("postings", "doclens", "stats") ++ TenantAssets)
   }
 
   /** The tombstone-filtered postings slice of a term set — what
@@ -485,6 +489,241 @@ object KeywordIndex {
     rankedPage(cand, lens, topN, zeroFill)
   }
 
+  // ------------------------------------------------ tenant overlay
+
+  /** The tenant overlay's asset pair, registered by
+    * [[registerTenants]] on top of a built index:
+    *  - `tenants/` — (id, tenant) assignment rows, one per tenanted
+    *    live doc, clustered by (tenant, id) so a single tenant's id
+    *    list is a row-group-pruned slice, not an asset scan;
+    *  - `tstats/` — one (tenant, n_docs, sum_dl) gauge row per
+    *    tenant: the per-tenant BM25 statistics as ADDITIVE gauges,
+    *    folded by the same lifecycle algebra as the global `stats/`
+    *    gauge ([[assignTenants]] adds a batch's per-tenant slice,
+    *    [[remove]] subtracts the retracted frame's, [[compact]]
+    *    carries them verbatim, [[merge]]/[[absorb]] sum by tenant).
+    *
+    * This is what makes the scoped-statistics filtered serve
+    * scale-honest for REGISTERED tenant sets: [[probeTopKTenant]]
+    * reads one gauge row instead of reducing (n_docs, sum_dl) over
+    * the subset's doclens per probe — the per-query corpus-sized
+    * term is gone, exactly as the global gauge removed it from the
+    * unfiltered [[probe]]. Ad-hoc (unregistered) subsets keep the
+    * [[probeTopKFiltered]] path and its honest per-probe reduction.
+    *
+    * The overlay is OPTIONAL and coverage may be partial: docs
+    * without an assignment simply belong to no tenant. [[build]] and
+    * [[rebuildStaged]] drop the overlay (a rebuild derives clean
+    * state from its corpus; assignments name ids of the PREVIOUS
+    * generation) — re-register after a rebuild. */
+  private val TenantAssets = Seq("tenants", "tstats")
+
+  private def hasTenants(spark: SparkSession, dir: String): Boolean =
+    StoredIndex.fsOf(spark, dir)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/tenants"))
+
+  private def dropTenantOverlay(spark: SparkSession, dir: String): Unit =
+    TenantAssets.foreach(a => StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/$a"), true))
+
+  private def clusterTenants(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("tenant"), col("id"))
+      .sortWithinPartitions("tenant", "id")
+
+  /** Normalize + validate a tenant assignment frame to (id, tenant):
+    * tenants are strings uniformly (the general ACL key shape), one
+    * row per id, no null tenants. */
+  private def tenantAssignOf(assign: DataFrame, tenantCol: String,
+                             idCol: String, what: String): DataFrame = {
+    val a = assign.select(col(idCol).cast("long").as("id"),
+      col(tenantCol).cast("string").as("tenant"))
+    require(a.filter(col("tenant").isNull || col("id").isNull)
+      .limit(1).count() == 0L,
+      s"$what: assignment rows must carry non-null (id, tenant)")
+    require(a.groupBy("id").count().filter(col("count") > 1)
+      .limit(1).count() == 0L,
+      s"$what: one tenant per id — duplicate assignment ids would " +
+        "double-count the per-tenant gauges")
+    a
+  }
+
+  /** The per-tenant (tenant, n_docs, sum_dl) gauge slice of an
+    * (id, tenant) ⨝ (id, dl) frame — what registration derives and
+    * the lifecycle folds. */
+  private def tenantGaugesOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy("tenant")
+      .agg(count(lit(1L)).as("n_docs"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+
+  /** Fold a per-tenant delta into the stored gauge asset. The gauge
+    * is tenant-count-sized (tiny), so the fold is a read + union +
+    * re-aggregate, MATERIALIZED before the overwrite of the asset it
+    * read. Tenants folded to zero docs keep their row (the tenant is
+    * still registered, currently empty). */
+  private def foldTenantGauges(spark: SparkSession, dir: String,
+                               delta: DataFrame): Unit =
+    spark.read.parquet(s"$dir/tstats").unionByName(delta)
+      .groupBy("tenant")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl"))
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$dir/tstats")
+
+  /** The doclens slice of a batch-sized id frame — id IN literals
+    * riding the (id-sorted after [[compact]]) files under the cap,
+    * broadcast semi-join above it. */
+  private def doclensSliceOf(spark: SparkSession, dir: String,
+                             dels: Option[DataFrame],
+                             ids: DataFrame): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/doclens")
+    StoredIndex.filterTombstones(dels,
+      allowedIdLiterals(ids, AllowedPushdownCap) match {
+        case Some(l) => raw.filter(col("id").isin(l: _*))
+        case None    => raw.join(broadcast(ids), Seq("id"), "left_semi")
+      }, "id")
+  }
+
+  /** Register (or re-register, replacing the whole overlay) tenant
+    * assignments over the live index. Every assigned id must be
+    * live; coverage may be partial. Pays ONE live-keys-sized pass
+    * (assignment ⨝ doclens) to derive the initial gauges — the
+    * amortized registration cost every subsequent [[probeTopKTenant]]
+    * skips. Crash posture: `tstats/` is deleted first and written
+    * last, so a crash mid-registration leaves the gauge missing and
+    * the tenant serve failing LOUDLY (re-register), never serving
+    * stale statistics over a new assignment. */
+  def registerTenants(spark: SparkSession, dir: String,
+                      assign: DataFrame, tenantCol: String = "tenant",
+                      idCol: String = "doc_id"): Unit = {
+    val a = tenantAssignOf(assign, tenantCol, idCol,
+      "KeywordIndex.registerTenants")
+    require(a.join(liveIndexedIds(spark, dir), Seq("id"), "left_anti")
+      .limit(1).count() == 0L,
+      "KeywordIndex.registerTenants: assignment names id(s) not " +
+        s"live in the index at $dir")
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val lens = StoredIndex.filterTombstones(dels,
+      spark.read.parquet(s"$dir/doclens"), "id")
+    StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tstats"), true)
+    clusterTenants(a).write.mode("overwrite").parquet(s"$dir/tenants")
+    tenantGaugesOf(
+        spark.read.parquet(s"$dir/tenants").join(lens, Seq("id")))
+      .write.mode("overwrite").parquet(s"$dir/tstats")
+  }
+
+  /** Extend the overlay with assignments for newly-appended (or
+    * previously untenanted) live docs — O(batch) like [[append]]:
+    * the batch's dl slice reads id-IN-pruned doclens rows, the gauge
+    * fold re-aggregates the tiny `tstats/` asset, the assignment
+    * rows append as an unclustered shard ([[compact]] restores the
+    * clustering). The already-assigned guard is an exact check over
+    * the overlay keys — control-plane frequency, not a probe. */
+  def assignTenants(spark: SparkSession, dir: String,
+                    assign: DataFrame, tenantCol: String = "tenant",
+                    idCol: String = "doc_id"): Unit = {
+    require(hasTenants(spark, dir),
+      s"KeywordIndex.assignTenants: no tenant overlay at $dir — " +
+        "registerTenants first")
+    val a = tenantAssignOf(assign, tenantCol, idCol,
+      "KeywordIndex.assignTenants").localCheckpoint()
+    require(a.join(liveIndexedIds(spark, dir), Seq("id"), "left_anti")
+      .limit(1).count() == 0L,
+      "KeywordIndex.assignTenants: assignment names id(s) not live " +
+        s"in the index at $dir")
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val already = StoredIndex.filterTombstones(dels,
+        spark.read.parquet(s"$dir/tenants"), "id")
+      .join(broadcast(a.select("id")), Seq("id"), "left_semi")
+      .limit(1).count()
+    require(already == 0L,
+      "KeywordIndex.assignTenants: id(s) already assigned — " +
+        "re-register to replace the overlay")
+    val delta = tenantGaugesOf(
+      a.join(doclensSliceOf(spark, dir, dels, a.select("id")),
+        Seq("id")))
+    a.write.mode("append").parquet(s"$dir/tenants")
+    foldTenantGauges(spark, dir, delta)
+  }
+
+  /** Subtract a retraction's per-tenant mass from the gauge asset —
+    * runs inside [[remove]]'s commit window when the overlay exists.
+    * The removed docs' tenants come from the stored assignment (the
+    * retraction frame does not carry them), id-IN-pruned under the
+    * cap; dl comes from the removed frame's text, the same
+    * (id, text)-identity contract the XOR un-mix already requires.
+    * Untenanted removed docs simply have no assignment row and fold
+    * nothing. The assignment rows themselves stay until [[compact]]
+    * materializes the tombstones — every overlay read tombstone-
+    * filters, exactly like doclens. */
+  private def foldTenantRemoval(spark: SparkSession, dir: String,
+                                removed: DataFrame, textCol: String,
+                                idCol: String): Unit = {
+    if (!hasTenants(spark, dir)) return
+    val rIds = idsOf(removed, idCol).distinct()
+    val tRaw = spark.read.parquet(s"$dir/tenants")
+    // no tombstone filter: remove() guards its ids are LIVE, and a
+    // tombstoned id cannot re-enter the index before a compact drops
+    // its assignment row — so the id slice is unambiguous
+    val tHit = allowedIdLiterals(rIds, AllowedPushdownCap) match {
+      case Some(l) => tRaw.filter(col("id").isin(l: _*))
+      case None    => tRaw.join(broadcast(rIds), Seq("id"), "left_semi")
+    }
+    val delta = tenantGaugesOf(
+        removed.select(col(idCol).cast("long").as("id"),
+            size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+          .join(tHit.select("id", "tenant"), Seq("id")))
+      .select(col("tenant"), (-col("n_docs")).as("n_docs"),
+        (-col("sum_dl")).as("sum_dl"))
+    foldTenantGauges(spark, dir, delta)
+  }
+
+  /** The live id set of one registered tenant — a (tenant, id)-
+    * clustered overlay slice (`tenant = …` prunes row groups),
+    * tombstone-filtered. The candidate restriction and zero-fill
+    * tail of [[probeTopKTenant]], and the allowed frame a filtered
+    * hybrid serve hands the dense side. */
+  def tenantLiveIds(spark: SparkSession, dir: String,
+                    tenant: String): DataFrame =
+    StoredIndex.filterTombstones(spark, dir,
+      spark.read.parquet(s"$dir/tenants")
+        .filter(col("tenant") === lit(tenant)).select("id"), "id")
+
+  /** Scoped-statistics filtered serve for a REGISTERED tenant — the
+    * scale-honest form of [[probeTopKFiltered]]'s default posture:
+    * the page is identical (BM25 top-N within the tenant's live
+    * docs, df/N/Σdl reduced over exactly that subset), but the
+    * corpus statistics come from the tenant's ONE stored gauge row
+    * instead of a per-probe doclens reduction, and the candidate
+    * slice restricts by id-IN literals collected from the (tenant,
+    * id)-clustered overlay slice (or a semi-join above the cap).
+    * The per-probe plan touches postings + two 1-row-ish overlay
+    * slices — doclens is never read, even with `zeroFill` (the tail
+    * ids come from the overlay slice). An unknown tenant serves an
+    * empty page (its gauge slice is empty). */
+  def probeTopKTenant(spark: SparkSession, dir: String,
+                      terms: Seq[String], topN: Int, tenant: String,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      zeroFill: Boolean = false,
+                      pushdownCap: Int = AllowedPushdownCap): DataFrame = {
+    requireQueryTerms(terms, "KeywordIndex.probeTopKTenant")
+    require(hasTenants(spark, dir),
+      s"KeywordIndex.probeTopKTenant: no tenant overlay at $dir — " +
+        "registerTenants first (ad-hoc subsets: probeTopKFiltered)")
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val tIds = tenantLiveIds(spark, dir, tenant)
+    val candSlice = allowedIdLiterals(tIds, pushdownCap) match {
+      case some @ Some(_) => sliceOf(spark, dir, dels, terms, some)
+      case None => sliceOf(spark, dir, dels, terms)
+        .join(tIds, Seq("id"), "left_semi")
+    }
+    val stats = spark.read.parquet(s"$dir/tstats")
+      .filter(col("tenant") === lit(tenant))
+      .select("n_docs", "sum_dl")
+    rankedPage(scoredCandidates(candSlice, stats, terms, k1, b),
+      tIds, topN, zeroFill)
+  }
+
   /** Threshold serve — [[AnnIndex.probeRange]]'s lexical twin: every
     * live document whose BM25 score (global stored statistics)
     * clears `minScore`, doc_id-ordered. The serve plan is
@@ -570,9 +809,12 @@ object KeywordIndex {
       idsOf(removed, idCol).distinct().localCheckpoint(),
       identity(removed, textCol, idCol).head,
       liveIndexedIds(spark, dir), "KeywordIndex.remove",
-      beforeMeta = () => writeStats(spark, dir,
-        oldStats.getLong(0) - gone.getLong(0),
-        oldStats.getLong(1) - gone.getLong(1)))
+      beforeMeta = () => {
+        writeStats(spark, dir,
+          oldStats.getLong(0) - gone.getLong(0),
+          oldStats.getLong(1) - gone.getLong(1))
+        foldTenantRemoval(spark, dir, removed, textCol, idCol)
+      })
   }
 
   /** Rewrite the accreted append shards back into term-range-
@@ -592,6 +834,12 @@ object KeywordIndex {
     val dels = StoredIndex.readDeleteIds(spark, dir)
     StoredIndex.compactAsset(spark, dir, "postings",
       df => clusterPostings(StoredIndex.filterTombstones(dels, df, "id")))
+    // the tenant overlay compacts BEFORE doclens drops `deletes/`:
+    // its tombstone materialization reads the same list. The gauges
+    // are untouched — remove() already subtracted at retraction time.
+    if (hasTenants(spark, dir))
+      StoredIndex.compactAsset(spark, dir, "tenants",
+        df => clusterTenants(StoredIndex.filterTombstones(dels, df, "id")))
     StoredIndex.compactAsset(spark, dir, "doclens",
       df => StoredIndex.filterTombstones(dels, df, "id")
         .repartitionByRange(col("id")).sortWithinPartitions("id"),
@@ -610,7 +858,10 @@ object KeywordIndex {
     val d = StoredIndex.compactIfAccreted(spark, dir, "doclens",
       maxFiles,
       df => df.repartitionByRange(col("id")).sortWithinPartitions("id"))
-    p || d
+    val t = hasTenants(spark, dir) &&
+      StoredIndex.compactIfAccreted(spark, dir, "tenants", maxFiles,
+        clusterTenants)
+    p || d || t
   }
 
   /** Merge independently built shard indexes into one —
@@ -654,9 +905,21 @@ object KeywordIndex {
         s"$outDir/doclens", s"s${i}_")
       StoredIndex.copyAssetFiles(spark, s"$d/deletes",
         s"$outDir/deletes", s"s${i}_")
+      StoredIndex.copyAssetFiles(spark, s"$d/tenants",
+        s"$outDir/tenants", s"s${i}_")
     }
     writeStats(spark, outDir, stats.map(_.getLong(0)).sum,
       stats.map(_.getLong(1)).sum)
+    // per-tenant gauges sum by tenant across the shards that carry
+    // an overlay (shard ids are disjoint, so the union double-counts
+    // nothing); shards without one simply contribute untenanted docs
+    val tGauges = shardDirs.filter(hasTenants(spark, _))
+      .map(d => spark.read.parquet(s"$d/tstats"))
+    if (tGauges.nonEmpty)
+      tGauges.reduce(_ unionByName _).groupBy("tenant")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_dl")).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$outDir/tstats")
     val blooms = shardDirs.map(d =>
       StoredIndex.readIdBloomAsset(spark, d))
     if (blooms.forall(_.isDefined)) // else: a pre-bloom shard — omit
@@ -699,9 +962,21 @@ object KeywordIndex {
       s"$dir/doclens", "ab_")
     StoredIndex.copyAssetFiles(spark, s"$shardDir/deletes",
       s"$dir/deletes", "ab_")
+    StoredIndex.copyAssetFiles(spark, s"$shardDir/tenants",
+      s"$dir/tenants", "ab_")
     writeStats(spark, dir,
       dirStats.getLong(0) + shardStats.getLong(0),
       dirStats.getLong(1) + shardStats.getLong(1))
+    // fold the shard's per-tenant gauges: sum-by-tenant when both
+    // sides carry an overlay, adopt the shard's when only it does
+    // (the target's docs are simply untenanted), no-op otherwise
+    if (hasTenants(spark, shardDir)) {
+      val shardGauges = spark.read.parquet(s"$shardDir/tstats")
+      if (StoredIndex.fsOf(spark, dir)
+          .exists(new org.apache.hadoop.fs.Path(s"$dir/tstats")))
+        foldTenantGauges(spark, dir, shardGauges)
+      else shardGauges.write.mode("overwrite").parquet(s"$dir/tstats")
+    }
     (StoredIndex.readIdBloomAsset(spark, dir), shardBloom) match {
       case (None, _) => () // pre-bloom target stays pre-bloom
       case (Some(_), None) =>
@@ -751,7 +1026,28 @@ object KeywordIndex {
     val gauge = spark.read.parquet(s"$dir/stats")
     val bloomPresent =
       if (StoredIndex.readIdBloom(spark, dir).isDefined) 1d else 0d
-    Seq(
+    // when a tenant overlay is registered, pin its gauges against
+    // the overlay-derived truth the same way the global pair is
+    // pinned: Σ-over-tenants of tstats/ vs the live assignment rows
+    // joined to live doclens — a per-tenant fold missed anywhere in
+    // the lifecycle surfaces as tgauge_* ≠ tenanted_*_live
+    val tenantRows =
+      if (!hasTenants(spark, dir)) Nil
+      else {
+        val tLive = StoredIndex.filterTombstones(deletes,
+          spark.read.parquet(s"$dir/tenants"), "id")
+        val tg = spark.read.parquet(s"$dir/tstats")
+        Seq(
+          metricRow("n_tenants", tg, count(lit(1L))),
+          metricRow("tenanted_dl_live", tLive.join(lens, Seq("id")),
+            coalesce(sum(col("dl")), lit(0L)).cast("double")),
+          metricRow("tenanted_docs_live", tLive, count(lit(1L))),
+          metricRow("tgauge_n_docs", tg,
+            coalesce(sum(col("n_docs")), lit(0L)).cast("double")),
+          metricRow("tgauge_sum_dl", tg,
+            coalesce(sum(col("sum_dl")), lit(0L)).cast("double")))
+      }
+    (Seq(
       metricRow("avg_df", perTerm, roundDet(avg(col("df")), 4)),
       litMetricRow(spark, "bloom_present", bloomPresent),
       metricRow("max_df", perTerm, max(col("df"))),
@@ -763,7 +1059,7 @@ object KeywordIndex {
       metricRow("sum_dl_gauge", gauge, sum(col("sum_dl"))),
       metricRow("sum_dl_live", lens, sum(col("dl")).cast("double")),
       tombstoneMetricRow(spark, dir)
-    ).reduce(_ unionByName _).orderBy("metric")
+    ) ++ tenantRows).reduce(_ unionByName _).orderBy("metric")
   }
 
   /** The health frame a FRESH build of `corpus` must report, derived

@@ -5031,6 +5031,60 @@ object ExtQueries {
                SELECT rank, doc_id, score FROM ranked
                WHERE rank <= 20 ORDER BY rank""")),
 
+    // k15: REGISTERED-tenant scoped filtered serve — k11's semantics
+    // (BM25 top-k within the subset, statistics reduced over exactly
+    // that subset) with the per-probe doclens reduction replaced by
+    // the tenant's ONE stored gauge row (tstats/, folded through the
+    // lifecycle like the global stats/ gauge) and the candidate
+    // restriction by id-IN literals collected from the (tenant, id)-
+    // clustered overlay slice. Same oracle as k11 — the page is the
+    // dedicated per-tenant index's page, served at O(matched
+    // postings + overlay slice), zero doclens work (PlanSpec-gated).
+    Q("k15_keyword_tenant_serve",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.registerTenants(s, ix,
+          docs.select(col("doc_id"),
+            (col("doc_id") % 3).cast("string").as("tenant")))
+        graft.ext.KeywordIndex.probeTopKTenant(s, ix, KwTerms,
+          topN = 20, tenant = "0", zeroFill = true)
+      },
+      Some(sqlKwBm25("doc_id % 3 = 0", KwTerms, 20))),
+
+    // k16: the tenant gauge ALGEBRA under a full lifecycle — build +
+    // register, append + assign, cross-tenant retract (per-tenant
+    // subtraction at retraction time), compact (overlay tombstones
+    // materialized, gauges carried) — then the tenant page must equal
+    // BM25 over the live∩tenant corpus: one SQL predicate composing
+    // all three set operations, hash-exact.
+    Q("k16_keyword_tenant_lifecycle",
+      (s, dir) => {
+        import graft.ext.KeywordIndex
+        val docs = t(s, dir, "documents")
+        val ix = KeywordIndex.dirFor(dir) + "_tn"
+        def tenantOf(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"),
+            (col("doc_id") % 2).cast("string").as("tenant"))
+        val seed = docs.filter(col("doc_id") < 300)
+        KeywordIndex.build(seed, ix)
+        KeywordIndex.registerTenants(s, ix, tenantOf(seed))
+        val batch = docs.filter(
+          col("doc_id") >= 300 && col("doc_id") < 400)
+        KeywordIndex.append(batch, ix)
+        KeywordIndex.assignTenants(s, ix, tenantOf(batch))
+        KeywordIndex.remove(
+          docs.filter(col("doc_id") < 400 && col("doc_id") % 7 === 0),
+          ix)
+        KeywordIndex.compact(s, ix)
+        KeywordIndex.probeTopKTenant(s, ix, KwTerms, topN = 20,
+          tenant = "1", zeroFill = true)
+      },
+      Some(sqlKwBm25(
+        "doc_id < 400 AND NOT (doc_id % 7 = 0) AND doc_id % 2 = 1",
+        KwTerms, 20))),
+
     // k13: BATCHED lexical serve — AnnIndex.probeTopK's many-queries
     // shape on the keyword family: three term queries served from
     // ONE composed plan (one postings scan over the union term set,

@@ -389,6 +389,139 @@ class KeywordIndexSpec extends SparkTestBase {
       "empty-corpus health must agree stored ≡ derived")
   }
 
+  test("k: tenant overlay — probeTopKTenant ≡ the scoped filtered " +
+      "serve ≡ in-query BM25 over the tenant's docs; unknown tenant " +
+      "serves empty; guards hold") {
+    val corpus = corpusOf(30)
+    val dir = tmp("kwtn")
+    KeywordIndex.build(corpus, dir)
+    // the unregistered serve fails loudly, never silently global
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeTopKTenant(spark, dir, terms, 6, "t0")
+    }
+    val assign = corpus.select($"doc_id",
+      concat(lit("t"), $"doc_id" % 3).as("tenant"))
+    KeywordIndex.registerTenants(spark, dir, assign)
+    val t0docs = corpus.filter($"doc_id" % 3 === 0L)
+    val expected = page(Relevance.bm25TopDocs(t0docs, terms, 6))
+    assert(page(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "t0", zeroFill = true)) == expected,
+      "tenant page must equal a dedicated subset-corpus ranking")
+    assert(page(KeywordIndex.probeTopKFiltered(spark, dir, terms, 6,
+      allowed = t0docs.select("doc_id"), zeroFill = true)) == expected,
+      "tenant serve and ad-hoc scoped filtered serve must agree")
+    // above-cap fallback (semi-join restriction): identical page
+    assert(page(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "t0", zeroFill = true, pushdownCap = 0)) == expected,
+      "semi-join fallback must serve the same tenant page")
+    assert(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "nosuchtenant", zeroFill = true).isEmpty,
+      "unknown tenant must serve an empty page")
+    // guards: null tenant, duplicate id, non-live id
+    intercept[IllegalArgumentException] {
+      KeywordIndex.registerTenants(spark, dir,
+        corpus.limit(2).select($"doc_id",
+          lit(null).cast("string").as("tenant")))
+    }
+    intercept[IllegalArgumentException] {
+      KeywordIndex.registerTenants(spark, dir,
+        assign.filter($"doc_id" < 3)
+          .unionByName(assign.filter($"doc_id" < 1)))
+    }
+    intercept[IllegalArgumentException] {
+      KeywordIndex.registerTenants(spark, dir,
+        Seq((999L, "tx")).toDF("doc_id", "tenant"))
+    }
+    // a rebuild drops the overlay (assignments named the old
+    // generation) — the tenant serve fails loudly until re-registered
+    KeywordIndex.build(corpus, dir)
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeTopKTenant(spark, dir, terms, 6, "t0")
+    }
+  }
+
+  test("k: tenant gauges fold through assign/remove/compact/merge/" +
+      "absorb — the tenant page tracks the live∩tenant set at every " +
+      "lifecycle point, and health pins the gauge") {
+    def metric(df: DataFrame, m: String): Double =
+      df.filter($"metric" === m).select("value").as[Double].head()
+    def tenantOf(df: DataFrame): DataFrame =
+      df.select($"doc_id", concat(lit("t"), $"doc_id" % 2).as("tenant"))
+    val seed = corpusOf(20)
+    val dir = tmp("kwtlc")
+    KeywordIndex.build(seed, dir)
+    KeywordIndex.registerTenants(spark, dir, tenantOf(seed))
+    // append a batch, assign its tenants (same rule)
+    val batch = corpusOf(10, from = 100L)
+    KeywordIndex.append(batch, dir)
+    KeywordIndex.assignTenants(spark, dir, tenantOf(batch))
+    // double-assignment guard
+    intercept[IllegalArgumentException] {
+      KeywordIndex.assignTenants(spark, dir, tenantOf(batch.limit(1)))
+    }
+    val all = seed.unionByName(batch)
+    assert(page(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "t1", zeroFill = true)) ==
+      page(Relevance.bm25TopDocs(
+        all.filter($"doc_id" % 2 === 1L), terms, 6)),
+      "post-assign tenant page must cover seed + batch")
+    // retract across both tenants; gauge must subtract per tenant
+    val gone = all.filter($"doc_id" % 5 === 0L)
+    KeywordIndex.remove(gone, dir)
+    val live = all.filter($"doc_id" % 5 =!= 0L).localCheckpoint()
+    val t1 = live.filter($"doc_id" % 2 === 1L)
+    assert(page(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "t1", zeroFill = true)) ==
+      page(Relevance.bm25TopDocs(t1, terms, 6)),
+      "post-remove tenant page must track live∩tenant")
+    // health pins the tenant gauges against the overlay-derived truth
+    val h1 = KeywordIndex.health(spark, dir)
+    assert(metric(h1, "tgauge_n_docs") ==
+        metric(h1, "tenanted_docs_live") &&
+      metric(h1, "tgauge_sum_dl") == metric(h1, "tenanted_dl_live"),
+      "tenant gauges must equal the live-derived truth under " +
+        "pending tombstones")
+    // compact materializes the tombstones in the overlay too
+    KeywordIndex.compact(spark, dir)
+    val h2 = KeywordIndex.health(spark, dir)
+    assert(metric(h2, "tgauge_n_docs") ==
+        metric(h2, "tenanted_docs_live") &&
+      metric(h2, "n_tombstoned") == 0d,
+      "compacted overlay must agree with the gauges, tombstones gone")
+    assert(page(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "t1", zeroFill = true)) ==
+      page(Relevance.bm25TopDocs(t1, terms, 6)),
+      "post-compact tenant page unchanged")
+    // merge: two registered shards; gauges sum by tenant
+    val shardB = corpusOf(12, from = 200L)
+    val dirB = tmp("kwtlcB")
+    KeywordIndex.build(shardB, dirB)
+    KeywordIndex.registerTenants(spark, dirB, tenantOf(shardB))
+    val merged = tmp("kwtlcM")
+    KeywordIndex.merge(spark, Seq(dir, dirB), merged)
+    val unionT1 = t1.unionByName(shardB.filter($"doc_id" % 2 === 1L))
+    assert(page(KeywordIndex.probeTopKTenant(spark, merged, terms, 6,
+      "t1", zeroFill = true)) ==
+      page(Relevance.bm25TopDocs(unionT1, terms, 6)),
+      "merged tenant page must equal the union tenant corpus")
+    // absorb a registered shard into the live index
+    val shardC = corpusOf(8, from = 300L)
+    val dirC = tmp("kwtlcC")
+    KeywordIndex.build(shardC, dirC)
+    KeywordIndex.registerTenants(spark, dirC, tenantOf(shardC))
+    KeywordIndex.absorb(spark, dirC, dir)
+    val absorbedT1 = t1.unionByName(shardC.filter($"doc_id" % 2 === 1L))
+    assert(page(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "t1", zeroFill = true)) ==
+      page(Relevance.bm25TopDocs(absorbedT1, terms, 6)),
+      "absorbed tenant page must cover target + shard")
+    val h3 = KeywordIndex.health(spark, dir)
+    assert(metric(h3, "tgauge_n_docs") ==
+        metric(h3, "tenanted_docs_live") &&
+      metric(h3, "tgauge_sum_dl") == metric(h3, "tenanted_dl_live"),
+      "absorbed tenant gauges must equal the live-derived truth")
+  }
+
   test("k: health pins the SERVING stats gauge — a silently-drifted " +
       "stats/ asset surfaces as gauge-vs-live divergence") {
     val corpus = corpusOf(18)

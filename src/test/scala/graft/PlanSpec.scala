@@ -624,6 +624,38 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"semi-join restriction despite a driver-known small subset:\n$plan")
   }
 
+  test("keyword tenant serve: statistics from the tenant's ONE " +
+      "gauge row, candidates id-IN-pruned, tenant= pushed to the " +
+      "overlay scan — doclens NEVER read, even with zeroFill") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_plant").toString
+    KeywordIndex.build(docs, dir)
+    KeywordIndex.registerTenants(spark, dir,
+      docs.select(col("doc_id"),
+        concat(lit("t"), col("doc_id") % 3).as("tenant")))
+    val plan = executed(KeywordIndex.probeTopKTenant(spark, dir,
+      Seq("data", "query", "shuffle"), topN = 20, "t0",
+      zeroFill = true))
+    // the scale-honest headline: the scoped-statistics serve touches
+    // postings + the (tenant,id)-clustered overlay slice + the
+    // 1-row-per-tenant gauge — the per-probe O(live doc count)
+    // doclens reduction the ad-hoc filtered serve pays is GONE
+    assert(!plan.contains("doclens"),
+      s"tenant serve reads doclens in:\n$plan")
+    assert("tenants[^\\n]*PushedFilters: \\[[^\\n]*EqualTo\\(tenant".r
+      .findFirstIn(plan).isDefined,
+      s"tenant= not pushed to the overlay scan in:\n$plan")
+    assert("tstats[^\\n]*PushedFilters: \\[[^\\n]*EqualTo\\(tenant".r
+      .findFirstIn(plan).isDefined,
+      s"tenant= not pushed to the gauge scan in:\n$plan")
+    assert("postings[^\\n]*PushedFilters: \\[[^\\n]*In\\(id".r
+      .findFirstIn(plan).isDefined,
+      s"id IN not pushed to the candidate postings scan in:\n$plan")
+    assert(!plan.contains("split(") && !plan.contains("text#"),
+      s"tenant serve touches corpus text in:\n$plan")
+  }
+
   test("keyword range serve: join-score-filter only — no rank " +
       "window, no doclens (k12 plan)") {
     import graft.ext.KeywordIndex

@@ -103,6 +103,16 @@ class RegistryGuardSpec extends SparkTestBase {
     // k12: the threshold serve is join→score→filter — NO rank
     // window; only the two one-row stat broadcasts remain
     "k12_keyword_range" -> Set("unconditional-nested-loop"),
+    // k15/k16: k11's audited shapes with the subset-stats side now a
+    // ONE-ROW tstats gauge slice (tenant = … filter over the tenant-
+    // count-sized asset — 1 row by the one-gauge-row-per-tenant
+    // construction) instead of the per-probe doclens aggregate; the
+    // candidate restriction is a pushed id IN literal (no join at
+    // all), the final rank window is k1's bounded two-phase shape
+    "k15_keyword_tenant_serve" ->
+      Set("unconditional-nested-loop", "global-window"),
+    "k16_keyword_tenant_lifecycle" ->
+      Set("unconditional-nested-loop", "global-window"),
     // k13: the batched serve's windows are all qid-partitioned (no
     // global-window allowance — that IS the row's point); only the
     // one-row stats-gauge broadcast remains
