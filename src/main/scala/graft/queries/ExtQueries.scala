@@ -5031,6 +5031,62 @@ object ExtQueries {
                SELECT rank, doc_id, score FROM ranked
                WHERE rank <= 20 ORDER BY rank""")),
 
+    // k14: FILTERED hybrid serve — the production RAG query shape
+    // ("hybrid top-k among the docs this tenant may see"): k7b's
+    // stored-stored RRF fusion with BOTH sides restricted to the
+    // allowed subset as pre-filters on stored postings. Lexical side
+    // = probeTopKFiltered in the GLOBAL-statistics posture (scores
+    // agree with the unfiltered ranking — the one-score-scale
+    // property fusion needs; k11g's oracle CTE), dense side =
+    // AnnIndex.probeTopKFiltered (x11's pre-filter semantics and
+    // oracle chain). Zero corpus-text / embeddings-table scans at
+    // query time; the fusion sees two ≤ pageSize pages only.
+    Q("k14_hybrid_filtered",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val embs = t(s, dir, "embeddings")
+        val kix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, kix)
+        val aix = graft.ext.AnnIndex.dirFor(dir)
+        graft.ext.AnnIndex.ensure(embs, aix)
+        val lex = graft.ext.KeywordIndex.probeTopKFiltered(s, kix,
+          KwTerms, topN = 20,
+          allowed = docs.filter(col("doc_id") % 3 === 0)
+            .select("doc_id"),
+          scopedStats = false)
+        val dense = graft.ext.AnnIndex.probeTopKFiltered(s, aix,
+            embs.filter(col("vec_id") === 7),
+            embs.filter(col("vec_id") % 3 === 0).select("vec_id"),
+            k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        Relevance.rrfFuse(lex, dense, topN = 10)
+      },
+      Some(s"""WITH ${sqlKwBm25Ctes("TRUE", KwTerms)},
+                    kranked AS (SELECT doc_id, score,
+                        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                          AS rank
+                      FROM scored
+                      WHERE (doc_id % 3 = 0)
+                        AND (${KwTerms.indices.map(i => s"tf_$i > 0")
+                          .mkString(" OR ")})),
+                    kb AS (SELECT doc_id, rank FROM kranked
+                           WHERE rank <= 20),
+                    $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere("iasg.nid % 3 = 0")},
+                    ka AS (SELECT nid AS doc_id, rank FROM x8r
+                           WHERE qid = 7 AND rank <= 20),
+                    kf AS (SELECT COALESCE(kb.doc_id, ka.doc_id) AS doc_id,
+                        ${sqlRoundDet(
+                          "COALESCE(1.0 / (60.0 + CAST(kb.rank AS DOUBLE)), 0.0)" +
+                            " + COALESCE(1.0 / (60.0 + CAST(ka.rank AS DOUBLE)), 0.0)",
+                          6)} AS rrf
+                      FROM kb FULL OUTER JOIN ka ON ka.doc_id = kb.doc_id),
+                    kr AS (SELECT doc_id, rrf,
+                        ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+                      FROM kf)
+               SELECT rank, doc_id, rrf FROM kr
+               WHERE rank <= 10 ORDER BY rank""")),
+
     // k15: REGISTERED-tenant scoped filtered serve — k11's semantics
     // (BM25 top-k within the subset, statistics reduced over exactly
     // that subset) with the per-probe doclens reduction replaced by

@@ -293,6 +293,39 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     graft.ext.Relevance.rrfFuse(lex, dense, topN)
   }
 
+  /** [[probeHybrid]] restricted to an ALLOWED doc-id subset — the
+    * production RAG query shape ("hybrid top-k among the docs this
+    * tenant may see"), fused from the two families' filtered serves:
+    * the lexical page is [[graft.ext.KeywordIndex
+    * .probeTopKFiltered]] in its GLOBAL-statistics posture (scores
+    * agree with the unfiltered ranking, so differently-filtered
+    * pages compose on one score scale — the property RRF fusion
+    * needs), the dense page is [[graft.ext.AnnIndex
+    * .probeTopKFiltered]]'s pre-filter semantics (the exact IVFADC
+    * top-k of the allowed sub-corpus within the probed buckets).
+    * Both restrictions are pre-filters on stored postings, so the
+    * searchable ≡ trainable invariant composes with the ACL: a page
+    * can surface exactly (admitted ∖ retracted) ∩ allowed, and the
+    * corpus text / embeddings tables are never scanned. A tenant
+    * frame registered with [[graft.ext.KeywordIndex
+    * .registerTenants]] can hand its id slice in as `allowed`
+    * (KeywordIndex.tenantLiveIds). */
+  def probeHybridFiltered(terms: Seq[String], queryVec: DataFrame,
+                          allowed: DataFrame, topN: Int,
+                          pageSize: Int = 20,
+                          idCol: String = "doc_id"): DataFrame = {
+    requireKeywordServing("probeHybridFiltered")
+    val lex = graft.ext.KeywordIndex.probeTopKFiltered(spark,
+      keywordDir, terms, pageSize, allowed, scopedStats = false,
+      idCol = idCol)
+    val dense = graft.ext.AnnIndex
+      .probeTopKFiltered(spark, s"$root/ann_index", queryVec,
+        allowed.select(col(idCol).cast("long").as("vec_id")),
+        k = pageSize)
+      .select(col("nid").as("doc_id"), col("rank"))
+    graft.ext.Relevance.rrfFuse(lex, dense, topN)
+  }
+
   private def requireKeywordServing(what: String): Unit =
     require(keywordServing,
       s"StreamingCorpusIngest.$what requires keywordServing = true " +

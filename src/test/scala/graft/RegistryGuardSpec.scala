@@ -90,6 +90,15 @@ class RegistryGuardSpec extends SparkTestBase {
     "k7b_hybrid_stored" ->
       Set("unconditional-nested-loop", "global-window",
         "bnlj-deferred-derivation"),
+    // k14: k7b's audited shapes with both sides ACL-restricted — the
+    // lexical side adds k11g's keyed allowed semi-join, the dense
+    // side x11's keyed nid semi-join; neither adds a new unbounded
+    // relation (the flagged shapes are still the one-row stat/asset
+    // broadcasts, their benign deferred l2normalize, and the bounded
+    // two-page RRF windows)
+    "k14_hybrid_filtered" ->
+      Set("unconditional-nested-loop", "global-window",
+        "bnlj-deferred-derivation"),
     // k11: k1's probe chain with the allowed set broadcast-semi-
     // joined on id (keyed) and the subset stats as ANOTHER one-row
     // aggregate broadcast — same audited shapes as k1

@@ -193,6 +193,44 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     }
   }
 
+  test("filtered hybrid serve: the coordinator page equals the two " +
+      "filtered stored probes fused, respects the ACL and the " +
+      "takedown, and is refused without the lexical family") {
+    import graft.ext.{AnnIndex, KeywordIndex, Relevance}
+    val root = Files.createTempDirectory("graft_jhf_").toString
+    val joint = new StreamingCorpusIngest(spark, root,
+      keywordServing = true)
+    joint.seed(docs.filter($"doc_id" < 200), embs)
+    joint.retract(Seq(6L, 9L).toDF("doc_id"))
+    val terms = Seq("data", "query")
+    val allowed = docs.filter($"doc_id" % 3 === 0).select("doc_id")
+    val qv = embs.filter($"doc_id" === 7L)
+      .select($"doc_id".as("vec_id"), $"embedding")
+    val page = joint.probeHybridFiltered(terms, qv, allowed, topN = 8)
+      .localCheckpoint()
+    // ≡ composing the two families' filtered serves directly
+    val lex = KeywordIndex.probeTopKFiltered(spark, joint.keywordDir,
+      terms, 20, allowed, scopedStats = false)
+    val dense = AnnIndex.probeTopKFiltered(spark, s"$root/ann_index",
+        qv, allowed.withColumnRenamed("doc_id", "vec_id"), k = 20)
+      .select($"nid".as("doc_id"), $"rank")
+    assert(page.collect().toSeq ==
+      Relevance.rrfFuse(lex, dense, 8).collect().toSeq,
+      "coordinator page must equal the composed filtered probes")
+    // ACL ∩ takedown: surfaced ids ⊆ allowed ∩ (admitted ∖ retracted)
+    val surfaced = ids(page.select("doc_id"))
+    val legal = ids(joint.text.corpus())
+      .intersect(ids(allowed)) -- Set(6L, 9L)
+    assert(surfaced.subsetOf(legal),
+      "page must never surface a retracted or out-of-ACL doc")
+    assert(surfaced.forall(_ % 3 == 0), "ACL must bind both sides")
+    val bare = new StreamingCorpusIngest(spark,
+      Files.createTempDirectory("graft_jhfoff_").toString)
+    intercept[IllegalArgumentException] {
+      bare.probeHybridFiltered(terms, qv, allowed, topN = 5)
+    }
+  }
+
   test("crash between the halves of a joint retract: text ledgered, " +
       "vectors still live — repairAlignment finishes the takedown") {
     val root = Files.createTempDirectory("graft_jcrash_").toString
