@@ -367,12 +367,74 @@ object KeywordIndex {
     * predicate). */
   def probeMany(spark: SparkSession, dir: String,
                 queries: Seq[(Long, Seq[String])], topN: Int,
-                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty, "KeywordIndex.probeMany needs queries")
+                k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    qidRankedPages(
+      scoredManyCand(spark, dir, queries, "probeMany", k1, b), topN)
+
+  /** Batched filtered serve — [[probeMany]] with PER-QUERY allowed
+    * doc-id subsets ([[probeTopKFiltered]]'s global-statistics
+    * posture on the batch dimension): each qid's page is its
+    * candidates ∩ allowed(qid), scored with the live-corpus
+    * statistics (the stored gauge + full-slice dfs — one score scale
+    * across the batch, zero doclens work), ranked within
+    * qid-PARTITIONED windows only. `allowed` carries (qid, id)
+    * pairs; a qid with no allowed rows serves an empty page. Each
+    * page equals `probeTopKFiltered(terms_q, allowed_q,
+    * scopedStats = false)` by construction. */
+  def probeManyFiltered(spark: SparkSession, dir: String,
+                        queries: Seq[(Long, Seq[String])], topN: Int,
+                        allowed: DataFrame, k1: Double = 1.2,
+                        b: Double = 0.75, idCol: String = "doc_id",
+                        qidCol: String = "qid"): DataFrame = {
+    val pairs = allowed.select(col(qidCol).cast("long").as("qid"),
+      col(idCol).cast("long").as("id")).distinct()
+    qidRankedPages(
+      scoredManyCand(spark, dir, queries, "probeManyFiltered", k1, b,
+        restrict = _.join(pairs, Seq("qid", "id"), "left_semi")),
+      topN)
+  }
+
+  /** Batched threshold serve — [[probeRange]] on the batch
+    * dimension: for each query, every live document whose BM25 score
+    * (global stored statistics) clears `minScore`, (qid, doc_id)-
+    * ordered. One composed plan, NO windows at all — the serve is
+    * join→score→filter like the single-query range probe, so the
+    * batch shape adds sharing (one postings scan over the union term
+    * set, one shared df aggregate) without adding any rank work.
+    * `minScore` must be positive ([[probeRange]]'s contract: a bar
+    * ≤ 0 asks for the whole live corpus per query). */
+  def probeManyRange(spark: SparkSession, dir: String,
+                     queries: Seq[(Long, Seq[String])],
+                     minScore: Double, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    require(minScore > 0.0,
+      "KeywordIndex.probeManyRange: minScore must be positive — " +
+        "zero-score documents hold no query term; a bar <= 0 is a " +
+        "corpus scan per query, not a probe")
+    scoredManyCand(spark, dir, queries, "probeManyRange", k1, b)
+      .filter(col("score") >= minScore)
+      .select(col("qid"), col("id").as("doc_id"), col("score"))
+      .orderBy("qid", "doc_id")
+  }
+
+  /** The batched serves' shared scoring spine: ONE postings scan
+    * with `term IN (union of every query's terms)` pushed down,
+    * per-term live dfs reduced once and shared by every query naming
+    * the term, candidates shuffled once keyed (qid, id), scores from
+    * the ordered held-terms fold (bit-identical to the fixed-order
+    * pivot — see [[Relevance.bm25TermScore]]). `restrict` hooks the
+    * per-(qid, id) candidate restriction of the filtered variant in
+    * BEFORE the aggregate, so disallowed postings never shuffle. */
+  private def scoredManyCand(spark: SparkSession, dir: String,
+                             queries: Seq[(Long, Seq[String])],
+                             what: String, k1: Double, b: Double,
+                             restrict: DataFrame => DataFrame = df => df)
+      : DataFrame = {
+    require(queries.nonEmpty, s"KeywordIndex.$what needs queries")
     require(queries.map(_._1).distinct.size == queries.size,
-      "KeywordIndex.probeMany: qids must be distinct")
+      s"KeywordIndex.$what: qids must be distinct")
     queries.foreach { case (q, ts) =>
-      requireQueryTerms(ts, s"KeywordIndex.probeMany (qid=$q)") }
+      requireQueryTerms(ts, s"KeywordIndex.$what (qid=$q)") }
     import spark.implicits._
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val slice = sliceOf(spark, dir, dels,
@@ -386,9 +448,9 @@ object KeywordIndex {
     }.toDF("qid", "tidx", "term")
     val nD = col("n_docs").cast("double")
     val dlNorm = Relevance.bm25DlNorm(b)
-    val cand = slice
-      .join(broadcast(termDf), Seq("term"))
-      .join(broadcast(qt), Seq("term"))
+    restrict(slice
+        .join(broadcast(termDf), Seq("term"))
+        .join(broadcast(qt), Seq("term")))
       .groupBy("qid", "id")
       .agg(max(col("dl")).as("dl"),
         sort_array(collect_list(struct(
@@ -399,6 +461,13 @@ object KeywordIndex {
           acc + Relevance.bm25TermScore(
             x.getField("tf").cast("double"),
             x.getField("df").cast("double"), nD, dlNorm, k1)), 4))
+  }
+
+  /** The batched serves' qid-partitioned two-phase top-k: rank
+    * within (qid, scan partition) first, then the qid-keyed final
+    * window — the batch dimension is the partition key, so the plan
+    * has NO global window at all (PlanGuard's rule, k13's point). */
+  private def qidRankedPages(cand: DataFrame, topN: Int): DataFrame = {
     val wPart = Window.partitionBy(col("qid"), col("__pid"))
       .orderBy(col("score").desc, col("id").asc)
     val w = Window.partitionBy(col("qid"))

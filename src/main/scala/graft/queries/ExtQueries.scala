@@ -201,18 +201,32 @@ object ExtQueries {
     * term — the production no-zero-fill posture probeMany serves):
     * the same CTE chain, ranked after the tf filter, tagged with the
     * qid literal so the k13 multi-query oracle is a UNION ALL of
-    * these. */
+    * these. `allowedPred` (default none) restricts the RANKED set —
+    * the k17 batched-filtered pages' global-statistics semantics
+    * (scores over all live docs, rank within allowed ∩ candidates,
+    * k11g's shape per qid). */
   private def sqlKwBm25CandPage(qid: Long, terms: Seq[String],
-                                topN: Int): String =
+                                topN: Int,
+                                allowedPred: String = "TRUE"): String =
     s"""SELECT $qid AS qid, rank, doc_id, score FROM (
           WITH ${sqlKwBm25Ctes("TRUE", terms)},
                ranked AS (SELECT doc_id, score,
                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
                  FROM scored
-                 WHERE ${terms.indices.map(i => s"tf_$i > 0")
-                   .mkString(" OR ")})
+                 WHERE ($allowedPred)
+                   AND (${terms.indices.map(i => s"tf_$i > 0")
+                     .mkString(" OR ")}))
           SELECT rank, doc_id, score FROM ranked
           WHERE rank <= $topN)"""
+
+  /** One qid's THRESHOLD page (every live doc clearing the bar,
+    * k12's shape) tagged with the qid literal — the k18 batched
+    * range oracle is a UNION ALL of these. */
+  private def sqlKwRangePage(qid: Long, terms: Seq[String],
+                             bar: Double): String =
+    s"""SELECT $qid AS qid, doc_id, score FROM (
+          WITH ${sqlKwBm25Ctes("TRUE", terms)}
+          SELECT doc_id, score FROM scored WHERE score >= $bar)"""
 
   // k13's query batch: KwTerms (shared with k1 — the two rows must
   // agree on qid 0's candidates), t7's Bm25Terms (different df
@@ -5160,6 +5174,52 @@ object ExtQueries {
       Some(KwMulti.map { case (q, ts) => sqlKwBm25CandPage(q, ts, 10) }
         .mkString("SELECT * FROM (", " UNION ALL ",
           ") ORDER BY qid, rank"))),
+
+    // k17: BATCHED filtered lexical serve — k13's one-composed-plan
+    // shape with PER-QUERY allowed subsets (probeTopKFiltered's
+    // global-statistics posture on the batch dimension): the
+    // (qid, id) restriction semi-joins BEFORE the candidate
+    // aggregate so disallowed postings never shuffle, scores stay on
+    // the one live-corpus scale, and every rank window remains
+    // qid-partitioned. Oracle: UNION ALL of k11g-shaped per-qid
+    // pages. Closes the serve-matrix batch dimension beside k13.
+    Q("k17_keyword_multi_filtered",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        val pairs = Seq((0L, 3L, 0L), (1L, 3L, 1L), (2L, 2L, 0L))
+          .map { case (q, m, r) =>
+            docs.filter(col("doc_id") % m === r)
+              .select(lit(q).as("qid"), col("doc_id")) }
+          .reduce(_ unionByName _)
+        graft.ext.KeywordIndex.probeManyFiltered(s, ix, KwMulti,
+          topN = 10, allowed = pairs)
+      },
+      Some(KwMulti.zip(Seq("doc_id % 3 = 0", "doc_id % 3 = 1",
+          "doc_id % 2 = 0"))
+        .map { case ((q, ts), pred) =>
+          sqlKwBm25CandPage(q, ts, 10, allowedPred = pred) }
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY qid, rank"))),
+
+    // k18: BATCHED threshold lexical serve — k12's join→score→filter
+    // shape on the batch dimension: one postings scan over the union
+    // term set, one shared df aggregate, NO windows at all. Bar 0.3
+    // sits inside every fixture query's score range so each qid
+    // contributes rows at every scale. Oracle: UNION ALL of
+    // k12-shaped per-qid threshold pages.
+    Q("k18_keyword_multi_range",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.probeManyRange(s, ix, KwMulti,
+          minScore = 0.3)
+      },
+      Some(KwMulti.map { case (q, ts) => sqlKwRangePage(q, ts, 0.3) }
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY qid, doc_id"))),
 
     // k12: threshold (range) lexical serve — every live doc whose
     // BM25 score clears the bar, AnnIndex.probeRange's (x17) lexical

@@ -389,6 +389,52 @@ class KeywordIndexSpec extends SparkTestBase {
       "empty-corpus health must agree stored ≡ derived")
   }
 
+  test("k: probeManyFiltered ≡ per-qid filtered probes (global " +
+      "stats); an empty-allowed qid serves an empty page; " +
+      "probeManyRange ≡ per-qid range probes") {
+    val corpus = corpusOf(30)
+    val dir = tmp("kwmf")
+    KeywordIndex.build(corpus, dir)
+    val queries = Seq(0L -> terms, 1L -> Seq("beta", "kappa"),
+      2L -> Seq("gamma"))
+    // per-qid allowed sets: qid 0 → ids % 3 = 0, qid 1 → ids % 3 = 1,
+    // qid 2 → NONE (its page must be empty, not global)
+    val pairs = corpus.select($"doc_id").as[Long].collect().toSeq
+      .flatMap(id => Seq((0L, id), (1L, id)).filter {
+        case (q, i) => i % 3 == q })
+      .toDF("qid", "doc_id")
+    val batched = KeywordIndex.probeManyFiltered(spark, dir, queries,
+      topN = 5, allowed = pairs)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val single = queries.flatMap { case (q, ts) =>
+      page(KeywordIndex.probeTopKFiltered(spark, dir, ts, 5,
+        allowed = corpus.filter($"doc_id" % 3 === q)
+          .select("doc_id"),
+        scopedStats = false))
+        .map { case (r, id, sc) => (q, r, id, sc) }
+    }.filter(_._1 != 2L)
+    assert(batched == single,
+      "batched filtered pages must equal the per-qid filtered probes")
+    assert(!batched.exists(_._1 == 2L),
+      "a qid with no allowed rows must serve an empty page")
+    // threshold: per-qid equality against the single-range serve
+    val bar = 0.3
+    val rangeBatched = KeywordIndex.probeManyRange(spark, dir,
+        queries, minScore = bar)
+      .as[(Long, Long, Double)].collect().toSeq
+    val rangeSingle = queries.flatMap { case (q, ts) =>
+      KeywordIndex.probeRange(spark, dir, ts, minScore = bar)
+        .as[(Long, Double)].collect().toSeq
+        .map { case (id, sc) => (q, id, sc) }
+    }
+    assert(rangeBatched == rangeSingle,
+      "batched range pages must equal the per-qid range probes")
+    assert(rangeBatched.nonEmpty, "bar chosen non-vacuous")
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeManyRange(spark, dir, queries, minScore = 0.0)
+    }
+  }
+
   test("k: tenant overlay — probeTopKTenant ≡ the scoped filtered " +
       "serve ≡ in-query BM25 over the tenant's docs; unknown tenant " +
       "serves empty; guards hold") {

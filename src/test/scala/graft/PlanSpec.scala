@@ -573,6 +573,37 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       "batched probe plans a global window")
   }
 
+  test("keyword batched filtered/threshold serves: no doclens, term " +
+      "IN pushed, no global window (k17/k18 plans)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_planmf").toString
+    KeywordIndex.build(docs, dir)
+    val queries = Seq(0L -> Seq("data", "query"), 1L -> Seq("shuffle"))
+    val pairs = docs.filter(col("doc_id") % 2 === 0)
+      .select(lit(0L).as("qid"), col("doc_id"))
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .select(lit(1L).as("qid"), col("doc_id")))
+    val filtered = KeywordIndex.probeManyFiltered(spark, dir, queries,
+      topN = 10, allowed = pairs)
+    val fPlan = executed(filtered)
+    assert(!fPlan.contains("doclens"),
+      s"batched filtered serve reads doclens in:\n$fPlan")
+    assert("PushedFilters: \\[[^\\n]*In\\(term".r
+      .findFirstIn(fPlan).isDefined,
+      s"term IN not pushed in:\n$fPlan")
+    assert(!graft.plans.PlanGuard.findings(filtered)
+      .exists(_.rule == "global-window"),
+      "batched filtered serve plans a global window")
+    val ranged = KeywordIndex.probeManyRange(spark, dir, queries,
+      minScore = 0.5)
+    val rPlan = executed(ranged)
+    assert(!rPlan.contains("doclens"),
+      s"batched range serve reads doclens in:\n$rPlan")
+    assert(!rPlan.contains("Window"),
+      s"batched range serve plans a window in:\n$rPlan")
+  }
+
   test("keyword filtered serve, global-stats posture: no doclens — " +
       "same plan class as the unfiltered probe (k11g plan)") {
     import graft.ext.KeywordIndex

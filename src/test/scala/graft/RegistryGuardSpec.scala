@@ -126,6 +126,12 @@ class RegistryGuardSpec extends SparkTestBase {
     // global-window allowance — that IS the row's point); only the
     // one-row stats-gauge broadcast remains
     "k13_keyword_multi" -> Set("unconditional-nested-loop"),
+    // k17: k13's shapes on the filtered batch serve — the one-row
+    // stats-gauge broadcast is the only flagged relation (the
+    // allowed restriction is a KEYED (qid, id) semi-join). k18 needs
+    // NO allowance: Catalyst pushes the score-threshold filter into
+    // the stats join as its condition (e13's conditioned-BNLJ shape)
+    "k17_keyword_multi_filtered" -> Set("unconditional-nested-loop"),
     // st20: the returned frame IS KeywordIndex.probe over the
     // stream-maintained index (the ingest/takedown side effects run
     // eagerly outside the probed plan) — k1's audited shapes
