@@ -246,13 +246,30 @@ object KeywordIndex {
                                b: Double): DataFrame =
     scoredCandidates(slice, slice, stats, terms, k1, b)
 
+  /** Single-query term count above which [[scoredCandidates]] routes
+    * through the ordered-HOF fold scorer instead of the pivoted
+    * fixed-term-order tree: the pivot mints one conditional-sum pair
+    * (tf_i, df_i) per query term, so a 500-term query would widen
+    * one aggregate to 500 column pairs, while the fold plan is one
+    * bounded aggregate at ANY term count. Bit-identical by
+    * [[Relevance.bm25TermScore]]'s argument (skipping absent terms'
+    * exact-0.0 contributions in ascending term order ≡ the
+    * fixed-order sum — the same argument that pins [[probeMany]]'s
+    * pages against [[probe]] in the k13 spec). */
+  private val WideTermThreshold = 32
+
   /** [[scoredCandidates]] with the df side split from the candidate
     * side — the global-statistics filtered serve scores an
     * allowed-subset candidate slice with document frequencies
-    * reduced over the FULL live slice. */
+    * reduced over the FULL live slice. Queries wider than
+    * [[WideTermThreshold]] route to the fold scorer; the plans
+    * differ, the scores do not. */
   private def scoredCandidates(candSlice: DataFrame, dfSlice: DataFrame,
                                stats: DataFrame, terms: Seq[String],
                                k1: Double, b: Double): DataFrame = {
+    if (terms.size > WideTermThreshold)
+      return scoredCandidatesFold(candSlice, dfSlice, stats, terms,
+        k1, b)
     // one-row per-term document frequencies (postings are one row
     // per (term, doc), so df is a plain conditional count over the
     // matched slice)
@@ -271,6 +288,41 @@ object KeywordIndex {
       }: _*)
     tfs.join(broadcast(stats)).join(broadcast(dfs))
       .withColumn("score", Relevance.bm25Score(terms.size, k1, b))
+  }
+
+  /** The wide-query scorer: [[probeMany]]'s ordered held-terms fold
+    * on a single query — per-term dfs as ONE (term)-keyed aggregate
+    * (instead of the pivot's per-term conditional-sum columns), the
+    * score an `aggregate` fold over the document's held terms in
+    * ascending query-term order, adding literally
+    * [[Relevance.bm25TermScore]]'s subtree per term. One bounded
+    * aggregate regardless of term count; bit-identical to the pivot
+    * (absent terms contribute exactly 0.0 in both). Emits the same
+    * (id, dl, score, …) shape [[rankedPage]] consumes. */
+  private def scoredCandidatesFold(candSlice: DataFrame,
+                                   dfSlice: DataFrame, stats: DataFrame,
+                                   terms: Seq[String], k1: Double,
+                                   b: Double): DataFrame = {
+    val sp = candSlice.sparkSession
+    import sp.implicits._
+    val termDf = dfSlice.groupBy("term").agg(count(lit(1L)).as("df"))
+    val tidx = terms.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("tidx", "term")
+    val nD = col("n_docs").cast("double")
+    val dlNorm = Relevance.bm25DlNorm(b)
+    candSlice
+      .join(broadcast(termDf), Seq("term"))
+      .join(broadcast(tidx), Seq("term"))
+      .groupBy("id")
+      .agg(max(col("dl")).as("dl"),
+        sort_array(collect_list(struct(
+          col("tidx"), col("tf"), col("df")))).as("__ts"))
+      .join(broadcast(stats))
+      .withColumn("score", graft.ops.Ops.roundDet(
+        aggregate(col("__ts"), lit(0.0), (acc, x) =>
+          acc + Relevance.bm25TermScore(
+            x.getField("tf").cast("double"),
+            x.getField("df").cast("double"), nD, dlNorm, k1)), 4))
   }
 
   /** The ranked result page over scored candidates: two-phase

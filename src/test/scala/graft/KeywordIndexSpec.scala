@@ -302,18 +302,46 @@ class KeywordIndexSpec extends SparkTestBase {
     }
   }
 
-  test("k: a 40-term query still serves the exact in-query page " +
-      "(wide-pivot bound)") {
+  test("k: wide queries route to the ordered-HOF fold scorer — " +
+      "40- and 64-term pages are exact, the plan stays one bounded " +
+      "aggregate, and narrow queries keep the pivot") {
     val corpus = corpusOf(25)
     val dir = tmp("kwwd")
     KeywordIndex.build(corpus, dir)
-    // every vocab word + 30 absent terms: the pivot mints 40
-    // aggregate pairs — wide but bounded, and bit-exact
-    val wide = vocab ++ (1 to 30).map(i => s"absent$i")
-    val stored = page(KeywordIndex.probe(spark, dir, wide, 10,
-      zeroFill = true))
-    val direct = page(Relevance.bm25TopDocs(corpus, wide, 10))
-    assert(stored == direct, "wide-term page must match")
+    // every vocab word + absent terms past the 32-term routing
+    // threshold: the fold plan is one bounded aggregate where the
+    // pivot would mint one conditional-sum pair per term — and the
+    // page is bit-exact against the in-query fixed-order tree
+    // (absent terms' exact-0.0 contributions skip in order)
+    for (n <- Seq(30, 54)) {
+      val wide = vocab ++ (1 to n).map(i => s"absent$i")
+      val stored = page(KeywordIndex.probe(spark, dir, wide, 10,
+        zeroFill = true))
+      val direct = page(Relevance.bm25TopDocs(corpus, wide, 10))
+      assert(stored == direct, s"${vocab.size + n}-term page must match")
+    }
+    val wide = vocab ++ (1 to 54).map(i => s"absent$i")
+    val widePlan = KeywordIndex.probe(spark, dir, wide, 10)
+      .queryExecution.executedPlan.toString
+    assert(widePlan.contains("collect_list"),
+      "64-term probe must route through the held-terms fold")
+    val narrowPlan = KeywordIndex.probe(spark, dir, terms, 10)
+      .queryExecution.executedPlan.toString
+    assert(!narrowPlan.contains("collect_list"),
+      "narrow probe must keep the fixed-term-order pivot")
+    // the routing covers every scoredCandidates caller: the wide
+    // filtered (both stats postures) and range serves stay exact
+    val allowed = corpus.filter($"doc_id" % 2 === 0L)
+    assert(page(KeywordIndex.probeTopKFiltered(spark, dir, wide, 8,
+      allowed = allowed.select("doc_id"), zeroFill = true)) ==
+      page(Relevance.bm25TopDocs(allowed, wide, 8)),
+      "wide scoped filtered page must match")
+    val wideRange = KeywordIndex.probeRange(spark, dir, wide, 0.1)
+      .as[(Long, Double)].collect().toSeq
+    val directRange = page(Relevance.bm25TopDocs(corpus, wide,
+        corpus.count().toInt))
+      .filter(_._3 >= 0.1).map(r => (r._2, r._3)).sortBy(_._1)
+    assert(wideRange == directRange, "wide range serve must match")
   }
 
   test("k: probeMany ≡ the per-qid single probes, including an " +
