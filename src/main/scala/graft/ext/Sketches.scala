@@ -43,23 +43,34 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** One-row KMV cardinality report over `key`:
-    * (n_kept, kth_hash, n_distinct_est) — n_kept < k means the
-    * distinct count was under the sketch size and the "estimate" is
-    * exact. */
-  def kmvDistinct(df: DataFrame, key: Column, k: Int = 256): DataFrame = {
-    require(k >= 2, s"kmvDistinct needs k >= 2, got $k")
+  /** The MERGEABLE state of a KMV sketch over `key`: the bottom-k
+    * DISTINCT sign-flipped hashes as a ≤ k-row `hf` frame.
+    * bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) — set
+    * union of identical-hash duplicates then re-take — so states fold
+    * and merge EXACTLY (not approximately: the folded state is
+    * bit-identical to the one-shot state over the union), which is
+    * what lets [[kmvReport]] over a stored, incrementally-folded
+    * gauge stay hash-exact against the one-shot oracle SQL. */
+  def kmvState(df: DataFrame, key: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvState needs k >= 2, got $k")
     // sign-bit flip: signed order of (h XOR sign bit) == unsigned
     // order of h (xor, not a wrapping add — ANSI mode forbids the
     // overflow the add relies on)
-    val bottom = df
-      .select(xxhash64(key).bitwiseXOR(lit(Long.MinValue)).as("hf"))
+    df.select(xxhash64(key).bitwiseXOR(lit(Long.MinValue)).as("hf"))
       .distinct()
       .orderBy(col("hf"))
       .limit(k)
+  }
+
+  /** The one-row (n_kept, kth_hash, n_distinct_est) report of a
+    * state frame — shared by the in-query [[kmvDistinct]] and the
+    * stored-gauge [[kmvReport]], so both build the IDENTICAL
+    * estimate expression (the a24 oracle's two-op IEEE sequence). */
+  def kmvReportOf(state: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmvReportOf needs k >= 2, got $k")
     val twoPow64 = math.pow(2.0, 64) // exact: a power of two
     val twoPow63 = math.pow(2.0, 63) // exact: a power of two
-    bottom
+    state
       .agg(count(lit(1L)).as("n_kept"), max(col("hf")).as("hf_k"))
       .select(col("n_kept"),
         col("hf_k").bitwiseXOR(lit(Long.MinValue)).as("kth_hash"),
@@ -75,4 +86,47 @@ object Sketches {
               (col("hf_k").cast("double") + lit(twoPow63))), 4)
           .as("n_distinct_est"))
   }
+
+  /** One-row KMV cardinality report over `key`:
+    * (n_kept, kth_hash, n_distinct_est) — n_kept < k means the
+    * distinct count was under the sketch size and the "estimate" is
+    * exact. */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 256): DataFrame =
+    kmvReportOf(kmvState(df, key, k), k)
+
+  // ----------------------------------------------- stored KMV gauge
+
+  /** Persist a KMV state as a durable corpus gauge (≤ k rows of
+    * `hf`) — the cardinality companion to [[KeywordIndex]]'s
+    * additive (n_docs, sum_dl) `stats/` gauge for quantities that do
+    * NOT fold additively (distinct counts): an ingest writes the
+    * seed state once, [[kmvFold]]s each batch in O(k + batch keys),
+    * and any datacard/health frame reads the estimate from the ≤ k
+    * stored rows without ever re-scanning the corpus. */
+  def kmvWrite(state: DataFrame, dir: String): Unit =
+    state.write.mode("overwrite").parquet(dir)
+
+  /** Fold a batch into a stored KMV gauge: bottom-k of (stored ∪
+    * batch state) — exact by the bottom-k union identity, O(k +
+    * batch keys), the corpus never re-read. Materialized before the
+    * overwrite of the asset it read. */
+  def kmvFold(spark: org.apache.spark.sql.SparkSession, dir: String,
+              batch: DataFrame, key: Column, k: Int = 256): Unit =
+    kmvWrite(kmvMergedState(
+      Seq(spark.read.parquet(dir), kmvState(batch, key, k)), k)
+      .localCheckpoint(), dir)
+
+  /** Merge independently-built KMV states (shard gauges) into one —
+    * union, de-duplicate identical hashes, re-take the bottom k. */
+  def kmvMergedState(states: Seq[DataFrame], k: Int): DataFrame = {
+    require(states.nonEmpty, "kmvMergedState: no states")
+    states.reduce(_ unionByName _).distinct().orderBy(col("hf")).limit(k)
+  }
+
+  /** The cardinality report of a stored gauge — ≤ k rows read, one
+    * 1-row aggregate, hash-exact against the one-shot oracle over
+    * whatever key population the folds covered. */
+  def kmvReport(spark: org.apache.spark.sql.SparkSession, dir: String,
+                k: Int = 256): DataFrame =
+    kmvReportOf(spark.read.parquet(dir), k)
 }

@@ -603,36 +603,38 @@ object CoreQueries {
     Q("a24_kmv_distinct",
       (s, dir) => graft.ext.Sketches.kmvDistinct(
         t(s, dir, "lineitem"), col("l_orderkey"), k = 256),
-      Some(s"""WITH klv AS (SELECT DISTINCT l_orderkey AS lv
-                            FROM lineitem),
-               ${XxhSql.hashLongCtes("kh", "CAST(lv AS HUGEINT)",
-                 "CAST(42 AS HUGEINT)", "hxx", "klv", Seq("lv"))},
-               kbot AS (SELECT DISTINCT hxx FROM khe
-                        ORDER BY hxx LIMIT 256)
-               SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
-                      CAST(MAX(hxx) - CASE
-                          WHEN MAX(hxx) >= 9223372036854775808
-                          THEN 18446744073709551616 ELSE 0 END
-                        AS BIGINT) AS kth_hash,
-                      ${sqlRoundDet(
-                        // mirror Sketches.kmvDistinct bit-for-bit:
-                        // exact-integer (u_k - 2^63) → one int64→
-                        // double cast → + 2^63, a second
-                        // identically-rounded IEEE add in both
-                        // engines (valid in the k..2k regime where
-                        // u_k itself > 2^63). The addend is the
-                        // exact decimal spelling of 2^63, so the
-                        // oracle text rests only on DuckDB parsing
-                        // an exactly-representable literal.
-                        s"""CASE WHEN COUNT(*) < 256
-                           THEN CAST(COUNT(*) AS DOUBLE)
-                           ELSE 255.0 * 18446744073709551616.0
-                                / (CAST(CAST(MAX(hxx)
-                                     - 9223372036854775808 AS BIGINT)
-                                    AS DOUBLE)
-                                   + 9223372036854775808.0) END""", 4)}
-                        AS n_distinct_est
-               FROM kbot""")),
+      Some(SqlKmvOrderkeyOracle)),
+
+    // a25: the STORED mergeable form of a24's sketch — the state (the
+    // bottom-k hash set itself) persisted as a durable corpus gauge
+    // and FOLDED per batch (bottom-k of stored ∪ batch state, O(k +
+    // batch keys)) plus a shard-state merge, the way an ingest's
+    // datacard maintains a distinct-count without ever re-scanning
+    // the corpus. bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    // bottom-k(B)) EXACTLY, so the oracle is literally a24's one-shot
+    // SQL: the lifecycle must be invisible in the report, hash-exact.
+    Q("a25_kmv_stored_lifecycle",
+      (s, dir) => {
+        import graft.ext.Sketches
+        val li = t(s, dir, "lineitem")
+        val key = col("l_orderkey")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_a25_").toString
+        // seed + one incremental fold, then a merge with an
+        // independently-built shard state — all three maintenance
+        // paths on a 3-way key split whose union is the full table
+        Sketches.kmvWrite(
+          Sketches.kmvState(li.filter(key % 3 === 0), key),
+          s"$root/gauge")
+        Sketches.kmvFold(s, s"$root/gauge", li.filter(key % 3 === 1),
+          key)
+        Sketches.kmvWrite(Sketches.kmvMergedState(Seq(
+          s.read.parquet(s"$root/gauge"),
+          Sketches.kmvState(li.filter(key % 3 === 2), key)), 256),
+          s"$root/merged")
+        Sketches.kmvReport(s, s"$root/merged")
+      },
+      Some(SqlKmvOrderkeyOracle)),
 
     // Multiway join (TPC-H Q3 shape, beyond the reference's 2-table
     // joins): filtered fact × orders × broadcast customer dim, group
@@ -1415,4 +1417,38 @@ object CoreQueries {
                     AND q.o_orderdate = o.o_orderdate)
               ORDER BY o.o_orderkey"""))
   )
+
+  /** The one-shot KMV oracle over lineitem's distinct orderkeys —
+    * shared VERBATIM by a24 (in-query sketch) and a25 (stored gauge
+    * lifecycle): the fold/merge algebra must be invisible in the
+    * report, so both rows pin against the identical SQL. Mirrors
+    * Sketches.kmvReportOf bit-for-bit: exact-integer (u_k - 2^63) →
+    * one int64→double cast → + 2^63, a second identically-rounded
+    * IEEE add in both engines (valid in the k..2k regime where u_k
+    * itself > 2^63); the addend is the exact decimal spelling of
+    * 2^63, so the oracle text rests only on DuckDB parsing an
+    * exactly-representable literal. A def, not a val: the `all` Seq
+    * initializes first and would read a val as null. */
+  private def SqlKmvOrderkeyOracle: String =
+    s"""WITH klv AS (SELECT DISTINCT l_orderkey AS lv
+                     FROM lineitem),
+        ${XxhSql.hashLongCtes("kh", "CAST(lv AS HUGEINT)",
+          "CAST(42 AS HUGEINT)", "hxx", "klv", Seq("lv"))},
+        kbot AS (SELECT DISTINCT hxx FROM khe
+                 ORDER BY hxx LIMIT 256)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(MAX(hxx) - CASE
+                   WHEN MAX(hxx) >= 9223372036854775808
+                   THEN 18446744073709551616 ELSE 0 END
+                 AS BIGINT) AS kth_hash,
+               ${sqlRoundDet(
+                 s"""CASE WHEN COUNT(*) < 256
+                    THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 255.0 * 18446744073709551616.0
+                         / (CAST(CAST(MAX(hxx)
+                              - 9223372036854775808 AS BIGINT)
+                             AS DOUBLE)
+                            + 9223372036854775808.0) END""", 4)}
+                 AS n_distinct_est
+        FROM kbot"""
 }

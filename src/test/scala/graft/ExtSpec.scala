@@ -1914,4 +1914,49 @@ class ExtSpec extends SparkTestBase {
     assert(mid._3 > 0.0 && math.abs(mid._3 - 384.0) < 0.35 * 384.0,
       s"k..2k estimate must be positive and near 384, got ${mid._3}")
   }
+
+  test("stored KMV gauge: fold/merge are EXACT — the lifecycle state " +
+      "is bit-identical to the one-shot state, through every regime " +
+      "including k..2k") {
+    import graft.ext.Sketches
+    def state(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("hf").as[Long].collect().toSeq.sorted
+    def report(dir: String, k: Int): (Long, Long, Double) =
+      Sketches.kmvReport(spark, dir, k)
+        .as[(Long, Long, Double)].head()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_kmvg_").toString
+    // a 3-way split with overlapping VALUES across batches (the
+    // distinct-hash union must collapse them) in the k..2k regime
+    val n = 384L
+    val all = spark.range(n).toDF()
+    Sketches.kmvWrite(
+      Sketches.kmvState(all.filter($"id" % 3 === 0), $"id"),
+      s"$root/g")
+    Sketches.kmvFold(spark, s"$root/g",
+      all.filter($"id" % 3 === 1 || $"id" % 3 === 0), $"id")
+    Sketches.kmvFold(spark, s"$root/g",
+      all.filter($"id" % 3 === 2), $"id")
+    val oneShot = Sketches.kmvState(all, $"id")
+    assert(state(spark.read.parquet(s"$root/g")) == state(oneShot),
+      "folded state must equal the one-shot bottom-k set exactly")
+    assert(report(s"$root/g", 256) ==
+      Sketches.kmvDistinct(all, $"id").as[(Long, Long, Double)].head(),
+      "stored report must equal the in-query sketch")
+    // shard merge: two independent states over disjoint halves
+    Sketches.kmvWrite(Sketches.kmvMergedState(Seq(
+        Sketches.kmvState(all.filter($"id" < 200), $"id"),
+        Sketches.kmvState(all.filter($"id" >= 200), $"id")), 256),
+      s"$root/m")
+    assert(state(spark.read.parquet(s"$root/m")) == state(oneShot),
+      "merged shard states must equal the one-shot bottom-k set")
+    // sub-k regime through the stored path: exact count
+    Sketches.kmvWrite(
+      Sketches.kmvState(all.filter($"id" < 50), $"id"), s"$root/s")
+    Sketches.kmvFold(spark, s"$root/s",
+      all.filter($"id" >= 50 && $"id" < 100), $"id")
+    val sub = report(s"$root/s", 256)
+    assert(sub._1 == 100L && sub._3 == 100.0,
+      s"sub-k stored gauge must be exact, got $sub")
+  }
 }
