@@ -5015,6 +5015,27 @@ object ExtQueries {
       },
       Some(sqlKwBm25("doc_id % 3 = 0", KwTerms, 20))),
 
+    // k11f: k11 at a FIXED-SIZE allowed subset (300 ids at every
+    // scale) — the ACL shape the id-IN literal pushdown is built
+    // for: the subset statistics reduction reads only the row groups
+    // whose id stats intersect the 300 literals (footer-bound over
+    // the id-sorted doclens files), so the scoped serve's cost
+    // tracks the SUBSET, not the corpus — the ScalingProbe row that
+    // pins the posture flat across 100× doc count. Same oracle
+    // family as k11 with the fixed predicate.
+    Q("k11f_keyword_filtered_fixed",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.probeTopKFiltered(s, ix, KwTerms,
+          topN = 20,
+          allowed = docs.filter(col("doc_id") < 300)
+            .select("doc_id"),
+          zeroFill = true)
+      },
+      Some(sqlKwBm25("doc_id < 300", KwTerms, 20))),
+
     // k11g: the filtered serve's GLOBAL-statistics posture —
     // candidates restricted to the allowed subset, scores from the
     // full live corpus (x11's pre-filter semantics on the lexical

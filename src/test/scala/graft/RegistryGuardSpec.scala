@@ -104,6 +104,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // aggregate broadcast — same audited shapes as k1
     "k11_keyword_filtered" ->
       Set("unconditional-nested-loop", "global-window"),
+    // k11f: k11's audited shapes at a fixed-size literal-pushdown
+    // subset (same plan class, the restriction is a pushed predicate)
+    "k11f_keyword_filtered_fixed" ->
+      Set("unconditional-nested-loop", "global-window"),
     // k11g: the same shapes with the stored gauge on the stats side
     // (the allowed-set and df joins are keyed; the 1-row broadcasts
     // and the bounded final rank window are k1's audited shapes)
