@@ -5070,12 +5070,14 @@ object ExtQueries {
     // ("hybrid top-k among the docs this tenant may see"): k7b's
     // stored-stored RRF fusion with BOTH sides restricted to the
     // allowed subset as pre-filters on stored postings. Lexical side
-    // = probeTopKFiltered in the GLOBAL-statistics posture (scores
-    // agree with the unfiltered ranking — the one-score-scale
-    // property fusion needs; k11g's oracle CTE), dense side =
-    // AnnIndex.probeTopKFiltered (x11's pre-filter semantics and
-    // oracle chain). Zero corpus-text / embeddings-table scans at
-    // query time; the fusion sees two ≤ pageSize pages only.
+    // = probeTopKFiltered in the GLOBAL-statistics posture (both
+    // sides then rank the allowed docs under the UNFILTERED corpus
+    // model — the dense side's centroids/codebook are corpus-level
+    // too — and the lexical plan keeps the zero-doclens posture;
+    // k11g's oracle CTE), dense side = AnnIndex.probeTopKFiltered
+    // (x11's pre-filter semantics and oracle chain). Zero
+    // corpus-text / embeddings-table scans at query time; the
+    // fusion sees two ≤ pageSize pages only.
     Q("k14_hybrid_filtered",
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -297,12 +297,16 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     * production RAG query shape ("hybrid top-k among the docs this
     * tenant may see"), fused from the two families' filtered serves:
     * the lexical page is [[graft.ext.KeywordIndex
-    * .probeTopKFiltered]] in its GLOBAL-statistics posture (scores
-    * agree with the unfiltered ranking, so differently-filtered
-    * pages compose on one score scale — the property RRF fusion
-    * needs), the dense page is [[graft.ext.AnnIndex
-    * .probeTopKFiltered]]'s pre-filter semantics (the exact IVFADC
-    * top-k of the allowed sub-corpus within the probed buckets).
+    * .probeTopKFiltered]] in its GLOBAL-statistics posture, the
+    * dense page is [[graft.ext.AnnIndex.probeTopKFiltered]]'s
+    * pre-filter semantics (the exact IVFADC top-k of the allowed
+    * sub-corpus within the probed buckets). Global statistics on the
+    * lexical side for SYMMETRY and scale: both sides then rank the
+    * allowed docs under the UNFILTERED corpus model (df/N/Σdl and
+    * the trained centroids/codebook are corpus-level on both), and
+    * the lexical plan keeps the zero-doclens-work posture — the
+    * scoped-statistics form would re-rank per subset AND pay its
+    * per-probe subset reduction.
     * Both restrictions are pre-filters on stored postings, so the
     * searchable ≡ trainable invariant composes with the ACL: a page
     * can surface exactly (admitted ∖ retracted) ∩ allowed, and the
