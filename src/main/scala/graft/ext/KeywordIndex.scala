@@ -189,11 +189,36 @@ object KeywordIndex {
     * the same scan. */
   private def sliceOf(spark: SparkSession, dir: String,
                       dels: Option[DataFrame], terms: Seq[String],
-                      idLits: Option[Seq[Long]] = None): DataFrame = {
+                      idLits: Option[Seq[Long]] = None): DataFrame =
+    sliceOfPred(spark, dir, dels, terms,
+      idLits.map(l => col("id").isin(l: _*)))
+
+  /** [[sliceOf]] with an arbitrary id predicate beneath the
+    * tombstone join — the literal IN and the above-cap range hull
+    * both ride the scan through here. */
+  private def sliceOfPred(spark: SparkSession, dir: String,
+                          dels: Option[DataFrame], terms: Seq[String],
+                          idPred: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     val scan = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(terms: _*))
     StoredIndex.filterTombstones(dels,
-      idLits.fold(scan)(l => scan.filter(col("id").isin(l: _*))), "id")
+      idPred.fold(scan)(scan.filter), "id")
+  }
+
+  /** The [min, max] hull of an allowed id set that was too large to
+    * enumerate as literals: two driver values, ALWAYS sound as a
+    * pre-filter beneath the semi-join — for range-clustered grants
+    * (tenant id blocks, time-ordered ids) the between predicate
+    * row-group-prunes where full enumeration cannot, and for a
+    * scattered grant it degrades to a no-op filter, never a wrong
+    * one. One tiny 2-value aggregate per probe, same order as the
+    * literal collect it replaces. */
+  private def allowedIdHull(ids: DataFrame)
+      : Option[org.apache.spark.sql.Column] = {
+    val r = ids.agg(min(col("id")), max(col("id"))).head
+    if (r.isNullAt(0)) None // empty allowed set
+    else Some(col("id").between(r.getLong(0), r.getLong(1)))
   }
 
   /** Driver-known id cap for the allowed-subset literal pushdown —
@@ -557,9 +582,11 @@ object KeywordIndex {
     *    the id-sorted doclens files — [[graft.streaming.Takedown]]'s
     *    footer-bound discovery pattern), so the per-probe cost
     *    tracks the SUBSET size, not the live doc count. Above the
-    *    cap it falls back to one broadcast-semi-joined doclens
-    *    pass — the honest price of fresh statistics over a
-    *    corpus-sized grant.
+    *    cap it falls back to one broadcast-semi-joined doclens pass
+    *    with the subset's [min, max] hull still pushed beneath the
+    *    join (always sound; footer-prunes range-clustered grants) —
+    *    the honest price of fresh statistics over a corpus-sized
+    *    scattered grant.
     *  - `scopedStats = false`: candidates are restricted to the
     *    subset but scored with the GLOBAL live-corpus statistics
     *    (the stored 1-row gauge + full-slice dfs) — x11's pre-filter
@@ -580,22 +607,28 @@ object KeywordIndex {
     val ids = allowed.select(col(idCol).cast("long").as("id"))
       .na.drop().distinct()
     val lits = allowedIdLiterals(ids, pushdownCap)
+    // above the cap: the set is un-enumerable but its [min, max]
+    // hull still rides both scans beneath the semi-join
+    val hull =
+      if (lits.isEmpty && pushdownCap > 0) allowedIdHull(ids) else None
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val slice = sliceOf(spark, dir, dels, terms)
     // subset restriction: literal `id IN (…)` riding the scan when
     // driver-known and small (every pruned row group is one the
     // semi-join would have decompressed only to discard), broadcast
-    // semi-join above the cap
+    // semi-join above the cap with the hull pre-filter pushed
     val allowedSlice = lits match {
       case Some(_) => sliceOf(spark, dir, dels, terms, lits)
-      case None    => slice.join(broadcast(ids), Seq("id"), "left_semi")
+      case None => sliceOfPred(spark, dir, dels, terms, hull)
+        .join(broadcast(ids), Seq("id"), "left_semi")
     }
     // by-name: the global-stats, no-zero-fill plan never reads it
     lazy val lens = {
       val raw = spark.read.parquet(s"$dir/doclens")
       StoredIndex.filterTombstones(dels, lits match {
         case Some(l) => raw.filter(col("id").isin(l: _*))
-        case None    => raw.join(broadcast(ids), Seq("id"), "left_semi")
+        case None => hull.fold(raw)(raw.filter)
+          .join(broadcast(ids), Seq("id"), "left_semi")
       }, "id")
     }
     val cand =
@@ -835,7 +868,8 @@ object KeywordIndex {
     val tIds = tenantLiveIds(spark, dir, tenant)
     val candSlice = allowedIdLiterals(tIds, pushdownCap) match {
       case some @ Some(_) => sliceOf(spark, dir, dels, terms, some)
-      case None => sliceOf(spark, dir, dels, terms)
+      case None => sliceOfPred(spark, dir, dels, terms,
+          if (pushdownCap > 0) allowedIdHull(tIds) else None)
         .join(tIds, Seq("id"), "left_semi")
     }
     val stats = spark.read.parquet(s"$dir/tstats")

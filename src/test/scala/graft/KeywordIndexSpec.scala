@@ -266,12 +266,16 @@ class KeywordIndexSpec extends SparkTestBase {
       "filtered page must track the live∩allowed set")
     // the over-cap fallback (broadcast semi-join instead of the
     // literal id IN pushdown) must serve the IDENTICAL page — the
-    // cap is a plan choice, never a semantics choice
-    val stored2Semi = page(KeywordIndex.probeTopKFiltered(spark, dir,
-      terms, topN = 6, allowed = allowed.select("doc_id"),
-      zeroFill = true, pushdownCap = 0))
-    assert(stored2Semi == stored2,
-      "semi-join fallback must serve the same page as the pushdown")
+    // cap is a plan choice, never a semantics choice. cap = 0 takes
+    // the bare semi-join; cap = 1 forces the overflow WITH the
+    // [min, max] hull pre-filter pushed beneath the join
+    for (cap <- Seq(0, 1)) {
+      val fallback = page(KeywordIndex.probeTopKFiltered(spark, dir,
+        terms, topN = 6, allowed = allowed.select("doc_id"),
+        zeroFill = true, pushdownCap = cap))
+      assert(fallback == stored2,
+        s"cap=$cap fallback must serve the same page as the pushdown")
+    }
     val live = corpus.filter($"doc_id" % 5 =!= 0L).localCheckpoint()
     val storedG2 = page(KeywordIndex.probeTopKFiltered(spark, dir, terms,
       topN = 6, allowed = allowed.select("doc_id"),

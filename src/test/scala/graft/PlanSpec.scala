@@ -653,6 +653,21 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     // frame (LeftSemi here would mean the full asset was scanned)
     assert(!plan.contains("LeftSemi"),
       s"semi-join restriction despite a driver-known small subset:\n$plan")
+    // the ABOVE-CAP fallback still pushes the subset's [min, max]
+    // hull beneath the semi-join — range-clustered grants prune at
+    // the footer even when the id list cannot be enumerated
+    val over = executed(KeywordIndex.probeTopKFiltered(spark, dir,
+      Seq("data", "query", "shuffle"), topN = 20,
+      allowed = docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+      zeroFill = true, pushdownCap = 1))
+    assert(over.contains("LeftSemi"),
+      s"above-cap fallback must keep the exact semi-join:\n$over")
+    assert("doclens[^\\n]*PushedFilters: \\[[^\\n]*GreaterThanOrEqual\\(id".r
+      .findFirstIn(over).isDefined,
+      s"id hull not pushed to the doclens scan above the cap:\n$over")
+    assert("postings[^\\n]*PushedFilters: \\[[^\\n]*GreaterThanOrEqual\\(id".r
+      .findFirstIn(over).isDefined,
+      s"id hull not pushed to the postings scan above the cap:\n$over")
   }
 
   test("keyword tenant serve: statistics from the tenant's ONE " +
