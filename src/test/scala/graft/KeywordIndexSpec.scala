@@ -645,6 +645,91 @@ class KeywordIndexSpec extends SparkTestBase {
       s"$what: stats gauge $gauge != doclens-derived $truth")
   }
 
+  test("k: 10 random tenant-overlay interleavings — assigned/" +
+      "unassigned appends, cross-tenant removes, compact, registered " +
+      "and unregistered absorbs, rebuild+re-register — keep every " +
+      "tenant page exact and the gauges equal to the derived truth") {
+    val trnd = new scala.util.Random(83)
+    def tdoc(): String =
+      Seq.fill(6 + trnd.nextInt(7))(vocab(trnd.nextInt(vocab.size)))
+        .mkString(" ")
+    def metric(df: DataFrame, m: String): Double =
+      df.filter($"metric" === m).select("value").as[Double].head()
+    def assignOf(docs: Seq[(Long, String)]): DataFrame =
+      docs.toDF("doc_id", "text").select($"doc_id",
+        concat(lit("t"), $"doc_id" % 2).as("tenant"))
+    for (seqNo <- 1 to 10) {
+      val pool = (0L until 26L).map(i => (i, tdoc()))
+      var cursor = 10
+      var live = pool.take(10).toMap
+      // which LIVE ids carry an assignment (coverage can be partial:
+      // un-assigned appends and unregistered absorbs leave holes)
+      var tenanted = live.keySet
+      val dir = tmp(s"kwtr$seqNo")
+      KeywordIndex.build(live.toSeq.toDF("doc_id", "text"), dir)
+      KeywordIndex.registerTenants(spark, dir, assignOf(live.toSeq))
+      for (_ <- 1 to 4) trnd.nextInt(6) match {
+        case 0 if cursor < pool.size => // append + assign
+          val batch = pool.slice(cursor,
+            math.min(cursor + 2 + trnd.nextInt(3), pool.size))
+          cursor += batch.size
+          KeywordIndex.append(batch.toDF("doc_id", "text"), dir)
+          KeywordIndex.assignTenants(spark, dir, assignOf(batch))
+          live ++= batch; tenanted ++= batch.map(_._1)
+        case 1 if cursor < pool.size => // append WITHOUT assigning
+          val batch = pool.slice(cursor,
+            math.min(cursor + 1 + trnd.nextInt(2), pool.size))
+          cursor += batch.size
+          KeywordIndex.append(batch.toDF("doc_id", "text"), dir)
+          live ++= batch
+        case 2 if live.size > 4 => // cross-tenant retract
+          val gone = live.toSeq.sortBy(_._1)
+            .filter(_ => trnd.nextInt(3) == 0).take(live.size - 3)
+          if (gone.nonEmpty) {
+            KeywordIndex.remove(gone.toDF("doc_id", "text"), dir)
+            live --= gone.map(_._1); tenanted --= gone.map(_._1)
+          }
+        case 3 =>
+          KeywordIndex.compact(spark, dir)
+        case 4 if cursor < pool.size => // absorb, registered or not
+          val batch = pool.slice(cursor,
+            math.min(cursor + 2 + trnd.nextInt(2), pool.size))
+          cursor += batch.size
+          val shard = tmp(s"kwtrs$seqNo")
+          KeywordIndex.build(batch.toDF("doc_id", "text"), shard)
+          val registered = trnd.nextBoolean()
+          if (registered)
+            KeywordIndex.registerTenants(spark, shard, assignOf(batch))
+          KeywordIndex.absorb(spark, shard, dir)
+          live ++= batch
+          if (registered) tenanted ++= batch.map(_._1)
+        case 5 => // staged rebuild drops the overlay; re-register
+          KeywordIndex.rebuildStaged(
+            live.toSeq.toDF("doc_id", "text"), dir)
+          KeywordIndex.registerTenants(spark, dir,
+            assignOf(live.toSeq))
+          tenanted = live.keySet
+        case _ => ()
+      }
+      val liveDf = live.toSeq.toDF("doc_id", "text").localCheckpoint()
+      for (par <- 0L to 1L) {
+        val tdocs = liveDf.filter($"doc_id" % 2 === par)
+          .join(tenanted.toSeq.toDF("doc_id"), Seq("doc_id"),
+            "left_semi")
+        val got = page(KeywordIndex.probeTopKTenant(spark, dir, terms,
+          6, s"t$par", zeroFill = true))
+        assert(got == page(Relevance.bm25TopDocs(tdocs, terms, 6)),
+          s"seq $seqNo tenant t$par: stored page != in-query over " +
+            "live ∩ assigned")
+      }
+      val h = KeywordIndex.health(spark, dir)
+      assert(metric(h, "tgauge_n_docs") ==
+          metric(h, "tenanted_docs_live") &&
+        metric(h, "tgauge_sum_dl") == metric(h, "tenanted_dl_live"),
+        s"seq $seqNo: tenant gauges != overlay-derived truth")
+    }
+  }
+
   test("k: 20 random append/remove/compact/re-append/merge/absorb/" +
       "staged-rebuild interleavings serve the in-query page") {
     val lrnd = new scala.util.Random(61)
