@@ -160,11 +160,17 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"bench: could not write $p: $e") }
     }
-    // full formatted plans, digest-tagged, for plan-level audits
+    // full formatted plans, digest-tagged, for plan-level audits —
+    // dumped NORMALIZED (the digest's own id/path scrubbing): raw
+    // expression ids are session-monotonic counters, so a raw dump
+    // re-renumbers every plan whenever any earlier query changes
+    // (~45k diff lines/round burying the real digest changes); the
+    // normalized text diffs only where a plan genuinely changed,
+    // while pushdowns/join strategies/codegen spans stay legible
     val plansOut = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "BENCH_PLANS.txt")
     try {
       val body = plans.map { case (k, v) =>
-        s"==== $k [${digest(v)}] ====\n${compactPlan(v)}"
+        s"==== $k [${digest(v)}] ====\n${compactPlan(normalizePlan(v))}"
       }.mkString("\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(plansOut),
         body.getBytes("UTF-8"))

@@ -457,14 +457,24 @@ object KeywordIndex {
     * qid-PARTITIONED windows only. `allowed` carries (qid, id)
     * pairs; a qid with no allowed rows serves an empty page. Each
     * page equals `probeTopKFiltered(terms_q, allowed_q,
-    * scopedStats = false)` by construction. */
+    * scopedStats = false)` by construction.
+    *
+    * `broadcastAllowed` — the single-query serves' dial on the batch
+    * dimension: `true` (default) hints the (qid, id) pairs frame
+    * broadcast, right when the batch is a page of user queries each
+    * carrying a contract-small grant; disable it when the combined
+    * pairs frame is data-sized (many qids × corpus-wide grants) and
+    * the restriction stays a (qid, id)-keyed semi-join with the
+    * strategy left to Catalyst/AQE. */
   def probeManyFiltered(spark: SparkSession, dir: String,
                         queries: Seq[(Long, Seq[String])], topN: Int,
                         allowed: DataFrame, k1: Double = 1.2,
                         b: Double = 0.75, idCol: String = "doc_id",
-                        qidCol: String = "qid"): DataFrame = {
-    val pairs = allowed.select(col(qidCol).cast("long").as("qid"),
+                        qidCol: String = "qid",
+                        broadcastAllowed: Boolean = true): DataFrame = {
+    val pairs0 = allowed.select(col(qidCol).cast("long").as("qid"),
       col(idCol).cast("long").as("id")).distinct()
+    val pairs = if (broadcastAllowed) broadcast(pairs0) else pairs0
     qidRankedPages(
       scoredManyCand(spark, dir, queries, "probeManyFiltered", k1, b,
         restrict = _.join(pairs, Seq("qid", "id"), "left_semi")),
@@ -582,10 +592,10 @@ object KeywordIndex {
     *    the id-sorted doclens files — [[graft.streaming.Takedown]]'s
     *    footer-bound discovery pattern), so the per-probe cost
     *    tracks the SUBSET size, not the live doc count. Above the
-    *    cap it falls back to one broadcast-semi-joined doclens pass
-    *    with the subset's [min, max] hull still pushed beneath the
-    *    join (always sound; footer-prunes range-clustered grants) —
-    *    the honest price of fresh statistics over a corpus-sized
+    *    cap it falls back to one semi-joined doclens pass with the
+    *    subset's [min, max] hull still pushed beneath the join
+    *    (always sound; footer-prunes range-clustered grants) — the
+    *    honest price of fresh statistics over a corpus-sized
     *    scattered grant.
     *  - `scopedStats = false`: candidates are restricted to the
     *    subset but scored with the GLOBAL live-corpus statistics
@@ -595,14 +605,27 @@ object KeywordIndex {
     *    doclens work at all, identical to the unfiltered [[probe]].
     *    Scores (not just ranks) then agree with the unfiltered
     *    ranking, so pages from differently-filtered views compose
-    *    (e.g. into [[Relevance.rrfFuse]]) on one score scale. */
+    *    (e.g. into [[Relevance.rrfFuse]]) on one score scale.
+    *
+    * `broadcastAllowed` — [[AnnIndex.probeTopKFiltered]]'s dial on
+    * the lexical family: it only matters ABOVE the cap (below it the
+    * subset is literals and nothing joins the allowed frame at all).
+    * `true` fits the contract-small grant that merely failed the
+    * literal cap (say 50k ids — broadcast-cheap, scan-prune-hard);
+    * disable it for a corpus-proportional grant (a %-of-docs ACL at
+    * 100 TB is billions of ids) and the above-cap semi-joins stay
+    * keyed on id with the strategy left to Catalyst/AQE — a FORCED
+    * broadcast of an unbounded allowed frame is exactly the
+    * driver-OOM shape the d5 join pin exists to prevent
+    * ([[Dedup]]'s blocked-self-join scaladoc). */
   def probeTopKFiltered(spark: SparkSession, dir: String,
                         terms: Seq[String], topN: Int,
                         allowed: DataFrame, k1: Double = 1.2,
                         b: Double = 0.75, zeroFill: Boolean = false,
                         scopedStats: Boolean = true,
                         idCol: String = "doc_id",
-                        pushdownCap: Int = AllowedPushdownCap): DataFrame = {
+                        pushdownCap: Int = AllowedPushdownCap,
+                        broadcastAllowed: Boolean = true): DataFrame = {
     requireQueryTerms(terms, "KeywordIndex.probeTopKFiltered")
     val ids = allowed.select(col(idCol).cast("long").as("id"))
       .na.drop().distinct()
@@ -613,14 +636,18 @@ object KeywordIndex {
       if (lits.isEmpty && pushdownCap > 0) allowedIdHull(ids) else None
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val slice = sliceOf(spark, dir, dels, terms)
+    // above-cap allowed frame, hinted only when the caller vouches
+    // it is contract-small (the dial's scaladoc) — never forced on
+    // a frame whose size the serve cannot bound
+    lazy val idsSide = if (broadcastAllowed) broadcast(ids) else ids
     // subset restriction: literal `id IN (…)` riding the scan when
     // driver-known and small (every pruned row group is one the
-    // semi-join would have decompressed only to discard), broadcast
+    // semi-join would have decompressed only to discard), a keyed
     // semi-join above the cap with the hull pre-filter pushed
     val allowedSlice = lits match {
       case Some(_) => sliceOf(spark, dir, dels, terms, lits)
       case None => sliceOfPred(spark, dir, dels, terms, hull)
-        .join(broadcast(ids), Seq("id"), "left_semi")
+        .join(idsSide, Seq("id"), "left_semi")
     }
     // by-name: the global-stats, no-zero-fill plan never reads it
     lazy val lens = {
@@ -628,7 +655,7 @@ object KeywordIndex {
       StoredIndex.filterTombstones(dels, lits match {
         case Some(l) => raw.filter(col("id").isin(l: _*))
         case None => hull.fold(raw)(raw.filter)
-          .join(broadcast(ids), Seq("id"), "left_semi")
+          .join(idsSide, Seq("id"), "left_semi")
       }, "id")
     }
     val cand =
@@ -709,18 +736,27 @@ object KeywordIndex {
       .agg(count(lit(1L)).as("n_docs"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
 
-  /** Fold a per-tenant delta into the stored gauge asset. The gauge
-    * is tenant-count-sized (tiny), so the fold is a read + union +
-    * re-aggregate, MATERIALIZED before the overwrite of the asset it
-    * read. Tenants folded to zero docs keep their row (the tenant is
-    * still registered, currently empty). */
-  private def foldTenantGauges(spark: SparkSession, dir: String,
-                               delta: DataFrame): Unit =
+  /** A per-tenant delta folded into the CURRENT gauge rows, as a
+    * MATERIALIZED frame (the gauge is tenant-count-sized, so the
+    * fold is a read + union + re-aggregate; the checkpoint detaches
+    * it from the asset files it read, so callers may rewrite — or
+    * delete-first — that asset). Tenants folded to zero docs keep
+    * their row (the tenant is still registered, currently empty). */
+  private def foldedTenantGauges(spark: SparkSession, dir: String,
+                                 delta: DataFrame): DataFrame =
     spark.read.parquet(s"$dir/tstats").unionByName(delta)
       .groupBy("tenant")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl"))
       .localCheckpoint()
+
+  /** Fold a per-tenant delta into the stored gauge asset in place —
+    * the lifecycle callers whose crash window is already guarded by
+    * the meta commit marker ([[remove]]'s beforeMeta hook,
+    * [[absorb]]'s invalidate-first protocol). */
+  private def foldTenantGauges(spark: SparkSession, dir: String,
+                               delta: DataFrame): Unit =
+    foldedTenantGauges(spark, dir, delta)
       .write.mode("overwrite").parquet(s"$dir/tstats")
 
   /** The doclens slice of a batch-sized id frame — id IN literals
@@ -772,7 +808,16 @@ object KeywordIndex {
     * fold re-aggregates the tiny `tstats/` asset, the assignment
     * rows append as an unclustered shard ([[compact]] restores the
     * clustering). The already-assigned guard is an exact check over
-    * the overlay keys — control-plane frequency, not a probe. */
+    * the overlay keys — control-plane frequency, not a probe.
+    *
+    * Crash posture — [[registerTenants]]' loud-failure ordering, not
+    * the meta marker (the overlay is not a meta-guarded asset): the
+    * folded gauge is computed and MATERIALIZED first, `tstats/` is
+    * deleted BEFORE the assignment shard lands, and the gauge is
+    * written LAST — so a crash anywhere between leaves the gauge
+    * absent and the next [[probeTopKTenant]] failing loudly
+    * (re-register), never serving silently under-counted scoped
+    * statistics over the half-applied assignment. */
   def assignTenants(spark: SparkSession, dir: String,
                     assign: DataFrame, tenantCol: String = "tenant",
                     idCol: String = "doc_id"): Unit = {
@@ -796,8 +841,14 @@ object KeywordIndex {
     val delta = tenantGaugesOf(
       a.join(doclensSliceOf(spark, dir, dels, a.select("id")),
         Seq("id")))
+    // fold against the PRE-append gauge, materialized; then the
+    // delete-first/write-last window (see the scaladoc's crash
+    // posture) around the assignment append
+    val folded = foldedTenantGauges(spark, dir, delta)
+    StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tstats"), true)
     a.write.mode("append").parquet(s"$dir/tenants")
-    foldTenantGauges(spark, dir, delta)
+    folded.write.mode("overwrite").parquet(s"$dir/tstats")
   }
 
   /** Subtract a retraction's per-tenant mass from the gauge asset —

@@ -632,7 +632,15 @@ object CoreQueries {
           s.read.parquet(s"$root/gauge"),
           Sketches.kmvState(li.filter(key % 3 === 2), key)), 256),
           s"$root/merged")
-        Sketches.kmvReport(s, s"$root/merged")
+        // the report is 1 row — materialize it off the scratch
+        // parquet, then drop the temp root so repeated verify/bench
+        // runs don't accrete gauge state on disk (ADVICE r12)
+        val report = Sketches.kmvReport(s, s"$root/merged")
+          .localCheckpoint()
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(rootPath, true)
+        report
       },
       Some(SqlKmvOrderkeyOracle)),
 

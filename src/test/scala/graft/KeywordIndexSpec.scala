@@ -600,6 +600,40 @@ class KeywordIndexSpec extends SparkTestBase {
       "absorbed tenant gauges must equal the live-derived truth")
   }
 
+  test("k: assignTenants crash window fails LOUDLY — the gauge is " +
+      "deleted before the assignment shard lands and written last, " +
+      "so mid-crash residue (assignments without tstats) can never " +
+      "serve silently under-counted scoped statistics") {
+    def tenantOf(df: DataFrame): DataFrame =
+      df.select($"doc_id", concat(lit("t"), $"doc_id" % 2).as("tenant"))
+    val seed = corpusOf(20)
+    val dir = tmp("kwtcrash")
+    KeywordIndex.build(seed, dir)
+    KeywordIndex.registerTenants(spark, dir, tenantOf(seed))
+    val batch = corpusOf(6, from = 100L)
+    KeywordIndex.append(batch, dir)
+    // the crash residue assignTenants' ordering guarantees: the
+    // assignment shard present, the gauge asset GONE (a crash between
+    // the delete and the final write) — simulated directly
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    batch.select($"doc_id", concat(lit("t"), $"doc_id" % 2)
+        .as("tenant")).select($"doc_id".as("id"), $"tenant")
+      .write.mode("append").parquet(s"$dir/tenants")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tstats"), true)
+    intercept[Exception] {
+      KeywordIndex.probeTopKTenant(spark, dir, terms, 6, "t1").count()
+    }
+    // recovery = re-register, exactly as the error posture documents
+    KeywordIndex.registerTenants(spark, dir,
+      tenantOf(seed.unionByName(batch)))
+    assert(page(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "t1", zeroFill = true)) ==
+      page(Relevance.bm25TopDocs(seed.unionByName(batch)
+        .filter($"doc_id" % 2 === 1L), terms, 6)),
+      "re-registration must restore the exact tenant page")
+  }
+
   test("k: health pins the SERVING stats gauge — a silently-drifted " +
       "stats/ asset surfaces as gauge-vs-live divergence") {
     val corpus = corpusOf(18)

@@ -670,6 +670,44 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"id hull not pushed to the postings scan above the cap:\n$over")
   }
 
+  test("keyword filtered serve, above-cap allowed frame: the " +
+      "broadcast hint is a DIAL, not a hardcode — broadcastAllowed " +
+      "= false leaves the semi-join strategy to Catalyst/AQE (a " +
+      "corpus-proportional grant must never be forced through a " +
+      "driver-sized broadcast)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_plandial").toString
+    KeywordIndex.build(docs, dir)
+    // threshold -1 + static planning: the ONLY way a broadcast can
+    // appear is the explicit hint, so the two plans isolate the dial
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def overPlan(dial: Boolean): String = executed(
+        KeywordIndex.probeTopKFiltered(spark, dir,
+          Seq("data", "query", "shuffle"), topN = 20,
+          allowed = docs.filter(col("doc_id") % 3 === 0)
+            .select("doc_id"),
+          zeroFill = true, pushdownCap = 1, broadcastAllowed = dial))
+      val hinted = overPlan(true)
+      assert("BroadcastHashJoin[^\\n]*LeftSemi".r
+        .findFirstIn(hinted).isDefined,
+        s"default dial must hint the allowed-frame semi-join:\n$hinted")
+      val unhinted = overPlan(false)
+      assert("BroadcastHashJoin[^\\n]*LeftSemi".r
+        .findFirstIn(unhinted).isEmpty,
+        s"broadcastAllowed = false still forces a broadcast:\n$unhinted")
+      assert(unhinted.contains("LeftSemi"),
+        s"above-cap restriction lost its semi-join:\n$unhinted")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("keyword tenant serve: statistics from the tenant's ONE " +
       "gauge row, candidates id-IN-pruned, tenant= pushed to the " +
       "overlay scan — doclens NEVER read, even with zeroFill") {
