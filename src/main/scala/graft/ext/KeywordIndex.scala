@@ -166,16 +166,44 @@ object KeywordIndex {
   /** Serve-while-rebuilding rebuild — [[AnnIndex.rebuildStaged]]'s
     * lexical twin: the full fresh build lands in a staging dir while
     * the live assets keep serving probes, then the swap is a
-    * rename-sized window. */
+    * rename-sized window.
+    *
+    * The tenant overlay is CARRIED through the retrain (unlike
+    * [[build]], which derives clean state and drops it): assignments
+    * are id-keyed exactly like the postings, so the live overlay's
+    * rows for ids that SURVIVE into the new generation stage beside
+    * the fresh assets — with the gauges re-derived from the staged
+    * doclens (a rebuilt doc's text, hence dl, may have changed) —
+    * and the tenant serve stays warm across the swap instead of
+    * paying a re-registration pass and a serving gap after every
+    * retrain. The staged overlay equals a fresh [[registerTenants]]
+    * of the surviving assignments by construction (same derivation);
+    * ids present only in the NEW corpus are untenanted (assign
+    * after), and a tenant whose every doc was retrained away loses
+    * its gauge row (re-register to re-pin it as registered-empty). */
   def rebuildStaged(corpus: DataFrame, dir: String,
                     textCol: String = "text", idCol: String = "doc_id",
                     version: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val staging = StoredIndex.freshStaging(spark, dir)
     build(corpus, staging, textCol, idCol, version)
-    // tenant overlay assets ride the swap list with no staged
-    // counterpart: the swap DELETES the live overlay (assignments
-    // name ids of the replaced generation — re-register after)
+    // single-writer protocol (the family's standing assumption): the
+    // overlay stages after the staging meta marker; a crash anywhere
+    // before the swap leaves the LIVE index — old overlay included —
+    // fully serving, and the orphaned staging dir is re-created
+    // fresh by the next retrain
+    if (hasTenants(spark, dir)) {
+      val surviving = StoredIndex.filterTombstones(
+          StoredIndex.readDeleteIds(spark, dir),
+          spark.read.parquet(s"$dir/tenants"), "id")
+        .join(spark.read.parquet(s"$staging/doclens").select("id"),
+          Seq("id"), "left_semi")
+      clusterTenants(surviving)
+        .write.mode("overwrite").parquet(s"$staging/tenants")
+      tenantGaugesOf(spark.read.parquet(s"$staging/tenants")
+          .join(spark.read.parquet(s"$staging/doclens"), Seq("id")))
+        .write.mode("overwrite").parquet(s"$staging/tstats")
+    }
     StoredIndex.swapStaged(spark, dir,
       Seq("postings", "doclens", "stats") ++ TenantAssets)
   }
@@ -693,10 +721,13 @@ object KeywordIndex {
     * [[probeTopKFiltered]] path and its honest per-probe reduction.
     *
     * The overlay is OPTIONAL and coverage may be partial: docs
-    * without an assignment simply belong to no tenant. [[build]] and
-    * [[rebuildStaged]] drop the overlay (a rebuild derives clean
-    * state from its corpus; assignments name ids of the PREVIOUS
-    * generation) — re-register after a rebuild. */
+    * without an assignment simply belong to no tenant. [[build]]
+    * drops the overlay (an in-place rebuild derives clean state from
+    * its corpus; assignments name ids of the PREVIOUS generation) —
+    * re-register after. [[rebuildStaged]] instead CARRIES the
+    * surviving ids' assignments through the retrain with gauges
+    * re-derived from the fresh doclens, so the tenant serve never
+    * goes dark across scheduled retrains (see its scaladoc). */
   private val TenantAssets = Seq("tenants", "tstats")
 
   private def hasTenants(spark: SparkSession, dir: String): Boolean =

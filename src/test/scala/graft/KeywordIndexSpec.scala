@@ -600,6 +600,59 @@ class KeywordIndexSpec extends SparkTestBase {
       "absorbed tenant gauges must equal the live-derived truth")
   }
 
+  test("k: staged rebuild CARRIES the tenant overlay — the carried " +
+      "serve equals a fresh registration of the surviving " +
+      "assignments, retrained-away docs drop out, new docs are " +
+      "untenanted until assigned") {
+    def tenantOf(df: DataFrame): DataFrame =
+      df.select($"doc_id", concat(lit("t"), $"doc_id" % 2).as("tenant"))
+    def metric(df: DataFrame, m: String): Double =
+      df.filter($"metric" === m).select("value").as[Double].head()
+    val seed = corpusOf(20)
+    val dir = tmp("kwtcar")
+    KeywordIndex.build(seed, dir)
+    KeywordIndex.registerTenants(spark, dir, tenantOf(seed))
+    // lifecycle noise before the retrain: an appended+assigned batch
+    // and a cross-tenant retraction with pending tombstones
+    val batch = corpusOf(8, from = 100L)
+    KeywordIndex.append(batch, dir)
+    KeywordIndex.assignTenants(spark, dir, tenantOf(batch))
+    val all = seed.unionByName(batch)
+    KeywordIndex.remove(all.filter($"doc_id" % 5 === 0L), dir)
+    val live = all.filter($"doc_id" % 5 =!= 0L).localCheckpoint()
+    // retrain over the survivors plus NEW (never-tenanted) docs
+    val fresh = corpusOf(4, from = 200L)
+    val retrained = live.unionByName(fresh).localCheckpoint()
+    KeywordIndex.rebuildStaged(retrained, dir)
+    // the carried serve ≡ a fresh registerTenants of the surviving
+    // assignments on a twin of the same rebuild — page AND gauges
+    val twin = tmp("kwtcarT")
+    KeywordIndex.build(retrained, twin)
+    KeywordIndex.registerTenants(spark, twin, tenantOf(live))
+    for (par <- 0L to 1L) {
+      val got = page(KeywordIndex.probeTopKTenant(spark, dir, terms,
+        6, s"t$par", zeroFill = true))
+      assert(got == page(KeywordIndex.probeTopKTenant(spark, twin,
+        terms, 6, s"t$par", zeroFill = true)),
+        s"t$par: carried overlay page != fresh-registration twin")
+      assert(got == page(Relevance.bm25TopDocs(
+        live.filter($"doc_id" % 2 === par), terms, 6)),
+        s"t$par: carried overlay page != in-query over live ∩ tenant")
+    }
+    val h = KeywordIndex.health(spark, dir)
+    assert(metric(h, "tgauge_n_docs") == metric(h, "tenanted_docs_live")
+        && metric(h, "tgauge_sum_dl") == metric(h, "tenanted_dl_live"),
+      "carried gauges must equal the overlay-derived truth")
+    // the new docs are untenanted: assigning them extends the carried
+    // overlay exactly as it would a freshly-registered one
+    KeywordIndex.assignTenants(spark, dir, tenantOf(fresh))
+    assert(page(KeywordIndex.probeTopKTenant(spark, dir, terms, 6,
+      "t1", zeroFill = true)) ==
+      page(Relevance.bm25TopDocs(live.unionByName(fresh)
+        .filter($"doc_id" % 2 === 1L), terms, 6)),
+      "post-carry assignment must extend the overlay")
+  }
+
   test("k: assignTenants crash window fails LOUDLY — the gauge is " +
       "deleted before the assignment shard lands and written last, " +
       "so mid-crash residue (assignments without tstats) can never " +
@@ -737,12 +790,16 @@ class KeywordIndexSpec extends SparkTestBase {
           KeywordIndex.absorb(spark, shard, dir)
           live ++= batch
           if (registered) tenanted ++= batch.map(_._1)
-        case 5 => // staged rebuild drops the overlay; re-register
+        case 5 => // staged rebuild CARRIES the surviving overlay;
+          // half the time re-register to full coverage, half the
+          // time serve straight off the carried assignments
           KeywordIndex.rebuildStaged(
             live.toSeq.toDF("doc_id", "text"), dir)
-          KeywordIndex.registerTenants(spark, dir,
-            assignOf(live.toSeq))
-          tenanted = live.keySet
+          if (trnd.nextBoolean()) {
+            KeywordIndex.registerTenants(spark, dir,
+              assignOf(live.toSeq))
+            tenanted = live.keySet
+          } // else: carried — `tenanted` (⊆ live) is unchanged
         case _ => ()
       }
       val liveDf = live.toSeq.toDF("doc_id", "text").localCheckpoint()
