@@ -5178,6 +5178,55 @@ object ExtQueries {
         "doc_id < 400 AND NOT (doc_id % 7 = 0) AND doc_id % 2 = 1",
         KwTerms, 20))),
 
+    // k19: the ONE-CALL tenant hybrid — probeHybridTenant on the
+    // joint coordinator: the allowed frame is the REGISTERED tenant
+    // overlay's live slice ((tenant, id)-clustered, tombstone-
+    // filtered), fused through k14's exact composition (global
+    // corpus model on both sides, two ≤ pageSize pages into RRF).
+    // The pin: the one-call page ≡ the ad-hoc filtered hybrid
+    // composed from the SAME co-maintained indexes with an
+    // INDEPENDENTLY-derived allowed frame (seed predicate minus the
+    // joint takedown) — registration → overlay slice → fusion pinned
+    // end to end, takedown liveness included (the retracted ids are
+    // both tenant-0 docs). Empty symmetric difference, hash-exact
+    // WHERE FALSE.
+    Q("k19_hybrid_tenant",
+      (s, dir) => {
+        import graft.ext.{AnnIndex, KeywordIndex}
+        import graft.streaming.StreamingCorpusIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val embsJ = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_k19_").toString
+        val joint = new StreamingCorpusIngest(s, root,
+          keywordServing = true)
+        joint.seed(docs.filter(col("doc_id") < 200), embsJ)
+        joint.registerTenants(docs.filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            (col("doc_id") % 3).cast("string").as("tenant")))
+        joint.retract(s.createDataFrame(Seq(
+          Tuple1(9L), Tuple1(12L))).toDF("doc_id"))
+        val qv = t(s, dir, "embeddings").filter(col("vec_id") === 7)
+        val served = joint.probeHybridTenant(KwTerms, qv,
+          tenant = "0", topN = 10)
+        val allowed = docs.filter(col("doc_id") < 200 &&
+            col("doc_id") % 3 === 0 && !col("doc_id").isin(9L, 12L))
+          .select("doc_id")
+        val lex = KeywordIndex.probeTopKFiltered(s, joint.keywordDir,
+          KwTerms, topN = 20, allowed = allowed, scopedStats = false)
+        val dense = AnnIndex.probeTopKFiltered(s, s"$root/ann_index",
+            qv, allowed.withColumnRenamed("doc_id", "vec_id"), k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        val direct = Relevance.rrfFuse(lex, dense, topN = 10)
+        served.exceptAll(direct).unionByName(direct.exceptAll(served))
+          .orderBy("rank", "doc_id")
+      },
+      Some("""SELECT CAST(NULL AS INTEGER) AS rank,
+                     CAST(NULL AS BIGINT) AS doc_id,
+                     CAST(NULL AS DOUBLE) AS rrf
+              WHERE FALSE""")),
+
     // k13: BATCHED lexical serve — AnnIndex.probeTopK's many-queries
     // shape on the keyword family: three term queries served from
     // ONE composed plan (one postings scan over the union term set,

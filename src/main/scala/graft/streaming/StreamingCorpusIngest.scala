@@ -330,6 +330,45 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     graft.ext.Relevance.rrfFuse(lex, dense, topN)
   }
 
+  /** Register (or wholesale replace) tenant assignments over the
+    * co-maintained keyword index —
+    * [[graft.ext.KeywordIndex.registerTenants]] on the coordinator's
+    * lexical family: the control-plane step that makes
+    * [[probeHybridTenant]] a one-call serve. Assignments must name
+    * live corpus ids (partial coverage is fine). The overlay
+    * survives staged retrains ([[graft.ext.KeywordIndex
+    * .rebuildStaged]] carries the surviving ids' rows), but a
+    * crash-recovery IN-PLACE rebuild (the syncKeywords virgin/
+    * no-marker path) derives clean state and drops it — re-register
+    * after, exactly as the index family documents. */
+  def registerTenants(assign: DataFrame): Unit = {
+    requireKeywordServing("registerTenants")
+    graft.ext.KeywordIndex.registerTenants(spark, keywordDir, assign)
+  }
+
+  /** One-call tenant-scoped hybrid serve — [[probeHybridFiltered]]
+    * with the allowed frame drawn from the REGISTERED tenant overlay
+    * instead of a caller-materialized ACL: the tenant's live ids
+    * read as a (tenant, id)-clustered, row-group-pruned overlay
+    * slice ([[graft.ext.KeywordIndex.tenantLiveIds]], tombstone-
+    * filtered), then both families' filtered serves fuse exactly as
+    * the ad-hoc form (k14's semantics: global corpus model on both
+    * sides, two ≤ pageSize pages into RRF). The production RAG
+    * query shape — "hybrid top-k among THIS tenant's documents" —
+    * obeying searchable ≡ trainable ∩ tenant with no caller-side
+    * coordination; corpus text and the embeddings relation are
+    * never scanned at query time. A tenant with no live assignments
+    * serves an empty page. */
+  def probeHybridTenant(terms: Seq[String], queryVec: DataFrame,
+                        tenant: String, topN: Int,
+                        pageSize: Int = 20): DataFrame = {
+    requireKeywordServing("probeHybridTenant")
+    probeHybridFiltered(terms, queryVec,
+      graft.ext.KeywordIndex.tenantLiveIds(spark, keywordDir, tenant)
+        .withColumnRenamed("id", "doc_id"),
+      topN, pageSize)
+  }
+
   private def requireKeywordServing(what: String): Unit =
     require(keywordServing,
       s"StreamingCorpusIngest.$what requires keywordServing = true " +

@@ -99,6 +99,16 @@ class RegistryGuardSpec extends SparkTestBase {
     "k14_hybrid_filtered" ->
       Set("unconditional-nested-loop", "global-window",
         "bnlj-deferred-derivation"),
+    // k19: k14's audited shapes on BOTH sides of the symmetric
+    // difference (the one-call tenant hybrid and its ad-hoc twin are
+    // each a k14 composition: one-row kw stat broadcasts, x9's
+    // one-row assets with their benign deferred l2normalize, the
+    // bounded two-page RRF windows); the tenant overlay slice and
+    // the allowed restrictions are keyed/pushed, adding no flagged
+    // relation
+    "k19_hybrid_tenant" ->
+      Set("unconditional-nested-loop", "global-window",
+        "bnlj-deferred-derivation"),
     // k11: k1's probe chain with the allowed set broadcast-semi-
     // joined on id (keyed) and the subset stats as ANOTHER one-row
     // aggregate broadcast — same audited shapes as k1

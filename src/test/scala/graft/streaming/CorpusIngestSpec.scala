@@ -231,6 +231,68 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     }
   }
 
+  test("tenant hybrid serve: one call ≡ the composed filtered " +
+      "probes over the tenant's live ids; takedown binds; the plan " +
+      "reads the overlay slice, never doclens or corpus text") {
+    import graft.ext.{AnnIndex, KeywordIndex, Relevance}
+    val root = Files.createTempDirectory("graft_jhtn_").toString
+    val joint = new StreamingCorpusIngest(spark, root,
+      keywordServing = true)
+    joint.seed(docs.filter($"doc_id" < 200), embs)
+    joint.registerTenants(docs.filter($"doc_id" < 200)
+      .select($"doc_id", concat(lit("t"), $"doc_id" % 3).as("tenant")))
+    // joint takedown of two tenant-t0 docs: the overlay slice must
+    // lose them (tombstone filter + gauge fold) with no extra call
+    joint.retract(Seq(6L, 9L).toDF("doc_id"))
+    val terms = Seq("data", "query")
+    val qv = embs.filter($"doc_id" === 7L)
+      .select($"doc_id".as("vec_id"), $"embedding")
+    val page = joint.probeHybridTenant(terms, qv, "t0", topN = 8)
+      .localCheckpoint()
+    // ≡ the ad-hoc k14 composition with an INDEPENDENTLY-derived
+    // allowed frame (predicate over the seed, minus the takedown) —
+    // pins registration → overlay slice → fusion end to end
+    val allowed = docs.filter($"doc_id" < 200 && $"doc_id" % 3 === 0
+      && !$"doc_id".isin(6L, 9L)).select("doc_id")
+    val lex = KeywordIndex.probeTopKFiltered(spark, joint.keywordDir,
+      terms, 20, allowed, scopedStats = false)
+    val dense = AnnIndex.probeTopKFiltered(spark, s"$root/ann_index",
+        qv, allowed.withColumnRenamed("doc_id", "vec_id"), k = 20)
+      .select($"nid".as("doc_id"), $"rank")
+    assert(page.collect().toSeq ==
+      Relevance.rrfFuse(lex, dense, 8).collect().toSeq,
+      "one-call tenant page must equal the composed filtered probes")
+    val surfaced = ids(page.select("doc_id"))
+    assert(surfaced.subsetOf(ids(joint.text.corpus())) &&
+      surfaced.forall(_ % 3 == 0) && !surfaced.exists(Set(6L, 9L)),
+      "page must surface only live tenant docs")
+    // plan shape: the overlay slice is the only tenant-side read —
+    // tenant= pushed to the clustered overlay scan; no doclens (the
+    // lexical side is the global-stats posture), no corpus text
+    val plan = joint.probeHybridTenant(terms, qv, "t0", topN = 8)
+      .queryExecution.executedPlan.toString
+    assert("tenants[^\\n]*PushedFilters: \\[[^\\n]*EqualTo\\(tenant".r
+      .findFirstIn(plan).isDefined,
+      s"tenant= not pushed to the overlay scan in:\n$plan")
+    assert(!plan.contains("doclens"),
+      s"tenant hybrid reads doclens in:\n$plan")
+    assert(!plan.contains("split(") && !plan.contains("text#"),
+      s"tenant hybrid touches corpus text in:\n$plan")
+    // unknown tenant: empty overlay slice, empty page
+    assert(joint.probeHybridTenant(terms, qv, "nosuch", 5).isEmpty,
+      "unknown tenant must serve an empty page")
+    // refused without the lexical family
+    val bare = new StreamingCorpusIngest(spark,
+      Files.createTempDirectory("graft_jhtnoff_").toString)
+    intercept[IllegalArgumentException] {
+      bare.probeHybridTenant(terms, qv, "t0", 5)
+    }
+    intercept[IllegalArgumentException] {
+      bare.registerTenants(docs.limit(1)
+        .select($"doc_id", lit("t0").as("tenant")))
+    }
+  }
+
   test("crash between the halves of a joint retract: text ledgered, " +
       "vectors still live — repairAlignment finishes the takedown") {
     val root = Files.createTempDirectory("graft_jcrash_").toString
