@@ -961,6 +961,95 @@ object KeywordIndex {
       tIds, topN, zeroFill)
   }
 
+  /** Batched REGISTERED-tenant serve — [[probeTopKTenant]] on the
+    * batch dimension, closing the batch × tenant cell of the serve
+    * matrix: each (qid, terms, tenant) query is BM25 top-N within
+    * its tenant's live docs under that tenant's SCOPED statistics —
+    * per-(qid, term) dfs reduced over the tenant-restricted slice
+    * and (n_docs, sum_dl) from the tenant's ONE stored gauge row,
+    * joined KEYED on qid (no cross join anywhere in this serve) —
+    * in ONE composed plan: one postings scan over the union term
+    * set with `term IN (…)` pushed (plus the named tenants' union
+    * id literals — or their [min, max] hull above the cap — so the
+    * scan prunes on the combined grant exactly like the single-query
+    * serves), ONE overlay slice with `tenant IN (…)` riding the
+    * (tenant, id)-clustered files, scores from the ordered
+    * held-terms fold, every rank window qid-PARTITIONED. Each qid's
+    * page equals `probeTopKTenant(terms_q, tenant_q)`
+    * (candidates-only) by construction; doclens is never read. A
+    * qid naming an unregistered tenant serves an empty page (no
+    * overlay rows, no gauge row); tenants may repeat across qids.
+    * The per-(qid, id) restriction stays a keyed semi-join with the
+    * strategy left to Catalyst/AQE (the combined tenant slice is
+    * unbounded — the [[probeManyFiltered]] dial's argument). */
+  def probeManyTenant(spark: SparkSession, dir: String,
+                      queries: Seq[(Long, Seq[String], String)],
+                      topN: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "KeywordIndex.probeManyTenant needs queries")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "KeywordIndex.probeManyTenant: qids must be distinct")
+    queries.foreach { case (q, ts, _) =>
+      requireQueryTerms(ts, s"KeywordIndex.probeManyTenant (qid=$q)") }
+    require(hasTenants(spark, dir),
+      s"KeywordIndex.probeManyTenant: no tenant overlay at $dir — " +
+        "registerTenants first (ad-hoc subsets: probeManyFiltered)")
+    import spark.implicits._
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val tenantsNamed = queries.map(_._3).distinct
+    val qTen = queries.map { case (q, _, tn) => (q, tn) }
+      .toDF("qid", "tenant")
+    // ONE overlay slice over the named tenants — tenant IN pruned on
+    // the clustered files, tombstone-filtered like every overlay read
+    val tLive = StoredIndex.filterTombstones(dels,
+      spark.read.parquet(s"$dir/tenants")
+        .filter(col("tenant").isin(tenantsNamed: _*)), "id")
+    val pairs = tLive.join(broadcast(qTen), Seq("tenant"))
+      .select("qid", "id")
+    // the union grant rides the postings scan: literals under the
+    // cap, the [min, max] hull above it (per-qid exactness still
+    // comes from the pairs semi-join — this only prunes row groups)
+    val unionIds = tLive.select("id").distinct()
+    val unionLits = allowedIdLiterals(unionIds, AllowedPushdownCap)
+    val slice = unionLits match {
+      case Some(l) => sliceOf(spark, dir, dels,
+        queries.flatMap(_._2).distinct, Some(l))
+      case None => sliceOfPred(spark, dir, dels,
+        queries.flatMap(_._2).distinct, allowedIdHull(unionIds))
+    }
+    val qt = queries.flatMap { case (q, ts, _) =>
+      ts.zipWithIndex.map { case (tm, i) => (q, i, tm) }
+    }.toDF("qid", "tidx", "term")
+    // query expansion, then the per-(qid, id) tenant restriction
+    // BEFORE any aggregate — out-of-tenant postings never shuffle
+    val cand = slice.join(broadcast(qt), Seq("term"))
+      .join(pairs, Seq("qid", "id"), "left_semi")
+    // per-(qid, term) SCOPED dfs over the restricted rows (postings
+    // are unique per (term, id), so this is probeTopKTenant's
+    // conditional df count, batched)
+    val qdf = cand.groupBy("qid", "term").agg(count(lit(1L)).as("df"))
+    // per-qid statistics from the gauge rows — query-count-sized
+    val qStats = spark.read.parquet(s"$dir/tstats")
+      .filter(col("tenant").isin(tenantsNamed: _*))
+      .join(broadcast(qTen), Seq("tenant"))
+      .select("qid", "n_docs", "sum_dl")
+    val nD = col("n_docs").cast("double")
+    val dlNorm = Relevance.bm25DlNorm(b)
+    val scored = cand
+      .join(broadcast(qdf), Seq("qid", "term"))
+      .groupBy("qid", "id")
+      .agg(max(col("dl")).as("dl"),
+        sort_array(collect_list(struct(
+          col("tidx"), col("tf"), col("df")))).as("__ts"))
+      .join(broadcast(qStats), Seq("qid"))
+      .withColumn("score", graft.ops.Ops.roundDet(
+        aggregate(col("__ts"), lit(0.0), (acc, x) =>
+          acc + Relevance.bm25TermScore(
+            x.getField("tf").cast("double"),
+            x.getField("df").cast("double"), nD, dlNorm, k1)), 4))
+    qidRankedPages(scored, topN)
+  }
+
   /** Threshold serve — [[AnnIndex.probeRange]]'s lexical twin: every
     * live document whose BM25 score (global stored statistics)
     * clears `minScore`, doc_id-ordered. The serve plan is

@@ -219,6 +219,24 @@ object ExtQueries {
           SELECT rank, doc_id, score FROM ranked
           WHERE rank <= $topN)"""
 
+  /** One qid's SCOPED candidates-only page: the CTE chain reduced
+    * over `livePred`'s corpus (the subset IS the scoring corpus —
+    * k11/k15's statistics semantics), ranked after the tf filter,
+    * qid-tagged — the k20 batched-tenant oracle is a UNION ALL of
+    * these, each equal to probeTopKTenant's no-zero-fill page. */
+  private def sqlKwBm25ScopedCandPage(qid: Long, terms: Seq[String],
+                                      topN: Int,
+                                      livePred: String): String =
+    s"""SELECT $qid AS qid, rank, doc_id, score FROM (
+          WITH ${sqlKwBm25Ctes(livePred, terms)},
+               ranked AS (SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+                 FROM scored
+                 WHERE (${terms.indices.map(i => s"tf_$i > 0")
+                   .mkString(" OR ")}))
+          SELECT rank, doc_id, score FROM ranked
+          WHERE rank <= $topN)"""
+
   /** One qid's THRESHOLD page (every live doc clearing the bar,
     * k12's shape) tagged with the qid literal — the k18 batched
     * range oracle is a UNION ALL of these. */
@@ -5226,6 +5244,37 @@ object ExtQueries {
                      CAST(NULL AS BIGINT) AS doc_id,
                      CAST(NULL AS DOUBLE) AS rrf
               WHERE FALSE""")),
+
+    // k20: BATCHED registered-tenant serve — probeTopKTenant on the
+    // batch dimension, the last cell of the serve matrix (batch ×
+    // tenant): three (qid, terms, tenant) queries in ONE composed
+    // plan — one postings scan (term IN + the union grant's id
+    // literals pushed), ONE tenant-IN-pruned overlay slice, per-qid
+    // SCOPED dfs and gauge-row statistics joined keyed on qid, every
+    // rank window qid-partitioned. Tenant assignment is the SAME %3
+    // overlay k15 registers (re-registration is idempotent, so the
+    // two rows compose in any execution order). Oracle: UNION ALL of
+    // per-qid scoped candidate pages — each page IS the dedicated
+    // per-tenant index's ranking, qid 0 sharing k15's corpus slice.
+    Q("k20_keyword_multi_tenant",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.registerTenants(s, ix,
+          docs.select(col("doc_id"),
+            (col("doc_id") % 3).cast("string").as("tenant")))
+        graft.ext.KeywordIndex.probeManyTenant(s, ix,
+          KwMulti.zip(Seq("0", "1", "2")).map { case ((q, ts), tn) =>
+            (q, ts, tn) },
+          topN = 10)
+      },
+      Some(KwMulti.zip(Seq("doc_id % 3 = 0", "doc_id % 3 = 1",
+          "doc_id % 3 = 2"))
+        .map { case ((q, ts), pred) =>
+          sqlKwBm25ScopedCandPage(q, ts, 10, pred) }
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY qid, rank"))),
 
     // k13: BATCHED lexical serve — AnnIndex.probeTopK's many-queries
     // shape on the keyword family: three term queries served from

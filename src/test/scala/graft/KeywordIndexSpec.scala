@@ -600,6 +600,48 @@ class KeywordIndexSpec extends SparkTestBase {
       "absorbed tenant gauges must equal the live-derived truth")
   }
 
+  test("k: probeManyTenant ≡ the per-qid single tenant probes — " +
+      "scoped stats per tenant, repeated tenants across qids, " +
+      "unknown tenant serves an empty page, guards hold") {
+    def tenantOf(df: DataFrame): DataFrame =
+      df.select($"doc_id", concat(lit("t"), $"doc_id" % 3).as("tenant"))
+    val corpus = corpusOf(30)
+    val dir = tmp("kwmt")
+    KeywordIndex.build(corpus, dir)
+    // overlay required, loudly
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeManyTenant(spark, dir,
+        Seq((0L, terms, "t0")), 5)
+    }
+    KeywordIndex.registerTenants(spark, dir, tenantOf(corpus))
+    // lifecycle noise: a retraction so liveness must bind per tenant
+    KeywordIndex.remove(corpus.filter($"doc_id" % 7 === 0L), dir)
+    val queries = Seq(
+      (0L, terms, "t0"),
+      (1L, Seq("theta", "kappa"), "t1"),
+      (2L, Seq("alpha"), "t0"), // repeated tenant, different terms
+      (3L, terms, "nosuchtenant"))
+    val got = KeywordIndex.probeManyTenant(spark, dir, queries, 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val want = queries.flatMap { case (q, ts, tn) =>
+      page(KeywordIndex.probeTopKTenant(spark, dir, ts, 5, tn))
+        .map { case (r, id, sc) => (q, r, id, sc) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got == want,
+      "batched tenant pages must equal the per-qid single probes")
+    assert(!got.exists(_._1 == 3L),
+      "unknown tenant must contribute an empty page")
+    // above-cap union grant: same pages through the hull path
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeManyTenant(spark, dir,
+        Seq((0L, terms, "t0"), (0L, terms, "t1")), 5)
+    }
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeManyTenant(spark, dir,
+        Seq((0L, Seq("alpha", "alpha"), "t0")), 5)
+    }
+  }
+
   test("k: staged rebuild CARRIES the tenant overlay — the carried " +
       "serve equals a fresh registration of the surviving " +
       "assignments, retrained-away docs drop out, new docs are " +

@@ -740,6 +740,43 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"tenant serve touches corpus text in:\n$plan")
   }
 
+  test("keyword batched tenant serve: one tenant-IN-pruned overlay " +
+      "slice, union-grant id IN on the postings scan, per-qid gauge " +
+      "stats keyed on qid, no doclens, no global window (k20 plan)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_planmt").toString
+    KeywordIndex.build(docs, dir)
+    KeywordIndex.compact(spark, dir)
+    KeywordIndex.registerTenants(spark, dir,
+      docs.select(col("doc_id"),
+        concat(lit("t"), col("doc_id") % 3).as("tenant")))
+    val served = KeywordIndex.probeManyTenant(spark, dir,
+      Seq((0L, Seq("data", "query"), "t0"), (1L, Seq("shuffle"), "t1")),
+      topN = 10)
+    val plan = executed(served)
+    assert(!plan.contains("doclens"),
+      s"batched tenant serve reads doclens in:\n$plan")
+    assert("postings[^\\n]*PushedFilters: \\[[^\\n]*In\\(term".r
+      .findFirstIn(plan).isDefined,
+      s"term IN not pushed to the postings scan in:\n$plan")
+    assert("postings[^\\n]*PushedFilters: \\[[^\\n]*In\\(id".r
+      .findFirstIn(plan).isDefined,
+      s"union-grant id IN not pushed to the postings scan in:\n$plan")
+    assert("tenants[^\\n]*PushedFilters: \\[[^\\n]*In\\(tenant".r
+      .findFirstIn(plan).isDefined,
+      s"tenant IN not pushed to the overlay scan in:\n$plan")
+    assert(!plan.contains("tstats") ||
+      "tstats[^\\n]*PushedFilters: \\[[^\\n]*In\\(tenant".r
+        .findFirstIn(plan).isDefined,
+      s"tenant IN not pushed to the gauge scan in:\n$plan")
+    assert(!graft.plans.PlanGuard.findings(served)
+      .exists(_.rule == "global-window"),
+      "batched tenant serve plans a global window")
+    assert(!plan.contains("split(") && !plan.contains("text#"),
+      s"batched tenant serve touches corpus text in:\n$plan")
+  }
+
   test("keyword range serve: join-score-filter only — no rank " +
       "window, no doclens (k12 plan)") {
     import graft.ext.KeywordIndex
