@@ -96,25 +96,72 @@ object Sketches {
 
   // ----------------------------------------------- stored KMV gauge
 
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Persist a KMV state as a durable corpus gauge (≤ k rows of
     * `hf`) — the cardinality companion to [[KeywordIndex]]'s
     * additive (n_docs, sum_dl) `stats/` gauge for quantities that do
     * NOT fold additively (distinct counts): an ingest writes the
     * seed state once, [[kmvFold]]s each batch in O(k + batch keys),
     * and any datacard/health frame reads the estimate from the ≤ k
-    * stored rows without ever re-scanning the corpus. */
-  def kmvWrite(state: DataFrame, dir: String): Unit =
-    state.write.mode("overwrite").parquet(dir)
+    * stored rows without ever re-scanning the corpus.
+    *
+    * Crash-safe swap (a streaming ingest folds this INSIDE its
+    * per-batch commit window, so a torn write must not lose folded
+    * state): the state lands whole in `<dir>__stage`, the live gauge
+    * steps aside to `<dir>__old` (one rename), the stage renames in,
+    * the residue drops. The single window this leaves — live absent,
+    * `__old` present — is reversed EXACTLY by [[kmvHeal]], which
+    * every read/fold runs first; no crash point loses a fold or
+    * serves a half-written gauge. */
+  def kmvWrite(state: DataFrame, dir: String): Unit = {
+    val spark = state.sparkSession
+    val fs = fsOf(spark, dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val stage = new org.apache.hadoop.fs.Path(dir + "__stage")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    fs.delete(stage, true)
+    state.write.mode("overwrite").parquet(stage.toString)
+    fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"kmvWrite: $live -> $old failed")
+    require(fs.rename(stage, live), s"kmvWrite: $stage -> $live failed")
+    fs.delete(old, true)
+  }
+
+  /** Reverse [[kmvWrite]]'s one crash window (live gauge absent,
+    * `__old` present) by renaming the old generation back — an EXACT
+    * restore, never a re-estimate. Returns whether a gauge exists at
+    * `dir` after healing (false = virgin, seed it). */
+  def kmvHeal(spark: org.apache.spark.sql.SparkSession,
+              dir: String): Boolean = {
+    val fs = fsOf(spark, dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"kmvHeal: $old -> $live failed")
+    fs.exists(live)
+  }
 
   /** Fold a batch into a stored KMV gauge: bottom-k of (stored ∪
     * batch state) — exact by the bottom-k union identity, O(k +
     * batch keys), the corpus never re-read. Materialized before the
-    * overwrite of the asset it read. */
+    * swap of the asset it read; heals a mid-swap gauge first.
+    * REPLAY-IDEMPOTENT by set semantics: the state is a set of
+    * distinct hashes, so re-folding the SAME keys (an at-least-once
+    * re-delivery) is a union with itself — bit-identical state, no
+    * double count. */
   def kmvFold(spark: org.apache.spark.sql.SparkSession, dir: String,
-              batch: DataFrame, key: Column, k: Int = 256): Unit =
+              batch: DataFrame, key: Column, k: Int = 256): Unit = {
+    require(kmvHeal(spark, dir),
+      s"kmvFold: no stored gauge at $dir — seed it with kmvWrite first")
     kmvWrite(kmvMergedState(
       Seq(spark.read.parquet(dir), kmvState(batch, key, k)), k)
       .localCheckpoint(), dir)
+  }
 
   /** Merge independently-built KMV states (shard gauges) into one —
     * union, de-duplicate identical hashes, re-take the bottom k. */
@@ -125,8 +172,12 @@ object Sketches {
 
   /** The cardinality report of a stored gauge — ≤ k rows read, one
     * 1-row aggregate, hash-exact against the one-shot oracle over
-    * whatever key population the folds covered. */
+    * whatever key population the folds covered. Heals a mid-swap
+    * gauge first; a missing gauge fails loudly (never a silent 0). */
   def kmvReport(spark: org.apache.spark.sql.SparkSession, dir: String,
-                k: Int = 256): DataFrame =
+                k: Int = 256): DataFrame = {
+    require(kmvHeal(spark, dir),
+      s"kmvReport: no stored gauge at $dir")
     kmvReportOf(spark.read.parquet(dir), k)
+  }
 }

@@ -3005,7 +3005,15 @@ object ExtQueries {
         KeywordIndex.build(ingest.storeAsOf(-1L), twin)
         KeywordIndex.append(newDocs, twin)
         KeywordIndex.remove(slice, twin)
+        // ever-accepted covers the later-retracted ids 200/201 — the
+        // gauge is MONOTONE by design (a sketch cannot subtract), so
+        // the expected row is the one-shot sketch over seed ∪ drop,
+        // NOT over the surviving store
         val expect = KeywordIndex.health(s, twin)
+          .unionByName(metricRow("accepted_ids_kmv_est",
+            graft.ext.Sketches.kmvDistinct(
+              seed.unionByName(newDocs), col("doc_id")),
+            sum(col("n_distinct_est"))))
           .unionByName(metricRow("store_rows",
             seed.unionByName(newDocs)
               .join(slice.select("doc_id"), Seq("doc_id"), "left_anti"),
@@ -3075,6 +3083,56 @@ object ExtQueries {
       Some("""SELECT CAST(NULL AS INTEGER) AS rank,
                      CAST(NULL AS BIGINT) AS doc_id,
                      CAST(NULL AS DOUBLE) AS rrf
+              WHERE FALSE""")),
+
+    // st24: the stored KMV distinct-count gauge INSIDE the ingest
+    // commit window — a25's seed/fold lifecycle wired into st16's
+    // ingest — under an at-least-once REPLAY: seed, a gated drop
+    // (the exact copies quarantine, so only ACCEPTED ids may fold),
+    // then the SAME staged drop re-delivered through a fresh
+    // checkpoint (the bloom gate drops every accepted row; a re-fold
+    // could only be a no-op by the distinct-hash set identity — the
+    // spec pins the bit-level form of that claim). The pin here: the
+    // ingest-health gauge row ≡ the one-shot kmvDistinct over
+    // exactly the ever-accepted ids (≡ the accepted corpus: nothing
+    // is retracted in this row), hash-exact. Empty symmetric
+    // difference, WHERE FALSE.
+    Q("st24_ingest_kmv_gauge",
+      (s, dir) => {
+        import graft.ext.StoredIndex.metricRow
+        import graft.streaming.StreamingDedupIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st24_").toString
+        val seedDocs = docs.filter(col("doc_id") < 200)
+        val ingest = new StreamingDedupIngest(s, s"$root/ix",
+          s"$root/corpus", s"$root/quar")
+        ingest.seed(seedDocs)
+        val newDocs = docs
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+        val drop = newDocs.unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 30000L).as("doc_id"), col("text")))
+        StreamingDedupIngest.stage(drop, s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        // at-least-once replay: the same file through a FRESH
+        // checkpoint — accepted rows bloom-gate out, copies
+        // re-quarantine idempotently, the gauge must be bit-stable
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt2")
+        val got = ingest.health()
+          .filter(col("metric") === "accepted_ids_kmv_est")
+        // the one-shot twin runs over the ACCEPTED corpus (the gate
+        // may quarantine borderline new docs too, not only the
+        // copies — the gate decides, the gauge follows); with no
+        // retraction in this row, ever-accepted ≡ the store
+        val expect = metricRow("accepted_ids_kmv_est",
+          graft.ext.Sketches.kmvDistinct(
+            ingest.corpus(), col("doc_id")),
+          sum(col("n_distinct_est")))
+        got.exceptAll(expect).unionByName(expect.exceptAll(got))
+          .orderBy("metric")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS metric,
+                     CAST(NULL AS DOUBLE) AS value
               WHERE FALSE""")),
 
     // st13: the REPRODUCIBILITY contract of the streamed corpus
@@ -3242,7 +3300,14 @@ object ExtQueries {
         ingest.retract(s.range(2)
           .select((col("id") + 20000L).as("doc_id")))
         val got = ingest.health()
+        // the KMV gauge row is in-query derivable too: ever-accepted
+        // = the seed alone (the drop fully quarantined; the two
+        // retractions hit quarantined ids), and the sketch is
+        // deterministic, so the stored fold must equal the one-shot
         val expect = graft.ext.DedupIndex.healthFromCorpus(seedDocs)
+          .unionByName(metricRow("accepted_ids_kmv_est",
+            graft.ext.Sketches.kmvDistinct(seedDocs, col("doc_id")),
+            sum(col("n_distinct_est"))))
           .unionByName(metricRow("store_corpus_rows", seedDocs,
             count(lit(1L))))
           .unionByName(metricRow("store_quarantine_rows",

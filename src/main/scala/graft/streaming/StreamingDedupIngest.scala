@@ -164,6 +164,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     val fresh = dropRetracted(df.dropDuplicates("doc_id"))
       .localCheckpoint()
     writePartition(fresh, corpusDir, -1L)
+    foldAcceptedKmv(fresh)
     DedupIndex.build(corpus(), indexDir)
   }
 
@@ -199,6 +200,37 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
   private def fs =
     new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+
+  /** Durable KMV distinct-count gauge beside the corpus store — the
+    * stored [[graft.ext.Sketches]] state folded per accepted batch
+    * (a25's lifecycle wired into the ingest), so the health datacard
+    * carries `accepted_ids_kmv_est` from ≤ k stored rows without
+    * ever re-scanning the corpus. Semantics: distinct doc ids EVER
+    * ACCEPTED — monotone like the takedown ledger (a sketch is
+    * insert-only; the live mass is `store_corpus_rows`). */
+  private val kmvDir = corpusDir + "_kmv"
+
+  /** Fold newly accepted ids into the gauge — called AFTER the
+    * corpus partition write and BEFORE the index mutation, so every
+    * crash window converges under replay: rows not yet indexed pass
+    * the bloom gate again and re-fold, which is a no-op by the
+    * distinct-hash set identity ([[graft.ext.Sketches.kmvFold]]'s
+    * replay-idempotence); a crash inside the gauge swap itself heals
+    * exactly (rename-swap + [[graft.ext.Sketches.kmvHeal]]). */
+  private def foldAcceptedKmv(rows: DataFrame): Unit =
+    if (graft.ext.Sketches.kmvHeal(spark, kmvDir))
+      graft.ext.Sketches.kmvFold(spark, kmvDir, rows, col("doc_id"))
+    else bootstrapKmv()
+
+  /** Seed the gauge from the live corpus ids — the bootstrap for
+    * pre-gauge stores (one keys-only corpus pass; under-counts
+    * ever-accepted only by docs retracted BEFORE the gauge existed,
+    * the unknowable residue of upgrading in place). The corpus
+    * already holds any rows the caller just wrote, so the seed
+    * covers them. */
+  private def bootstrapKmv(): Unit =
+    graft.ext.Sketches.kmvWrite(
+      graft.ext.Sketches.kmvState(corpus(), col("doc_id")), kmvDir)
 
   // id-sorted within each part file so parquet row-group id stats
   // are tight — what makes a takedown's pushed IN predicate skip
@@ -319,6 +351,9 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
       else incoming).localCheckpoint() // materialize before overwrite
       merged.write.mode("overwrite").parquet(pdir)
     }
+    // the readmitted ids are now accepted — fold them before the
+    // index append (a re-run re-folds, a no-op by set identity)
+    foldAcceptedKmv(rows.select("doc_id"))
     // 2. index the not-yet-indexed readmits (bloom-gated: a crash
     // re-run that already appended them skips here)
     val newOnly = StoredIndex.bloomGatedNewOnly(
@@ -357,7 +392,15 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
       .map(r => StoredIndex.metricRow("retracted_ids", r,
         count(lit(1L))))
       .getOrElse(StoredIndex.litMetricRow(spark, "retracted_ids", 0d))
+    // distinct ids ever accepted, from the stored KMV gauge — ≤ k
+    // rows read, the corpus never re-scanned (monotone: a takedown
+    // doesn't subtract — sketches are insert-only; live mass is
+    // store_corpus_rows). Pre-gauge stores bootstrap on first read.
+    if (!graft.ext.Sketches.kmvHeal(spark, kmvDir)) bootstrapKmv()
     DedupIndex.health(spark, indexDir)
+      .unionByName(StoredIndex.metricRow("accepted_ids_kmv_est",
+        graft.ext.Sketches.kmvReport(spark, kmvDir),
+        sum(col("n_distinct_est"))))
       .unionByName(StoredIndex.metricRow("store_corpus_rows",
         corpus(), count(lit(1L))))
       .unionByName(StoredIndex.metricRow("store_batches",
@@ -432,6 +475,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         rejected.foreach(r => writePartition(r, quarantineDir, batchId))
         if (!admitted.isEmpty) {
           writePartition(admitted, corpusDir, batchId)
+          foldAcceptedKmv(admitted)
           DedupIndex.build(corpus(), indexDir)
         }
       }
@@ -489,6 +533,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         // a crash INSIDE append leaves no meta, and the next run
         // rebuilds from the corpus store (see ingestBatch)
         writePartition(clean, corpusDir, batchId)
+        foldAcceptedKmv(clean)
         DedupIndex.append(clean, indexDir, checkIds = false)
         // self-maintenance: a long append chain accretes shard
         // files; compact once the count crosses the dial. A crash

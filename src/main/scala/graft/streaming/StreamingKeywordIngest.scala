@@ -98,6 +98,7 @@ final class StreamingKeywordIngest(spark: SparkSession, indexDir: String,
     val fresh = dropRetracted(df.dropDuplicates("doc_id"))
       .localCheckpoint()
     writePartition(fresh, dir, -1L)
+    foldAcceptedKmv(fresh)
     KeywordIndex.build(store(), indexDir)
   }
 
@@ -166,6 +167,27 @@ final class StreamingKeywordIngest(spark: SparkSession, indexDir: String,
     new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
+  /** Durable KMV distinct-count gauge beside the text store (store
+    * posture only — the index-only posture has no durable home for
+    * it): [[graft.ext.Sketches]]' stored state folded per accepted
+    * batch inside the commit window, so [[health]] carries
+    * `accepted_ids_kmv_est` from ≤ k stored rows. Monotone (ever-
+    * accepted; a takedown doesn't subtract — sketches are
+    * insert-only; live mass is `store_rows`). Fold ordering and
+    * replay/crash convergence are [[StreamingDedupIngest]]'s: after
+    * the store partition write, before the index mutation; re-folds
+    * are no-ops by the distinct-hash set identity, a torn gauge swap
+    * heals exactly. */
+  private def kmvDir = storeDir.map(_ + "_kmv")
+
+  private def foldAcceptedKmv(rows: DataFrame): Unit =
+    kmvDir.foreach { kd =>
+      if (graft.ext.Sketches.kmvHeal(spark, kd))
+        graft.ext.Sketches.kmvFold(spark, kd, rows, col("doc_id"))
+      else graft.ext.Sketches.kmvWrite(
+        graft.ext.Sketches.kmvState(store(), col("doc_id")), kd)
+    }
+
   // id-sorted part files → tight parquet row-group id stats → a
   // takedown's pushed IN predicate prunes on footers alone
   private def writePartition(df: DataFrame, root: String,
@@ -185,7 +207,16 @@ final class StreamingKeywordIngest(spark: SparkSession, indexDir: String,
       .map(r => StoredIndex.metricRow("retracted_ids", r,
         count(lit(1L))))
       .getOrElse(StoredIndex.litMetricRow(spark, "retracted_ids", 0d))
+    // distinct ids ever accepted, from the stored KMV gauge (see
+    // kmvDir); pre-gauge stores bootstrap from the live store
+    kmvDir.foreach(kd =>
+      if (!graft.ext.Sketches.kmvHeal(spark, kd))
+        graft.ext.Sketches.kmvWrite(
+          graft.ext.Sketches.kmvState(store(), col("doc_id")), kd))
     KeywordIndex.health(spark, indexDir)
+      .unionByName(StoredIndex.metricRow("accepted_ids_kmv_est",
+        graft.ext.Sketches.kmvReport(spark, kmvDir.get),
+        sum(col("n_distinct_est"))))
       .unionByName(StoredIndex.metricRow("store_rows",
         store(), count(lit(1L))))
       .unionByName(StoredIndex.metricRow("store_batches",
@@ -227,6 +258,7 @@ final class StreamingKeywordIngest(spark: SparkSession, indexDir: String,
         if (!fresh.isEmpty) appendGated(fresh, batchId)
       } else if (!fresh.isEmpty) {
         storeDir.foreach(d => writePartition(fresh, d, batchId))
+        foldAcceptedKmv(fresh)
         KeywordIndex.build(if (storeDir.isDefined) store() else fresh,
           indexDir)
       }
@@ -242,8 +274,10 @@ final class StreamingKeywordIngest(spark: SparkSession, indexDir: String,
         .select(col("id").as("doc_id")))
       .localCheckpoint()
     if (!newOnly.isEmpty) {
-      // store FIRST, then index (the shared crash ordering)
+      // store FIRST, then the gauge fold, then the index (the
+      // shared crash ordering; see foldAcceptedKmv)
       storeDir.foreach(d => writePartition(newOnly, d, batchId))
+      foldAcceptedKmv(newOnly)
       KeywordIndex.append(newOnly, indexDir, checkIds = false)
       KeywordIndex.maybeCompact(spark, indexDir, compactAfterFiles)
     }
