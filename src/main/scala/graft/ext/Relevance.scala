@@ -143,6 +143,38 @@ object Relevance {
       .orderBy("rank")
   }
 
+  /** [[rrfFuse]] on the batch dimension: per-qid reciprocal-rank
+    * fusion of two BATCHED page frames (qid, rank, doc_id, …) — the
+    * fusion stage of a batched hybrid serve. The join is keyed
+    * (qid, doc_id) and the one rank window is qid-PARTITIONED (the
+    * batch dimension is the partition key, exactly as in the
+    * batched serves — this operator plans NO global window, unlike
+    * its audited single-page sibling), so the plan stays bounded by
+    * the pages: each side contributes ≤ k rows per qid by the
+    * caller's contract. A qid present on only one side fuses that
+    * page alone (the absent side contributes exactly 0.0 per doc —
+    * [[rrfFuse]]'s own convention, batched). Each qid's output
+    * equals `rrfFuse(lex_q, dense_q, topN)` by construction. */
+  def rrfFuseMany(lex: DataFrame, dense: DataFrame, topN: Int,
+                  k: Int = 60): DataFrame = {
+    val l = lex.select(col("qid").cast("long").as("qid"),
+      col("doc_id"), col("rank").cast("long").as("__lr"))
+    val d = dense.select(col("qid").cast("long").as("qid"),
+      col("doc_id"), col("rank").cast("long").as("__dr"))
+    val fused = l.join(d, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", Ops.roundDet(
+        coalesce(lit(1.0) / (lit(k.toDouble) + col("__lr").cast("double")),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k.toDouble) + col("__dr").cast("double")),
+            lit(0.0)), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+      .orderBy("qid", "rank")
+  }
+
   /** The BM25 score tree over the standard projected inputs —
     * columns `tf_i` / `df_i` (i < nTerms, query-term order), `dl`,
     * and the one-row corpus stats `n_docs` / `sum_dl`. Factored out

@@ -5341,6 +5341,63 @@ object ExtQueries {
         .mkString("SELECT * FROM (", " UNION ALL ",
           ") ORDER BY qid, rank"))),
 
+    // k21: BATCHED hybrid serve — the last hybrid-matrix cell
+    // (single k7b, filtered k14, tenant k19, now BATCH): N (terms,
+    // query-vector) pairs fused per qid in ONE composed plan — the
+    // lexical side is probeMany's one-postings-scan batch, the dense
+    // side AnnIndex.probeTopK's native multi-query probe (vec_ids
+    // 7/11/13 remapped to the lexical qids AFTER the probe, so the
+    // ANN chain's self-exclusion semantics stay the oracle's), and
+    // Relevance.rrfFuseMany joins the pages keyed (qid, doc_id) with
+    // the one rank window qid-PARTITIONED — the batched hybrid plans
+    // NO global window (the audited k7b shapes minus that one).
+    // Pages are candidates-only on the lexical side (the batched
+    // serves' production posture — no zero-fill), and the oracle is
+    // the per-qid candidate pages full-outer-joined to the shared
+    // x8r chain, RRF'd lexical-then-dense exactly as k7b, UNION over
+    // qids via the same CASE remap.
+    Q("k21_hybrid_multi",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val embs = t(s, dir, "embeddings")
+        val kix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, kix)
+        val aix = graft.ext.AnnIndex.dirFor(dir)
+        graft.ext.AnnIndex.ensure(embs, aix)
+        val lex = graft.ext.KeywordIndex.probeMany(s, kix, KwMulti,
+          topN = 20)
+        val dense = graft.ext.AnnIndex.probeTopK(s, aix,
+            embs.filter(col("vec_id").isin(7L, 11L, 13L)), k = 20)
+          .withColumn("qid", when(col("qid") === 7L, 0L)
+            .when(col("qid") === 11L, 1L).otherwise(2L))
+          .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+        Relevance.rrfFuseMany(lex, dense, topN = 10)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes, $SqlIvfPqRankCtes,
+                    ka AS (SELECT CASE qid WHEN 7 THEN 0
+                               WHEN 11 THEN 1 ELSE 2 END AS qid,
+                             nid AS doc_id, rank
+                           FROM x8r
+                           WHERE qid IN (7, 11, 13) AND rank <= 20),
+                    kb AS (${KwMulti.map { case (q, ts) =>
+                      s"SELECT qid, rank, doc_id FROM (${
+                        sqlKwBm25CandPage(q, ts, 20)})" }
+                      .mkString(" UNION ALL ")}),
+                    kf AS (SELECT COALESCE(kb.qid, ka.qid) AS qid,
+                        COALESCE(kb.doc_id, ka.doc_id) AS doc_id,
+                        ${sqlRoundDet(
+                          "COALESCE(1.0 / (60.0 + CAST(kb.rank AS DOUBLE)), 0.0)" +
+                            " + COALESCE(1.0 / (60.0 + CAST(ka.rank AS DOUBLE)), 0.0)",
+                          6)} AS rrf
+                      FROM kb FULL OUTER JOIN ka
+                        ON ka.qid = kb.qid AND ka.doc_id = kb.doc_id),
+                    kr AS (SELECT qid, doc_id, rrf,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY rrf DESC, doc_id) AS rank
+                      FROM kf)
+               SELECT qid, rank, doc_id, rrf FROM kr
+               WHERE rank <= 10 ORDER BY qid, rank""")),
+
     // k13: BATCHED lexical serve — AnnIndex.probeTopK's many-queries
     // shape on the keyword family: three term queries served from
     // ONE composed plan (one postings scan over the union term set,

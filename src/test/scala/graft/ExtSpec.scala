@@ -1959,4 +1959,33 @@ class ExtSpec extends SparkTestBase {
     assert(sub._1 == 100L && sub._3 == 100.0,
       s"sub-k stored gauge must be exact, got $sub")
   }
+  test("rrfFuseMany ≡ per-qid rrfFuse — one-sided qids fuse alone, " +
+      "and the batched fusion plans NO global window") {
+    import graft.ext.Relevance
+    def pages(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("qid", "rank", "doc_id")
+    // qid 0: overlap on both sides; qid 1: disjoint sides;
+    // qid 2: lexical-only; qid 3: dense-only
+    val lex = pages(Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L),
+      (1L, 1, 20L), (1L, 2, 21L), (2L, 1, 30L)))
+    val dense = pages(Seq((0L, 1, 11L), (0L, 2, 13L),
+      (1L, 1, 22L), (3L, 1, 40L)))
+    val fusedMany = Relevance.rrfFuseMany(lex, dense, topN = 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val perQid = Seq(0L, 1L, 2L, 3L).flatMap { q =>
+      Relevance.rrfFuse(
+          lex.filter($"qid" === q).select("rank", "doc_id"),
+          dense.filter($"qid" === q).select("rank", "doc_id"),
+          topN = 3)
+        .as[(Int, Long, Double)].collect().toSeq
+        .map { case (r, id, v) => (q, r, id, v) }
+    }.sortBy(x => (x._1, x._2))
+    assert(fusedMany == perQid,
+      "batched fusion must equal the per-qid single fusions")
+    // the batch dimension is the partition key: no global window
+    assert(!graft.plans.PlanGuard.findings(
+        Relevance.rrfFuseMany(lex, dense, topN = 3))
+      .exists(_.rule == "global-window"),
+      "rrfFuseMany must not plan a global window")
+  }
 }

@@ -99,6 +99,13 @@ class RegistryGuardSpec extends SparkTestBase {
     "k14_hybrid_filtered" ->
       Set("unconditional-nested-loop", "global-window",
         "bnlj-deferred-derivation"),
+    // k21: the batched hybrid — k13's one-row stats-gauge broadcast
+    // on the lexical side and x9's one-row centroid/codebook assets
+    // (with their benign deferred l2normalize) on the dense side;
+    // NO global-window allowance: the fusion window is
+    // qid-partitioned, the batched serves' rule
+    "k21_hybrid_multi" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // k19: k14's audited shapes on BOTH sides of the symmetric
     // difference (the one-call tenant hybrid and its ad-hoc twin are
     // each a k14 composition: one-row kw stat broadcasts, x9's
