@@ -607,6 +607,40 @@ object AnnIndex {
       postings, queries, k, nprobe, m, dim, vecCol, idCol)
   }
 
+  /** Batched filtered serve — [[probeTopKFiltered]] with PER-QUERY
+    * allowed id subsets ([[KeywordIndex.probeManyFiltered]]'s shape
+    * on the dense family, closing the batch × filtered cell on this
+    * side of the retrieval matrix): each qid's page is the exact
+    * IVFADC top-k of allowed(qid) within ITS probed buckets — the
+    * (qid, nid) restriction semi-joins the candidate slice BEFORE
+    * the LUT join and the ADC fold, so disallowed candidates never
+    * cost a score, and every rank window stays qid-partitioned (the
+    * probe chain's own shape — no global window exists to begin
+    * with). `allowed` carries (qid, id) pairs; a qid with no allowed
+    * rows serves an empty page; per-query under-filled pages are the
+    * honest pre-filter answer ([[probeTopKFiltered]]'s contract —
+    * raise `nprobe` for selective grants). `broadcastAllowed` is the
+    * family's dial: hint the pairs frame only when the batch is a
+    * page of contract-small grants; disable it for data-sized pair
+    * frames and the semi-join stays keyed with the strategy left to
+    * Catalyst/AQE. */
+  def probeManyFiltered(spark: SparkSession, dir: String,
+                        queries: DataFrame, allowed: DataFrame,
+                        k: Int, nprobe: Int = 12, m: Int = 4,
+                        dim: Int = 64, vecCol: String = "embedding",
+                        idCol: String = "vec_id",
+                        qidCol: String = "qid",
+                        broadcastAllowed: Boolean = true): DataFrame = {
+    val pairs0 = allowed.select(col(qidCol).cast("long").as("qid"),
+      col(idCol).cast("long").as("nid")).distinct()
+    val pairs = if (broadcastAllowed) broadcast(pairs0) else pairs0
+    Similarity.ivfPqProbe(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      livePostings(spark, dir), queries, k, nprobe, m, dim, vecCol,
+      idCol, restrict = _.join(pairs, Seq("qid", "nid"), "left_semi"))
+  }
+
   /** Read-back inventory of a stored index: (part, n_rows) per asset,
     * part-ordered — proves what the build durably wrote, and is
     * exactly reproducible from the source corpus in SQL (centroid

@@ -718,12 +718,17 @@ object Similarity {
     * build-once/serve-many split is a storage decision, never a
     * semantics fork. `index` rows are (nid, codes, cid) — the
     * [[pqEncode]]×[[ivfAssign]] join, whether computed in-query or
-    * read back from parquet. */
+    * read back from parquet. `restrict` (identity by default — the
+    * plan is unchanged for every existing caller) hooks a
+    * per-(qid, nid) candidate restriction in BEFORE the LUT join and
+    * the ADC fold — the batched-filtered serve's per-query allowed
+    * subsets, applied where disallowed candidates cost nothing. */
   def ivfPqProbe(cents: DataFrame, cb: DataFrame, index: DataFrame,
                  queries: DataFrame, k: Int, nprobe: Int = 12,
                  m: Int = 4, dim: Int = 64,
                  vecCol: String = "embedding",
-                 idCol: String = "vec_id"): DataFrame = {
+                 idCol: String = "vec_id",
+                 restrict: DataFrame => DataFrame = df => df): DataFrame = {
     val sub = dim / m
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
@@ -738,8 +743,8 @@ object Similarity {
     val lut = pqLut(queries, cb, m, sub, vecCol, idCol)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid").asc)
-    probed.join(index, Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
+    restrict(probed.join(index, Seq("cid"))
+        .filter(col("qid") =!= col("nid")))
       .join(broadcast(lut), Seq("qid"))
       .withColumn("score", graft.ops.Ops.roundDet(pqScore(m), 4))
       .withColumn("rank", row_number().over(w))

@@ -4144,6 +4144,34 @@ object ExtQueries {
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // x20: BATCHED filtered dense serve — x11's pre-filter semantics
+    // with PER-QUERY allowed subsets (k17's shape on the dense
+    // family, closing the batch × filtered cell of the retrieval
+    // matrix on this side): the (qid, nid) restriction semi-joins
+    // the candidate slice BEFORE the LUT join and the ADC fold, so
+    // disallowed candidates never cost a score; every window in the
+    // probe chain is already qid-partitioned. Two queries with
+    // DIFFERENT grants (one %3, one %2) — the oracle folds both into
+    // the x8cand predicate, per (ipr.qid, iasg.nid).
+    Q("x20_ann_multi_filtered",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir)
+        graft.ext.AnnIndex.ensure(embs, ix)
+        val pairs = embs.filter(col("vec_id") % 3 === 0)
+          .select(lit(7L).as("qid"), col("vec_id"))
+          .unionByName(embs.filter(col("vec_id") % 2 === 0)
+            .select(lit(11L).as("qid"), col("vec_id")))
+        graft.ext.AnnIndex.probeManyFiltered(s, ix,
+          embs.filter(col("vec_id").isin(7L, 11L)), pairs, k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere(
+                      "(ipr.qid = 7 AND iasg.nid % 3 = 0) OR " +
+                        "(ipr.qid = 11 AND iasg.nid % 2 = 0)")}
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // x10: incremental index maintenance — build the stored index on
     // the LOWER id half of the corpus, AnnIndex.append the upper
     // half (encoded/assigned against the STORED assets, meta updated

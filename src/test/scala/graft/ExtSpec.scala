@@ -1052,6 +1052,42 @@ class ExtSpec extends SparkTestBase {
     assert(odds.nonEmpty && odds.forall(_ % 2 == 1))
   }
 
+  test("batched filtered ANN probe ≡ per-qid single filtered probes " +
+      "— per-query grants bind independently, an empty grant serves " +
+      "an empty page") {
+    import graft.ext.AnnIndex
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x20_").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    // three queries, three DIFFERENT grants (the third empty)
+    val grants = Seq[(Long, org.apache.spark.sql.Column)](
+      (3L, $"vec_id" % 2 === 0),
+      (5L, $"vec_id" % 3 === 0),
+      (9L, org.apache.spark.sql.functions.lit(false)))
+    val pairs = grants.map { case (q, pred) =>
+      embs.filter(pred).select(
+        org.apache.spark.sql.functions.lit(q).as("qid"), $"vec_id")
+    }.reduce(_ unionByName _)
+    val batched = AnnIndex.probeManyFiltered(spark, dir,
+        embs.filter($"vec_id".isin(3L, 5L, 9L)), pairs, k = 4)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val single = grants.flatMap { case (q, pred) =>
+      AnnIndex.probeTopKFiltered(spark, dir,
+          embs.filter($"vec_id" === q), embs.filter(pred)
+            .select("vec_id"), k = 4)
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    }.sortBy(x => (x._1, x._2))
+    assert(batched == single,
+      "batched filtered pages must equal the per-qid single probes")
+    assert(!batched.exists(_._1 == 9L),
+      "an empty grant must serve an empty page")
+    assert(batched.filter(_._1 == 3L).forall(_._3 % 2 == 0) &&
+      batched.filter(_._1 == 5L).forall(_._3 % 3 == 0),
+      "each qid's grant must bind only that qid's page")
+  }
+
   test("stored index: maybeCompact fires only past the file threshold") {
     import graft.ext.{DedupIndex, StoredIndex}
     val mk = (i: Long, t: String) => (i, t)

@@ -229,6 +229,12 @@ class RegistryGuardSpec extends SparkTestBase {
     // x8's audited shapes; the filter join is keyed on nid
     "x11_filtered_ann" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x20: x11's audited shapes on the batched filtered serve — the
+    // one-row centroid/codebook broadcasts and their benign deferred
+    // l2normalize; the per-(qid, nid) restriction is a keyed
+    // semi-join, adding no flagged relation
+    "x20_ann_multi_filtered" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // x12: the x9 probe chain over tombstone-filtered postings (the
     // deletes anti-join is keyed on nid; remove() runs eagerly
     // outside the probed plan)
