@@ -291,6 +291,20 @@ class CorpusIngestSpec extends graft.SparkTestBase {
       bare.registerTenants(docs.limit(1)
         .select($"doc_id", lit("t0").as("tenant")))
     }
+    // the overlay survives the repair path's STAGED rebuild: a
+    // half-applied joint takedown (text purged, keyword index still
+    // live) forces repairKeywords' rebuildStaged — which now CARRIES
+    // the surviving assignments — so the one-call tenant serve stays
+    // warm across the repair and the stranded id drops out of it
+    joint.text.retract(Seq(3L).toDF("doc_id")) // t0 doc, text half only
+    joint.repairKeywords()
+    val healed = joint.probeHybridTenant(terms, qv, "t0", topN = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!healed.contains(3L),
+      "repaired tenant serve must drop the taken-down doc")
+    assert(healed.nonEmpty && healed.forall(_ % 3 == 0),
+      "tenant serve must stay warm (overlay carried) after the " +
+        "staged-rebuild repair — no re-registration")
   }
 
   test("crash between the halves of a joint retract: text ledgered, " +
