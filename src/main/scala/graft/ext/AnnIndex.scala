@@ -533,12 +533,14 @@ object AnnIndex {
   def probeTopK(spark: SparkSession, dir: String, queries: DataFrame,
                 k: Int, nprobe: Int = 12, m: Int = 4, dim: Int = 64,
                 vecCol: String = "embedding",
-                idCol: String = "vec_id"): DataFrame =
+                idCol: String = "vec_id",
+                excludeSelf: Boolean = true): DataFrame =
     Similarity.ivfPqProbe(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebook"),
       livePostings(spark, dir),
-      queries, k, nprobe, m, dim, vecCol, idCol)
+      queries, k, nprobe, m, dim, vecCol, idCol,
+      excludeSelf = excludeSelf)
 
   /** RANGE (threshold) serve from the stored index: every live
     * candidate in the probed buckets whose ADC score clears

@@ -722,13 +722,20 @@ object Similarity {
     * plan is unchanged for every existing caller) hooks a
     * per-(qid, nid) candidate restriction in BEFORE the LUT join and
     * the ADC fold — the batched-filtered serve's per-query allowed
-    * subsets, applied where disallowed candidates cost nothing. */
+    * subsets, applied where disallowed candidates cost nothing.
+    * `excludeSelf` (default true — the near-dup/self-search posture,
+    * where queries ARE corpus vectors and a vector must not match
+    * itself) drops candidates with nid == qid; set it false when the
+    * qids are BATCH LABELS rather than corpus ids (a batched hybrid
+    * serve), where an accidental label/doc-id collision must not
+    * silently drop that document from the page. */
   def ivfPqProbe(cents: DataFrame, cb: DataFrame, index: DataFrame,
                  queries: DataFrame, k: Int, nprobe: Int = 12,
                  m: Int = 4, dim: Int = 64,
                  vecCol: String = "embedding",
                  idCol: String = "vec_id",
-                 restrict: DataFrame => DataFrame = df => df): DataFrame = {
+                 restrict: DataFrame => DataFrame = df => df,
+                 excludeSelf: Boolean = true): DataFrame = {
     val sub = dim / m
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
@@ -743,8 +750,9 @@ object Similarity {
     val lut = pqLut(queries, cb, m, sub, vecCol, idCol)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid").asc)
-    restrict(probed.join(index, Seq("cid"))
-        .filter(col("qid") =!= col("nid")))
+    val cand0 = probed.join(index, Seq("cid"))
+    restrict(if (excludeSelf) cand0.filter(col("qid") =!= col("nid"))
+        else cand0)
       .join(broadcast(lut), Seq("qid"))
       .withColumn("score", graft.ops.Ops.roundDet(pqScore(m), 4))
       .withColumn("rank", row_number().over(w))

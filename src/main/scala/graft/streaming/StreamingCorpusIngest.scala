@@ -293,6 +293,40 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     graft.ext.Relevance.rrfFuse(lex, dense, topN)
   }
 
+  /** BATCHED hybrid retrieval over the co-maintained stored indexes
+    * — k21's production form served from the joint coordinator: N
+    * (qid, terms) lexical queries through ONE
+    * [[graft.ext.KeywordIndex.probeMany]] plan, the matching query
+    * vectors `(qid, embedding)` through the ANN probe's native
+    * multi-query chain, fused per qid by
+    * [[graft.ext.Relevance.rrfFuseMany]] (keyed (qid, doc_id) join,
+    * qid-partitioned rank window — no global window anywhere in the
+    * batched serve). Every page obeys searchable ≡ trainable exactly
+    * as [[probeHybrid]]; each qid's page equals the single-query
+    * `probeHybrid` page with the same inputs (candidates-only on the
+    * lexical side — the batched serves' posture). `queryVecs` must
+    * carry one row per qid in `queries` (absent vectors simply fuse
+    * the lexical page alone, the rrf convention). The dense probe
+    * runs with `excludeSelf = false`: the qids here are BATCH
+    * LABELS, not corpus ids, so an accidental label/doc-id collision
+    * must not silently drop that document from a page. */
+  def probeHybridMany(queries: Seq[(Long, Seq[String])],
+                      queryVecs: DataFrame, topN: Int,
+                      pageSize: Int = 20,
+                      qidCol: String = "qid",
+                      vecCol: String = "embedding"): DataFrame = {
+    requireKeywordServing("probeHybridMany")
+    val lex = graft.ext.KeywordIndex.probeMany(spark, keywordDir,
+      queries, pageSize)
+    val dense = graft.ext.AnnIndex
+      .probeTopK(spark, s"$root/ann_index",
+        queryVecs.select(col(qidCol).cast("long").as("vec_id"),
+          col(vecCol).as("embedding")), k = pageSize,
+        excludeSelf = false)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+    graft.ext.Relevance.rrfFuseMany(lex, dense, topN)
+  }
+
   /** [[probeHybrid]] restricted to an ALLOWED doc-id subset — the
     * production RAG query shape ("hybrid top-k among the docs this
     * tenant may see"), fused from the two families' filtered serves:

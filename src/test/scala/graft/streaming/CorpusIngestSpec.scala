@@ -307,6 +307,54 @@ class CorpusIngestSpec extends graft.SparkTestBase {
         "staged-rebuild repair — no re-registration")
   }
 
+  test("batched hybrid serve: per-qid pages equal the composed " +
+      "single fusions; batch-label qids never self-exclude a " +
+      "colliding doc id") {
+    import graft.ext.{AnnIndex, KeywordIndex, Relevance}
+    val root = Files.createTempDirectory("graft_jhm_").toString
+    val joint = new StreamingCorpusIngest(spark, root,
+      keywordServing = true)
+    joint.seed(docs.filter($"doc_id" < 200), embs)
+    // qid 0 is a LIVE doc id on purpose: the batched dense probe
+    // must not drop doc 0 from qid 0's page (excludeSelf = false)
+    val queries = Seq(0L -> Seq("data", "query"), 1L -> Seq("stream"))
+    val qVecs = embs.filter($"doc_id" === 7L)
+      .select(lit(0L).as("qid"), $"embedding")
+      .unionByName(embs.filter($"doc_id" === 11L)
+        .select(lit(1L).as("qid"), $"embedding"))
+    val pages = joint.probeHybridMany(queries, qVecs, topN = 8)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val single = queries.flatMap { case (q, ts) =>
+      val lex = KeywordIndex.probeMany(spark, joint.keywordDir,
+          Seq(q -> ts), topN = 20)
+        .select("rank", "doc_id")
+      val vsrc = if (q == 0L) 7L else 11L
+      val dense = AnnIndex.probeTopK(spark, s"$root/ann_index",
+          embs.filter($"doc_id" === vsrc)
+            .select(lit(q).as("vec_id"), $"embedding"),
+          k = 20, excludeSelf = false)
+        .select($"nid".as("doc_id"), $"rank")
+      Relevance.rrfFuse(lex, dense, topN = 8)
+        .as[(Int, Long, Double)].collect().toSeq
+        .map { case (r, id, v) => (q, r, id, v) }
+    }.sortBy(x => (x._1, x._2))
+    assert(pages == single,
+      "batched hybrid pages must equal the composed single fusions")
+    // the self-exclusion contrast: with corpus-id qids the default
+    // probe drops the id itself; the batched serve's label qids keep
+    // doc 0 eligible for qid 0's dense page
+    val withSelf = AnnIndex.probeTopK(spark, s"$root/ann_index",
+        embs.filter($"doc_id" === 0L).select($"doc_id".as("vec_id"),
+          $"embedding"), k = 200)
+      .filter($"nid" === 0L).count()
+    val withoutSelf = AnnIndex.probeTopK(spark, s"$root/ann_index",
+        embs.filter($"doc_id" === 0L).select($"doc_id".as("vec_id"),
+          $"embedding"), k = 200, excludeSelf = false)
+      .filter($"nid" === 0L).count()
+    assert(withSelf == 0L && withoutSelf == 1L,
+      "excludeSelf dial must gate exactly the qid == nid candidate")
+  }
+
   test("crash between the halves of a joint retract: text ledgered, " +
       "vectors still live — repairAlignment finishes the takedown") {
     val root = Files.createTempDirectory("graft_jcrash_").toString
