@@ -85,6 +85,9 @@ object AnnIndex {
     // and ensure() would serve the broken index
     StoredIndex.invalidate(spark, dir)
     StoredIndex.clearDeleteIds(spark, dir) // rebuild = clean live state
+    dropTenantOverlay(spark, dir) // assignments name the PREVIOUS
+    // generation's ids — re-register after an in-place rebuild
+    // ([[rebuildStaged]] instead CARRIES survivors; see its scaladoc)
     val cents = Similarity.centroids(corpus, stride, vecCol, idCol,
       maxCentroids).localCheckpoint()
     val cb = Similarity.pqCodebook(corpus, stride, m, dim,
@@ -146,7 +149,16 @@ object AnnIndex {
     * window. A crash during the staged build leaves the live index
     * untouched (residue is cleared by the next retrain); a crash
     * inside the swap leaves a validation-failing index that
-    * ensure() rebuilds — never a half-swapped mix of generations. */
+    * ensure() rebuilds — never a half-swapped mix of generations.
+    *
+    * A registered tenant overlay is CARRIED through the retrain
+    * ([[KeywordIndex.rebuildStaged]]'s posture): assignments whose
+    * id survives into the new corpus stage beside the fresh assets
+    * and swap in with them, so the tenant serve never goes dark
+    * across scheduled retrains. Ids present only in the NEW corpus
+    * are untenanted ([[assignTenants]] after); the overlay is pure
+    * id-keyed assignment (no derived statistics on this family), so
+    * the carry is one tombstone-filtered semi-join. */
   def rebuildStaged(corpus: DataFrame, dir: String, stride: Int = 20,
                     m: Int = 4, dim: Int = 64, maxCentroids: Int = 4096,
                     vecCol: String = "embedding",
@@ -156,8 +168,21 @@ object AnnIndex {
     val staging = StoredIndex.freshStaging(spark, dir)
     build(corpus, staging, stride, m, dim, maxCentroids, vecCol,
       idCol, version)
+    // the overlay stages after the staging meta marker — a crash
+    // anywhere before the swap leaves the LIVE index (old overlay
+    // included) fully serving ([[KeywordIndex.rebuildStaged]])
+    if (hasTenants(spark, dir)) {
+      val surviving = StoredIndex.filterTombstones(
+          StoredIndex.readDeleteIds(spark, dir),
+          spark.read.parquet(s"$dir/tenants"), "id")
+        .join(spark.read.parquet(s"$staging/postings")
+            .select(col("nid").as("id")),
+          Seq("id"), "left_semi")
+      clusterTenants(surviving)
+        .write.mode("overwrite").parquet(s"$staging/tenants")
+    }
     StoredIndex.swapStaged(spark, dir,
-      Seq("centroids", "codebook", "postings"))
+      Seq("centroids", "codebook", "postings", "tenants"))
   }
 
   /** Incremental index maintenance: append a batch of NEW vectors to
@@ -357,6 +382,11 @@ object AnnIndex {
         s"$outDir/postings", s"s${i}_")
       StoredIndex.copyAssetFiles(spark, s"$d/deletes",
         s"$outDir/deletes", s"s${i}_")
+      // shard posting ids are disjoint (guard above), so overlay
+      // shards union without double-assignment; shards without one
+      // simply contribute untenanted vectors
+      StoredIndex.copyAssetFiles(spark, s"$d/tenants",
+        s"$outDir/tenants", s"s${i}_")
     }
     val blooms = shardDirs.map(d =>
       StoredIndex.readIdBloomAsset(spark, d))
@@ -417,6 +447,10 @@ object AnnIndex {
       s"$dir/postings", "ab_")
     StoredIndex.copyAssetFiles(spark, s"$shardDir/deletes",
       s"$dir/deletes", "ab_")
+    // the shard's assignments ride along (ids are disjoint by the
+    // guard above — the target's other docs are simply untenanted)
+    StoredIndex.copyAssetFiles(spark, s"$shardDir/tenants",
+      s"$dir/tenants", "ab_")
     (StoredIndex.readIdBloomAsset(spark, dir), shardBloom) match {
       case (None, _) => () // pre-bloom target stays pre-bloom
       case (Some(_), None) => // pre-bloom shard: drop the asset
@@ -502,6 +536,12 @@ object AnnIndex {
     * not the rewrite. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val dels = StoredIndex.readDeleteIds(spark, dir)
+    // the tenant overlay compacts BEFORE the postings compact drops
+    // `deletes/` — its tombstone materialization reads the same list
+    // ([[KeywordIndex.compact]]'s ordering)
+    if (hasTenants(spark, dir))
+      StoredIndex.compactAsset(spark, dir, "tenants",
+        df => clusterTenants(StoredIndex.filterTombstones(dels, df, "id")))
     StoredIndex.compactAsset(spark, dir, "postings",
       df => compactRewrite(
         StoredIndex.filterTombstones(dels, df, "nid")),
@@ -519,9 +559,14 @@ object AnnIndex {
     * ingest calls after each append (amortized O(index / maxFiles)
     * rewrites). Returns true when a compaction ran. */
   def maybeCompact(spark: SparkSession, dir: String,
-                   maxFiles: Int = 64): Boolean =
-    StoredIndex.compactIfAccreted(spark, dir, "postings", maxFiles,
-      compactRewrite)
+                   maxFiles: Int = 64): Boolean = {
+    val p = StoredIndex.compactIfAccreted(spark, dir, "postings",
+      maxFiles, compactRewrite)
+    val t = hasTenants(spark, dir) &&
+      StoredIndex.compactIfAccreted(spark, dir, "tenants", maxFiles,
+        clusterTenants)
+    p || t
+  }
 
   private def compactRewrite(df: DataFrame): DataFrame =
     df.repartition(col("cid")).sortWithinPartitions("cid")
@@ -632,7 +677,8 @@ object AnnIndex {
                         dim: Int = 64, vecCol: String = "embedding",
                         idCol: String = "vec_id",
                         qidCol: String = "qid",
-                        broadcastAllowed: Boolean = true): DataFrame = {
+                        broadcastAllowed: Boolean = true,
+                        excludeSelf: Boolean = true): DataFrame = {
     val pairs0 = allowed.select(col(qidCol).cast("long").as("qid"),
       col(idCol).cast("long").as("nid")).distinct()
     val pairs = if (broadcastAllowed) broadcast(pairs0) else pairs0
@@ -640,7 +686,217 @@ object AnnIndex {
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebook"),
       livePostings(spark, dir), queries, k, nprobe, m, dim, vecCol,
-      idCol, restrict = _.join(pairs, Seq("qid", "nid"), "left_semi"))
+      idCol, restrict = _.join(pairs, Seq("qid", "nid"), "left_semi"),
+      excludeSelf = excludeSelf)
+  }
+
+  // ------------------------------------------------ tenant overlay
+
+  /** The dense family's tenant overlay — ONE asset, registered by
+    * [[registerTenants]] on top of a built index:
+    *  - `tenants/` — (id, tenant) assignment rows, one per tenanted
+    *    live vector, clustered by (tenant, id) so a single tenant's
+    *    id list is a row-group-pruned slice, not an asset scan.
+    *
+    * Unlike [[KeywordIndex]]'s overlay there is NO statistics gauge:
+    * ADC scoring uses no corpus statistics (each candidate's score
+    * is a pure function of its codes and the query's LUT), so the
+    * overlay's whole job is making the per-tenant grant a STORED,
+    * pruned read instead of a caller-carried allowed frame —
+    * [[probeTopKTenant]] is [[probeTopKFiltered]] with the allowed
+    * set drawn from the clustered slice, as id-IN literals under the
+    * pushdown cap. Coverage may be partial (unassigned vectors
+    * belong to no tenant); [[build]] drops the overlay (assignments
+    * name the previous generation's ids — re-register after);
+    * [[rebuildStaged]] carries surviving assignments; [[remove]]
+    * needs no overlay work at all (every overlay read tombstone-
+    * filters, and [[compact]] materializes the removals). */
+  private def hasTenants(spark: SparkSession, dir: String): Boolean =
+    StoredIndex.fsOf(spark, dir)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/tenants"))
+
+  private def dropTenantOverlay(spark: SparkSession,
+                                dir: String): Unit =
+    StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tenants"), true)
+
+  private def clusterTenants(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("tenant"), col("id"))
+      .sortWithinPartitions("tenant", "id")
+
+  /** Normalize + validate a tenant assignment frame to (id, tenant):
+    * string tenants (the general ACL key shape), one row per id, no
+    * nulls — [[KeywordIndex]]'s contract verbatim (there the
+    * duplicate guard protects the gauges; here it keeps a tenant's
+    * id list a SET, so the filtered serve's literal pushdown and the
+    * per-tenant semi-join agree). */
+  private def tenantAssignOf(assign: DataFrame, tenantCol: String,
+                             idCol: String, what: String): DataFrame = {
+    val a = assign.select(col(idCol).cast("long").as("id"),
+      col(tenantCol).cast("string").as("tenant"))
+    require(a.filter(col("tenant").isNull || col("id").isNull)
+      .limit(1).count() == 0L,
+      s"$what: assignment rows must carry non-null (id, tenant)")
+    require(a.groupBy("id").count().filter(col("count") > 1)
+      .limit(1).count() == 0L,
+      s"$what: one tenant per id — an id in two tenants would make " +
+        "the per-tenant id lists overlapping sets")
+    a
+  }
+
+  /** Register (or re-register, replacing the whole overlay) tenant
+    * assignments over the live index. Every assigned id must be
+    * live; coverage may be partial. One clustered write — the
+    * overlay is a single derived-from-nothing asset, so `overwrite`
+    * IS the crash posture (a torn write leaves a next-read failure,
+    * never a half-old half-new assignment mix). */
+  def registerTenants(spark: SparkSession, dir: String,
+                      assign: DataFrame, tenantCol: String = "tenant",
+                      idCol: String = "vec_id"): Unit = {
+    val a = tenantAssignOf(assign, tenantCol, idCol,
+      "AnnIndex.registerTenants")
+    require(a.join(liveIndexedIds(spark, dir), Seq("id"), "left_anti")
+      .limit(1).count() == 0L,
+      "AnnIndex.registerTenants: assignment names id(s) not live " +
+        s"in the index at $dir")
+    clusterTenants(a).write.mode("overwrite").parquet(s"$dir/tenants")
+  }
+
+  /** Extend the overlay with assignments for newly-appended (or
+    * previously untenanted) live vectors — O(batch) like [[append]]:
+    * the assignment rows append as an unclustered shard
+    * ([[compact]]/[[maybeCompact]] restore the clustering). The
+    * already-assigned guard is an exact check over the overlay keys
+    * — control-plane frequency, not a probe. */
+  def assignTenants(spark: SparkSession, dir: String,
+                    assign: DataFrame, tenantCol: String = "tenant",
+                    idCol: String = "vec_id"): Unit = {
+    require(hasTenants(spark, dir),
+      s"AnnIndex.assignTenants: no tenant overlay at $dir — " +
+        "registerTenants first")
+    val a = tenantAssignOf(assign, tenantCol, idCol,
+      "AnnIndex.assignTenants").localCheckpoint()
+    require(a.join(liveIndexedIds(spark, dir), Seq("id"), "left_anti")
+      .limit(1).count() == 0L,
+      "AnnIndex.assignTenants: assignment names id(s) not live " +
+        s"in the index at $dir")
+    val already = StoredIndex.filterTombstones(
+        StoredIndex.readDeleteIds(spark, dir),
+        spark.read.parquet(s"$dir/tenants"), "id")
+      .join(broadcast(a.select("id")), Seq("id"), "left_semi")
+      .limit(1).count()
+    require(already == 0L,
+      "AnnIndex.assignTenants: id(s) already assigned — " +
+        "re-register to replace the overlay")
+    a.write.mode("append").parquet(s"$dir/tenants")
+  }
+
+  /** The live id set of one registered tenant — a (tenant, id)-
+    * clustered overlay slice (`tenant = …` prunes row groups),
+    * tombstone-filtered. What [[probeTopKTenant]] restricts on, and
+    * the allowed frame a caller composing with other serves (e.g. a
+    * dense-only hybrid) hands [[probeTopKFiltered]]. */
+  def tenantLiveIds(spark: SparkSession, dir: String,
+                    tenant: String): DataFrame =
+    StoredIndex.filterTombstones(spark, dir,
+      spark.read.parquet(s"$dir/tenants")
+        .filter(col("tenant") === lit(tenant)).select("id"), "id")
+
+  /** Driver-known id cap for the tenant grant's literal pushdown —
+    * [[KeywordIndex]]'s AllowedPushdownCap rationale on this family:
+    * below the cap the grant becomes a `nid IN (…)` predicate the
+    * parquet reader prunes on row-group/dictionary stats instead of
+    * a semi-join that still scans the full postings asset. (The
+    * postings are cid-clustered, not id-clustered, so the pruning is
+    * stats-opportunistic rather than guaranteed-tight — but the IN
+    * also evaluates candidate-side with zero join, which is the
+    * bigger win at page-sized grants.) */
+  private val TenantPushdownCap = 10000
+
+  /** Registered-tenant dense serve — [[probeTopKFiltered]] with the
+    * allowed set drawn from the STORED overlay ([[KeywordIndex
+    * .probeTopKTenant]]'s shape on this family, closing the dense ×
+    * tenant cell of the serve matrix): top-k among the tenant's live
+    * vectors only, pre-filter semantics (the grant restricts the
+    * candidate slice BEFORE the LUT join and the ADC fold, so
+    * out-of-tenant candidates never cost a score). Below the cap
+    * the grant rides the postings scan as sorted `nid IN (…)`
+    * literals; above it the restriction stays a keyed semi-join
+    * with the strategy left to Catalyst/AQE (a tenant's corpus
+    * share is unbounded — the d5-pin argument against a forced
+    * broadcast). An unknown tenant serves an empty page (its
+    * overlay slice is empty); selective tenants raise `nprobe`,
+    * [[probeTopKFiltered]]'s standard dial. */
+  def probeTopKTenant(spark: SparkSession, dir: String,
+                      queries: DataFrame, k: Int, tenant: String,
+                      nprobe: Int = 12, m: Int = 4, dim: Int = 64,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id",
+                      pushdownCap: Int = TenantPushdownCap): DataFrame = {
+    require(hasTenants(spark, dir),
+      s"AnnIndex.probeTopKTenant: no tenant overlay at $dir — " +
+        "registerTenants first (ad-hoc subsets: probeTopKFiltered)")
+    val tIds = tenantLiveIds(spark, dir, tenant)
+    val lits =
+      if (pushdownCap <= 0) None
+      else {
+        val rows = tIds.limit(pushdownCap + 1).collect()
+        if (rows.length > pushdownCap)
+          None // above-cap grant: honest semi-join fallback
+        else Some(rows.map(_.getLong(0)).sorted.toIndexedSeq)
+      }
+    val postings = lits match {
+      case Some(l) => livePostings(spark, dir)
+        .filter(col("nid").isin(l: _*))
+      case None => livePostings(spark, dir)
+        .join(tIds.select(col("id").as("nid")), Seq("nid"), "left_semi")
+    }
+    Similarity.ivfPqProbe(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      postings, queries, k, nprobe, m, dim, vecCol, idCol)
+  }
+
+  /** Batched registered-tenant dense serve — [[probeTopKTenant]] on
+    * the batch dimension ([[KeywordIndex.probeManyTenant]]'s shape,
+    * closing batch × tenant on the dense side): each (qid, tenant)
+    * query's page is the exact IVFADC top-k within ITS tenant's
+    * live vectors — ONE overlay slice over the named tenants
+    * (`tenant IN (…)` riding the clustered files) expands to (qid,
+    * nid) pairs that semi-join the candidate slice BEFORE the ADC
+    * fold, keyed with the strategy left to Catalyst/AQE (the
+    * combined tenant slice is unbounded — [[KeywordIndex
+    * .probeManyTenant]]'s argument). `queries` carries qid + the
+    * query vector; `tenants` names each qid's tenant (qids must be
+    * distinct; tenants may repeat). A qid naming an unknown tenant
+    * serves an empty page. */
+  def probeManyTenant(spark: SparkSession, dir: String,
+                      queries: DataFrame, tenants: Seq[(Long, String)],
+                      k: Int, nprobe: Int = 12, m: Int = 4,
+                      dim: Int = 64, vecCol: String = "embedding",
+                      idCol: String = "vec_id",
+                      excludeSelf: Boolean = true): DataFrame = {
+    require(tenants.nonEmpty, "AnnIndex.probeManyTenant needs queries")
+    require(tenants.map(_._1).distinct.size == tenants.size,
+      "AnnIndex.probeManyTenant: qids must be distinct")
+    require(hasTenants(spark, dir),
+      s"AnnIndex.probeManyTenant: no tenant overlay at $dir — " +
+        "registerTenants first (ad-hoc subsets: probeManyFiltered)")
+    import spark.implicits._
+    val qTen = tenants.toDF("qid", "tenant")
+    val named = tenants.map(_._2).distinct
+    val pairs = StoredIndex.filterTombstones(
+        StoredIndex.readDeleteIds(spark, dir),
+        spark.read.parquet(s"$dir/tenants")
+          .filter(col("tenant").isin(named: _*)), "id")
+      .join(broadcast(qTen), Seq("tenant"))
+      .select(col("qid"), col("id").as("nid"))
+    Similarity.ivfPqProbe(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      livePostings(spark, dir), queries, k, nprobe, m, dim, vecCol,
+      idCol, restrict = _.join(pairs, Seq("qid", "nid"), "left_semi"),
+      excludeSelf = excludeSelf)
   }
 
   /** Read-back inventory of a stored index: (part, n_rows) per asset,

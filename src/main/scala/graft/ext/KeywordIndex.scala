@@ -925,6 +925,29 @@ object KeywordIndex {
       spark.read.parquet(s"$dir/tenants")
         .filter(col("tenant") === lit(tenant)).select("id"), "id")
 
+  /** [[tenantLiveIds]] on the batch dimension: the (qid, id) grant
+    * pairs of a batch of (qid, tenant) queries, from ONE overlay
+    * slice over the named tenants (`tenant IN (…)` riding the
+    * (tenant, id)-clustered files, tombstone-filtered) expanded
+    * against the broadcast query-count-sized map. The allowed frame
+    * a batched filtered serve — lexical, dense, or a fused hybrid —
+    * restricts on; qids naming unknown tenants contribute no pairs
+    * (their pages serve empty). Tenants may repeat across qids. */
+  def tenantLivePairs(spark: SparkSession, dir: String,
+                      tenants: Seq[(Long, String)]): DataFrame = {
+    require(tenants.nonEmpty, "KeywordIndex.tenantLivePairs needs queries")
+    require(hasTenants(spark, dir),
+      s"KeywordIndex.tenantLivePairs: no tenant overlay at $dir — " +
+        "registerTenants first")
+    import spark.implicits._
+    val named = tenants.map(_._2).distinct
+    StoredIndex.filterTombstones(StoredIndex.readDeleteIds(spark, dir),
+        spark.read.parquet(s"$dir/tenants")
+          .filter(col("tenant").isin(named: _*)), "id")
+      .join(broadcast(tenants.toDF("qid", "tenant")), Seq("tenant"))
+      .select("qid", "id")
+  }
+
   /** Scoped-statistics filtered serve for a REGISTERED tenant — the
     * scale-honest form of [[probeTopKFiltered]]'s default posture:
     * the page is identical (BM25 top-N within the tenant's live

@@ -4172,6 +4172,69 @@ object ExtQueries {
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // x21: REGISTERED-tenant dense serve — the dense family's
+    // k15 (AnnIndex.registerTenants + probeTopKTenant): the tenant
+    // grant lives as a STORED (tenant, id)-clustered overlay asset,
+    // and the probe draws its pre-filter from that slice (id-IN
+    // literals under the pushdown cap) instead of a caller-carried
+    // allowed frame — closing the dense × tenant cell of the serve
+    // matrix. The lifecycle is exercised in-query: register over the
+    // full corpus (tenant = id mod 3), retract every 5th id, then
+    // serve tenant "t0" — the page must be the exact IVFADC top-k of
+    // (tenant ∩ live), which is x13's oracle chain with the tenant's
+    // membership rule as the predicate. No stats gauge exists on
+    // this family (ADC scores use no corpus statistics), so
+    // correctness is pure membership — hash-exact.
+    Q("x21_ann_tenant",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_ten"
+        graft.ext.AnnIndex.build(embs, ix)
+        graft.ext.AnnIndex.registerTenants(s, ix,
+          embs.select(col("vec_id"),
+            concat(lit("t"), (col("vec_id") % 3).cast("string")).as("tenant")))
+        graft.ext.AnnIndex.remove(
+          embs.filter(col("vec_id") % 5 === 4), ix)
+        graft.ext.AnnIndex.probeTopKTenant(s, ix,
+          embs.filter(col("vec_id") < 20), k = 5, tenant = "t0")
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere(
+                      "iasg.nid % 5 <> 4 AND iasg.nid % 3 = 0")}
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x22: BATCHED registered-tenant dense serve — x21 on the batch
+    // dimension (k20's shape on the dense family, closing batch ×
+    // tenant on this side): each (qid, tenant) query's page is the
+    // exact IVFADC top-k within ITS tenant's live vectors, from ONE
+    // overlay slice over the named tenants expanded to (qid, nid)
+    // pairs that semi-join the candidates BEFORE the ADC fold. Two
+    // qids in DIFFERENT tenants over the retracted index — the
+    // oracle folds both memberships into the candidate predicate,
+    // per (ipr.qid, iasg.nid).
+    Q("x22_ann_multi_tenant",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_mten"
+        graft.ext.AnnIndex.build(embs, ix)
+        graft.ext.AnnIndex.registerTenants(s, ix,
+          embs.select(col("vec_id"),
+            concat(lit("t"), (col("vec_id") % 3).cast("string")).as("tenant")))
+        graft.ext.AnnIndex.remove(
+          embs.filter(col("vec_id") % 5 === 4), ix)
+        graft.ext.AnnIndex.probeManyTenant(s, ix,
+          embs.filter(col("vec_id").isin(7L, 11L)),
+          Seq((7L, "t1"), (11L, "t2")), k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere(
+                      "iasg.nid % 5 <> 4 AND (" +
+                        "(ipr.qid = 7 AND iasg.nid % 3 = 1) OR " +
+                        "(ipr.qid = 11 AND iasg.nid % 3 = 2))")}
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // x10: incremental index maintenance — build the stored index on
     // the LOWER id half of the corpus, AnnIndex.append the upper
     // half (encoded/assigned against the STORED assets, meta updated
@@ -5425,6 +5488,62 @@ object ExtQueries {
                       FROM kf)
                SELECT qid, rank, doc_id, rrf FROM kr
                WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // k22: BATCHED tenant hybrid — the hybrid matrix's last cell
+    // (batch × tenant × fused), probeHybridManyTenant on the joint
+    // coordinator: per-qid tenant grants from ONE overlay slice
+    // (KeywordIndex.tenantLivePairs), both families' batched
+    // filtered serves restricted per (qid, id) BEFORE scoring
+    // (global corpus model on both sides — k14/k19's symmetry),
+    // fused by rrfFuseMany with qid-partitioned windows only. The
+    // pin: each batched page ≡ the one-call probeHybridTenant page
+    // with the same (terms, vector, tenant) — label-safe on both
+    // sides (the batched dense probe runs excludeSelf = false; the
+    // twin's query vector is relabeled off-corpus), takedown
+    // liveness included. Empty symmetric difference, hash-exact
+    // WHERE FALSE.
+    Q("k22_hybrid_multi_tenant",
+      (s, dir) => {
+        import graft.streaming.StreamingCorpusIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val embsJ = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_k22_").toString
+        val joint = new StreamingCorpusIngest(s, root,
+          keywordServing = true)
+        joint.seed(docs.filter(col("doc_id") < 200), embsJ)
+        joint.registerTenants(docs.filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            (col("doc_id") % 3).cast("string").as("tenant")))
+        joint.retract(s.createDataFrame(Seq(
+          Tuple1(9L), Tuple1(12L))).toDF("doc_id"))
+        val vecs = t(s, dir, "embeddings")
+        val qvs = vecs.filter(col("vec_id").isin(7L, 11L))
+          .select(when(col("vec_id") === 7L, 0L).otherwise(1L)
+            .as("qid"), col("embedding"))
+        val served = joint.probeHybridManyTenant(KwMulti.take(2),
+          qvs, Seq((0L, "0"), (1L, "1")), topN = 10)
+        // the one-call twins, label-safe: the single dense probe
+        // self-excludes on the query frame's vec_id, so relabel it
+        // off-corpus (-1) to match the batched serve's label qids
+        def twin(q: Long, vid: Long, tn: String) = joint
+          .probeHybridTenant(KwMulti(q.toInt)._2,
+            vecs.filter(col("vec_id") === vid)
+              .select(lit(-1L).as("vec_id"), col("embedding")),
+            tenant = tn, topN = 10)
+          .select(lit(q).as("qid"), col("rank"), col("doc_id"),
+            col("rrf"))
+        val direct = twin(0L, 7L, "0").unionByName(twin(1L, 11L, "1"))
+        served.exceptAll(direct)
+          .unionByName(direct.exceptAll(served))
+          .orderBy("qid", "rank", "doc_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS qid,
+                     CAST(NULL AS INTEGER) AS rank,
+                     CAST(NULL AS BIGINT) AS doc_id,
+                     CAST(NULL AS DOUBLE) AS rrf
+              WHERE FALSE""")),
 
     // k13: BATCHED lexical serve — AnnIndex.probeTopK's many-queries
     // shape on the keyword family: three term queries served from

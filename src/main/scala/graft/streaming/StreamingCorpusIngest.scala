@@ -403,6 +403,56 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
       topN, pageSize)
   }
 
+  /** BATCHED tenant hybrid — [[probeHybridTenant]] on the batch
+    * dimension, the serve matrix's last hybrid cell (batch × tenant
+    * × fused): N (qid, terms) + (qid, vector) + (qid, tenant)
+    * queries in ONE composed plan per family. The grant pairs come
+    * from ONE overlay slice over the named tenants
+    * ([[graft.ext.KeywordIndex.tenantLivePairs]] — the keyword
+    * family's overlay is the coordinator's single source of tenant
+    * truth, exactly as the one-call form), then both batched
+    * filtered serves restrict per (qid, id) BEFORE scoring and
+    * [[graft.ext.Relevance.rrfFuseMany]] joins the pages keyed
+    * (qid, doc_id) with qid-partitioned rank windows only. Each
+    * qid's page equals `probeHybridTenant(terms_q, vec_q, tenant_q)`
+    * (candidates-only on the lexical side — the batched posture):
+    * global corpus model on both sides, k14's symmetry argument.
+    * The combined grant is unbounded (many qids × tenant-sized
+    * grants), so NEITHER restriction is broadcast-hinted — the
+    * strategy stays with Catalyst/AQE ([[graft.ext.KeywordIndex
+    * .probeManyTenant]]'s argument); the dense probe runs
+    * label-safe (`excludeSelf = false`, [[probeHybridMany]]'s
+    * contract). A qid naming an unregistered tenant serves an
+    * empty page. */
+  def probeHybridManyTenant(queries: Seq[(Long, Seq[String])],
+                            queryVecs: DataFrame,
+                            tenants: Seq[(Long, String)], topN: Int,
+                            pageSize: Int = 20,
+                            qidCol: String = "qid",
+                            vecCol: String = "embedding"): DataFrame = {
+    requireKeywordServing("probeHybridManyTenant")
+    require(queries.map(_._1).toSet == tenants.map(_._1).toSet,
+      "probeHybridManyTenant: queries and tenants must name the " +
+        "same qids")
+    // NOT checkpointed: the combined grant is unbounded, and each
+    // side's read is a tenant-IN row-group-pruned overlay slice —
+    // two pruned scans beat pinning an unbounded frame in memory
+    val pairs = graft.ext.KeywordIndex
+      .tenantLivePairs(spark, keywordDir, tenants)
+    val lex = graft.ext.KeywordIndex.probeManyFiltered(spark,
+      keywordDir, queries, pageSize,
+      allowed = pairs.withColumnRenamed("id", "doc_id"),
+      broadcastAllowed = false)
+    val dense = graft.ext.AnnIndex
+      .probeManyFiltered(spark, s"$root/ann_index",
+        queryVecs.select(col(qidCol).cast("long").as("vec_id"),
+          col(vecCol).as("embedding")),
+        allowed = pairs.withColumnRenamed("id", "vec_id"),
+        k = pageSize, broadcastAllowed = false, excludeSelf = false)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+    graft.ext.Relevance.rrfFuseMany(lex, dense, topN)
+  }
+
   private def requireKeywordServing(what: String): Unit =
     require(keywordServing,
       s"StreamingCorpusIngest.$what requires keywordServing = true " +

@@ -317,6 +317,101 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("AnnIndex tenant overlay: registered serve equals filtered, " +
+      "both cap regimes; lifecycle drops/carries; guards refuse") {
+    import graft.ext.AnnIndex
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("x21ix").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    val assign = embs.select($"vec_id",
+      concat(lit("t"), ($"vec_id" % 3).cast("string")).as("tenant"))
+    AnnIndex.registerTenants(spark, dir, assign)
+    val q = embs.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nid", "score").collect().toSet
+
+    // registered serve == filtered serve handed the same grant, on
+    // BOTH sides of the pushdown cap (literal IN vs semi-join)
+    val viaOverlay = rows(
+      AnnIndex.probeTopKTenant(spark, dir, q, k = 3, tenant = "t1"))
+    assert(viaOverlay == rows(AnnIndex.probeTopKFiltered(spark, dir,
+      q, embs.filter($"vec_id" % 3 === 1).select("vec_id"), k = 3)))
+    assert(viaOverlay == rows(AnnIndex.probeTopKTenant(spark, dir, q,
+      k = 3, tenant = "t1", pushdownCap = 1)),
+      "above-cap semi-join fallback must serve the literal page")
+    // an unknown tenant's slice is empty: empty page, not an error
+    assert(AnnIndex.probeTopKTenant(spark, dir, q, k = 3,
+      tenant = "nope").isEmpty)
+
+    // retraction: tombstoned ids leave every tenant serve without
+    // any overlay write; compact materializes and keeps the page
+    AnnIndex.remove(embs.filter($"vec_id" % 5 === 4), dir)
+    val liveGrant = embs
+      .filter($"vec_id" % 3 === 1 && $"vec_id" % 5 =!= 4)
+    val livePage = rows(
+      AnnIndex.probeTopKTenant(spark, dir, q, k = 3, tenant = "t1"))
+    assert(livePage == rows(AnnIndex.probeTopKFiltered(spark, dir, q,
+      liveGrant.select("vec_id"), k = 3)))
+    AnnIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/tenants").count() ==
+      embs.filter($"vec_id" % 5 =!= 4).count(),
+      "compact must materialize tombstones out of the overlay")
+    assert(livePage == rows(
+      AnnIndex.probeTopKTenant(spark, dir, q, k = 3, tenant = "t1")))
+
+    // batched serve: each (qid, tenant) page equals its single-query
+    // twin's, relabeled (q filtered to the one qid)
+    val many = AnnIndex.probeManyTenant(spark, dir,
+      embs.filter($"vec_id".isin(7L, 11L)),
+      Seq((7L, "t1"), (11L, "t2")), k = 3)
+    assert(rows(many.filter($"qid" === 7)) ==
+      rows(AnnIndex.probeTopKTenant(spark, dir,
+        embs.filter($"vec_id" === 7), k = 3, tenant = "t1")))
+    assert(rows(many.filter($"qid" === 11)) ==
+      rows(AnnIndex.probeTopKTenant(spark, dir,
+        embs.filter($"vec_id" === 11), k = 3, tenant = "t2")))
+
+    // staged rebuild CARRIES the overlay: retrained assets, same
+    // grants — the tenant serve equals a filtered serve over the
+    // rebuilt index, with no re-registration
+    val live = embs.filter($"vec_id" % 5 =!= 4).localCheckpoint()
+    AnnIndex.rebuildStaged(live, dir)
+    assert(rows(AnnIndex.probeTopKTenant(spark, dir, q, k = 3,
+      tenant = "t1")) == rows(AnnIndex.probeTopKFiltered(spark, dir,
+      q, liveGrant.select("vec_id"), k = 3)),
+      "staged rebuild must carry the tenant overlay")
+
+    // guards: double assignment and non-live ids refuse; appending
+    // NEW vectors then assigning them extends the overlay O(batch)
+    intercept[IllegalArgumentException] {
+      AnnIndex.assignTenants(spark, dir,
+        live.limit(3).select($"vec_id", lit("t9").as("tenant")))
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.registerTenants(spark, dir,
+        spark.range(1).select((lit(-1L)).as("vec_id"),
+          lit("t0").as("tenant")))
+    }
+    val maxId = embs.agg(max($"vec_id")).head.getLong(0)
+    val fresh = embs.filter($"vec_id" % 5 === 4)
+      .withColumn("vec_id", $"vec_id" + maxId + 1).localCheckpoint()
+    AnnIndex.append(fresh, dir)
+    AnnIndex.assignTenants(spark, dir,
+      fresh.select($"vec_id", lit("t1").as("tenant")))
+    assert(AnnIndex.tenantLiveIds(spark, dir, "t1").count() ==
+      liveGrant.count() + fresh.count())
+
+    // an in-place build() drops the overlay (assignments name the
+    // previous generation's ids): the tenant serve fails LOUDLY
+    AnnIndex.build(embs, dir)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.probeTopKTenant(spark, dir, q, k = 3, tenant = "t1")
+    }
+    assert(ex.getMessage.contains("registerTenants first"))
+  }
+
   test("AnnIndex probeRange: threshold serve equals filtered deep " +
       "top-k; tombstones and the gate contract hold") {
     import graft.ext.AnnIndex

@@ -740,6 +740,43 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"tenant serve touches corpus text in:\n$plan")
   }
 
+  test("dense tenant serve: grant as pushed nid IN literals under " +
+      "the cap (no join against the overlay at all), honest " +
+      "semi-join above it, tenant= pushed to the overlay scan " +
+      "(x21 plan)") {
+    import graft.ext.AnnIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_plant").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    AnnIndex.registerTenants(spark, dir,
+      embs.select(col("vec_id"),
+        concat(lit("t"), col("vec_id") % 3).as("tenant")))
+    val q = embs.filter(col("vec_id") < 5)
+    val plan = executed(
+      AnnIndex.probeTopKTenant(spark, dir, q, k = 3, tenant = "t0"))
+    // under the cap the grant became driver-known literals: the
+    // postings scan carries In(nid…) and NOTHING joins the overlay
+    // inside the probed plan (its read happened at literal-collect
+    // time) — the serve plan touches postings + the two broadcast
+    // quantization assets only
+    assert("postings[^\\n]*PushedFilters: \\[[^\\n]*In\\(nid".r
+      .findFirstIn(plan).isDefined,
+      s"nid IN not pushed to the postings scan in:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"semi-join restriction despite a driver-known grant in:\n$plan")
+    assert(!plan.contains("tenants"),
+      s"overlay scanned inside the probe plan in:\n$plan")
+    // above the cap: the overlay slice restricts as an exact keyed
+    // semi-join, tenant= pushed to the clustered overlay scan
+    val over = executed(AnnIndex.probeTopKTenant(spark, dir, q,
+      k = 3, tenant = "t0", pushdownCap = 1))
+    assert(over.contains("LeftSemi"),
+      s"above-cap fallback must keep the exact semi-join:\n$over")
+    assert("tenants[^\\n]*PushedFilters: \\[[^\\n]*EqualTo\\(tenant".r
+      .findFirstIn(over).isDefined,
+      s"tenant= not pushed to the overlay scan in:\n$over")
+  }
+
   test("keyword batched tenant serve: one tenant-IN-pruned overlay " +
       "slice, union-grant id IN on the postings scan, per-qid gauge " +
       "stats keyed on qid, no doclens, no global window (k20 plan)") {

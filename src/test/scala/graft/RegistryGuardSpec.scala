@@ -106,6 +106,15 @@ class RegistryGuardSpec extends SparkTestBase {
     // qid-partitioned, the batched serves' rule
     "k21_hybrid_multi" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // k22: the batched tenant hybrid's symmetric-difference pin —
+    // the batched side is k21's audited shapes (one-row stat/asset
+    // broadcasts, qid-partitioned fusion windows) with keyed
+    // (qid, id) grant restrictions; the one-call twins are k19's
+    // k14 compositions, whose single-page RRF windows are global
+    // but two-page-bounded
+    "k22_hybrid_multi_tenant" ->
+      Set("unconditional-nested-loop", "global-window",
+        "bnlj-deferred-derivation"),
     // k19: k14's audited shapes on BOTH sides of the symmetric
     // difference (the one-call tenant hybrid and its ad-hoc twin are
     // each a k14 composition: one-row kw stat broadcasts, x9's
@@ -234,6 +243,20 @@ class RegistryGuardSpec extends SparkTestBase {
     // l2normalize; the per-(qid, nid) restriction is a keyed
     // semi-join, adding no flagged relation
     "x20_ann_multi_filtered" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x21: x11's filtered chain with the grant drawn from the stored
+    // tenant overlay (id-IN literals under the cap — no join at all;
+    // semi-join keyed on nid above it) over tombstoned postings —
+    // x8's one-row-asset argument verbatim; register/remove run
+    // eagerly outside the probed plan
+    "x21_ann_tenant" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x22: x20's batched filtered shapes with the (qid, nid) pairs
+    // expanded from the tenant overlay slice — the expansion join is
+    // keyed on tenant against the broadcast query-count-sized map,
+    // the restriction is a keyed semi-join; same one-row-asset
+    // argument
+    "x22_ann_multi_tenant" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // x12: the x9 probe chain over tombstone-filtered postings (the
     // deletes anti-join is keyed on nid; remove() runs eagerly

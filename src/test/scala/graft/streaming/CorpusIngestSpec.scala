@@ -355,6 +355,62 @@ class CorpusIngestSpec extends graft.SparkTestBase {
       "excludeSelf dial must gate exactly the qid == nid candidate")
   }
 
+  test("batched tenant hybrid: per-qid pages equal the one-call " +
+      "tenant fusions; the grant binds both sides per qid; unknown " +
+      "tenants serve empty pages; mismatched qids refuse") {
+    val root = Files.createTempDirectory("graft_jhmtn_").toString
+    val joint = new StreamingCorpusIngest(spark, root,
+      keywordServing = true)
+    joint.seed(docs.filter($"doc_id" < 200), embs)
+    joint.registerTenants(docs.filter($"doc_id" < 200)
+      .select($"doc_id", concat(lit("t"), $"doc_id" % 3).as("tenant")))
+    joint.retract(Seq(6L, 9L).toDF("doc_id")) // two t0 docs
+    val queries = Seq(0L -> Seq("data", "query"), 1L -> Seq("stream"))
+    val qVecs = embs.filter($"doc_id" === 7L)
+      .select(lit(0L).as("qid"), $"embedding")
+      .unionByName(embs.filter($"doc_id" === 11L)
+        .select(lit(1L).as("qid"), $"embedding"))
+    val tenants = Seq((0L, "t0"), (1L, "t1"))
+    val pages = joint.probeHybridManyTenant(queries, qVecs, tenants,
+        topN = 8)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // ≡ the one-call tenant fusions, label-safe: the single dense
+    // probe self-excludes on the query frame's vec_id, so the twin
+    // relabels it off-corpus (-1) to match the batched label qids
+    val single = Seq((0L, 7L, "t0"), (1L, 11L, "t1")).flatMap {
+      case (q, vid, tn) =>
+        joint.probeHybridTenant(queries.find(_._1 == q).get._2,
+            embs.filter($"doc_id" === vid)
+              .select(lit(-1L).as("vec_id"), $"embedding"),
+            tenant = tn, topN = 8)
+          .as[(Int, Long, Double)].collect().toSeq
+          .map { case (r, id, v) => (q, r, id, v) }
+    }.sortBy(x => (x._1, x._2))
+    assert(pages == single,
+      "batched tenant pages must equal the one-call fusions")
+    // each page surfaces only ITS tenant's live docs — the takedown
+    // and the per-qid grant both bind
+    assert(pages.filter(_._1 == 0L).map(_._3)
+      .forall(id => id % 3 == 0 && id != 6L && id != 9L),
+      "qid 0 must surface only live t0 docs")
+    assert(pages.filter(_._1 == 1L).map(_._3).forall(_ % 3 == 1),
+      "qid 1 must surface only t1 docs")
+    assert(pages.count(_._1 == 0L) > 0 && pages.count(_._1 == 1L) > 0)
+    // a qid naming an unknown tenant serves empty, others unaffected
+    val mixed = joint.probeHybridManyTenant(queries, qVecs,
+      Seq((0L, "t0"), (1L, "nosuch")), topN = 8)
+    assert(mixed.filter($"qid" === 1L).isEmpty,
+      "unknown tenant must serve an empty page")
+    assert(mixed.filter($"qid" === 0L).as[(Long, Int, Long, Double)]
+      .collect().toSeq == pages.filter(_._1 == 0L),
+      "a sibling qid's unknown tenant must not perturb this page")
+    // qid mismatch between queries and tenants refuses
+    intercept[IllegalArgumentException] {
+      joint.probeHybridManyTenant(queries, qVecs,
+        Seq((0L, "t0")), topN = 5)
+    }
+  }
+
   test("crash between the halves of a joint retract: text ledgered, " +
       "vectors still live — repairAlignment finishes the takedown") {
     val root = Files.createTempDirectory("graft_jcrash_").toString
