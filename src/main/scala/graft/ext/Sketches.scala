@@ -180,4 +180,118 @@ object Sketches {
       s"kmvReport: no stored gauge at $dir")
     kmvReportOf(spark.read.parquet(dir), k)
   }
+
+  // ------------------------ stored deterministic sample gauge
+
+  /** The KMV construction carried one step further: keep the bottom-k
+    * ROWS by key hash, not just the hashes — a DETERMINISTIC uniform
+    * sample of the keyed population (hash order is data-independent,
+    * so the k hash-smallest keys are a uniform without-replacement
+    * draw; Bar-Yossef et al.'s bottom-k set, payload attached). The
+    * maintained artifact every large-scale ingest datacard wants
+    * beside its counts: "k representative live documents" at O(k)
+    * storage, folded per batch, the corpus never re-read.
+    *
+    * The algebra is KMV's, so every maintenance path is EXACT, not
+    * approximate:
+    *  - fold/merge: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    *    bottom-k(B)) — the folded state is bit-identical to the
+    *    one-shot sample over the union, which is what lets a stored,
+    *    incrementally-folded gauge pin hash-exact against one-shot
+    *    oracle SQL;
+    *  - replay: re-folding a re-delivered batch unions identical
+    *    rows — full-row distinct absorbs it, bit-identical state;
+    *  - removal ([[sampleRemove]] — the COMPLIANCE path: unlike the
+    *    hash-only KMV state, this gauge stores content, so a
+    *    takedown must purge it): dropping retracted keys from the
+    *    stored prefix leaves EXACTLY the bottom-k′ of the live
+    *    population (every live key outside the stored prefix hashes
+    *    above it), k′ ≤ k — an under-full but exactly-uniform
+    *    sample, never a biased one. Honest by construction: the
+    *    discarded tail cannot be recovered without a reseed, the
+    *    same one-way property the KMV estimate has.
+    *
+    * Contract: ONE ROW PER KEY (the population being sampled is the
+    * keyed store, which dedup ingests keep key-unique); `checkKeys`
+    * enforces it exactly per batch — an O(batch) keys shuffle,
+    * disable it for callers whose store guarantees uniqueness
+    * upstream. Ties: hash collisions of distinct keys order by
+    * (hf, key), so the emitted state is deterministic under any
+    * partitioning. Storage/crash posture is the KMV gauge's
+    * verbatim ([[kmvWrite]]'s rename swap + [[kmvHeal]]). */
+  def sampleState(df: DataFrame, keyCol: String, k: Int = 256,
+                  checkKeys: Boolean = true): DataFrame = {
+    require(k >= 1, s"sampleState needs k >= 1, got $k")
+    // full-row distinct FIRST: identical re-delivered rows collapse
+    // (replay idempotence) without touching the one-row-per-key
+    // contract
+    val rows = df.distinct()
+    if (checkKeys)
+      require(rows.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).count() == 0L,
+        s"sampleState: one row per $keyCol — two rows sharing a key " +
+          "would make the sampled payload nondeterministic")
+    rows.withColumn("hf",
+        xxhash64(col(keyCol)).bitwiseXOR(lit(Long.MinValue)))
+      .orderBy(col("hf"), col(keyCol))
+      .limit(k)
+  }
+
+  /** Persist a sample state — [[kmvWrite]]'s crash-safe rename swap,
+    * shared verbatim (the swap is schema-agnostic). */
+  def sampleWrite(state: DataFrame, dir: String): Unit =
+    kmvWrite(state, dir)
+
+  /** Fold a batch into a stored sample gauge: bottom-k of (stored ∪
+    * batch sample) — exact by the bottom-k union identity, O(k +
+    * batch keys). Replay-idempotent by full-row set semantics. */
+  def sampleFold(spark: org.apache.spark.sql.SparkSession,
+                 dir: String, batch: DataFrame, keyCol: String,
+                 k: Int = 256, checkKeys: Boolean = true): Unit = {
+    require(kmvHeal(spark, dir),
+      s"sampleFold: no stored gauge at $dir — seed it with " +
+        "sampleWrite first")
+    kmvWrite(sampleMergedState(
+        Seq(spark.read.parquet(dir),
+          sampleState(batch, keyCol, k, checkKeys)), keyCol, k)
+      .localCheckpoint(), dir)
+  }
+
+  /** Merge independently-built sample states (shard gauges) into
+    * one — union, full-row de-duplicate, re-take the bottom k. */
+  def sampleMergedState(states: Seq[DataFrame], keyCol: String,
+                        k: Int): DataFrame = {
+    require(states.nonEmpty, "sampleMergedState: no states")
+    states.reduce(_ unionByName _).distinct()
+      .orderBy(col("hf"), col(keyCol)).limit(k)
+  }
+
+  /** Purge retracted keys from a stored sample gauge — the
+    * compliance half a payload-bearing gauge needs (a taken-down
+    * document must leave the sample the moment it leaves the store).
+    * O(k + retraction keys): the stored ≤ k rows anti-join the
+    * retraction frame; the survivors are EXACTLY the bottom-k′ of
+    * the live population (see the family scaladoc's prefix
+    * argument). A key not in the sample purges vacuously — the call
+    * is idempotent and needs no membership pre-check. */
+  def sampleRemove(spark: org.apache.spark.sql.SparkSession,
+                   dir: String, removed: DataFrame,
+                   keyCol: String): Unit = {
+    require(kmvHeal(spark, dir),
+      s"sampleRemove: no stored gauge at $dir")
+    kmvWrite(spark.read.parquet(dir)
+      .join(broadcast(removed.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_anti")
+      .localCheckpoint(), dir)
+  }
+
+  /** The sampled rows of a stored gauge, (hf, key)-ordered — ≤ k
+    * rows read, the population never re-scanned. Heals a mid-swap
+    * gauge first; a missing gauge fails loudly. */
+  def sampleReport(spark: org.apache.spark.sql.SparkSession,
+                   dir: String, keyCol: String): DataFrame = {
+    require(kmvHeal(spark, dir),
+      s"sampleReport: no stored gauge at $dir")
+    spark.read.parquet(dir).orderBy(col("hf"), col(keyCol))
+  }
 }

@@ -644,6 +644,59 @@ object CoreQueries {
       },
       Some(SqlKmvOrderkeyOracle)),
 
+    // a26: the DETERMINISTIC uniform sample gauge — KMV's bottom-k
+    // construction keeping the ROWS, not just the hashes
+    // (graft.ext.Sketches.sampleState): the k hash-smallest keys are
+    // a uniform without-replacement draw, mergeable/foldable EXACTLY
+    // by the bottom-k union identity, and — the step past a25 — a
+    // retraction purges sampled rows leaving exactly the bottom-k′
+    // of the live population (every live key outside the stored
+    // prefix hashes above it). The full lifecycle in-query: seed +
+    // fold + shard merge on a 3-way key split, then REMOVE every
+    // 7th key — the report must equal one-shot SQL (bottom-256 of
+    // all distinct orderkeys via the XxhSql cascade, survivors of
+    // the removal predicate), hash-exact: the lifecycle is invisible.
+    Q("a26_sample_gauge_lifecycle",
+      (s, dir) => {
+        import graft.ext.Sketches
+        val keys = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("key_val"))
+        val kc = col("key_val")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_a26_").toString
+        Sketches.sampleWrite(
+          Sketches.sampleState(keys.filter(kc % 3 === 0), "key_val"),
+          s"$root/gauge")
+        Sketches.sampleFold(s, s"$root/gauge",
+          keys.filter(kc % 3 === 1), "key_val")
+        Sketches.sampleWrite(Sketches.sampleMergedState(Seq(
+          s.read.parquet(s"$root/gauge"),
+          Sketches.sampleState(keys.filter(kc % 3 === 2), "key_val")),
+          "key_val", 256), s"$root/merged")
+        Sketches.sampleRemove(s, s"$root/merged",
+          keys.filter(kc % 7 === 0), "key_val")
+        // ≤ 256 rows — materialize off the scratch parquet, then
+        // drop the temp root (a25's cleanup posture)
+        val report = Sketches.sampleReport(s, s"$root/merged",
+          "key_val").localCheckpoint()
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(rootPath, true)
+        report
+      },
+      Some(s"""WITH klv AS (SELECT DISTINCT l_orderkey AS key_val
+                            FROM lineitem),
+                  ${XxhSql.hashLongCtes("kh", "CAST(key_val AS HUGEINT)",
+                    "CAST(42 AS HUGEINT)", "hxx", "klv",
+                    Seq("key_val"))},
+                  kbot AS (SELECT key_val, hxx FROM khe
+                           ORDER BY hxx, key_val LIMIT 256)
+              SELECT key_val,
+                     CAST(hxx - 9223372036854775808 AS BIGINT) AS hf
+              FROM kbot
+              WHERE NOT (key_val % 7 = 0)
+              ORDER BY hxx, key_val""")),
+
     // Multiway join (TPC-H Q3 shape, beyond the reference's 2-table
     // joins): filtered fact × orders × broadcast customer dim, group
     // to per-order revenue, deterministic top-20. Catalyst gets

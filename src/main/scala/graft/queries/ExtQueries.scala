@@ -3135,6 +3135,59 @@ object ExtQueries {
                      CAST(NULL AS DOUBLE) AS value
               WHERE FALSE""")),
 
+    // st25: the DOCUMENT SAMPLE gauge riding the dedup ingest —
+    // a26's stored lifecycle wired into the stream (st24's sibling
+    // for the payload-bearing gauge): the k hash-smallest accepted
+    // (doc_id, text) rows folded per accepted batch, bit-stable
+    // under an at-least-once re-delivery (full-row set semantics),
+    // and — the property the hash-only KMV gauge cannot have —
+    // PURGED by the joint takedown (the sample stores content, so a
+    // retracted document must leave it; the survivors are exactly
+    // the live prefix). Pin: the stored gauge after seed + drop +
+    // replay + retract ≡ the one-shot bottom-k over the
+    // ever-accepted corpus minus the retracted keys, derived
+    // in-query (the gate decides what was accepted; the gauge
+    // follows). Empty symmetric difference, hash-exact WHERE FALSE.
+    Q("st25_ingest_sample_gauge",
+      (s, dir) => {
+        import graft.ext.Sketches
+        import graft.streaming.StreamingDedupIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st25_").toString
+        // 300 seed + ~50 accepted > k = 256, so the stored prefix is
+        // genuinely truncated in this row (the bottom-k identity is
+        // exercised at the cap, not vacuously under it)
+        val seedDocs = docs.filter(col("doc_id") < 300)
+        val ingest = new StreamingDedupIngest(s, s"$root/ix",
+          s"$root/corpus", s"$root/quar")
+        ingest.seed(seedDocs)
+        val newDocs = docs
+          .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+        StreamingDedupIngest.stage(newDocs, s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        // replay through a fresh checkpoint: the sample must not move
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt2")
+        // takedown of two seeded (definitely-accepted) docs: the
+        // store purges AND the sample purges, one call
+        ingest.retract(s.createDataFrame(Seq(
+          Tuple1(3L), Tuple1(9L))).toDF("doc_id"))
+        val got = ingest.sampledDocs()
+        // ever-accepted = live store ∪ the retracted rows (their
+        // text is known in-query — they came from the fixture);
+        // expected sample = one-shot bottom-k minus the retraction
+        val expect = Sketches.sampleState(
+            ingest.corpus().unionByName(
+              docs.filter(col("doc_id").isin(3L, 9L))), "doc_id")
+          .filter(!col("doc_id").isin(3L, 9L))
+        got.exceptAll(expect).unionByName(expect.exceptAll(got))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                     CAST(NULL AS VARCHAR) AS text,
+                     CAST(NULL AS BIGINT) AS hf
+              WHERE FALSE""")),
+
     // st13: the REPRODUCIBILITY contract of the streamed corpus
     // store — corpusAsOf(batch) re-serves exactly what the ingest
     // had accepted at that batch, bit-identical after later drops
@@ -3308,6 +3361,12 @@ object ExtQueries {
           .unionByName(metricRow("accepted_ids_kmv_est",
             graft.ext.Sketches.kmvDistinct(seedDocs, col("doc_id")),
             sum(col("n_distinct_est"))))
+          // the document sample: the live population is the seed
+          // alone (the drop quarantined; the retractions hit
+          // quarantined ids, so the sample purge is vacuous) — size
+          // = min(seed, k)
+          .unionByName(metricRow("sampled_docs_rows", seedDocs,
+            least(count(lit(1L)), lit(256L))))
           .unionByName(metricRow("store_corpus_rows", seedDocs,
             count(lit(1L))))
           .unionByName(metricRow("store_quarantine_rows",

@@ -165,6 +165,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
       .localCheckpoint()
     writePartition(fresh, corpusDir, -1L)
     foldAcceptedKmv(fresh)
+    foldAcceptedSample(fresh)
     DedupIndex.build(corpus(), indexDir)
   }
 
@@ -232,6 +233,50 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     graft.ext.Sketches.kmvWrite(
       graft.ext.Sketches.kmvState(corpus(), col("doc_id")), kmvDir)
 
+  /** Durable deterministic document sample beside the corpus store —
+    * the stored [[graft.ext.Sketches]] SAMPLE gauge (a26's
+    * lifecycle wired into the ingest): the k hash-smallest accepted
+    * (doc_id, text) rows, folded per accepted batch, so a datacard
+    * can show k representative live documents from ≤ k stored rows
+    * with the corpus never re-scanned. Unlike the hash-only KMV
+    * gauge this one stores CONTENT, so it is NOT monotone:
+    * [[retract]] purges sampled rows (compliance), leaving exactly
+    * the live prefix ([[graft.ext.Sketches.sampleRemove]]'s
+    * argument). */
+  private val sampleDir = corpusDir + "_sample"
+
+  /** Fold newly accepted rows into the document sample —
+    * [[foldAcceptedKmv]]'s call sites and crash/replay posture
+    * verbatim (full-row set semantics absorb a re-delivered batch;
+    * the rename-swap heals exactly). `checkKeys = false`: the store
+    * is doc_id-unique by construction (dropDuplicates at seed, the
+    * bloom re-delivery gate on every batch), so the per-batch
+    * uniqueness shuffle would re-verify an upstream invariant. */
+  private def foldAcceptedSample(rows: DataFrame): Unit =
+    if (graft.ext.Sketches.kmvHeal(spark, sampleDir))
+      graft.ext.Sketches.sampleFold(spark, sampleDir,
+        rows.select("doc_id", "text"), "doc_id", checkKeys = false)
+    else bootstrapSample()
+
+  /** Seed the sample from the live corpus — the pre-gauge-store
+    * bootstrap ([[bootstrapKmv]]'s posture; one corpus pass). The
+    * live corpus IS the population here (retracted rows are already
+    * purged from it), so the bootstrap needs no removal replay. */
+  private def bootstrapSample(): Unit =
+    graft.ext.Sketches.sampleWrite(
+      graft.ext.Sketches.sampleState(corpus(), "doc_id",
+        checkKeys = false), sampleDir)
+
+  /** The k hash-smallest live accepted documents — a deterministic
+    * uniform sample served from ≤ k stored rows (the corpus is
+    * never scanned), (hf, doc_id)-ordered. Bootstraps a pre-gauge
+    * store on first read. */
+  def sampledDocs(): DataFrame = {
+    if (!graft.ext.Sketches.kmvHeal(spark, sampleDir))
+      bootstrapSample()
+    graft.ext.Sketches.sampleReport(spark, sampleDir, "doc_id")
+  }
+
   // id-sorted within each part file so parquet row-group id stats
   // are tight — what makes a takedown's pushed IN predicate skip
   // unaffected row groups on footers alone (Takedown.idLiterals)
@@ -263,6 +308,13 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         .withColumnRenamed("id", "doc_id"),
       removeRows = rows => DedupIndex.remove(rows, indexDir),
       rebuild = () => DedupIndex.build(corpus(), indexDir))
+    // the document SAMPLE stores content, so the takedown must purge
+    // it too — idempotent (a key not sampled purges vacuously), so a
+    // crash between the store purge above and here converges on the
+    // re-run, exactly like the ledger/stores/index windows
+    if (graft.ext.Sketches.kmvHeal(spark, sampleDir))
+      graft.ext.Sketches.sampleRemove(spark, sampleDir,
+        ids.select(col("doc_id").cast("long").as("doc_id")), "doc_id")
   }
 
   /** Predicate takedown: resolve `cond` against the durable stores
@@ -354,6 +406,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     // the readmitted ids are now accepted — fold them before the
     // index append (a re-run re-folds, a no-op by set identity)
     foldAcceptedKmv(rows.select("doc_id"))
+    foldAcceptedSample(rows)
     // 2. index the not-yet-indexed readmits (bloom-gated: a crash
     // re-run that already appended them skips here)
     val newOnly = StoredIndex.bloomGatedNewOnly(
@@ -401,6 +454,11 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
       .unionByName(StoredIndex.metricRow("accepted_ids_kmv_est",
         graft.ext.Sketches.kmvReport(spark, kmvDir),
         sum(col("n_distinct_est"))))
+      // the LIVE document-sample size (≤ k; under-full after
+      // takedowns purge sampled rows — the honest prefix, see
+      // Sketches.sampleRemove) — ≤ k stored rows read
+      .unionByName(StoredIndex.metricRow("sampled_docs_rows",
+        sampledDocs(), count(lit(1L))))
       .unionByName(StoredIndex.metricRow("store_corpus_rows",
         corpus(), count(lit(1L))))
       .unionByName(StoredIndex.metricRow("store_batches",
@@ -476,6 +534,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         if (!admitted.isEmpty) {
           writePartition(admitted, corpusDir, batchId)
           foldAcceptedKmv(admitted)
+          foldAcceptedSample(admitted)
           DedupIndex.build(corpus(), indexDir)
         }
       }
@@ -534,6 +593,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         // rebuilds from the corpus store (see ingestBatch)
         writePartition(clean, corpusDir, batchId)
         foldAcceptedKmv(clean)
+        foldAcceptedSample(clean)
         DedupIndex.append(clean, indexDir, checkIds = false)
         // self-maintenance: a long append chain accretes shard
         // files; compact once the count crosses the dial. A crash

@@ -109,6 +109,122 @@ class KmvGaugeSpec extends SparkTestBase {
       "pre-gauge store must bootstrap from the live corpus")
   }
 
+  test("sample gauge rides the dedup ingest: folded per accepted " +
+      "batch, bit-stable under re-delivery, PURGED by takedown " +
+      "(live prefix), bootstrapped for a pre-gauge store") {
+    import graft.streaming.StreamingDedupIngest
+    import graft.streaming.StreamingDedupIngest.stage
+    def txt(id: Long): String =
+      (0 until 6).map(j => s"tok${id}x$j").mkString(" ")
+    val root = tmp("smping")
+    val ingest = new StreamingDedupIngest(spark, s"$root/ix",
+      s"$root/corpus", s"$root/quar")
+    def sampled(): Seq[(Long, String)] =
+      ingest.sampledDocs().select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val seed = (0L until 60L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    ingest.seed(seed)
+    assert(sampled().map(_._1) == (0L until 60L),
+      "under k the sample IS the accepted corpus")
+    assert(sampled().forall { case (id, t) => t == txt(id) },
+      "the sample must carry the accepted payload")
+    val drop = (60L until 90L).map(i => (i, txt(i)))
+      .toDF("doc_id", "text")
+    stage(drop, s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    assert(sampled().map(_._1) == (0L until 90L),
+      "accepted batch must fold into the sample")
+    // re-delivery through a fresh checkpoint: bit-stable
+    val state = sampled()
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt2")
+    assert(sampled() == state,
+      "re-delivered batch must leave the sample bit-identical")
+    // takedown: the sampled CONTENT must go (unlike the monotone
+    // hash-only KMV gauge) — and the health row tracks the live size
+    ingest.retract(Seq(3L, 61L).toDF("doc_id"))
+    assert(sampled().map(_._1) == (0L until 90L).filterNot(
+      Set(3L, 61L)), "takedown must purge sampled rows")
+    val h = ingest.health().as[(String, Double)].collect().toMap
+    assert(h("sampled_docs_rows") == 88d,
+      "health must report the LIVE sample size")
+    assert(h("accepted_ids_kmv_est") == 90d,
+      "the KMV gauge stays monotone beside the purged sample")
+    // pre-gauge store (in-place upgrade): bootstraps from the live
+    // corpus — the retracted rows are already purged from it
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/corpus_sample"),
+      true)
+    assert(sampled().map(_._1) == (0L until 90L).filterNot(
+      Set(3L, 61L)),
+      "pre-gauge store must bootstrap the sample from the live corpus")
+  }
+
+  test("sample gauge: fold/merge equal the one-shot bottom-k rows; " +
+      "replay is bit-identical; removal leaves EXACTLY the live " +
+      "prefix; the one-row-per-key guard and loud-missing hold") {
+    def rowsOf(dir: String): Seq[(Long, String, Long)] =
+      spark.read.parquet(dir).select("k", "payload", "hf")
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._3)
+    def pop(r: Range): org.apache.spark.sql.DataFrame =
+      r.map(i => (i.toLong, s"doc$i")).toDF("k", "payload")
+    val root = tmp("smpg")
+    val dir = s"$root/gauge"
+    // seed on one slice, fold another, merge a third shard state —
+    // must equal the one-shot sample over the union, bit-identical
+    Sketches.sampleWrite(Sketches.sampleState(pop(0 until 300), "k",
+      k = 64), dir)
+    Sketches.sampleFold(spark, dir, pop(300 until 600), "k", k = 64)
+    Sketches.sampleWrite(Sketches.sampleMergedState(Seq(
+        spark.read.parquet(dir),
+        Sketches.sampleState(pop(600 until 900), "k", k = 64)),
+      "k", k = 64), s"$root/merged")
+    val oneShot = Sketches.sampleState(pop(0 until 900), "k", k = 64)
+      .select("k", "payload", "hf")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._3)
+    assert(rowsOf(s"$root/merged") == oneShot,
+      "folded+merged sample ≠ one-shot bottom-k over the union")
+    // replay: re-folding a delivered batch is bit-identical
+    Sketches.sampleFold(spark, dir, pop(300 until 600), "k", k = 64)
+    val folded = rowsOf(dir)
+    Sketches.sampleFold(spark, dir, pop(300 until 600), "k", k = 64)
+    assert(rowsOf(dir) == folded,
+      "re-folding a delivered batch must not move the sample")
+    // removal: survivors are exactly the one-shot prefix minus the
+    // removed keys (the live-prefix argument) — and idempotent,
+    // including keys never sampled
+    val removedKeys = oneShot.map(_._1).filter(_ % 5 == 0)
+    Sketches.sampleRemove(spark, s"$root/merged",
+      (0 until 900).filter(_ % 5 == 0).map(_.toLong).toDF("k"), "k")
+    val after = rowsOf(s"$root/merged")
+    assert(after == oneShot.filterNot(r => removedKeys.contains(r._1)),
+      "removal must leave exactly the live prefix")
+    Sketches.sampleRemove(spark, s"$root/merged",
+      (0 until 900).filter(_ % 5 == 0).map(_.toLong).toDF("k"), "k")
+    assert(rowsOf(s"$root/merged") == after,
+      "re-removing the same keys must be a no-op")
+    // two rows sharing a key would make the sampled payload
+    // nondeterministic: the guard refuses (and can be waived)
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "payload")
+    intercept[IllegalArgumentException] {
+      Sketches.sampleState(dup, "k", k = 4).collect()
+    }
+    assert(Sketches.sampleState(dup, "k", k = 4,
+      checkKeys = false).count() == 2L)
+    // a missing gauge is loud on fold, remove, and report
+    intercept[IllegalArgumentException] {
+      Sketches.sampleFold(spark, s"$root/nope",
+        pop(0 until 3), "k", k = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.sampleRemove(spark, s"$root/nope",
+        pop(0 until 3).select("k"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.sampleReport(spark, s"$root/nope", "k")
+    }
+  }
+
   test("kmv gauge rides the keyword ingest (store posture): seeded, " +
       "folded per accepted batch, reported in health") {
     import graft.streaming.StreamingKeywordIngest
