@@ -294,4 +294,123 @@ object Sketches {
       s"sampleReport: no stored gauge at $dir")
     spark.read.parquet(dir).orderBy(col("hf"), col(keyCol))
   }
+
+  // ------------------------------ stored exact histogram gauge
+
+  /** The EXACT member of the stored-gauge family: a binned value
+    * histogram as additive (bin, n) rows — [[KeywordIndex]]'s
+    * (n_docs, sum_dl) gauge generalized from two scalars to a
+    * distribution. Everything the sketch gauges approximate or
+    * cannot do, this one does exactly, because counts are a group:
+    *  - fold/merge: add counts by bin (commutative/associative — the
+    *    folded gauge is bit-identical to the one-shot histogram);
+    *  - removal ([[histRemove]] — the capability the KMV gauge's
+    *    monotonicity note documents as impossible for a sketch):
+    *    SUBTRACT the retracted rows' counts by bin, exactly; a
+    *    subtraction that would drive any bin negative means the
+    *    caller is removing rows that were never folded, and fails
+    *    loudly instead of silently corrupting the distribution;
+    *  - quantiles ([[histQuantile]]): EXACT at bin resolution — the
+    *    q-quantile's bin is the first whose cumulative count reaches
+    *    ceil(q·N) (the discrete lower-quantile convention), read
+    *    from the O(bins) stored rows with the population never
+    *    re-scanned.
+    * State size is value-range/binWidth — config-bounded by the
+    * caller (document lengths, scores, latencies: all naturally
+    * bounded), never population-sized. Replay is the ONE property
+    * the additive algebra does NOT give for free (adding twice
+    * double-counts — unlike the set-semantics gauges), so an
+    * at-least-once ingest must gate re-delivered rows BEFORE the
+    * fold, exactly as [[graft.streaming.StreamingDedupIngest]]'s
+    * bloom gate already does for its index append. Storage/crash
+    * posture is the family's rename swap verbatim. */
+  def histState(df: DataFrame, value: Column,
+                binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1L, s"histState needs binWidth >= 1, got $binWidth")
+    df.select((floor(value.cast("double") / lit(binWidth.toDouble))
+        .cast("long") * lit(binWidth)).as("bin"))
+      .groupBy("bin").agg(count(lit(1L)).as("n"))
+  }
+
+  /** Persist a histogram state — the family's crash-safe swap. */
+  def histWrite(state: DataFrame, dir: String): Unit =
+    kmvWrite(state, dir)
+
+  /** Fold a batch into a stored histogram gauge: add counts by bin —
+    * O(bins + batch), the population never re-read. NOT
+    * replay-idempotent (see the family scaladoc): gate re-delivered
+    * rows before folding. */
+  def histFold(spark: org.apache.spark.sql.SparkSession, dir: String,
+               batch: DataFrame, value: Column,
+               binWidth: Long = 1L): Unit = {
+    require(kmvHeal(spark, dir),
+      s"histFold: no stored gauge at $dir — seed it with histWrite first")
+    histWrite(histMergedState(Seq(spark.read.parquet(dir),
+      histState(batch, value, binWidth))).localCheckpoint(), dir)
+  }
+
+  /** Merge histogram states (shard gauges): add counts by bin. */
+  def histMergedState(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "histMergedState: no states")
+    states.reduce(_ unionByName _)
+      .groupBy("bin").agg(sum(col("n")).as("n"))
+  }
+
+  /** Subtract retracted rows' counts from a stored histogram gauge —
+    * EXACT, the additive inverse a sketch cannot have. The removed
+    * frame must contain rows that WERE folded (same values, same
+    * binWidth): a bin driven negative fails loudly. Bins emptied to
+    * zero are dropped (the gauge stays dense over live mass only). */
+  def histRemove(spark: org.apache.spark.sql.SparkSession,
+                 dir: String, removed: DataFrame, value: Column,
+                 binWidth: Long = 1L): Unit = {
+    require(kmvHeal(spark, dir),
+      s"histRemove: no stored gauge at $dir")
+    val gone = histState(removed, value, binWidth)
+      .select(col("bin"), (-col("n")).as("n"))
+    val folded = histMergedState(
+      Seq(spark.read.parquet(dir), gone)).localCheckpoint()
+    require(folded.filter(col("n") < 0).limit(1).count() == 0L,
+      "histRemove: subtraction drives bin(s) negative — the removed " +
+        "rows were never folded into this gauge (value/binWidth " +
+        "mismatch or a double removal)")
+    histWrite(folded.filter(col("n") > 0), dir)
+  }
+
+  /** The stored histogram, bin-ordered — O(bins) rows read. */
+  def histReport(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame = {
+    require(kmvHeal(spark, dir),
+      s"histReport: no stored gauge at $dir")
+    spark.read.parquet(dir).orderBy("bin")
+  }
+
+  /** EXACT discrete quantiles from the stored gauge — for each q,
+    * the first bin whose running count reaches ceil(q·N) (lower
+    * quantile; q = 0 reads the min bin, q = 1 the max). One O(bins)
+    * cumulative window over the gauge rows — the population is
+    * never re-scanned, so a datacard reads p50/p95/p99 from the
+    * same ≤ bins rows at any corpus scale. */
+  def histQuantile(spark: org.apache.spark.sql.SparkSession,
+                   dir: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "histQuantile: no quantiles requested")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0,
+      s"histQuantile: q must be in [0, 1], got $q"))
+    require(kmvHeal(spark, dir),
+      s"histQuantile: no stored gauge at $dir")
+    import org.apache.spark.sql.expressions.Window
+    val h = spark.read.parquet(dir)
+    // bins are config-bounded (the family scaladoc), so the single-
+    // partition cumulative window is bounded work by construction
+    val cum = h.withColumn("cum",
+      sum(col("n")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(h.agg(sum(col("n")).as("total"))))
+    qs.map { q =>
+      cum.filter(col("cum") >=
+          greatest(ceil(lit(q) * col("total")), lit(1L)))
+        .agg(min(col("bin")).as("value"))
+        .select(lit(q).as("q"), col("value"))
+    }.reduce(_ unionByName _).orderBy("q")
+  }
 }

@@ -697,6 +697,95 @@ object CoreQueries {
               WHERE NOT (key_val % 7 = 0)
               ORDER BY hxx, key_val""")),
 
+    // a27: the EXACT histogram gauge — the additive member of the
+    // stored-gauge family (Sketches.histState): binned value counts
+    // fold/merge by addition (bit-identical to one-shot) and, unlike
+    // any sketch, SUBTRACT on retraction exactly (a bin driven
+    // negative fails loudly — removing rows never folded is
+    // corruption, not drift). Full lifecycle in-query: seed + fold +
+    // shard merge on a 3-way orderkey split of lineitem quantities,
+    // then REMOVE every 7th orderkey's rows — the stored bins must
+    // equal one-shot SQL over the live predicate, hash-exact.
+    Q("a27_hist_gauge_lifecycle",
+      (s, dir) => {
+        import graft.ext.Sketches
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val key = col("l_orderkey")
+        val v = col("l_quantity")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_a27_").toString
+        Sketches.histWrite(
+          Sketches.histState(li.filter(key % 3 === 0), v, 5L),
+          s"$root/gauge")
+        Sketches.histFold(s, s"$root/gauge", li.filter(key % 3 === 1),
+          v, 5L)
+        Sketches.histWrite(Sketches.histMergedState(Seq(
+          s.read.parquet(s"$root/gauge"),
+          Sketches.histState(li.filter(key % 3 === 2), v, 5L))),
+          s"$root/merged")
+        Sketches.histRemove(s, s"$root/merged",
+          li.filter(key % 7 === 0), v, 5L)
+        val report = Sketches.histReport(s, s"$root/merged")
+          .localCheckpoint()
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(rootPath, true)
+        report
+      },
+      Some("""SELECT CAST(FLOOR(CAST(l_quantity AS DOUBLE) / 5.0)
+                       * 5 AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem
+              WHERE NOT (l_orderkey % 7 = 0)
+              GROUP BY 1 ORDER BY 1""")),
+
+    // a28: EXACT discrete quantiles served from the stored histogram
+    // gauge — p50/p95/p99 at bin resolution read from O(bins) stored
+    // rows (the population never re-scanned), the datacard read the
+    // a16 approx-percentile row can only bounds-check. Convention
+    // pinned cross-engine: the q-quantile is the first bin whose
+    // cumulative count reaches ceil(q·N) (discrete lower quantile) —
+    // the oracle mirrors the identical cumulative-window SQL, so the
+    // VALUES are hash-exact, not an envelope.
+    Q("a28_hist_quantiles",
+      (s, dir) => {
+        import graft.ext.Sketches
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_a28_").toString
+        Sketches.histWrite(Sketches.histState(li, col("l_quantity"),
+          5L), s"$root/gauge")
+        Sketches.histRemove(s, s"$root/gauge",
+          li.filter(col("l_orderkey") % 7 === 0),
+          col("l_quantity"), 5L)
+        val report = Sketches.histQuantile(s, s"$root/gauge",
+          Seq(0.5, 0.95, 0.99)).localCheckpoint()
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(rootPath, true)
+        report
+      },
+      Some("""WITH hb AS (
+                SELECT CAST(FLOOR(CAST(l_quantity AS DOUBLE) / 5.0)
+                         * 5 AS BIGINT) AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem
+                WHERE NOT (l_orderkey % 7 = 0)
+                GROUP BY 1),
+              hc AS (
+                SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum
+                FROM hb),
+              qq AS (SELECT CAST(0.5 AS DOUBLE) AS q
+                     UNION ALL SELECT CAST(0.95 AS DOUBLE)
+                     UNION ALL SELECT CAST(0.99 AS DOUBLE))
+              SELECT q, MIN(bin) AS value
+              FROM qq, hc
+              WHERE hc.cum >= GREATEST(CAST(CEIL(
+                      q * (SELECT SUM(n) FROM hb)) AS BIGINT), 1)
+              GROUP BY q ORDER BY q""")),
+
     // Multiway join (TPC-H Q3 shape, beyond the reference's 2-table
     // joins): filtered fact × orders × broadcast customer dim, group
     // to per-order revenue, deterministic top-20. Catalyst gets

@@ -225,6 +225,74 @@ class KmvGaugeSpec extends SparkTestBase {
     }
   }
 
+  test("hist gauge: fold/merge equal the one-shot histogram; " +
+      "removal subtracts EXACTLY and refuses never-folded rows; " +
+      "quantiles are exact at bin resolution; loud-missing holds") {
+    import graft.ext.Sketches
+    def binsOf(dir: String): Map[Long, Long] =
+      spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    // a deterministic skewed population: value = i % 37
+    def pop(r: Range) = r.map(i => (i.toLong, (i % 37).toLong))
+      .toDF("k", "v")
+    val root = tmp("hstg")
+    val dir = s"$root/gauge"
+    Sketches.histWrite(
+      Sketches.histState(pop(0 until 300), col("v"), 4L), dir)
+    Sketches.histFold(spark, dir, pop(300 until 600), col("v"), 4L)
+    Sketches.histWrite(Sketches.histMergedState(Seq(
+      spark.read.parquet(dir),
+      Sketches.histState(pop(600 until 900), col("v"), 4L))),
+      s"$root/merged")
+    val oneShot = Sketches.histState(pop(0 until 900), col("v"), 4L)
+      .as[(Long, Long)].collect().toMap
+    assert(binsOf(s"$root/merged") == oneShot,
+      "folded+merged bins ≠ one-shot histogram")
+    // exact subtraction: remove a slice, bins equal the one-shot
+    // over the survivors; emptied bins drop
+    Sketches.histRemove(spark, s"$root/merged",
+      pop(0 until 900).filter($"k" % 3 === 0), col("v"), 4L)
+    assert(binsOf(s"$root/merged") ==
+      Sketches.histState(pop(0 until 900).filter($"k" % 3 =!= 0),
+        col("v"), 4L).as[(Long, Long)].collect().toMap,
+      "removal must subtract exactly")
+    // removing rows never folded (values whose bins the gauge never
+    // saw) drives bins negative: loud, and the gauge is untouched
+    val before = binsOf(s"$root/merged")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.histRemove(spark, s"$root/merged",
+        pop(0 until 10).select($"k", ($"v" + 1000L).as("v")),
+        col("v"), 4L)
+    }
+    assert(ex.getMessage.contains("never folded"))
+    assert(binsOf(s"$root/merged") == before,
+      "a refused removal must leave the gauge untouched")
+    // quantiles: exact at bin resolution vs the brute-force rank
+    // over the live population's bins
+    val live = pop(0 until 900).filter($"k" % 3 =!= 0)
+      .select((floor($"v".cast("double") / 4.0).cast("long") * 4)
+        .as("bin")).as[Long].collect().sorted
+    val got = Sketches.histQuantile(spark, s"$root/merged",
+      Seq(0.0, 0.5, 0.95, 1.0)).as[(Double, Long)].collect().toMap
+    def brute(q: Double): Long =
+      live(math.max(math.ceil(q * live.length).toLong, 1L).toInt - 1)
+    assert(got == Map(0.0 -> brute(0.0), 0.5 -> brute(0.5),
+      0.95 -> brute(0.95), 1.0 -> brute(1.0)),
+      s"stored quantiles ≠ brute-force rank: $got")
+    // missing gauge: loud on fold, remove, report, quantile
+    intercept[IllegalArgumentException] {
+      Sketches.histFold(spark, s"$root/nope", pop(0 until 3), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histRemove(spark, s"$root/nope", pop(0 until 3), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histReport(spark, s"$root/nope")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histQuantile(spark, s"$root/nope", Seq(0.5))
+    }
+  }
+
   test("kmv gauge rides the keyword ingest (store posture): seeded, " +
       "folded per accepted batch, reported in health") {
     import graft.streaming.StreamingKeywordIngest

@@ -26,6 +26,12 @@ class RegistryGuardSpec extends SparkTestBase {
     // both config-bounded (calendar × bin width), never corpus-sized
     "st10_stream_drift_psi" -> Set("unconditional-nested-loop"),
     "t12_oov_rate" -> Set("unconditional-nested-loop"),
+    // (a28 needs NO allowance: its registered frame is the
+    // localCheckpointed ≤|qs|-row report, so the audited plan is a
+    // checkpoint scan. The quantile computation's own shapes — a
+    // bounded cumulative window and the 1-row total crossJoin over
+    // O(bins) gauge rows — are e8's one-row-totals class, argued at
+    // Sketches.histQuantile.)
     // (e13 is keyless by design — every (corpus, eval) pair is scored,
     // so an accidental cross-namespace id collision cannot suppress a
     // hit — yet needs NO allowance here: Catalyst pushes the cosine
