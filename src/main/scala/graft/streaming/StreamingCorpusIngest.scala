@@ -380,6 +380,18 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     graft.ext.KeywordIndex.registerTenants(spark, keywordDir, assign)
   }
 
+  /** Extend the registered overlay with assignments for
+    * newly-ingested (or previously untenanted) live docs —
+    * [[graft.ext.KeywordIndex.assignTenants]] on the coordinator's
+    * lexical family, O(batch): the control-plane companion to a
+    * streamed drop, so a tenant's corpus can grow without the
+    * full-overlay re-registration [[registerTenants]] pays. Guards
+    * (ids live, not already assigned) are the index family's. */
+  def assignTenants(assign: DataFrame): Unit = {
+    requireKeywordServing("assignTenants")
+    graft.ext.KeywordIndex.assignTenants(spark, keywordDir, assign)
+  }
+
   /** One-call tenant-scoped hybrid serve — [[probeHybridFiltered]]
     * with the allowed frame drawn from the REGISTERED tenant overlay
     * instead of a caller-materialized ACL: the tenant's live ids

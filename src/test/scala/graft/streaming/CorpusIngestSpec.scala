@@ -411,6 +411,46 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     }
   }
 
+  test("coordinator assignTenants: O(batch) overlay extension — " +
+      "assigned docs join the tenant's serve surface; guards and " +
+      "the lexical-family requirement hold") {
+    import graft.ext.KeywordIndex
+    val root = Files.createTempDirectory("graft_jat_").toString
+    val joint = new StreamingCorpusIngest(spark, root,
+      keywordServing = true)
+    joint.seed(docs.filter($"doc_id" < 200), embs)
+    // partial registration: docs 150..200 stay untenanted
+    joint.registerTenants(docs.filter($"doc_id" < 150)
+      .select($"doc_id", concat(lit("t"), $"doc_id" % 3).as("tenant")))
+    val before = KeywordIndex
+      .tenantLiveIds(spark, joint.keywordDir, "t0").count()
+    joint.assignTenants(docs
+      .filter($"doc_id" >= 150 && $"doc_id" < 200)
+      .select($"doc_id", lit("t0").as("tenant")))
+    val t0 = ids(KeywordIndex
+      .tenantLiveIds(spark, joint.keywordDir, "t0"), "id")
+    assert(t0.count(_ >= 150L) == 50 &&
+      t0.size == before + 50,
+      "assigned docs must join the tenant's live slice")
+    // the one-call tenant hybrid serves over the extended slice
+    val qv = embs.filter($"doc_id" === 7L)
+      .select($"doc_id".as("vec_id"), $"embedding")
+    val surfaced = ids(joint.probeHybridTenant(Seq("data", "query"),
+      qv, "t0", topN = 50).select("doc_id"))
+    assert(surfaced.subsetOf(t0), "page must stay inside the tenant")
+    // double assignment refuses; a bare coordinator refuses
+    intercept[IllegalArgumentException] {
+      joint.assignTenants(docs.filter($"doc_id" < 3)
+        .select($"doc_id", lit("t1").as("tenant")))
+    }
+    val bare = new StreamingCorpusIngest(spark,
+      Files.createTempDirectory("graft_jatoff_").toString)
+    intercept[IllegalArgumentException] {
+      bare.assignTenants(docs.limit(1)
+        .select($"doc_id", lit("t0").as("tenant")))
+    }
+  }
+
   test("crash between the halves of a joint retract: text ledgered, " +
       "vectors still live — repairAlignment finishes the takedown") {
     val root = Files.createTempDirectory("graft_jcrash_").toString
