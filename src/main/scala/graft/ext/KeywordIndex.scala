@@ -108,7 +108,14 @@ object KeywordIndex {
     postings.groupBy("id").agg(sum(col("tf")).as("dl"))
 
   private def clusterPostings(df: DataFrame): DataFrame =
-    df.repartitionByRange(col("term")).sortWithinPartitions("term", "id")
+    // the explicit select PINS the file schema order: lifecycle
+    // rewrites reach here through joins that can move the key column
+    // first, and a postings dir mixing column orders across part
+    // files makes the merged read schema depend on (nondeterministic)
+    // file listing order — a per-run plan-digest flap, not a wrong
+    // result, but a flap the bench audit should never see
+    df.select("term", "id", "tf", "dl")
+      .repartitionByRange(col("term")).sortWithinPartitions("term", "id")
 
   // ------------------------------------------------ stats gauges
 
@@ -1125,7 +1132,11 @@ object KeywordIndex {
     val shardLens = doclensOf(shard)
     val delta = statsRowOf(shardLens) // batch Σ — the additive fold
     StoredIndex.invalidate(spark, dir) // commit marker
-    shard.write.mode("append").parquet(s"$dir/postings")
+    // same pinned order as clusterPostings — every part file in the
+    // asset must agree or the merged read schema goes listing-order-
+    // dependent (see clusterPostings)
+    shard.select("term", "id", "tf", "dl")
+      .write.mode("append").parquet(s"$dir/postings")
     shardLens.select("id", "dl")
       .write.mode("append").parquet(s"$dir/doclens")
     writeStats(spark, dir, oldStats.getLong(0) + delta.getLong(0),
