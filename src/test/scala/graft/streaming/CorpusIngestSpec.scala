@@ -396,6 +396,24 @@ class CorpusIngestSpec extends graft.SparkTestBase {
     assert(pages.filter(_._1 == 1L).map(_._3).forall(_ % 3 == 1),
       "qid 1 must surface only t1 docs")
     assert(pages.count(_._1 == 0L) > 0 && pages.count(_._1 == 1L) > 0)
+    // plan shape: the batched serve reads the overlay ONCE with
+    // tenant IN pushed, never doclens (global-stats lexical side) or
+    // corpus text, and plans NO global window (the batched rule —
+    // the single-query twins' two-page RRF window is the audited
+    // exception the batch dimension removes)
+    val servedDf = joint.probeHybridManyTenant(queries, qVecs,
+      tenants, topN = 8)
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert("tenants[^\\n]*PushedFilters: \\[[^\\n]*In\\(tenant".r
+      .findFirstIn(plan).isDefined,
+      s"tenant IN not pushed to the overlay scan in:\n$plan")
+    assert(!plan.contains("doclens"),
+      s"batched tenant hybrid reads doclens in:\n$plan")
+    assert(!plan.contains("split(") && !plan.contains("text#"),
+      s"batched tenant hybrid touches corpus text in:\n$plan")
+    assert(!graft.plans.PlanGuard.findings(servedDf)
+      .exists(_.rule == "global-window"),
+      "batched tenant hybrid plans a global window")
     // a qid naming an unknown tenant serves empty, others unaffected
     val mixed = joint.probeHybridManyTenant(queries, qVecs,
       Seq((0L, "t0"), (1L, "nosuch")), topN = 8)
