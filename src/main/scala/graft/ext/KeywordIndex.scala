@@ -973,9 +973,25 @@ object KeywordIndex {
                       zeroFill: Boolean = false,
                       pushdownCap: Int = AllowedPushdownCap): DataFrame = {
     requireQueryTerms(terms, "KeywordIndex.probeTopKTenant")
+    rankedPage(
+      tenantScoredCandidates(spark, dir, terms, tenant, k1, b,
+        pushdownCap, "probeTopKTenant"),
+      tenantLiveIds(spark, dir, tenant), topN, zeroFill)
+  }
+
+  /** The registered-tenant serves' shared scoring spine: the
+    * tenant's candidate slice (id-IN literals under the cap, hull +
+    * semi-join above it) scored under the tenant's ONE stored gauge
+    * row — doclens never read. [[probeTopKTenant]] ranks it;
+    * [[probeRangeTenant]] threshold-filters it. */
+  private def tenantScoredCandidates(spark: SparkSession, dir: String,
+                                     terms: Seq[String], tenant: String,
+                                     k1: Double, b: Double,
+                                     pushdownCap: Int,
+                                     what: String): DataFrame = {
     require(hasTenants(spark, dir),
-      s"KeywordIndex.probeTopKTenant: no tenant overlay at $dir — " +
-        "registerTenants first (ad-hoc subsets: probeTopKFiltered)")
+      s"KeywordIndex.$what: no tenant overlay at $dir — " +
+        "registerTenants first (ad-hoc subsets: the filtered serves)")
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val tIds = tenantLiveIds(spark, dir, tenant)
     val candSlice = allowedIdLiterals(tIds, pushdownCap) match {
@@ -987,8 +1003,34 @@ object KeywordIndex {
     val stats = spark.read.parquet(s"$dir/tstats")
       .filter(col("tenant") === lit(tenant))
       .select("n_docs", "sum_dl")
-    rankedPage(scoredCandidates(candSlice, stats, terms, k1, b),
-      tIds, topN, zeroFill)
+    scoredCandidates(candSlice, stats, terms, k1, b)
+  }
+
+  /** Threshold serve within a REGISTERED tenant — [[probeRange]]'s
+    * semantics under the tenant's SCOPED statistics (df/N/Σdl from
+    * the gauge row, candidates restricted to the tenant's live
+    * docs): every tenant doc whose scoped BM25 score clears
+    * `minScore`, doc_id-ordered. join→score→filter, NO rank window —
+    * the quality-gate shape ("all of THIS tenant's docs matching the
+    * query above a bar") priced like [[probeTopKTenant]]'s
+    * candidates; doclens is never read. `minScore` must be positive
+    * ([[probeRange]]'s contract). An unknown tenant serves an empty
+    * page. */
+  def probeRangeTenant(spark: SparkSession, dir: String,
+                       terms: Seq[String], minScore: Double,
+                       tenant: String, k1: Double = 1.2,
+                       b: Double = 0.75,
+                       pushdownCap: Int = AllowedPushdownCap): DataFrame = {
+    requireQueryTerms(terms, "KeywordIndex.probeRangeTenant")
+    require(minScore > 0.0,
+      "KeywordIndex.probeRangeTenant: minScore must be positive — " +
+        "zero-score documents hold no query term; a bar <= 0 is a " +
+        "tenant-corpus scan, not a probe")
+    tenantScoredCandidates(spark, dir, terms, tenant, k1, b,
+        pushdownCap, "probeRangeTenant")
+      .filter(col("score") >= minScore)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy("doc_id")
   }
 
   /** Batched REGISTERED-tenant serve — [[probeTopKTenant]] on the

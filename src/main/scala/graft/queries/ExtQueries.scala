@@ -5491,6 +5491,30 @@ object ExtQueries {
         .mkString("SELECT * FROM (", " UNION ALL ",
           ") ORDER BY qid, rank"))),
 
+    // k23: tenant THRESHOLD serve — probeRange's semantics under a
+    // registered tenant's SCOPED statistics (k15's corpus model,
+    // k12's join→score→filter shape, no rank window): every tenant
+    // doc whose scoped BM25 score clears the bar, from the tenant's
+    // gauge row + pruned candidate slice, doclens never read. Shares
+    // k15's %3 overlay on the shared index (re-registration is
+    // idempotent, so the tenant rows compose in any execution
+    // order). Oracle: the scoped CTE chain with the tenant's
+    // membership rule as the live predicate, threshold-filtered.
+    Q("k23_keyword_tenant_range",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.registerTenants(s, ix,
+          docs.select(col("doc_id"),
+            (col("doc_id") % 3).cast("string").as("tenant")))
+        graft.ext.KeywordIndex.probeRangeTenant(s, ix, KwTerms,
+          minScore = 0.3, tenant = "0")
+      },
+      Some(s"""WITH ${sqlKwBm25Ctes("doc_id % 3 = 0", KwTerms)}
+               SELECT doc_id, score FROM scored
+               WHERE score >= 0.3 ORDER BY doc_id""")),
+
     // k21: BATCHED hybrid serve — the last hybrid-matrix cell
     // (single k7b, filtered k14, tenant k19, now BATCH): N (terms,
     // query-vector) pairs fused per qid in ONE composed plan — the

@@ -518,6 +518,45 @@ class KeywordIndexSpec extends SparkTestBase {
     }
   }
 
+  test("k: probeRangeTenant — threshold serve equals the tenant " +
+      "deep top-k filtered at the bar; scoped scores, not global; " +
+      "contract guards hold") {
+    val corpus = corpusOf(30)
+    val dir = tmp("kwtr")
+    KeywordIndex.build(corpus, dir)
+    KeywordIndex.registerTenants(spark, dir,
+      corpus.select($"doc_id",
+        concat(lit("t"), $"doc_id" % 3).as("tenant")))
+    val bar = 1.0 // bisects the 30-doc fixture's t0 candidate scores
+    def rows(df: DataFrame) = df.select("doc_id", "score")
+      .as[(Long, Double)].collect().toSet
+    val got = rows(KeywordIndex.probeRangeTenant(spark, dir, terms,
+      bar, "t0"))
+    // ≡ the tenant deep top-k (same scoring spine) filtered at the
+    // bar — and non-trivially bisecting (some docs in, some out)
+    val deep = KeywordIndex.probeTopKTenant(spark, dir, terms, 1000,
+        "t0")
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    assert(got == deep.filter(_._2 >= bar).toSet,
+      "range page must equal the deep tenant top-k at the bar")
+    assert(got.nonEmpty && deep.exists(_._2 < bar),
+      "the bar must bisect the fixture scores")
+    // the scores are the SCOPED model's (tenant gauge stats), not
+    // the global corpus's
+    val globalAtBar = rows(KeywordIndex.probeRange(spark, dir, terms,
+      bar))
+    assert(got.exists(r => !globalAtBar.contains(r)),
+      "scoped threshold scores must differ from the global model's")
+    // above-cap fallback identical; unknown tenant empty; bar > 0
+    assert(rows(KeywordIndex.probeRangeTenant(spark, dir, terms, bar,
+      "t0", pushdownCap = 0)) == got)
+    assert(KeywordIndex.probeRangeTenant(spark, dir, terms, bar,
+      "nosuch").isEmpty)
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeRangeTenant(spark, dir, terms, 0.0, "t0")
+    }
+  }
+
   test("k: tenant gauges fold through assign/remove/compact/merge/" +
       "absorb — the tenant page tracks the live∩tenant set at every " +
       "lifecycle point, and health pins the gauge") {

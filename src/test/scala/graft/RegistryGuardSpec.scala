@@ -148,6 +148,10 @@ class RegistryGuardSpec extends SparkTestBase {
     // k12: the threshold serve is join→score→filter — NO rank
     // window; only the two one-row stat broadcasts remain
     "k12_keyword_range" -> Set("unconditional-nested-loop"),
+    // k23: k12's shapes with the tenant gauge row as the one-row
+    // stats broadcast and the grant as a pushed id IN literal — no
+    // rank window, no new unbounded relation
+    "k23_keyword_tenant_range" -> Set("unconditional-nested-loop"),
     // k15/k16: k11's audited shapes with the subset-stats side now a
     // ONE-ROW tstats gauge slice (tenant = … filter over the tenant-
     // count-sized asset — 1 row by the one-gauge-row-per-tenant
