@@ -172,9 +172,10 @@ object AnnIndex {
     // anywhere before the swap leaves the LIVE index (old overlay
     // included) fully serving ([[KeywordIndex.rebuildStaged]])
     if (hasTenants(spark, dir)) {
-      val surviving = StoredIndex.filterTombstones(
-          StoredIndex.readDeleteIds(spark, dir),
-          spark.read.parquet(s"$dir/tenants"), "id")
+      val surviving = filterTenantDels(spark, dir,
+          StoredIndex.filterTombstones(
+            StoredIndex.readDeleteIds(spark, dir),
+            spark.read.parquet(s"$dir/tenants"), "id"))
         .join(spark.read.parquet(s"$staging/postings")
             .select(col("nid").as("id")),
           Seq("id"), "left_semi")
@@ -182,7 +183,7 @@ object AnnIndex {
         .write.mode("overwrite").parquet(s"$staging/tenants")
     }
     StoredIndex.swapStaged(spark, dir,
-      Seq("centroids", "codebook", "postings", "tenants"))
+      Seq("centroids", "codebook", "postings", "tenants", "tdels"))
   }
 
   /** Incremental index maintenance: append a batch of NEW vectors to
@@ -387,6 +388,8 @@ object AnnIndex {
       // simply contribute untenanted vectors
       StoredIndex.copyAssetFiles(spark, s"$d/tenants",
         s"$outDir/tenants", s"s${i}_")
+      StoredIndex.copyAssetFiles(spark, s"$d/tdels",
+        s"$outDir/tdels", s"s${i}_")
     }
     val blooms = shardDirs.map(d =>
       StoredIndex.readIdBloomAsset(spark, d))
@@ -451,6 +454,8 @@ object AnnIndex {
     // guard above — the target's other docs are simply untenanted)
     StoredIndex.copyAssetFiles(spark, s"$shardDir/tenants",
       s"$dir/tenants", "ab_")
+    StoredIndex.copyAssetFiles(spark, s"$shardDir/tdels",
+      s"$dir/tdels", "ab_")
     (StoredIndex.readIdBloomAsset(spark, dir), shardBloom) match {
       case (None, _) => () // pre-bloom target stays pre-bloom
       case (Some(_), None) => // pre-bloom shard: drop the asset
@@ -539,9 +544,15 @@ object AnnIndex {
     // the tenant overlay compacts BEFORE the postings compact drops
     // `deletes/` — its tombstone materialization reads the same list
     // ([[KeywordIndex.compact]]'s ordering)
-    if (hasTenants(spark, dir))
+    if (hasTenants(spark, dir)) {
       StoredIndex.compactAsset(spark, dir, "tenants",
-        df => clusterTenants(StoredIndex.filterTombstones(dels, df, "id")))
+        df => clusterTenants(filterTenantDels(spark, dir,
+          StoredIndex.filterTombstones(dels, df, "id"))))
+      // the rewrite materialized the overlay tombstones — drop the
+      // spent list (idempotent if a crash lands between)
+      StoredIndex.fsOf(spark, dir)
+        .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
+    }
     StoredIndex.compactAsset(spark, dir, "postings",
       df => compactRewrite(
         StoredIndex.filterTombstones(dels, df, "nid")),
@@ -564,7 +575,9 @@ object AnnIndex {
       maxFiles, compactRewrite)
     val t = hasTenants(spark, dir) &&
       StoredIndex.compactIfAccreted(spark, dir, "tenants", maxFiles,
-        clusterTenants)
+        df => clusterTenants(filterTenantDels(spark, dir, df)))
+    if (t) StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
     p || t
   }
 
@@ -717,12 +730,52 @@ object AnnIndex {
 
   private def dropTenantOverlay(spark: SparkSession,
                                 dir: String): Unit =
-    StoredIndex.fsOf(spark, dir)
-      .delete(new org.apache.hadoop.fs.Path(s"$dir/tenants"), true)
+    Seq("tenants", "tdels").foreach(a => StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/$a"), true))
 
   private def clusterTenants(df: DataFrame): DataFrame =
     df.repartitionByRange(col("tenant"), col("id"))
       .sortWithinPartitions("tenant", "id")
+
+  /** Overlay tombstones (`tdels/`) — [[KeywordIndex]]'s design on
+    * this family (see its scaladoc for the pair-not-id and
+    * resurrection arguments): (id, tenant) pairs unassigned or
+    * superseded since the last overlay compact. No gauge exists
+    * here, so the un/reassign mutations are overlay-only. */
+  private def readTenantDels(spark: SparkSession,
+                             dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tdels")
+    if (StoredIndex.fsOf(spark, dir).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  private def filterTenantDels(spark: SparkSession, dir: String,
+                               rows: DataFrame): DataFrame =
+    readTenantDels(spark, dir) match {
+      case None => rows
+      case Some(td) => rows.join(
+        broadcast(td.select("id", "tenant")), Seq("id", "tenant"),
+        "left_anti")
+    }
+
+  private def writeTenantDels(spark: SparkSession, dir: String,
+                              pairs: DataFrame): Unit = {
+    val p = pairs.select("id", "tenant").distinct().localCheckpoint()
+    if (p.isEmpty)
+      StoredIndex.fsOf(spark, dir)
+        .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
+    else StoredIndex.stageSwapAsset(spark, dir, "tdels", p)
+  }
+
+  /** The LIVE assignment rows of a batch-sized id frame — both
+    * tombstone lists applied; what un/reassign guard on. */
+  private def assignmentSliceFor(spark: SparkSession, dir: String,
+                                 ids: DataFrame): DataFrame =
+    filterTenantDels(spark, dir,
+      StoredIndex.filterTombstones(StoredIndex.readDeleteIds(spark, dir),
+        spark.read.parquet(s"$dir/tenants")
+          .join(broadcast(ids), Seq("id"), "left_semi"), "id"))
 
   /** Normalize + validate a tenant assignment frame to (id, tenant):
     * string tenants (the general ACL key shape), one row per id, no
@@ -746,10 +799,14 @@ object AnnIndex {
 
   /** Register (or re-register, replacing the whole overlay) tenant
     * assignments over the live index. Every assigned id must be
-    * live; coverage may be partial. One clustered write — the
-    * overlay is a single derived-from-nothing asset, so `overwrite`
-    * IS the crash posture (a torn write leaves a next-read failure,
-    * never a half-old half-new assignment mix). */
+    * live; coverage may be partial. The overlay lands through a
+    * stage-then-rename swap ([[StoredIndex.stageSwapAsset]]): a
+    * plain `overwrite` interrupted mid-write can leave a READABLE
+    * partial dir (completed part files, no `_SUCCESS`) that would
+    * silently drop vectors out of their tenant's serve slice — with
+    * the swap, a mid-crash read sees the OLD overlay whole or NO
+    * overlay (a loud "registerTenants first"), fail-closed either
+    * way and never cross-tenant mixing. */
   def registerTenants(spark: SparkSession, dir: String,
                       assign: DataFrame, tenantCol: String = "tenant",
                       idCol: String = "vec_id"): Unit = {
@@ -759,7 +816,11 @@ object AnnIndex {
       .limit(1).count() == 0L,
       "AnnIndex.registerTenants: assignment names id(s) not live " +
         s"in the index at $dir")
-    clusterTenants(a).write.mode("overwrite").parquet(s"$dir/tenants")
+    StoredIndex.stageSwapAsset(spark, dir, "tenants", clusterTenants(a))
+    // a full re-registration replaces the WHOLE overlay — pending
+    // tombstones name the superseded assignment set
+    StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
   }
 
   /** Extend the overlay with assignments for newly-appended (or
@@ -780,15 +841,101 @@ object AnnIndex {
       .limit(1).count() == 0L,
       "AnnIndex.assignTenants: assignment names id(s) not live " +
         s"in the index at $dir")
-    val already = StoredIndex.filterTombstones(
-        StoredIndex.readDeleteIds(spark, dir),
-        spark.read.parquet(s"$dir/tenants"), "id")
-      .join(broadcast(a.select("id")), Seq("id"), "left_semi")
+    val already = assignmentSliceFor(spark, dir, a.select("id"))
       .limit(1).count()
     require(already == 0L,
       "AnnIndex.assignTenants: id(s) already assigned — " +
-        "re-register to replace the overlay")
-    a.write.mode("append").parquet(s"$dir/tenants")
+        "reassignTenants moves them; unassignTenants ends them; " +
+        "re-register to replace the whole overlay")
+    // resurrect-vs-append split ([[KeywordIndex.assignTenants]]): a
+    // previously-unassigned pair's physical row comes back by
+    // dropping its tombstone; only genuinely-new pairs append
+    val td = readTenantDels(spark, dir)
+    val newRows = td.fold(a)(t =>
+        a.join(broadcast(t.select("id", "tenant")),
+          Seq("id", "tenant"), "left_anti"))
+      .localCheckpoint()
+    td.foreach(t => writeTenantDels(spark, dir,
+      t.join(broadcast(a.select("id", "tenant")),
+        Seq("id", "tenant"), "left_anti")))
+    if (!newRows.isEmpty)
+      newRows.select("id", "tenant")
+        .write.mode("append").parquet(s"$dir/tenants")
+  }
+
+  /** End tenant membership for currently-assigned vectors — the
+    * O(batch) ACL operation [[KeywordIndex.unassignTenants]] defines,
+    * overlay-only on this family (ADC scoring uses no corpus
+    * statistics, so there is no gauge to fold): the batch's live
+    * assignment rows become `tdels/` tombstones; the `tenants/`
+    * asset is never rewritten ([[compact]] materializes later). The
+    * vectors stay live in the index — only their ACL membership
+    * ends. Every id must be currently assigned (loud otherwise).
+    * Crash posture is the tombstone swap itself (stage-then-rename):
+    * the list lands whole or not at all — a crash never yields a
+    * partially-unassigned batch serving cross-tenant. */
+  def unassignTenants(spark: SparkSession, dir: String,
+                      ids: DataFrame, idCol: String = "vec_id"): Unit = {
+    require(hasTenants(spark, dir),
+      s"AnnIndex.unassignTenants: no tenant overlay at $dir — " +
+        "registerTenants first")
+    val want = idsOf(ids, idCol).distinct().localCheckpoint()
+    require(!want.isEmpty, "AnnIndex.unassignTenants: no ids to unassign")
+    val cur = assignmentSliceFor(spark, dir, want).localCheckpoint()
+    require(want.join(cur, Seq("id"), "left_anti")
+      .limit(1).count() == 0L,
+      "AnnIndex.unassignTenants: id(s) not currently assigned — " +
+        "nothing to unassign (an id must hold a live assignment row)")
+    writeTenantDels(spark, dir,
+      readTenantDels(spark, dir)
+        .fold(cur.select("id", "tenant"))(
+          _.select("id", "tenant")
+            .unionByName(cur.select("id", "tenant"))))
+  }
+
+  /** Move currently-assigned vectors to a different tenant — ONE
+    * O(batch) overlay mutation instead of a full re-registration
+    * ([[KeywordIndex.reassignTenants]] minus the gauge fold): the
+    * old pairs tombstone, pairs returning to a previously-held
+    * tenant RESURRECT their stale row, genuinely-new pairs append.
+    * Ordering is FAIL-CLOSED: the tombstone swap lands FIRST, the
+    * new rows append second — a crash between leaves the batch
+    * unassigned entirely (out of serving, loud to fix by re-running
+    * or re-registering), never serving under BOTH tenants. Guards:
+    * ids must be currently assigned; a row naming the id's current
+    * tenant is refused (a no-op move hides a caller bug). */
+  def reassignTenants(spark: SparkSession, dir: String,
+                      assign: DataFrame, tenantCol: String = "tenant",
+                      idCol: String = "vec_id"): Unit = {
+    require(hasTenants(spark, dir),
+      s"AnnIndex.reassignTenants: no tenant overlay at $dir — " +
+        "registerTenants first")
+    val a = tenantAssignOf(assign, tenantCol, idCol,
+      "AnnIndex.reassignTenants").localCheckpoint()
+    val cur = assignmentSliceFor(spark, dir, a.select("id"))
+      .localCheckpoint()
+    require(a.join(cur, Seq("id"), "left_anti")
+      .limit(1).count() == 0L,
+      "AnnIndex.reassignTenants: id(s) not currently assigned — " +
+        "assignTenants adds NEW assignments; reassign only moves")
+    require(a.join(cur, Seq("id", "tenant"), "left_semi")
+      .limit(1).count() == 0L,
+      "AnnIndex.reassignTenants: row(s) name the id's CURRENT " +
+        "tenant — a no-op move; drop those rows")
+    val td = readTenantDels(spark, dir)
+    val newRows = td.fold(a)(t =>
+        a.join(broadcast(t.select("id", "tenant")),
+          Seq("id", "tenant"), "left_anti"))
+      .localCheckpoint()
+    writeTenantDels(spark, dir,
+      td.fold(cur.select("id", "tenant"))(
+          _.select("id", "tenant")
+            .unionByName(cur.select("id", "tenant")))
+        .join(broadcast(a.select("id", "tenant")),
+          Seq("id", "tenant"), "left_anti"))
+    if (!newRows.isEmpty)
+      newRows.select("id", "tenant")
+        .write.mode("append").parquet(s"$dir/tenants")
   }
 
   /** The live id set of one registered tenant — a (tenant, id)-
@@ -798,9 +945,11 @@ object AnnIndex {
     * dense-only hybrid) hands [[probeTopKFiltered]]. */
   def tenantLiveIds(spark: SparkSession, dir: String,
                     tenant: String): DataFrame =
-    StoredIndex.filterTombstones(spark, dir,
-      spark.read.parquet(s"$dir/tenants")
-        .filter(col("tenant") === lit(tenant)).select("id"), "id")
+    filterTenantDels(spark, dir,
+      StoredIndex.filterTombstones(spark, dir,
+        spark.read.parquet(s"$dir/tenants")
+          .filter(col("tenant") === lit(tenant)), "id"))
+      .select("id")
 
   /** Driver-known id cap for the tenant grant's literal pushdown —
     * [[KeywordIndex]]'s AllowedPushdownCap rationale on this family:
@@ -836,6 +985,22 @@ object AnnIndex {
     require(hasTenants(spark, dir),
       s"AnnIndex.probeTopKTenant: no tenant overlay at $dir — " +
         "registerTenants first (ad-hoc subsets: probeTopKFiltered)")
+    Similarity.ivfPqProbe(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      tenantPostings(spark, dir, tenant, pushdownCap),
+      queries, k, nprobe, m, dim, vecCol, idCol)
+  }
+
+  /** The registered-tenant serves' shared candidate slice: live
+    * postings restricted to the tenant's grant — sorted `nid IN (…)`
+    * literals riding the scan under the cap, an honest keyed
+    * semi-join above it (strategy left to Catalyst/AQE — the
+    * d5-pin argument). [[probeTopKTenant]] ranks over it;
+    * [[probeRangeTenant]] threshold-filters it. */
+  private def tenantPostings(spark: SparkSession, dir: String,
+                             tenant: String,
+                             pushdownCap: Int): DataFrame = {
     val tIds = tenantLiveIds(spark, dir, tenant)
     val lits =
       if (pushdownCap <= 0) None
@@ -845,16 +1010,45 @@ object AnnIndex {
           None // above-cap grant: honest semi-join fallback
         else Some(rows.map(_.getLong(0)).sorted.toIndexedSeq)
       }
-    val postings = lits match {
+    lits match {
       case Some(l) => livePostings(spark, dir)
         .filter(col("nid").isin(l: _*))
       case None => livePostings(spark, dir)
         .join(tIds.select(col("id").as("nid")), Seq("nid"), "left_semi")
     }
-    Similarity.ivfPqProbe(
+  }
+
+  /** Threshold serve within a REGISTERED tenant — [[probeRange]]'s
+    * semantics composed with the [[probeTopKTenant]] grant path,
+    * closing the dense threshold × tenant cell ([[KeywordIndex
+    * .probeRangeTenant]]'s shape on this family): every vector of
+    * THIS tenant's live slice, within the probed buckets, whose ADC
+    * score clears `threshold` — unranked, (qid, nid)-ordered,
+    * join→score→filter with NO rank window (the quality-gate shape:
+    * "all of this tenant's vectors within distance ε of the
+    * query"). The grant restricts the candidate slice BEFORE the
+    * LUT join and the ADC fold (pre-filter semantics — out-of-
+    * tenant candidates never cost a score): `nid IN (…)` literals
+    * under the cap, keyed semi-join above. ADC uses no corpus
+    * statistics, so no gauge is involved; same approximation
+    * contract as every IVF serve (candidates outside the nprobe
+    * probed buckets are not seen — selective tenants raise
+    * `nprobe`). An unknown tenant serves an empty page. */
+  def probeRangeTenant(spark: SparkSession, dir: String,
+                       queries: DataFrame, threshold: Double,
+                       tenant: String, nprobe: Int = 12, m: Int = 4,
+                       dim: Int = 64, vecCol: String = "embedding",
+                       idCol: String = "vec_id",
+                       pushdownCap: Int = TenantPushdownCap): DataFrame = {
+    require(hasTenants(spark, dir),
+      s"AnnIndex.probeRangeTenant: no tenant overlay at $dir — " +
+        "registerTenants first (ad-hoc subsets: probeRange over a " +
+        "caller-filtered postings view)")
+    Similarity.ivfPqRange(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebook"),
-      postings, queries, k, nprobe, m, dim, vecCol, idCol)
+      tenantPostings(spark, dir, tenant, pushdownCap),
+      queries, threshold, nprobe, m, dim, vecCol, idCol)
   }
 
   /** Batched registered-tenant dense serve — [[probeTopKTenant]] on
@@ -885,10 +1079,11 @@ object AnnIndex {
     import spark.implicits._
     val qTen = tenants.toDF("qid", "tenant")
     val named = tenants.map(_._2).distinct
-    val pairs = StoredIndex.filterTombstones(
-        StoredIndex.readDeleteIds(spark, dir),
-        spark.read.parquet(s"$dir/tenants")
-          .filter(col("tenant").isin(named: _*)), "id")
+    val pairs = filterTenantDels(spark, dir,
+        StoredIndex.filterTombstones(
+          StoredIndex.readDeleteIds(spark, dir),
+          spark.read.parquet(s"$dir/tenants")
+            .filter(col("tenant").isin(named: _*)), "id"))
       .join(broadcast(qTen), Seq("tenant"))
       .select(col("qid"), col("id").as("nid"))
     Similarity.ivfPqProbe(

@@ -200,9 +200,10 @@ object KeywordIndex {
     // fully serving, and the orphaned staging dir is re-created
     // fresh by the next retrain
     if (hasTenants(spark, dir)) {
-      val surviving = StoredIndex.filterTombstones(
-          StoredIndex.readDeleteIds(spark, dir),
-          spark.read.parquet(s"$dir/tenants"), "id")
+      val surviving = filterTenantDels(spark, dir,
+          StoredIndex.filterTombstones(
+            StoredIndex.readDeleteIds(spark, dir),
+            spark.read.parquet(s"$dir/tenants"), "id"))
         .join(spark.read.parquet(s"$staging/doclens").select("id"),
           Seq("id"), "left_semi")
       clusterTenants(surviving)
@@ -735,7 +736,7 @@ object KeywordIndex {
     * surviving ids' assignments through the retrain with gauges
     * re-derived from the fresh doclens, so the tenant serve never
     * goes dark across scheduled retrains (see its scaladoc). */
-  private val TenantAssets = Seq("tenants", "tstats")
+  private val TenantAssets = Seq("tenants", "tstats", "tdels")
 
   private def hasTenants(spark: SparkSession, dir: String): Boolean =
     StoredIndex.fsOf(spark, dir)
@@ -748,6 +749,74 @@ object KeywordIndex {
   private def clusterTenants(df: DataFrame): DataFrame =
     df.repartitionByRange(col("tenant"), col("id"))
       .sortWithinPartitions("tenant", "id")
+
+  // --------------------------------------- overlay tombstones (tdels)
+
+  /** The overlay's OWN tombstone list — `tdels/`, (id, tenant) pairs
+    * whose assignment rows have been unassigned or superseded by a
+    * reassignment since the overlay was last compacted. The index
+    * tombstones cannot carry this (an unassigned doc is still LIVE
+    * in the index — only its ACL membership ended), so the overlay
+    * gets the same LSM treatment its parent assets have: O(batch)
+    * mutation appends a tombstone instead of rewriting the
+    * (assigned-docs-sized) `tenants/` asset, every overlay read
+    * anti-joins the (control-plane-sized) list, and [[compact]]
+    * materializes + drops it. Tombstones are PAIRS, not bare ids:
+    * a reassigned doc's new-tenant row must survive the old row's
+    * tombstone, and a re-assignment of a previously-unassigned pair
+    * RESURRECTS the stale physical row (the tombstone is removed)
+    * rather than appending a duplicate. */
+  private def readTenantDels(spark: SparkSession,
+                             dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tdels")
+    if (StoredIndex.fsOf(spark, dir).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Drop overlay-tombstoned assignment rows from a (id, tenant)
+    * frame — a broadcast anti-join on the pair, a no-op (and an
+    * unchanged plan) when no unassignment is pending. */
+  private def filterTenantDels(spark: SparkSession, dir: String,
+                               rows: DataFrame): DataFrame =
+    readTenantDels(spark, dir) match {
+      case None => rows
+      case Some(td) => rows.join(
+        broadcast(td.select("id", "tenant")), Seq("id", "tenant"),
+        "left_anti")
+    }
+
+  /** Persist the overlay tombstone list whole — control-plane-sized,
+    * so the write is a materialize + stage-swap ([[StoredIndex
+    * .stageSwapAsset]]); an empty list deletes the asset so every
+    * read path keeps its no-tombstone plan. Callers sequence this
+    * inside their own crash window (the gauge delete-first/
+    * write-last gate on this family). */
+  private def writeTenantDels(spark: SparkSession, dir: String,
+                              pairs: DataFrame): Unit = {
+    val p = pairs.select("id", "tenant").distinct().localCheckpoint()
+    if (p.isEmpty)
+      StoredIndex.fsOf(spark, dir)
+        .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
+    else StoredIndex.stageSwapAsset(spark, dir, "tdels", p)
+  }
+
+  /** The LIVE assignment rows of a batch-sized id frame — the
+    * overlay slice (id-IN pruned under the cap, broadcast semi-join
+    * above), index-tombstone- and overlay-tombstone-filtered: what
+    * an id is CURRENTLY assigned, the read unassign/reassign guard
+    * and subtract on. */
+  private def assignmentSliceFor(spark: SparkSession, dir: String,
+                                 dels: Option[DataFrame],
+                                 ids: DataFrame): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/tenants")
+    val slice = allowedIdLiterals(ids, AllowedPushdownCap) match {
+      case Some(l) => raw.filter(col("id").isin(l: _*))
+      case None    => raw.join(broadcast(ids), Seq("id"), "left_semi")
+    }
+    filterTenantDels(spark, dir,
+      StoredIndex.filterTombstones(dels, slice, "id"))
+  }
 
   /** Normalize + validate a tenant assignment frame to (id, tenant):
     * tenants are strings uniformly (the general ACL key shape), one
@@ -818,8 +887,13 @@ object KeywordIndex {
     * amortized registration cost every subsequent [[probeTopKTenant]]
     * skips. Crash posture: `tstats/` is deleted first and written
     * last, so a crash mid-registration leaves the gauge missing and
-    * the tenant serve failing LOUDLY (re-register), never serving
-    * stale statistics over a new assignment. */
+    * the SCOPED serves failing LOUDLY (re-register), never serving
+    * stale statistics over a new assignment; the overlay itself
+    * lands through a stage-then-rename swap ([[StoredIndex
+    * .stageSwapAsset]]), so the gauge-free reads ([[tenantLiveIds]]
+    * feeding a hybrid serve) can never observe a torn half-written
+    * assignment set either — mid-crash they see the OLD overlay or
+    * NO overlay (loud), fail-closed both ways. */
   def registerTenants(spark: SparkSession, dir: String,
                       assign: DataFrame, tenantCol: String = "tenant",
                       idCol: String = "doc_id"): Unit = {
@@ -834,7 +908,11 @@ object KeywordIndex {
       spark.read.parquet(s"$dir/doclens"), "id")
     StoredIndex.fsOf(spark, dir)
       .delete(new org.apache.hadoop.fs.Path(s"$dir/tstats"), true)
-    clusterTenants(a).write.mode("overwrite").parquet(s"$dir/tenants")
+    StoredIndex.stageSwapAsset(spark, dir, "tenants", clusterTenants(a))
+    // a full re-registration replaces the WHOLE overlay — pending
+    // unassignment tombstones name the superseded assignment set
+    StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
     tenantGaugesOf(
         spark.read.parquet(s"$dir/tenants").join(lens, Seq("id")))
       .write.mode("overwrite").parquet(s"$dir/tstats")
@@ -869,13 +947,12 @@ object KeywordIndex {
       "KeywordIndex.assignTenants: assignment names id(s) not live " +
         s"in the index at $dir")
     val dels = StoredIndex.readDeleteIds(spark, dir)
-    val already = StoredIndex.filterTombstones(dels,
-        spark.read.parquet(s"$dir/tenants"), "id")
-      .join(broadcast(a.select("id")), Seq("id"), "left_semi")
+    val already = assignmentSliceFor(spark, dir, dels, a.select("id"))
       .limit(1).count()
     require(already == 0L,
       "KeywordIndex.assignTenants: id(s) already assigned — " +
-        "re-register to replace the overlay")
+        "reassignTenants moves them; unassignTenants ends them; " +
+        "re-register to replace the whole overlay")
     val delta = tenantGaugesOf(
       a.join(doclensSliceOf(spark, dir, dels, a.select("id")),
         Seq("id")))
@@ -883,9 +960,134 @@ object KeywordIndex {
     // delete-first/write-last window (see the scaladoc's crash
     // posture) around the assignment append
     val folded = foldedTenantGauges(spark, dir, delta)
+    // resurrect-vs-append split: a pair that was previously
+    // unassigned still has its (tombstoned) physical row — dropping
+    // the tombstone brings that row back; only genuinely-new pairs
+    // append (appending a resurrected pair too would leave the
+    // overlay carrying the row TWICE)
+    val td = readTenantDels(spark, dir)
+    val newRows = td.fold(a)(t =>
+        a.join(broadcast(t.select("id", "tenant")),
+          Seq("id", "tenant"), "left_anti"))
+      .localCheckpoint()
     StoredIndex.fsOf(spark, dir)
       .delete(new org.apache.hadoop.fs.Path(s"$dir/tstats"), true)
-    a.write.mode("append").parquet(s"$dir/tenants")
+    td.foreach(t => writeTenantDels(spark, dir,
+      t.join(broadcast(a.select("id", "tenant")),
+        Seq("id", "tenant"), "left_anti")))
+    if (!newRows.isEmpty)
+      newRows.select("id", "tenant")
+        .write.mode("append").parquet(s"$dir/tenants")
+    folded.write.mode("overwrite").parquet(s"$dir/tstats")
+  }
+
+  /** End tenant membership for currently-assigned docs — the other
+    * half of the ACL move [[assignTenants]] cannot do, O(batch)
+    * where a full [[registerTenants]] re-registration pays a
+    * live-keys pass and a serving gap: the batch's live assignment
+    * rows become overlay tombstones (`tdels/` — the `tenants/`
+    * asset is never rewritten; [[compact]] materializes them later)
+    * and their per-tenant (n_docs, sum_dl) mass subtracts from the
+    * gauge through [[foldTenantRemoval]]'s algebra, with dl read
+    * from the id-IN-pruned doclens slice. The docs stay live in the
+    * index — only their ACL membership ends (contrast [[remove]]).
+    * A tenant emptied by the unassignment keeps its gauge row
+    * (registered, currently empty). Every id must be currently
+    * assigned — unassigning an unassigned id is a caller bug and
+    * fails loudly.
+    *
+    * Crash posture — the family's loud-failure ordering: the folded
+    * gauge is MATERIALIZED first, `tstats/` is deleted, the
+    * tombstone list swaps in, the gauge writes LAST — a crash
+    * anywhere between leaves the gauge absent and every scoped serve
+    * failing loudly (re-register to heal), never serving
+    * over-counted statistics over a half-applied unassignment. */
+  def unassignTenants(spark: SparkSession, dir: String,
+                      ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    require(hasTenants(spark, dir),
+      s"KeywordIndex.unassignTenants: no tenant overlay at $dir — " +
+        "registerTenants first")
+    val want = idsOf(ids, idCol).distinct().localCheckpoint()
+    require(!want.isEmpty,
+      "KeywordIndex.unassignTenants: no ids to unassign")
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val cur = assignmentSliceFor(spark, dir, dels, want)
+      .localCheckpoint()
+    require(want.join(cur, Seq("id"), "left_anti")
+      .limit(1).count() == 0L,
+      "KeywordIndex.unassignTenants: id(s) not currently assigned — " +
+        "nothing to unassign (an id must hold a live assignment row)")
+    val delta = tenantGaugesOf(
+        cur.join(doclensSliceOf(spark, dir, dels, want), Seq("id")))
+      .select(col("tenant"), (-col("n_docs")).as("n_docs"),
+        (-col("sum_dl")).as("sum_dl"))
+    val folded = foldedTenantGauges(spark, dir, delta)
+    val newDels = readTenantDels(spark, dir)
+      .fold(cur.select("id", "tenant"))(
+        _.select("id", "tenant").unionByName(cur.select("id", "tenant")))
+    StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tstats"), true)
+    writeTenantDels(spark, dir, newDels)
+    folded.write.mode("overwrite").parquet(s"$dir/tstats")
+  }
+
+  /** Move currently-assigned docs to a different tenant — the
+    * single most common ACL operation, as ONE O(batch) fold instead
+    * of the full-overlay re-registration it previously required:
+    * subtract each doc's (1, dl) from its CURRENT tenant's gauge
+    * row, add it to the target's, tombstone the old assignment rows
+    * and land the new ones — all inside [[assignTenants]]' existing
+    * delete-first/write-last crash window, so a crash anywhere
+    * leaves the gauge absent and the scoped serves loud, never a
+    * doc counted in two tenants (or neither) silently. Guards are
+    * loud: every id must be currently assigned ([[assignTenants]]
+    * covers new docs), and a row naming the doc's CURRENT tenant is
+    * refused (a no-op "move" hides a caller bug). Pairs returning
+    * to a previously-held tenant RESURRECT their tombstoned row
+    * rather than appending a duplicate. */
+  def reassignTenants(spark: SparkSession, dir: String,
+                      assign: DataFrame, tenantCol: String = "tenant",
+                      idCol: String = "doc_id"): Unit = {
+    require(hasTenants(spark, dir),
+      s"KeywordIndex.reassignTenants: no tenant overlay at $dir — " +
+        "registerTenants first")
+    val a = tenantAssignOf(assign, tenantCol, idCol,
+      "KeywordIndex.reassignTenants").localCheckpoint()
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val cur = assignmentSliceFor(spark, dir, dels, a.select("id"))
+      .localCheckpoint()
+    require(a.join(cur, Seq("id"), "left_anti")
+      .limit(1).count() == 0L,
+      "KeywordIndex.reassignTenants: id(s) not currently assigned — " +
+        "assignTenants adds NEW assignments; reassign only moves")
+    require(a.join(cur, Seq("id", "tenant"), "left_semi")
+      .limit(1).count() == 0L,
+      "KeywordIndex.reassignTenants: row(s) name the id's CURRENT " +
+        "tenant — a no-op move; drop those rows")
+    val lens = doclensSliceOf(spark, dir, dels, a.select("id"))
+      .localCheckpoint()
+    val delta = tenantGaugesOf(cur.join(lens, Seq("id")))
+      .select(col("tenant"), (-col("n_docs")).as("n_docs"),
+        (-col("sum_dl")).as("sum_dl"))
+      .unionByName(tenantGaugesOf(a.join(lens, Seq("id"))))
+    val folded = foldedTenantGauges(spark, dir, delta)
+    val td = readTenantDels(spark, dir)
+    // tombstone the old pairs; resurrect returning pairs; append
+    // only the genuinely-new ones (see assignTenants' split)
+    val newRows = td.fold(a)(t =>
+        a.join(broadcast(t.select("id", "tenant")),
+          Seq("id", "tenant"), "left_anti"))
+      .localCheckpoint()
+    val newDels = td.fold(cur.select("id", "tenant"))(
+        _.select("id", "tenant").unionByName(cur.select("id", "tenant")))
+      .join(broadcast(a.select("id", "tenant")),
+        Seq("id", "tenant"), "left_anti")
+    StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tstats"), true)
+    writeTenantDels(spark, dir, newDels)
+    if (!newRows.isEmpty)
+      newRows.select("id", "tenant")
+        .write.mode("append").parquet(s"$dir/tenants")
     folded.write.mode("overwrite").parquet(s"$dir/tstats")
   }
 
@@ -905,13 +1107,17 @@ object KeywordIndex {
     if (!hasTenants(spark, dir)) return
     val rIds = idsOf(removed, idCol).distinct()
     val tRaw = spark.read.parquet(s"$dir/tenants")
-    // no tombstone filter: remove() guards its ids are LIVE, and a
-    // tombstoned id cannot re-enter the index before a compact drops
-    // its assignment row — so the id slice is unambiguous
-    val tHit = allowedIdLiterals(rIds, AllowedPushdownCap) match {
-      case Some(l) => tRaw.filter(col("id").isin(l: _*))
-      case None    => tRaw.join(broadcast(rIds), Seq("id"), "left_semi")
-    }
+    // no INDEX-tombstone filter: remove() guards its ids are LIVE,
+    // and a tombstoned id cannot re-enter the index before a compact
+    // drops its assignment row — so the id slice is unambiguous. The
+    // OVERLAY tombstones must filter though: an unassigned doc's
+    // mass was already subtracted at unassign time, and a reassigned
+    // doc's old row would subtract from the WRONG tenant.
+    val tHit = filterTenantDels(spark, dir,
+      allowedIdLiterals(rIds, AllowedPushdownCap) match {
+        case Some(l) => tRaw.filter(col("id").isin(l: _*))
+        case None    => tRaw.join(broadcast(rIds), Seq("id"), "left_semi")
+      })
     val delta = tenantGaugesOf(
         removed.select(col(idCol).cast("long").as("id"),
             size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
@@ -928,9 +1134,11 @@ object KeywordIndex {
     * hybrid serve hands the dense side. */
   def tenantLiveIds(spark: SparkSession, dir: String,
                     tenant: String): DataFrame =
-    StoredIndex.filterTombstones(spark, dir,
-      spark.read.parquet(s"$dir/tenants")
-        .filter(col("tenant") === lit(tenant)).select("id"), "id")
+    filterTenantDels(spark, dir,
+      StoredIndex.filterTombstones(spark, dir,
+        spark.read.parquet(s"$dir/tenants")
+          .filter(col("tenant") === lit(tenant)), "id"))
+      .select("id")
 
   /** [[tenantLiveIds]] on the batch dimension: the (qid, id) grant
     * pairs of a batch of (qid, tenant) queries, from ONE overlay
@@ -943,14 +1151,19 @@ object KeywordIndex {
   def tenantLivePairs(spark: SparkSession, dir: String,
                       tenants: Seq[(Long, String)]): DataFrame = {
     require(tenants.nonEmpty, "KeywordIndex.tenantLivePairs needs queries")
+    require(tenants.map(_._1).distinct.size == tenants.size,
+      "KeywordIndex.tenantLivePairs: qids must be distinct — a " +
+        "duplicate qid would expand SEVERAL tenants' id sets as one " +
+        "query's grant, serving other tenants' documents on that page")
     require(hasTenants(spark, dir),
       s"KeywordIndex.tenantLivePairs: no tenant overlay at $dir — " +
         "registerTenants first")
     import spark.implicits._
     val named = tenants.map(_._2).distinct
-    StoredIndex.filterTombstones(StoredIndex.readDeleteIds(spark, dir),
-        spark.read.parquet(s"$dir/tenants")
-          .filter(col("tenant").isin(named: _*)), "id")
+    filterTenantDels(spark, dir,
+        StoredIndex.filterTombstones(StoredIndex.readDeleteIds(spark, dir),
+          spark.read.parquet(s"$dir/tenants")
+            .filter(col("tenant").isin(named: _*)), "id"))
       .join(broadcast(tenants.toDF("qid", "tenant")), Seq("tenant"))
       .select("qid", "id")
   }
@@ -1057,15 +1270,57 @@ object KeywordIndex {
   def probeManyTenant(spark: SparkSession, dir: String,
                       queries: Seq[(Long, Seq[String], String)],
                       topN: Int, k1: Double = 1.2,
-                      b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty, "KeywordIndex.probeManyTenant needs queries")
+                      b: Double = 0.75): DataFrame =
+    qidRankedPages(
+      tenantScoredManyCand(spark, dir, queries, "probeManyTenant",
+        k1, b), topN)
+
+  /** Batched tenant THRESHOLD serve — closing the last batch ×
+    * tenant × threshold cell of the serve matrix: each (qid, terms,
+    * tenant) query returns EVERY doc of its tenant's live slice
+    * whose scoped BM25 score (that tenant's gauge-row statistics,
+    * dfs over the tenant-restricted slice) clears `minScore` —
+    * [[probeManyRange]]'s no-window batch shape under
+    * [[probeManyTenant]]'s per-qid scoped statistics. One composed
+    * plan, one postings scan over the union term set with the
+    * combined grant riding it, NO rank window anywhere; each qid's
+    * page equals `probeRangeTenant(terms_q, minScore, tenant_q)` by
+    * construction. (qid, doc_id)-ordered; a qid naming an
+    * unregistered tenant serves an empty page. */
+  def probeManyRangeTenant(spark: SparkSession, dir: String,
+                           queries: Seq[(Long, Seq[String], String)],
+                           minScore: Double, k1: Double = 1.2,
+                           b: Double = 0.75): DataFrame = {
+    require(minScore > 0.0,
+      "KeywordIndex.probeManyRangeTenant: minScore must be positive " +
+        "— zero-score documents hold no query term; a bar <= 0 is a " +
+        "tenant-corpus scan per query, not a probe")
+    tenantScoredManyCand(spark, dir, queries, "probeManyRangeTenant",
+        k1, b)
+      .filter(col("score") >= minScore)
+      .select(col("qid"), col("id").as("doc_id"), col("score"))
+      .orderBy("qid", "doc_id")
+  }
+
+  /** The batched registered-tenant serves' shared scoring spine
+    * ([[probeManyTenant]]'s composed plan up to the scored frame —
+    * see its scaladoc for the one-scan/union-grant/keyed-semi-join
+    * argument): (qid, id, score, …) rows, per-qid SCOPED statistics
+    * from the gauge rows, doclens never read. [[probeManyTenant]]
+    * ranks it per qid; [[probeManyRangeTenant]] threshold-filters
+    * it with no window at all. */
+  private def tenantScoredManyCand(spark: SparkSession, dir: String,
+                                   queries: Seq[(Long, Seq[String], String)],
+                                   what: String, k1: Double,
+                                   b: Double): DataFrame = {
+    require(queries.nonEmpty, s"KeywordIndex.$what needs queries")
     require(queries.map(_._1).distinct.size == queries.size,
-      "KeywordIndex.probeManyTenant: qids must be distinct")
+      s"KeywordIndex.$what: qids must be distinct")
     queries.foreach { case (q, ts, _) =>
-      requireQueryTerms(ts, s"KeywordIndex.probeManyTenant (qid=$q)") }
+      requireQueryTerms(ts, s"KeywordIndex.$what (qid=$q)") }
     require(hasTenants(spark, dir),
-      s"KeywordIndex.probeManyTenant: no tenant overlay at $dir — " +
-        "registerTenants first (ad-hoc subsets: probeManyFiltered)")
+      s"KeywordIndex.$what: no tenant overlay at $dir — " +
+        "registerTenants first (ad-hoc subsets: the filtered serves)")
     import spark.implicits._
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val tenantsNamed = queries.map(_._3).distinct
@@ -1073,9 +1328,10 @@ object KeywordIndex {
       .toDF("qid", "tenant")
     // ONE overlay slice over the named tenants — tenant IN pruned on
     // the clustered files, tombstone-filtered like every overlay read
-    val tLive = StoredIndex.filterTombstones(dels,
-      spark.read.parquet(s"$dir/tenants")
-        .filter(col("tenant").isin(tenantsNamed: _*)), "id")
+    val tLive = filterTenantDels(spark, dir,
+      StoredIndex.filterTombstones(dels,
+        spark.read.parquet(s"$dir/tenants")
+          .filter(col("tenant").isin(tenantsNamed: _*)), "id"))
     val pairs = tLive.join(broadcast(qTen), Seq("tenant"))
       .select("qid", "id")
     // the union grant rides the postings scan: literals under the
@@ -1119,7 +1375,7 @@ object KeywordIndex {
           acc + Relevance.bm25TermScore(
             x.getField("tf").cast("double"),
             x.getField("df").cast("double"), nD, dlNorm, k1)), 4))
-    qidRankedPages(scored, topN)
+    scored
   }
 
   /** Threshold serve — [[AnnIndex.probeRange]]'s lexical twin: every
@@ -1237,11 +1493,20 @@ object KeywordIndex {
     StoredIndex.compactAsset(spark, dir, "postings",
       df => clusterPostings(StoredIndex.filterTombstones(dels, df, "id")))
     // the tenant overlay compacts BEFORE doclens drops `deletes/`:
-    // its tombstone materialization reads the same list. The gauges
-    // are untouched — remove() already subtracted at retraction time.
-    if (hasTenants(spark, dir))
+    // its tombstone materialization reads the same list — and the
+    // overlay's OWN tombstones (tdels/) materialize in the same
+    // rewrite, dropped after the swap commits. The gauges are
+    // untouched — remove()/unassign/reassign already folded at
+    // mutation time. Crash between the swap and the tdels delete:
+    // the anti-join re-matches nothing (rows already gone) — the
+    // delete is pure cleanup, idempotent.
+    if (hasTenants(spark, dir)) {
       StoredIndex.compactAsset(spark, dir, "tenants",
-        df => clusterTenants(StoredIndex.filterTombstones(dels, df, "id")))
+        df => clusterTenants(filterTenantDels(spark, dir,
+          StoredIndex.filterTombstones(dels, df, "id"))))
+      StoredIndex.fsOf(spark, dir)
+        .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
+    }
     StoredIndex.compactAsset(spark, dir, "doclens",
       df => StoredIndex.filterTombstones(dels, df, "id")
         .repartitionByRange(col("id")).sortWithinPartitions("id"),
@@ -1262,7 +1527,12 @@ object KeywordIndex {
       df => df.repartitionByRange(col("id")).sortWithinPartitions("id"))
     val t = hasTenants(spark, dir) &&
       StoredIndex.compactIfAccreted(spark, dir, "tenants", maxFiles,
-        clusterTenants)
+        df => clusterTenants(filterTenantDels(spark, dir, df)))
+    // the self-maintenance rewrite materialized any pending overlay
+    // tombstones (the index tombstones stay pending — the doclens
+    // view still needs them), so the tdels list is spent
+    if (t) StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
     p || d || t
   }
 
@@ -1309,6 +1579,8 @@ object KeywordIndex {
         s"$outDir/deletes", s"s${i}_")
       StoredIndex.copyAssetFiles(spark, s"$d/tenants",
         s"$outDir/tenants", s"s${i}_")
+      StoredIndex.copyAssetFiles(spark, s"$d/tdels",
+        s"$outDir/tdels", s"s${i}_")
     }
     writeStats(spark, outDir, stats.map(_.getLong(0)).sum,
       stats.map(_.getLong(1)).sum)
@@ -1366,6 +1638,8 @@ object KeywordIndex {
       s"$dir/deletes", "ab_")
     StoredIndex.copyAssetFiles(spark, s"$shardDir/tenants",
       s"$dir/tenants", "ab_")
+    StoredIndex.copyAssetFiles(spark, s"$shardDir/tdels",
+      s"$dir/tdels", "ab_")
     writeStats(spark, dir,
       dirStats.getLong(0) + shardStats.getLong(0),
       dirStats.getLong(1) + shardStats.getLong(1))
@@ -1436,8 +1710,9 @@ object KeywordIndex {
     val tenantRows =
       if (!hasTenants(spark, dir)) Nil
       else {
-        val tLive = StoredIndex.filterTombstones(deletes,
-          spark.read.parquet(s"$dir/tenants"), "id")
+        val tLive = filterTenantDels(spark, dir,
+          StoredIndex.filterTombstones(deletes,
+            spark.read.parquet(s"$dir/tenants"), "id"))
         val tg = spark.read.parquet(s"$dir/tstats")
         Seq(
           metricRow("n_tenants", tg, count(lit(1L))),

@@ -218,7 +218,16 @@ object Sketches {
     * upstream. Ties: hash collisions of distinct keys order by
     * (hf, key), so the emitted state is deterministic under any
     * partitioning. Storage/crash posture is the KMV gauge's
-    * verbatim ([[kmvWrite]]'s rename swap + [[kmvHeal]]). */
+    * verbatim ([[kmvWrite]]'s rename swap + [[kmvHeal]]).
+    *
+    * The state CARRIES ITS CAP: a `__k` column records the k the
+    * prefix was truncated at, because the bottom-k union identity
+    * only holds for folds/merges at a k NO LARGER than every
+    * constituent's cap — a gauge seeded at k = 64 and folded at
+    * k = 256 would silently emit a state that is NOT the bottom-256
+    * of the union (the seed's discarded tail is unrecoverable).
+    * [[sampleMergedState]] enforces it loudly; [[sampleReport]]
+    * drops the column, so served samples are payload + `hf` only. */
   def sampleState(df: DataFrame, keyCol: String, k: Int = 256,
                   checkKeys: Boolean = true): DataFrame = {
     require(k >= 1, s"sampleState needs k >= 1, got $k")
@@ -235,6 +244,7 @@ object Sketches {
         xxhash64(col(keyCol)).bitwiseXOR(lit(Long.MinValue)))
       .orderBy(col("hf"), col(keyCol))
       .limit(k)
+      .withColumn("__k", lit(k))
   }
 
   /** Persist a sample state — [[kmvWrite]]'s crash-safe rename swap,
@@ -258,12 +268,29 @@ object Sketches {
   }
 
   /** Merge independently-built sample states (shard gauges) into
-    * one — union, full-row de-duplicate, re-take the bottom k. */
+    * one — union, full-row de-duplicate, re-take the bottom k.
+    * Fails LOUDLY when `k` exceeds any constituent state's stored
+    * cap (`__k`): a state truncated at a smaller k has discarded its
+    * tail irrecoverably, so the merged frame would not be the
+    * bottom-k of the union — the family's loud-failure posture,
+    * never a silently-biased sample. (The cap read is one O(batch)
+    * aggregate over the ≤ cap-sized states — control-plane priced,
+    * same order as the merge itself.) A smaller k is always exact
+    * (it shrinks every prefix consistently). */
   def sampleMergedState(states: Seq[DataFrame], keyCol: String,
                         k: Int): DataFrame = {
     require(states.nonEmpty, "sampleMergedState: no states")
-    states.reduce(_ unionByName _).distinct()
+    val all = states.reduce(_ unionByName _)
+    val minK = all.agg(min(col("__k"))).head
+    if (!minK.isNullAt(0))
+      require(k <= minK.getInt(0),
+        s"sampleMergedState: k = $k exceeds a constituent gauge's " +
+          s"cap (${minK.getInt(0)}) — that state's discarded tail is " +
+          "unrecoverable, so the merged state would NOT be the " +
+          s"bottom-$k of the union; re-seed at the larger k instead")
+    all.drop("__k").distinct()
       .orderBy(col("hf"), col(keyCol)).limit(k)
+      .withColumn("__k", lit(k))
   }
 
   /** Purge retracted keys from a stored sample gauge — the
@@ -292,7 +319,8 @@ object Sketches {
                    dir: String, keyCol: String): DataFrame = {
     require(kmvHeal(spark, dir),
       s"sampleReport: no stored gauge at $dir")
-    spark.read.parquet(dir).orderBy(col("hf"), col(keyCol))
+    spark.read.parquet(dir).drop("__k")
+      .orderBy(col("hf"), col(keyCol))
   }
 
   // ------------------------------ stored exact histogram gauge
@@ -321,7 +349,8 @@ object Sketches {
     * the additive algebra does NOT give for free (adding twice
     * double-counts — unlike the set-semantics gauges), so an
     * at-least-once ingest must gate re-delivered rows BEFORE the
-    * fold, exactly as [[graft.streaming.StreamingDedupIngest]]'s
+    * fold (re-delivered BATCHES are gated by the watermarked form,
+    * [[histFoldMarked]]), exactly as [[graft.streaming.StreamingDedupIngest]]'s
     * bloom gate already does for its index append. Storage/crash
     * posture is the family's rename swap verbatim. */
   def histState(df: DataFrame, value: Column,
@@ -377,12 +406,107 @@ object Sketches {
     histWrite(folded.filter(col("n") > 0), dir)
   }
 
-  /** The stored histogram, bin-ordered — O(bins) rows read. */
+  /** The stored histogram, bin-ordered — O(bins) rows read. The
+    * watermark column of a marked gauge (see [[histFoldMarked]]) is
+    * state-internal and dropped; plain gauges are unaffected. */
   def histReport(spark: org.apache.spark.sql.SparkSession,
                  dir: String): DataFrame = {
     require(kmvHeal(spark, dir),
       s"histReport: no stored gauge at $dir")
-    spark.read.parquet(dir).orderBy("bin")
+    spark.read.parquet(dir).drop("__mark").orderBy("bin")
+  }
+
+  // ------------------ watermarked histogram gauge (streaming form)
+
+  /** The additive histogram's at-least-once ingest posture: the one
+    * property the (bin, n) group algebra does NOT give for free is
+    * replay idempotence — re-folding a re-delivered batch
+    * double-counts, where the set-semantics gauges (KMV, sample)
+    * absorb it. A streaming ingest therefore folds through THIS
+    * form, which carries a batch-id WATERMARK inside the gauge
+    * itself (a constant `__mark` column on the O(bins) rows — the
+    * one-atomic-swap trick: fold and watermark commit together
+    * through [[kmvWrite]]'s rename, so no crash point can admit a
+    * fold without its mark or vice versa). [[histFoldMarked]] skips
+    * any batch at-or-below the stored mark — exactly the replayed
+    * prefix a restarted micro-batch stream re-delivers — making the
+    * fold idempotent under at-least-once delivery with NO
+    * population-sized state ([[graft.streaming.StreamingDedupIngest]]
+    * wires it per accepted batch; the bloom/ledger gate ahead of it
+    * keeps re-delivered ROWS out, this keeps re-delivered BATCHES
+    * out across the store-written-but-index-uncommitted crash
+    * window). */
+  def histWriteMarked(state: DataFrame, dir: String,
+                      mark: Long): Unit =
+    histWrite(state.withColumn("__mark", lit(mark)), dir)
+
+  /** The stored watermark of a marked gauge — the highest batch id
+    * whose fold has committed. */
+  def histMark(spark: org.apache.spark.sql.SparkSession,
+               dir: String): Long = {
+    require(kmvHeal(spark, dir), s"histMark: no stored gauge at $dir")
+    spark.read.parquet(dir).agg(max(col("__mark"))).head.getLong(0)
+  }
+
+  /** Fold a batch into a marked gauge UNLESS its mark is at or below
+    * the stored watermark (a replay — skipped, bit-identical state).
+    * Returns whether the fold ran. O(bins + batch) when it does. */
+  def histFoldMarked(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, batch: DataFrame, value: Column,
+                     mark: Long, binWidth: Long = 1L): Boolean = {
+    require(kmvHeal(spark, dir),
+      s"histFoldMarked: no stored gauge at $dir — seed it with " +
+        "histWriteMarked first")
+    val stored = spark.read.parquet(dir)
+    val at = stored.agg(max(col("__mark"))).head.getLong(0)
+    if (mark <= at) return false
+    histWriteMarked(histMergedState(Seq(stored.drop("__mark"),
+        histState(batch, value, binWidth))).localCheckpoint(),
+      dir, mark)
+    true
+  }
+
+  /** Fold rows into a marked gauge WITHOUT advancing the watermark —
+    * the CORRECTION path (a readmit returns quarantined rows into
+    * batches already at-or-below the mark, so the batch gate cannot
+    * key it). NOT replay-gated here: the caller must key the rows on
+    * its own not-yet-applied set (e.g. the bloom-gated not-yet-
+    * indexed split) and document its crash window. */
+  def histAddMarked(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, rows: DataFrame, value: Column,
+                    binWidth: Long = 1L): Unit = {
+    require(kmvHeal(spark, dir),
+      s"histAddMarked: no stored gauge at $dir")
+    val stored = spark.read.parquet(dir)
+    val at = stored.agg(max(col("__mark"))).head.getLong(0)
+    histWriteMarked(histMergedState(Seq(stored.drop("__mark"),
+        histState(rows, value, binWidth))).localCheckpoint(),
+      dir, at)
+  }
+
+  /** [[histRemove]] on a marked gauge — the EXACT subtraction with
+    * the negative-bin loud guard, watermark preserved (a takedown is
+    * not a batch; the replay gate is untouched). Idempotence comes
+    * from the CALLER's store: a re-run subtracts the rows it can
+    * still read, and a purged store yields an empty frame — a
+    * vacuous, safe no-op (the [[graft.streaming.Takedown]] retract
+    * ordering). */
+  def histRemoveMarked(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, removed: DataFrame, value: Column,
+                       binWidth: Long = 1L): Unit = {
+    require(kmvHeal(spark, dir),
+      s"histRemoveMarked: no stored gauge at $dir")
+    val stored = spark.read.parquet(dir)
+    val at = stored.agg(max(col("__mark"))).head.getLong(0)
+    val gone = histState(removed, value, binWidth)
+      .select(col("bin"), (-col("n")).as("n"))
+    val folded = histMergedState(Seq(stored.drop("__mark"), gone))
+      .localCheckpoint()
+    require(folded.filter(col("n") < 0).limit(1).count() == 0L,
+      "histRemoveMarked: subtraction drives bin(s) negative — the " +
+        "removed rows were never folded into this gauge (value/" +
+        "binWidth mismatch or a double removal)")
+    histWriteMarked(folded.filter(col("n") > 0), dir, at)
   }
 
   /** EXACT discrete quantiles from the stored gauge — for each q,
@@ -399,7 +523,7 @@ object Sketches {
     require(kmvHeal(spark, dir),
       s"histQuantile: no stored gauge at $dir")
     import org.apache.spark.sql.expressions.Window
-    val h = spark.read.parquet(dir)
+    val h = spark.read.parquet(dir).drop("__mark")
     // bins are config-bounded (the family scaladoc), so the single-
     // partition cumulative window is bounded work by construction
     val cum = h.withColumn("cum",

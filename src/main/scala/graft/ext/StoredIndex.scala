@@ -506,6 +506,31 @@ object StoredIndex {
     accreted
   }
 
+  /** Replace asset dir `$dir/$asset` with `df`'s rows through a
+    * stage-then-rename window ([[compactAsset]]'s swap shape on a
+    * caller-provided frame): the rewrite lands WHOLE in
+    * `${asset}_stage`, the live asset is deleted, the stage renames
+    * in. A crash mid-stage leaves the live asset untouched and
+    * serving; a crash between the delete and the rename leaves the
+    * asset ABSENT — a fail-closed, loud next read — never the torn
+    * plain-`overwrite` state (completed part files, no `_SUCCESS`)
+    * that READS as a silently partial asset. The writer for any
+    * control-plane asset whose partial content would change
+    * SEMANTICS rather than fail validation (tenant overlays, overlay
+    * tombstones — a half-written assignment set silently shrinks a
+    * tenant's serve slice). */
+  def stageSwapAsset(spark: SparkSession, dir: String, asset: String,
+                     df: DataFrame): Unit = {
+    val fs = fsOf(spark, dir)
+    val stage = new Path(s"$dir/${asset}_stage")
+    fs.delete(stage, true)
+    df.write.mode("overwrite").parquet(stage.toString)
+    val live = new Path(s"$dir/$asset")
+    fs.delete(live, true)
+    require(fs.rename(stage, live),
+      s"stageSwapAsset: rename $stage -> $live failed")
+  }
+
   /** `liveIdsOf`, when set, maps the STAGED compacted asset to its
     * live id column ("id") and the id bloom is re-derived from it
     * inside the same commit window — the free refresh a compaction

@@ -246,6 +246,18 @@ object ExtQueries {
           WITH ${sqlKwBm25Ctes("TRUE", terms)}
           SELECT doc_id, score FROM scored WHERE score >= $bar)"""
 
+  /** One qid's SCOPED threshold page: k23's oracle shape (the CTE
+    * chain reduced over `livePred`'s corpus, threshold-filtered, no
+    * rank anywhere), qid-tagged — the k25 batched-tenant range
+    * oracle is a UNION ALL of these, each equal to
+    * probeRangeTenant's page. */
+  private def sqlKwScopedRangePage(qid: Long, terms: Seq[String],
+                                   bar: Double,
+                                   livePred: String): String =
+    s"""SELECT $qid AS qid, doc_id, score FROM (
+          WITH ${sqlKwBm25Ctes(livePred, terms)}
+          SELECT doc_id, score FROM scored WHERE score >= $bar)"""
+
   // k13's query batch: KwTerms (shared with k1 — the two rows must
   // agree on qid 0's candidates), t7's Bm25Terms (different df
   // spread), and a two-term query with one absent term ("index" has
@@ -3180,12 +3192,65 @@ object ExtQueries {
             ingest.corpus().unionByName(
               docs.filter(col("doc_id").isin(3L, 9L))), "doc_id")
           .filter(!col("doc_id").isin(3L, 9L))
+          .drop("__k") // the cap column is state-internal; the
+                       // served report never carries it
         got.exceptAll(expect).unionByName(expect.exceptAll(got))
           .orderBy("doc_id")
       },
       Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
                      CAST(NULL AS VARCHAR) AS text,
                      CAST(NULL AS BIGINT) AS hf
+              WHERE FALSE""")),
+
+    // st26: the EXACT doc-length HISTOGRAM gauge riding the dedup
+    // ingest — the datacard trio's third member wired into the
+    // stream (st24 KMV, st25 sample, now a27's additive hist):
+    // accepted lengths folded per batch under the gauge-internal
+    // batch WATERMARK (fold + mark commit in ONE atomic swap, so the
+    // at-least-once replay window the additive algebra cannot absorb
+    // re-folds NOTHING), and — the capability no sketch has — the
+    // joint takedown SUBTRACTS the retracted rows' bins exactly
+    // (histRemoveMarked: snapshot before the purge, subtract after;
+    // a re-run reads the purged store and subtracts nothing). Pin:
+    // the stored gauge after seed + drop + replay + retract ≡ the
+    // one-shot histogram over the surviving live corpus, derived
+    // in-query (the gate decides what was accepted; the gauge
+    // follows) — the whole fold/replay/subtract lifecycle must be
+    // invisible. Empty symmetric difference, hash-exact WHERE FALSE.
+    // (p50/p95 SERVING from this stored gauge is pinned by st16's
+    // health twin — doclen_p50/doclen_p95 rows.)
+    Q("st26_ingest_hist_gauge",
+      (s, dir) => {
+        import graft.ext.Sketches
+        import graft.streaming.StreamingDedupIngest
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_st26_").toString
+        val seedDocs = docs.filter(col("doc_id") < 300)
+        val ingest = new StreamingDedupIngest(s, s"$root/ix",
+          s"$root/corpus", s"$root/quar")
+        ingest.seed(seedDocs)
+        val newDocs = docs
+          .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+        StreamingDedupIngest.stage(newDocs, s"$root/staging", "d1")
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+        // replay through a fresh checkpoint: the watermark gate must
+        // absorb the re-delivered batch (addition would double-count)
+        ingest.ingestAvailable(s"$root/staging", s"$root/ckpt2")
+        // takedown of two seeded (definitely-accepted) docs: the
+        // store purges AND the gauge subtracts their bins, one call
+        ingest.retract(s.createDataFrame(Seq(
+          Tuple1(3L), Tuple1(9L))).toDF("doc_id"))
+        val got = ingest.doclenHist()
+        // one-shot truth over the surviving live corpus (default
+        // binWidth 16 — the ingest's)
+        val expect = Sketches.histState(ingest.corpus(),
+          length(col("text")).cast("long"), 16L)
+        got.exceptAll(expect).unionByName(expect.exceptAll(got))
+          .orderBy("bin")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS bin,
+                     CAST(NULL AS BIGINT) AS n
               WHERE FALSE""")),
 
     // st13: the REPRODUCIBILITY contract of the streamed corpus
@@ -3353,11 +3418,24 @@ object ExtQueries {
         ingest.retract(s.range(2)
           .select((col("id") + 20000L).as("doc_id")))
         val got = ingest.health()
+        // the doc-length histogram gauge rows: live accepted = the
+        // seed alone, so the expected p50/p95 are the one-shot
+        // quantiles over the seed's binned lengths (the a27
+        // identity: folded ≡ one-shot, bit-exact)
+        val twinHist = s"$root/hist_twin"
+        graft.ext.Sketches.histWrite(graft.ext.Sketches.histState(
+          seedDocs, length(col("text")).cast("long"), 16L), twinHist)
+        val lenQ = graft.ext.Sketches
+          .histQuantile(s, twinHist, Seq(0.5, 0.95)).localCheckpoint()
         // the KMV gauge row is in-query derivable too: ever-accepted
         // = the seed alone (the drop fully quarantined; the two
         // retractions hit quarantined ids), and the sketch is
         // deterministic, so the stored fold must equal the one-shot
         val expect = graft.ext.DedupIndex.healthFromCorpus(seedDocs)
+          .unionByName(metricRow("doclen_p50",
+            lenQ.filter(col("q") === 0.5), max(col("value"))))
+          .unionByName(metricRow("doclen_p95",
+            lenQ.filter(col("q") === 0.95), max(col("value"))))
           .unionByName(metricRow("accepted_ids_kmv_est",
             graft.ext.Sketches.kmvDistinct(seedDocs, col("doc_id")),
             sum(col("n_distinct_est"))))
@@ -4291,6 +4369,88 @@ object ExtQueries {
                       "iasg.nid % 5 <> 4 AND (" +
                         "(ipr.qid = 7 AND iasg.nid % 3 = 1) OR " +
                         "(ipr.qid = 11 AND iasg.nid % 3 = 2))")}
+               SELECT qid, rank, nid, score
+               FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // x23: tenant THRESHOLD dense serve — probeRange's semantics
+    // composed with x21's stored-overlay grant path, closing the
+    // dense threshold × tenant cell (k23's shape on this family):
+    // every vector of THIS tenant's live slice, within the probed
+    // buckets, whose ADC score clears the bar — join→score→filter,
+    // NO rank window, grant pre-filtering the candidates (id-IN
+    // literals under the cap) BEFORE the LUT join. Same lifecycle
+    // arrangement as x21 (register %3, retract every 5th), oracle =
+    // the x8 score chain with the tenant∩live membership predicate,
+    // threshold-filtered pre-rank.
+    Q("x23_ann_tenant_range",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val ix = graft.ext.AnnIndex.dirFor(dir) + "_tnr"
+        graft.ext.AnnIndex.build(embs, ix)
+        graft.ext.AnnIndex.registerTenants(s, ix,
+          embs.select(col("vec_id"),
+            concat(lit("t"), (col("vec_id") % 3).cast("string")).as("tenant")))
+        graft.ext.AnnIndex.remove(
+          embs.filter(col("vec_id") % 5 === 4), ix)
+        graft.ext.AnnIndex.probeRangeTenant(s, ix,
+          embs.filter(col("vec_id") < 20), threshold = 0.3,
+          tenant = "t0")
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere(
+                      "iasg.nid % 5 <> 4 AND iasg.nid % 3 = 0")}
+               SELECT qid, nid, score
+               FROM x8score WHERE score >= 0.3 ORDER BY qid, nid""")),
+
+    // x24: O(batch) tenant RE-ASSIGNMENT on the dense family — the
+    // ACL move that previously required a full re-registration pass:
+    // reassignTenants tombstones the old (id, tenant) pairs in the
+    // overlay's OWN tombstone list (tdels/ — the index tombstones
+    // cannot carry it, the vectors stay live) and appends/resurrects
+    // the new pairs; unassignTenants ends membership the same way;
+    // assignTenants re-adding a previously-held pair RESURRECTS its
+    // stale physical row instead of duplicating it. The row runs the
+    // full mutation algebra — move (%12=0: t0→t1, kept), bounce
+    // (%12=3: t0→t1→t0, resurrection), drop (%12=6: unassigned),
+    // rejoin (%12=9: unassigned then re-assigned to t0, the assign-
+    // side resurrection) — then COMPACTS (tdels materialized into
+    // the clustered overlay) and serves both affected tenants
+    // batched. Oracle: the x8 chain under the post-move membership
+    // rule per qid — the whole mutation chain must be invisible
+    // relative to a fresh registration of the final ACL state.
+    Q("x24_ann_tenant_reassign",
+      (s, dir) => {
+        import graft.ext.AnnIndex
+        val embs = t(s, dir, "embeddings")
+        val ix = AnnIndex.dirFor(dir) + "_rs"
+        def ten(df: org.apache.spark.sql.DataFrame, tn: String) =
+          df.select(col("vec_id"), lit(tn).as("tenant"))
+        AnnIndex.build(embs, ix)
+        AnnIndex.registerTenants(s, ix,
+          embs.select(col("vec_id"),
+            concat(lit("t"), (col("vec_id") % 3).cast("string")).as("tenant")))
+        val move = embs.filter(col("vec_id") % 12 === 0)
+        val bounce = embs.filter(col("vec_id") % 12 === 3)
+        val drop = embs.filter(col("vec_id") % 12 === 6)
+        val rejoin = embs.filter(col("vec_id") % 12 === 9)
+        AnnIndex.reassignTenants(s, ix,
+          ten(move.unionByName(bounce), "t1"))
+        AnnIndex.reassignTenants(s, ix, ten(bounce, "t0"))
+        AnnIndex.unassignTenants(s, ix,
+          drop.unionByName(rejoin).select("vec_id"))
+        AnnIndex.assignTenants(s, ix, ten(rejoin, "t0"))
+        AnnIndex.compact(s, ix)
+        AnnIndex.probeManyTenant(s, ix,
+          embs.filter(col("vec_id").isin(7L, 11L)),
+          Seq((7L, "t0"), (11L, "t1")), k = 5)
+      },
+      Some(s"""WITH $SqlIvfCtes, $SqlPqCtes,
+                    ${sqlIvfPqRankCtesWhere(
+                      "(ipr.qid = 7 AND iasg.nid % 3 = 0" +
+                        " AND NOT iasg.nid % 12 = 0" +
+                        " AND NOT iasg.nid % 12 = 6) OR " +
+                        "(ipr.qid = 11 AND (iasg.nid % 3 = 1" +
+                        " OR iasg.nid % 12 = 0))")}
                SELECT qid, rank, nid, score
                FROM x8r WHERE rank <= 5 ORDER BY qid, rank""")),
 
@@ -5514,6 +5674,89 @@ object ExtQueries {
       Some(s"""WITH ${sqlKwBm25Ctes("doc_id % 3 = 0", KwTerms)}
                SELECT doc_id, score FROM scored
                WHERE score >= 0.3 ORDER BY doc_id""")),
+
+    // k24: O(batch) tenant RE-ASSIGNMENT — the single most common
+    // ACL operation (move a doc between tenants), previously a full
+    // registerTenants live-keys pass with a serving gap: now ONE
+    // gauge fold (subtract from the old tenant's (n_docs, sum_dl)
+    // row, add to the new one's) plus an overlay tombstone (tdels/ —
+    // the index tombstones cannot carry it, the docs stay LIVE), all
+    // inside assignTenants' delete-first/write-last crash window.
+    // The row runs the whole mutation algebra on a dedicated index:
+    // move (%10=0: "0"→"1", kept), bounce (%10=2: "0"→"1"→"0" — the
+    // reassign-side RESURRECTION of a tombstoned pair), drop (%10=5:
+    // unassigned), rejoin (%10=7: unassigned then re-assigned — the
+    // assign-side resurrection), then COMPACT (tdels materialized
+    // into the clustered overlay, spent list dropped) and a batched
+    // serve of BOTH affected tenants. Oracle: per-qid SCOPED pages
+    // under the final membership rule — the mutation chain must be
+    // invisible relative to a fresh registration of the final ACL
+    // state, gauges included (a mis-folded (n_docs, sum_dl) moves
+    // every BM25 score).
+    Q("k24_keyword_tenant_reassign",
+      (s, dir) => {
+        import graft.ext.KeywordIndex
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+        val ix = KeywordIndex.dirFor(dir) + "_rs"
+        def ten(df: org.apache.spark.sql.DataFrame, tn: String) =
+          df.select(col("doc_id"), lit(tn).as("tenant"))
+        KeywordIndex.build(docs, ix)
+        KeywordIndex.registerTenants(s, ix,
+          docs.select(col("doc_id"),
+            (col("doc_id") % 2).cast("string").as("tenant")))
+        val move = docs.filter(col("doc_id") % 10 === 0)
+        val bounce = docs.filter(col("doc_id") % 10 === 2)
+        val drop = docs.filter(col("doc_id") % 10 === 5)
+        val rejoin = docs.filter(col("doc_id") % 10 === 7)
+        KeywordIndex.reassignTenants(s, ix,
+          ten(move.unionByName(bounce), "1"))
+        KeywordIndex.reassignTenants(s, ix, ten(bounce, "0"))
+        KeywordIndex.unassignTenants(s, ix,
+          drop.unionByName(rejoin).select("doc_id"))
+        KeywordIndex.assignTenants(s, ix, ten(rejoin, "1"))
+        KeywordIndex.compact(s, ix)
+        KeywordIndex.probeManyTenant(s, ix,
+          Seq((0L, KwTerms, "0"), (1L, KwTerms, "1")), topN = 10)
+      },
+      Some(Seq(
+          sqlKwBm25ScopedCandPage(0L, KwTerms, 10,
+            "doc_id < 400 AND doc_id % 2 = 0 AND NOT doc_id % 10 = 0"),
+          sqlKwBm25ScopedCandPage(1L, KwTerms, 10,
+            "doc_id < 400 AND ((doc_id % 2 = 1" +
+              " AND NOT doc_id % 10 = 5) OR doc_id % 10 = 0)"))
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY qid, rank"))),
+
+    // k25: BATCHED tenant THRESHOLD serve — the last batch × tenant
+    // × threshold cell of the serve matrix: probeManyRangeTenant
+    // runs k18's no-window batch shape under k20's per-qid SCOPED
+    // statistics (each qid's (n_docs, sum_dl) from its tenant's ONE
+    // gauge row, dfs over the tenant-restricted slice), one composed
+    // plan with one postings scan over the union term set and the
+    // combined grant riding it — each qid's page ≡
+    // probeRangeTenant(terms_q, bar, tenant_q) by construction.
+    // Shares k15's %3 overlay on the shared index (re-registration
+    // idempotent). Oracle: UNION ALL of per-qid scoped threshold
+    // pages (k23's chain, qid-tagged).
+    Q("k25_keyword_multi_tenant_range",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = graft.ext.KeywordIndex.dirFor(dir)
+        graft.ext.KeywordIndex.ensure(docs, ix)
+        graft.ext.KeywordIndex.registerTenants(s, ix,
+          docs.select(col("doc_id"),
+            (col("doc_id") % 3).cast("string").as("tenant")))
+        graft.ext.KeywordIndex.probeManyRangeTenant(s, ix,
+          KwMulti.zip(Seq("0", "1", "2")).map { case ((q, ts), tn) =>
+            (q, ts, tn) },
+          minScore = 0.3)
+      },
+      Some(KwMulti.zip(Seq("doc_id % 3 = 0", "doc_id % 3 = 1",
+          "doc_id % 3 = 2"))
+        .map { case ((q, ts), pred) =>
+          sqlKwScopedRangePage(q, ts, 0.3, pred) }
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY qid, doc_id"))),
 
     // k21: BATCHED hybrid serve — the last hybrid-matrix cell
     // (single k7b, filtered k14, tenant k19, now BATCH): N (terms,

@@ -443,6 +443,15 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
                             qidCol: String = "qid",
                             vecCol: String = "embedding"): DataFrame = {
     requireKeywordServing("probeHybridManyTenant")
+    // distinct BEFORE set-equality: a duplicate qid in `tenants`
+    // would pass a toSet compare and expand BOTH tenants' id sets as
+    // that qid's grant — the fused page could surface another
+    // tenant's documents on a malformed call (the single-family
+    // batched serves already require distinct qids; so must the
+    // coordinator entry point)
+    require(tenants.map(_._1).distinct.size == tenants.size,
+      "probeHybridManyTenant: tenant qids must be distinct — a " +
+        "duplicate qid would serve the union of its tenants' grants")
     require(queries.map(_._1).toSet == tenants.map(_._1).toSet,
       "probeHybridManyTenant: queries and tenants must name the " +
         "same qids")

@@ -81,7 +81,8 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
                                  threshold: Double = 0.4,
                                  compactAfterFiles: Int = 64,
                                  admit: Option[org.apache.spark.sql.Column] =
-                                   None) {
+                                   None,
+                                 histBinWidth: Long = 16L) {
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -166,6 +167,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     writePartition(fresh, corpusDir, -1L)
     foldAcceptedKmv(fresh)
     foldAcceptedSample(fresh)
+    foldAcceptedHist(fresh, -1L)
     DedupIndex.build(corpus(), indexDir)
   }
 
@@ -277,6 +279,78 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     graft.ext.Sketches.sampleReport(spark, sampleDir, "doc_id")
   }
 
+  /** Durable doc-length histogram beside the corpus store — the
+    * EXACT member of the datacard gauge trio ([[graft.ext.Sketches]]'
+    * additive (bin, n) state, a27's lifecycle wired into the
+    * ingest beside the KMV and sample folds): accepted documents'
+    * char lengths, binned at `histBinWidth`, folded per accepted
+    * batch, so [[health]] serves p50/p95 length (and any drift
+    * monitor the stored bins) from O(bins) rows with the corpus
+    * never re-scanned. Semantics: the LIVE accepted corpus — unlike
+    * the insert-only KMV, a takedown SUBTRACTS the retracted rows'
+    * mass exactly ([[graft.ext.Sketches.histRemoveMarked]], the
+    * additive inverse no sketch has).
+    *
+    * Replay posture — the one property addition does not give for
+    * free: the fold is gated by a batch-id WATERMARK carried inside
+    * the gauge's atomic swap ([[graft.ext.Sketches.histFoldMarked]]),
+    * so the store-written-but-index-uncommitted crash window, whose
+    * replayed batch re-passes the bloom gate, re-folds NOTHING
+    * (mark already at the batch). [[readmit]]'s correction fold is
+    * keyed on its bloom-gated not-yet-indexed split instead (no
+    * batch to gate on) — its one crash window (fold landed, index
+    * append didn't) can double-count readmitted rows and is healed
+    * by [[reseedHist]], the documented remedy. */
+  private val histDir = corpusDir + "_hist"
+
+  private def histValue = length(col("text")).cast("long")
+
+  private def foldAcceptedHist(rows: DataFrame, batchId: Long): Unit =
+    if (graft.ext.Sketches.kmvHeal(spark, histDir))
+      graft.ext.Sketches.histFoldMarked(spark, histDir, rows,
+        histValue, batchId, histBinWidth)
+    else bootstrapHist()
+
+  /** Seed the gauge from the live corpus — the pre-gauge-store
+    * bootstrap ([[bootstrapKmv]]'s posture) and the [[reseedHist]]
+    * heal: one corpus pass, watermarked at the ledger's max landed
+    * batch (the corpus already holds anything the caller just
+    * wrote, so the seed covers it). */
+  private def bootstrapHist(): Unit = {
+    val mark = batchLedger()
+      .agg(coalesce(max(col("batch")), lit(-1L))).head.getLong(0)
+    graft.ext.Sketches.histWriteMarked(
+      graft.ext.Sketches.histState(corpus(), histValue, histBinWidth),
+      histDir, mark)
+  }
+
+  /** Re-derive the histogram gauge from the live corpus — O(corpus),
+    * control-plane: the documented heal for [[readmit]]'s fold
+    * window (and for any suspected drift — the reseeded gauge IS
+    * the one-shot truth). */
+  def reseedHist(): Unit = {
+    require(new org.apache.hadoop.fs.Path(corpusDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(corpusDir)),
+      s"reseedHist: no corpus store at $corpusDir")
+    bootstrapHist()
+  }
+
+  /** The stored doc-length histogram, bin-ordered — O(bins) rows
+    * read. Bootstraps a pre-gauge store on first read. */
+  def doclenHist(): DataFrame = {
+    if (!graft.ext.Sketches.kmvHeal(spark, histDir)) reseedHist()
+    graft.ext.Sketches.histReport(spark, histDir)
+  }
+
+  /** EXACT discrete doc-length quantiles from the stored gauge
+    * ([[graft.ext.Sketches.histQuantile]]) — O(bins), the corpus
+    * never re-scanned. */
+  def doclenQuantiles(qs: Seq[Double]): DataFrame = {
+    if (!graft.ext.Sketches.kmvHeal(spark, histDir)) reseedHist()
+    graft.ext.Sketches.histQuantile(spark, histDir, qs)
+  }
+
   // id-sorted within each part file so parquet row-group id stats
   // are tight — what makes a takedown's pushed IN predicate skip
   // unaffected row groups on footers alone (Takedown.idLiterals)
@@ -301,6 +375,24 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     * a ledger-only retraction. */
   def retract(ids: DataFrame): Unit = {
     import graft.ext.DedupIndex
+    // snapshot the retracted rows' length mass BEFORE the purge
+    // (the corpus store is the only source of their text — the hist
+    // gauge tracks the LIVE accepted corpus, so the takedown must
+    // subtract it exactly). A RE-RUN reads an already-purged store,
+    // snapshots nothing, and subtracts nothing — idempotent; the
+    // crash window between the purge and the subtract below leaves
+    // the gauge over-counting, healed by reseedHist.
+    val wantIds = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+    val histGone =
+      if (graft.ext.Sketches.kmvHeal(spark, histDir) &&
+          corpusPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).exists(corpusPath))
+        Some(corpus()
+          .join(broadcast(wantIds), Seq("doc_id"), "left_semi")
+          .localCheckpoint())
+      else None
     Takedown.retract(spark, ids, "doc_id", Seq("text"),
       ledgerDir = retractedDir,
       primaryStore = corpusDir, extraStores = Seq(quarantineDir),
@@ -315,6 +407,9 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     if (graft.ext.Sketches.kmvHeal(spark, sampleDir))
       graft.ext.Sketches.sampleRemove(spark, sampleDir,
         ids.select(col("doc_id").cast("long").as("doc_id")), "doc_id")
+    histGone.filter(!_.isEmpty).foreach(rows =>
+      graft.ext.Sketches.histRemoveMarked(spark, histDir, rows,
+        histValue, histBinWidth))
   }
 
   /** Predicate takedown: resolve `cond` against the durable stores
@@ -414,8 +509,17 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
       spark.read.parquet(s"$indexDir/buckets")
         .select(explode(col("ids")).as("doc_id")).distinct())
       .localCheckpoint()
-    if (!newOnly.isEmpty)
+    if (!newOnly.isEmpty) {
+      // hist correction fold, keyed on the SAME not-yet-indexed
+      // split (readmits land in batches already at-or-below the
+      // watermark, so the batch gate cannot key it): a crash between
+      // this fold and the append double-counts on the re-run — the
+      // one documented window, healed by reseedHist
+      if (graft.ext.Sketches.kmvHeal(spark, histDir))
+        graft.ext.Sketches.histAddMarked(spark, histDir,
+          newOnly, histValue, histBinWidth)
       DedupIndex.append(newOnly, indexDir, checkIds = false)
+    }
     // 3. quarantine purge LAST: until here a crash leaves the doc
     // quarantined (and possibly also accepted) — re-run converges
     purgeStore(quarantineDir, want)
@@ -450,10 +554,20 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     // doesn't subtract — sketches are insert-only; live mass is
     // store_corpus_rows). Pre-gauge stores bootstrap on first read.
     if (!graft.ext.Sketches.kmvHeal(spark, kmvDir)) bootstrapKmv()
+    // live doc-length p50/p95 from the stored histogram gauge — the
+    // drift numbers a datacard watches, O(bins) rows read (see
+    // histDir; pre-gauge stores bootstrap on first read)
+    val lenQ = doclenQuantiles(Seq(0.5, 0.95)).localCheckpoint()
     DedupIndex.health(spark, indexDir)
       .unionByName(StoredIndex.metricRow("accepted_ids_kmv_est",
         graft.ext.Sketches.kmvReport(spark, kmvDir),
         sum(col("n_distinct_est"))))
+      .unionByName(StoredIndex.metricRow("doclen_p50",
+        lenQ.filter(col("q") === 0.5),
+        max(col("value")).cast("double")))
+      .unionByName(StoredIndex.metricRow("doclen_p95",
+        lenQ.filter(col("q") === 0.95),
+        max(col("value")).cast("double")))
       // the LIVE document-sample size (≤ k; under-full after
       // takedowns purge sampled rows — the honest prefix, see
       // Sketches.sampleRemove) — ≤ k stored rows read
@@ -535,6 +649,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
           writePartition(admitted, corpusDir, batchId)
           foldAcceptedKmv(admitted)
           foldAcceptedSample(admitted)
+          foldAcceptedHist(admitted, batchId)
           DedupIndex.build(corpus(), indexDir)
         }
       }
@@ -594,6 +709,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         writePartition(clean, corpusDir, batchId)
         foldAcceptedKmv(clean)
         foldAcceptedSample(clean)
+        foldAcceptedHist(clean, batchId)
         DedupIndex.append(clean, indexDir, checkIds = false)
         // self-maintenance: a long append chain accretes shard
         // files; compact once the count crosses the dial. A crash

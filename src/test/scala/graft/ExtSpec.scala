@@ -412,6 +412,84 @@ class ExtSpec extends SparkTestBase {
     assert(ex.getMessage.contains("registerTenants first"))
   }
 
+  test("AnnIndex unassign/reassign: O(batch) ACL moves via overlay " +
+      "tombstones — move, bounce-resurrect, drop, rejoin, compact; " +
+      "range × tenant serve; guards refuse loudly") {
+    import graft.ext.AnnIndex
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("x24ix").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    AnnIndex.registerTenants(spark, dir,
+      embs.select($"vec_id",
+        concat(lit("t"), ($"vec_id" % 3).cast("string")).as("tenant")))
+    val q = embs.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nid", "score").collect().toSet
+    def ten(pred: org.apache.spark.sql.Column, tn: String) =
+      embs.filter(pred).select($"vec_id", lit(tn).as("tenant"))
+    // move %12=0 t0→t1 (kept), bounce %12=3 t0→t1→t0 (the reassign-
+    // side resurrection), drop %12=6 (unassigned), rejoin %12=9
+    // (unassigned, then re-assigned t0 — the assign-side resurrect)
+    AnnIndex.reassignTenants(spark, dir,
+      ten($"vec_id" % 12 === 0 || $"vec_id" % 12 === 3, "t1"))
+    AnnIndex.reassignTenants(spark, dir, ten($"vec_id" % 12 === 3, "t0"))
+    AnnIndex.unassignTenants(spark, dir,
+      embs.filter($"vec_id" % 12 === 6 || $"vec_id" % 12 === 9)
+        .select("vec_id"))
+    AnnIndex.assignTenants(spark, dir, ten($"vec_id" % 12 === 9, "t0"))
+    val t0Grant = embs.filter($"vec_id" % 3 === 0 &&
+      $"vec_id" % 12 =!= 0 && $"vec_id" % 12 =!= 6).select("vec_id")
+    val t1Grant = embs.filter($"vec_id" % 3 === 1 ||
+      $"vec_id" % 12 === 0).select("vec_id")
+    def check(tag: String): Unit = {
+      assert(rows(AnnIndex.probeTopKTenant(spark, dir, q, k = 3,
+        tenant = "t0")) == rows(AnnIndex.probeTopKFiltered(spark, dir,
+        q, t0Grant, k = 3)), s"$tag: t0 page != filtered twin")
+      assert(rows(AnnIndex.probeTopKTenant(spark, dir, q, k = 3,
+        tenant = "t1")) == rows(AnnIndex.probeTopKFiltered(spark, dir,
+        q, t1Grant, k = 3)), s"$tag: t1 page != filtered twin")
+      // the overlay truth: no duplicate live rows, sets exact
+      assert(AnnIndex.tenantLiveIds(spark, dir, "t0")
+        .as[Long].collect().sorted.toSeq ==
+        t0Grant.as[Long].collect().sorted.toSeq,
+        s"$tag: t0 live ids drifted (duplicate or lost rows)")
+    }
+    check("pre-compact")
+    // the tenant range serve composes the same grant with the
+    // threshold chain: ≡ probeRange over a tdels-aware posting view
+    val rt = AnnIndex.probeRangeTenant(spark, dir, q, threshold = 0.3,
+      tenant = "t0").as[(Long, Long, Double)].collect().toSet
+    val deep = AnnIndex.probeTopKTenant(spark, dir, q,
+        k = Int.MaxValue, tenant = "t0")
+      .filter($"score" >= 0.3).select("qid", "nid", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rt == deep, "range × tenant != thresholded deep top-k")
+    AnnIndex.compact(spark, dir)
+    assert(!new org.apache.hadoop.fs.Path(s"$dir/tdels")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/tdels")),
+      "compact must materialize and drop the spent tombstone list")
+    check("post-compact")
+    // guards: not-assigned, same-tenant move, empty unassign
+    intercept[IllegalArgumentException] {
+      AnnIndex.unassignTenants(spark, dir,
+        embs.filter($"vec_id" % 12 === 6).select("vec_id"))
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.reassignTenants(spark, dir,
+        ten($"vec_id" % 12 === 6, "t2"))
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.reassignTenants(spark, dir, ten($"vec_id" === 1, "t1"))
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.unassignTenants(spark, dir,
+        spark.range(0).select($"id".as("vec_id")))
+    }
+  }
+
   test("AnnIndex probeRange: threshold serve equals filtered deep " +
       "top-k; tombstones and the gate contract hold") {
     import graft.ext.AnnIndex

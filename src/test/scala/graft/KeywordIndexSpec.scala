@@ -814,8 +814,9 @@ class KeywordIndexSpec extends SparkTestBase {
   }
 
   test("k: 10 random tenant-overlay interleavings — assigned/" +
-      "unassigned appends, cross-tenant removes, compact, registered " +
-      "and unregistered absorbs, rebuild+re-register — keep every " +
+      "unassigned appends, cross-tenant removes, REASSIGN moves, " +
+      "unassign + resurrect re-adds, compact, registered and " +
+      "unregistered absorbs, rebuild+re-register — keep every " +
       "tenant page exact and the gauges equal to the derived truth") {
     val trnd = new scala.util.Random(83)
     def tdoc(): String =
@@ -830,20 +831,23 @@ class KeywordIndexSpec extends SparkTestBase {
       val pool = (0L until 26L).map(i => (i, tdoc()))
       var cursor = 10
       var live = pool.take(10).toMap
-      // which LIVE ids carry an assignment (coverage can be partial:
-      // un-assigned appends and unregistered absorbs leave holes)
-      var tenanted = live.keySet
+      // the EXPLICIT id → tenant truth (no longer derivable from the
+      // id parity: reassign moves ids across tenants, unassign ends
+      // membership, resurrect re-adds — coverage can be partial)
+      var assigned: Map[Long, String] =
+        live.keySet.map(id => id -> s"t${id % 2}").toMap
       val dir = tmp(s"kwtr$seqNo")
       KeywordIndex.build(live.toSeq.toDF("doc_id", "text"), dir)
       KeywordIndex.registerTenants(spark, dir, assignOf(live.toSeq))
-      for (_ <- 1 to 4) trnd.nextInt(6) match {
+      for (_ <- 1 to 6) trnd.nextInt(9) match {
         case 0 if cursor < pool.size => // append + assign
           val batch = pool.slice(cursor,
             math.min(cursor + 2 + trnd.nextInt(3), pool.size))
           cursor += batch.size
           KeywordIndex.append(batch.toDF("doc_id", "text"), dir)
           KeywordIndex.assignTenants(spark, dir, assignOf(batch))
-          live ++= batch; tenanted ++= batch.map(_._1)
+          live ++= batch
+          assigned ++= batch.map(b => b._1 -> s"t${b._1 % 2}")
         case 1 if cursor < pool.size => // append WITHOUT assigning
           val batch = pool.slice(cursor,
             math.min(cursor + 1 + trnd.nextInt(2), pool.size))
@@ -855,7 +859,7 @@ class KeywordIndexSpec extends SparkTestBase {
             .filter(_ => trnd.nextInt(3) == 0).take(live.size - 3)
           if (gone.nonEmpty) {
             KeywordIndex.remove(gone.toDF("doc_id", "text"), dir)
-            live --= gone.map(_._1); tenanted --= gone.map(_._1)
+            live --= gone.map(_._1); assigned --= gone.map(_._1)
           }
         case 3 =>
           KeywordIndex.compact(spark, dir)
@@ -870,24 +874,59 @@ class KeywordIndexSpec extends SparkTestBase {
             KeywordIndex.registerTenants(spark, shard, assignOf(batch))
           KeywordIndex.absorb(spark, shard, dir)
           live ++= batch
-          if (registered) tenanted ++= batch.map(_._1)
+          if (registered)
+            assigned ++= batch.map(b => b._1 -> s"t${b._1 % 2}")
         case 5 => // staged rebuild CARRIES the surviving overlay;
-          // half the time re-register to full coverage, half the
+          // half the time re-register to parity coverage, half the
           // time serve straight off the carried assignments
           KeywordIndex.rebuildStaged(
             live.toSeq.toDF("doc_id", "text"), dir)
           if (trnd.nextBoolean()) {
             KeywordIndex.registerTenants(spark, dir,
               assignOf(live.toSeq))
-            tenanted = live.keySet
-          } // else: carried — `tenanted` (⊆ live) is unchanged
+            assigned = live.keySet.map(id => id -> s"t${id % 2}").toMap
+          } // else: carried — `assigned` (⊆ live) is unchanged
+        case 6 if assigned.nonEmpty => // REASSIGN: flip a random
+          // slice across tenants — one gauge fold, overlay tombstone
+          // + append/resurrect, never a re-registration
+          val moved = assigned.toSeq.sortBy(_._1)
+            .filter(_ => trnd.nextInt(3) == 0)
+          if (moved.nonEmpty) {
+            val rows = moved.map { case (id, tn) =>
+              (id, if (tn == "t0") "t1" else "t0") }
+            KeywordIndex.reassignTenants(spark, dir,
+              rows.toDF("doc_id", "tenant"))
+            assigned ++= rows.toMap
+          }
+        case 7 if assigned.size > 2 => // unassign a slice: docs stay
+          // LIVE, membership ends, gauges subtract
+          val gone = assigned.keySet.toSeq.sorted
+            .filter(_ => trnd.nextInt(4) == 0)
+          if (gone.nonEmpty) {
+            KeywordIndex.unassignTenants(spark, dir,
+              gone.toDF("doc_id"))
+            assigned --= gone
+          }
+        case 8 => // re-assign untenanted live ids to a RANDOM tenant
+          // — resurrects a tombstoned pair when the tenant matches a
+          // previously-held one, appends fresh otherwise
+          val holes = (live.keySet -- assigned.keySet).toSeq.sorted
+            .filter(_ => trnd.nextInt(2) == 0)
+          if (holes.nonEmpty) {
+            val rows = holes.map(id => (id, s"t${trnd.nextInt(2)}"))
+            KeywordIndex.assignTenants(spark, dir,
+              rows.toDF("doc_id", "tenant"))
+            assigned ++= rows.toMap
+          }
         case _ => ()
       }
       val liveDf = live.toSeq.toDF("doc_id", "text").localCheckpoint()
+      val assignedDf = assigned.toSeq.toDF("doc_id", "tenant")
+        .localCheckpoint()
       for (par <- 0L to 1L) {
-        val tdocs = liveDf.filter($"doc_id" % 2 === par)
-          .join(tenanted.toSeq.toDF("doc_id"), Seq("doc_id"),
-            "left_semi")
+        val tdocs = liveDf.join(
+          assignedDf.filter($"tenant" === s"t$par").select("doc_id"),
+          Seq("doc_id"), "left_semi")
         val got = page(KeywordIndex.probeTopKTenant(spark, dir, terms,
           6, s"t$par", zeroFill = true))
         assert(got == page(Relevance.bm25TopDocs(tdocs, terms, 6)),
@@ -900,6 +939,54 @@ class KeywordIndexSpec extends SparkTestBase {
         metric(h, "tgauge_sum_dl") == metric(h, "tenanted_dl_live"),
         s"seq $seqNo: tenant gauges != overlay-derived truth")
     }
+  }
+
+  test("k: unassign/reassign guards are LOUD — not-assigned ids, " +
+      "same-tenant moves, empty unassigns; a crash window inside " +
+      "either leaves the gauge absent and the scoped serve loud") {
+    val docs = Seq((1L, "data shuffle query"), (2L, "query plan data"),
+      (3L, "stream data data")).toDF("doc_id", "text")
+    val dir = tmp("kwrg")
+    KeywordIndex.build(docs, dir)
+    KeywordIndex.registerTenants(spark, dir,
+      docs.select($"doc_id",
+        concat(lit("t"), $"doc_id" % 2).as("tenant")))
+    // not currently assigned (id 9 is not even live): loud on both
+    intercept[IllegalArgumentException] {
+      KeywordIndex.unassignTenants(spark, dir, Seq(9L).toDF("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      KeywordIndex.reassignTenants(spark, dir,
+        Seq((9L, "t0")).toDF("doc_id", "tenant"))
+    }
+    // same-tenant "move" is a refused no-op (id 1 is in t1)
+    intercept[IllegalArgumentException] {
+      KeywordIndex.reassignTenants(spark, dir,
+        Seq((1L, "t1")).toDF("doc_id", "tenant"))
+    }
+    // empty unassign is a caller bug
+    intercept[IllegalArgumentException] {
+      KeywordIndex.unassignTenants(spark, dir,
+        spark.range(0).select($"id".as("doc_id")))
+    }
+    // unassign id 2 (t0), then unassigning it AGAIN is loud (no
+    // live assignment row anymore)
+    KeywordIndex.unassignTenants(spark, dir, Seq(2L).toDF("doc_id"))
+    intercept[IllegalArgumentException] {
+      KeywordIndex.unassignTenants(spark, dir, Seq(2L).toDF("doc_id"))
+    }
+    // ... but assignTenants re-adds it (resurrection of the SAME
+    // pair — the physical row comes back, not a duplicate)
+    KeywordIndex.assignTenants(spark, dir,
+      Seq((2L, "t0")).toDF("doc_id", "tenant"))
+    val page0 = KeywordIndex.probeTopKTenant(spark, dir,
+      Seq("data"), 5, "t0").select("doc_id").as[Long].collect().toSet
+    assert(page0 == Set(2L), "resurrected pair must serve again")
+    val h = KeywordIndex.health(spark, dir)
+    def metric(m: String): Double =
+      h.filter($"metric" === m).select("value").as[Double].head()
+    assert(metric("tgauge_n_docs") == metric("tenanted_docs_live"),
+      "gauges must equal the overlay truth after the round-trip")
   }
 
   test("k: 20 random append/remove/compact/re-append/merge/absorb/" +

@@ -223,6 +223,137 @@ class KmvGaugeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sketches.sampleReport(spark, s"$root/nope", "k")
     }
+    // the state carries its cap (__k): folding or merging at a
+    // LARGER k than a constituent's is refused loudly — the smaller
+    // state's discarded tail is unrecoverable, so the result would
+    // not be the bottom-k of the union (a silently-biased sample)
+    intercept[IllegalArgumentException] {
+      Sketches.sampleFold(spark, dir, pop(900 until 950), "k", k = 128)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.sampleMergedState(Seq(spark.read.parquet(dir),
+          Sketches.sampleState(pop(900 until 950), "k", k = 128)),
+        "k", k = 128).collect()
+    }
+    // a SMALLER k is always exact (it shrinks every prefix
+    // consistently): folding at k = 32 must not throw
+    Sketches.sampleFold(spark, dir, pop(900 until 950), "k", k = 32)
+    assert(spark.read.parquet(dir).count() == 32L,
+      "a smaller-k fold must shrink the stored prefix to its k")
+  }
+
+  test("hist marked: the gauge-internal watermark gates replayed " +
+      "batches atomically with the fold; add preserves the mark; " +
+      "remove subtracts exactly and refuses never-folded rows") {
+    val dir = tmp("hmk") + "/gauge"
+    def bins(): Set[(Long, Long)] =
+      spark.read.parquet(dir).select("bin", "n").as[(Long, Long)]
+        .collect().toSet
+    def oneShot(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Sketches.histState(df, col("v"), 8L)
+        .as[(Long, Long)].collect().toSet
+    val seed = (0L until 40L).toDF("v")
+    Sketches.histWriteMarked(
+      Sketches.histState(seed, col("v"), 8L), dir, -1L)
+    assert(Sketches.histMark(spark, dir) == -1L)
+    val batch = (40L until 64L).toDF("v")
+    assert(Sketches.histFoldMarked(spark, dir, batch, col("v"), 0L, 8L),
+      "a fresh batch above the mark must fold")
+    assert(Sketches.histMark(spark, dir) == 0L,
+      "the fold must commit its mark in the same swap")
+    val once = bins()
+    assert(once == oneShot(seed.unionByName(batch)),
+      "marked fold ≠ one-shot histogram over the union")
+    // the replay: the same batch id is refused, state bit-identical
+    // (the additive algebra would double-count without the gate)
+    assert(!Sketches.histFoldMarked(spark, dir, batch, col("v"), 0L, 8L))
+    assert(bins() == once, "replayed batch must not double-count")
+    // correction add: mass lands, the watermark does NOT advance
+    Sketches.histAddMarked(spark, dir,
+      (100L until 108L).toDF("v"), col("v"), 8L)
+    assert(Sketches.histMark(spark, dir) == 0L,
+      "a correction add must not advance the mark")
+    // exact subtraction, mark preserved; emptied bins drop
+    Sketches.histRemoveMarked(spark, dir,
+      (100L until 108L).toDF("v"), col("v"), 8L)
+    assert(bins() == once && Sketches.histMark(spark, dir) == 0L,
+      "remove must invert add exactly and keep the mark")
+    // never-folded rows drive bins negative: loud, gauge unmoved
+    intercept[IllegalArgumentException] {
+      Sketches.histRemoveMarked(spark, dir,
+        (500L until 600L).toDF("v"), col("v"), 8L)
+    }
+    assert(bins() == once, "a refused removal must not move the gauge")
+  }
+
+  test("hist gauge rides the dedup ingest: folded per accepted batch " +
+      "under the batch watermark, bit-stable under re-delivery, " +
+      "SUBTRACTED exactly by takedown (idempotently on a re-run), " +
+      "p50/p95 served in health, readmit correction-folded, " +
+      "bootstrapped for a pre-gauge store") {
+    import graft.streaming.StreamingDedupIngest
+    import graft.streaming.StreamingDedupIngest.stage
+    def txt(id: Long): String =
+      (0 until 6).map(j => s"tok${id}x$j").mkString(" ")
+    val root = tmp("hsting")
+    val ingest = new StreamingDedupIngest(spark, s"$root/ix",
+      s"$root/corpus", s"$root/quar")
+    def gotBins(): Set[(Long, Long)] =
+      ingest.doclenHist().as[(Long, Long)].collect().toSet
+    def oneShot(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Sketches.histState(df, length(col("text")).cast("long"), 16L)
+        .as[(Long, Long)].collect().toSet
+    val seed = (0L until 60L).map(i => (i, txt(i)))
+      .toDF("doc_id", "text")
+    ingest.seed(seed)
+    assert(gotBins() == oneShot(seed), "seed must seed the gauge")
+    val drop = (60L until 90L).map(i => (i, txt(i)))
+      .toDF("doc_id", "text")
+    stage(drop, s"$root/staging", "d1")
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt")
+    val all = seed.unionByName(drop)
+    assert(gotBins() == oneShot(all), "accepted batch must fold")
+    // re-delivery through a fresh checkpoint: the watermark gate
+    // absorbs the replayed batch (addition would double-count)
+    ingest.ingestAvailable(s"$root/staging", s"$root/ckpt2")
+    assert(gotBins() == oneShot(all),
+      "re-delivered batch must not double-count (watermark gate)")
+    // takedown subtracts EXACTLY; a second identical retract is a
+    // vacuous no-op (the purged store yields no rows to snapshot)
+    ingest.retract(Seq(3L, 61L).toDF("doc_id"))
+    val live = all.filter(!col("doc_id").isin(3L, 61L))
+      .localCheckpoint()
+    assert(gotBins() == oneShot(live), "takedown must subtract bins")
+    ingest.retract(Seq(3L, 61L).toDF("doc_id"))
+    assert(gotBins() == oneShot(live), "re-retract must be a no-op")
+    // health p50/p95 from the stored gauge ≡ one-shot quantiles
+    val h = ingest.health().as[(String, Double)].collect().toMap
+    val twin = s"$root/hist_twin"
+    Sketches.histWrite(Sketches.histState(ingest.corpus(),
+      length(col("text")).cast("long"), 16L), twin)
+    val q = Sketches.histQuantile(spark, twin, Seq(0.5, 0.95))
+      .as[(Double, Long)].collect().toMap
+    assert(h("doclen_p50") == q(0.5).toDouble &&
+      h("doclen_p95") == q(0.95).toDouble,
+      "health p50/p95 must equal the one-shot quantiles")
+    // pre-gauge store (in-place upgrade): bootstraps from the live
+    // corpus — retracted rows are already purged from it
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/corpus_hist"), true)
+    assert(gotBins() == oneShot(live),
+      "pre-gauge store must bootstrap from the live corpus")
+    // readmit correction-fold: a quarantined near-dup never folds;
+    // the review override folds it in (keyed on the not-yet-indexed
+    // split — see the ingest's documented crash window)
+    val dupDoc = Seq((200L, txt(5))).toDF("doc_id", "text")
+    stage(dupDoc, s"$root/staging2", "d2")
+    ingest.ingestAvailable(s"$root/staging2", s"$root/ckpt3")
+    assert(gotBins() == oneShot(live),
+      "a quarantined doc must not fold")
+    ingest.readmit(Seq(200L).toDF("doc_id"))
+    assert(gotBins() == oneShot(live.unionByName(dupDoc)),
+      "readmit must correction-fold the readmitted doc's length")
   }
 
   test("hist gauge: fold/merge equal the one-shot histogram; " +

@@ -777,6 +777,40 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"tenant= not pushed to the overlay scan in:\n$over")
   }
 
+  test("dense tenant RANGE serve: same grant posture as x21 — " +
+      "nid IN literals on the postings scan under the cap (no " +
+      "LeftSemi, no overlay scan in the probe plan), semi-join " +
+      "above it — and NO rank window anywhere (x23 plan)") {
+    import graft.ext.AnnIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_planrt").toString + "/ix"
+    AnnIndex.build(embs, dir)
+    AnnIndex.registerTenants(spark, dir,
+      embs.select(col("vec_id"),
+        concat(lit("t"), col("vec_id") % 3).as("tenant")))
+    val q = embs.filter(col("vec_id") < 5)
+    val plan = executed(AnnIndex.probeRangeTenant(spark, dir, q,
+      threshold = 0.3, tenant = "t0"))
+    assert("postings[^\\n]*PushedFilters: \\[[^\\n]*In\\(nid".r
+      .findFirstIn(plan).isDefined,
+      s"nid IN not pushed to the postings scan in:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"semi-join restriction despite a driver-known grant in:\n$plan")
+    assert(!plan.contains("tenants"),
+      s"overlay scanned inside the probe plan in:\n$plan")
+    // the threshold shape plans NO candidate rank window at all —
+    // exactly ONE Window node survives (the nprobe centroid probe;
+    // its WindowGroupLimit pre-passes repeat the row_number text,
+    // so count Window NODES), where top-k plans two
+    assert("Window \\[row_number".r.findAllIn(plan).size == 1,
+      s"threshold serve must plan only the centroid window:\n$plan")
+    // above the cap: the honest exact semi-join returns
+    val over = executed(AnnIndex.probeRangeTenant(spark, dir, q,
+      threshold = 0.3, tenant = "t0", pushdownCap = 1))
+    assert(over.contains("LeftSemi"),
+      s"above-cap fallback must keep the exact semi-join:\n$over")
+  }
+
   test("keyword batched tenant serve: one tenant-IN-pruned overlay " +
       "slice, union-grant id IN on the postings scan, per-qid gauge " +
       "stats keyed on qid, no doclens, no global window (k20 plan)") {

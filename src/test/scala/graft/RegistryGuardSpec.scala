@@ -268,6 +268,19 @@ class RegistryGuardSpec extends SparkTestBase {
     // argument
     "x22_ann_multi_tenant" ->
       Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x23: x17's no-window threshold chain with x21's grant posture
+    // (id-IN literals under the cap — no join at all) — the same
+    // one-row centroid/codebook broadcasts and benign deferred
+    // l2normalize; register/remove run eagerly outside the plan
+    "x23_ann_tenant_range" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
+    // x24: x22's batched tenant shapes served over the post-
+    // reassignment overlay (the un/reassign mutations and the
+    // compact run eagerly outside the probed plan; the overlay
+    // tombstone anti-join, when pending, is a broadcast on the
+    // control-plane-sized tdels list)
+    "x24_ann_tenant_reassign" ->
+      Set("unconditional-nested-loop", "bnlj-deferred-derivation"),
     // x12: the x9 probe chain over tombstone-filtered postings (the
     // deletes anti-join is keyed on nid; remove() runs eagerly
     // outside the probed plan)

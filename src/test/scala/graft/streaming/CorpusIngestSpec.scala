@@ -427,6 +427,19 @@ class CorpusIngestSpec extends graft.SparkTestBase {
       joint.probeHybridManyTenant(queries, qVecs,
         Seq((0L, "t0")), topN = 5)
     }
+    // a DUPLICATE qid in tenants refuses LOUDLY — it would pass a
+    // bare set-equality check and expand BOTH tenants' id sets as
+    // that qid's grant, serving another tenant's documents on the
+    // fused page (the single-family batched serves already refuse
+    // duplicate qids; so must the coordinator and tenantLivePairs)
+    intercept[IllegalArgumentException] {
+      joint.probeHybridManyTenant(queries, qVecs,
+        Seq((0L, "t0"), (0L, "t1"), (1L, "t1")), topN = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.KeywordIndex.tenantLivePairs(spark,
+        joint.keywordDir, Seq((0L, "t0"), (0L, "t1")))
+    }
   }
 
   test("coordinator assignTenants: O(batch) overlay extension — " +
