@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   *    row-group level — the scan reads the matched terms'
   *    neighborhoods, not the index. Appends accrete unclustered
   *    shards; [[compact]] restores the clustering.
+  *  - `positions/` — one (term, id, positions) row per distinct term
+  *    per document: the sorted 0-based occurrence offsets, the
+  *    PHRASE-serving asset ([[probePhrase]] — the adjacency
+  *    intersection bag-of-words postings cannot answer). Derived in
+  *    the SAME tokenize pass as the postings (which are in fact
+  *    derived FROM it: tf = size(positions)); term-range-clustered
+  *    like the postings, compacted/merged/absorbed through the same
+  *    lifecycle, fail-closed when any merge side lacks it. Indexes
+  *    built before this asset existed serve everything EXCEPT
+  *    phrases (probePhrase fails loudly; rebuild to gain).
   *  - `doclens/` — one (id, dl) row per document (dl = Σ tf, derived
   *    from the postings shard — the corpus text is tokenized exactly
   *    once per build/append). NOT on the default probe path: it is
@@ -101,6 +111,41 @@ object KeywordIndex {
     termFreqsOf(df, textCol, idCol)
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("id"))))
 
+  /** One POSITIONS shard: (term, id, positions) — one row per
+    * distinct term per document, `positions` the SORTED 0-based
+    * token offsets of every occurrence. The phrase-serving asset
+    * ([[probePhrase]]), derived from the same one-tokenize-pass
+    * discipline as the postings: build/append compute THIS shard
+    * first and derive the postings from it (tf = size(positions),
+    * dl = Σtf window), so adding positions did not add a second
+    * corpus text scan. Row count equals the postings'; the payload
+    * is the per-(term, id) occurrence list — the standard positional
+    * inverted-index cost, term-range-clustered so a phrase's
+    * `term IN (…)` prunes row groups exactly like a probe's. */
+  private def positionsOf(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .groupBy("term", "id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Postings rows derived from a positions shard — the one-pass
+    * split: tf is the occurrence count, dl the per-doc Σtf. */
+  private def postingsFromPositions(posShard: DataFrame): DataFrame =
+    posShard.select(col("term"), col("id"),
+        size(col("positions")).cast("long").as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("id"))))
+
+  private def clusterPositions(df: DataFrame): DataFrame =
+    // pinned schema order at every write site (see clusterPostings)
+    df.select("term", "id", "positions")
+      .repartitionByRange(col("term")).sortWithinPartitions("term", "id")
+
+  private def hasPositions(spark: SparkSession, dir: String): Boolean =
+    StoredIndex.fsOf(spark, dir)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/positions"))
+
   /** Doc lengths derived from a postings frame: dl = Σ tf equals
     * `size(tokens(text))` exactly (every token lands in exactly one
     * (term, id) group), so the corpus text is never read twice. */
@@ -146,7 +191,12 @@ object KeywordIndex {
     StoredIndex.invalidate(spark, dir) // commit marker
     StoredIndex.clearDeleteIds(spark, dir) // rebuild = clean live state
     dropTenantOverlay(spark, dir) // assignments name the OLD generation
-    clusterPostings(postingsOf(corpus, textCol, idCol))
+    // ONE tokenize pass: positions land first, postings derive from
+    // the written asset (tf = size, dl = Σtf) — keys-only re-read
+    clusterPositions(positionsOf(corpus, textCol, idCol))
+      .write.mode("overwrite").parquet(s"$dir/positions")
+    clusterPostings(
+        postingsFromPositions(spark.read.parquet(s"$dir/positions")))
       .write.mode("overwrite").parquet(s"$dir/postings")
     doclensOf(spark.read.parquet(s"$dir/postings"))
       .select("id", "dl")
@@ -213,7 +263,7 @@ object KeywordIndex {
         .write.mode("overwrite").parquet(s"$staging/tstats")
     }
     StoredIndex.swapStaged(spark, dir,
-      Seq("postings", "doclens", "stats") ++ TenantAssets)
+      Seq("postings", "positions", "doclens", "stats") ++ TenantAssets)
   }
 
   /** The tombstone-filtered postings slice of a term set — what
@@ -1404,6 +1454,137 @@ object KeywordIndex {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ phrase serving
+
+  private def requirePhrase(spark: SparkSession, dir: String,
+                            phrase: Seq[String], what: String): Unit = {
+    require(phrase.nonEmpty, s"$what needs at least one term")
+    require(phrase.forall(t => t != null && t.nonEmpty),
+      s"$what: phrase terms must be non-empty tokens")
+    require(hasPositions(spark, dir),
+      s"$what: no positions asset at $dir — this index predates " +
+        "positional postings (or lost them in a mixed merge/absorb); " +
+        "rebuild to gain phrase serving")
+  }
+
+  /** The phrase page of a positions slice: for phrase terms
+    * t_0..t_{k-1}, a document matches where the occurrence lists
+    * intersect after shifting term i's positions by -i — the
+    * classic positional-index adjacency join, expressed as k-1
+    * KEYED id joins over the term-pruned slice and a codegen'd
+    * `array_intersect` fold (no explode of the token mass, no
+    * window). `n_matches` is the number of phrase START positions.
+    * Repeated phrase terms reuse the same slice rows at different
+    * shifts — "the cat the" works. */
+  private def phrasePage(phrase: Seq[String],
+                         slice: DataFrame): DataFrame = {
+    val legs = phrase.zipWithIndex.map { case (tm, i) =>
+      slice.filter(col("term") === lit(tm))
+        .select(col("id"),
+          transform(col("positions"), p => p - lit(i)).as(s"__p$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq("id")))
+    val starts = (1 until phrase.size).foldLeft(col("__p0")) {
+      (acc, i) => array_intersect(acc, col(s"__p$i"))
+    }
+    joined.select(col("id").as("doc_id"),
+        size(starts).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** EXACT-PHRASE probe — the first retrieval shape BM25's
+    * bag-of-words postings cannot answer: every live document
+    * containing the CONSECUTIVE token sequence `phrase`, with its
+    * occurrence count, doc_id-ordered. Serves from the `positions/`
+    * asset ([[positionsOf]] — per-(term, id) sorted occurrence
+    * lists written by the same one-tokenize-pass build as the
+    * postings): the plan is a `term IN (…)` row-group-pruned
+    * positions slice, k-1 keyed id joins, and an array-intersect
+    * fold of the shifted occurrence lists — O(matched positions
+    * rows), the corpus text never read, no window anywhere. The
+    * filter shape of RAG pre-selection and C4-style exact-substring
+    * curation ("docs containing THIS quoted string"), composable
+    * with [[probe]] via an id semi-join for phrase-then-rank.
+    * Tombstones filter exactly as every slice read; a pre-positions
+    * index fails LOUDLY (rebuild to gain the asset). */
+  def probePhrase(spark: SparkSession, dir: String,
+                  phrase: Seq[String]): DataFrame = {
+    requirePhrase(spark, dir, phrase, "KeywordIndex.probePhrase")
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    phrasePage(phrase, StoredIndex.filterTombstones(dels,
+      spark.read.parquet(s"$dir/positions")
+        .filter(col("term").isin(phrase.distinct: _*)), "id"))
+  }
+
+  /** PROXIMITY probe — the other positional shape: every live
+    * document where `termA` and `termB` co-occur within `slop`
+    * tokens (min over occurrence pairs of |posA − posB| ≤ slop),
+    * with that minimum distance. ONE keyed id join of the two
+    * term-pruned occurrence lists and a nested-HOF distance fold
+    * (O(|pa|·|pb|) per candidate doc — occurrence counts, never the
+    * token mass) — the "terms near each other" relevance filter
+    * ranked retrieval approximates and RAG snippet selection wants
+    * exactly. Adjacent terms report distance 1; `slop` must be ≥ 1
+    * and the terms distinct (a term's proximity to itself is just
+    * tf ≥ 2 — [[probe]]'s domain). doc_id-ordered; tombstones
+    * filter as every slice read. */
+  def probeProximity(spark: SparkSession, dir: String, termA: String,
+                     termB: String, slop: Int): DataFrame = {
+    require(slop >= 1,
+      s"KeywordIndex.probeProximity: slop must be >= 1, got $slop")
+    require(termA != termB,
+      "KeywordIndex.probeProximity: terms must be distinct — a " +
+        "term's proximity to itself is tf >= 2 (probe's domain)")
+    requirePhrase(spark, dir, Seq(termA, termB),
+      "KeywordIndex.probeProximity")
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val slice = StoredIndex.filterTombstones(dels,
+      spark.read.parquet(s"$dir/positions")
+        .filter(col("term").isin(termA, termB)), "id")
+    val a = slice.filter(col("term") === lit(termA))
+      .select(col("id"), col("positions").as("__pa"))
+    val b = slice.filter(col("term") === lit(termB))
+      .select(col("id"), col("positions").as("__pb"))
+    a.join(b, Seq("id"))
+      .select(col("id").as("doc_id"),
+        array_min(flatten(transform(col("__pa"), p =>
+          transform(col("__pb"), q => abs(p - q)))))
+          .cast("long").as("min_dist"))
+      .filter(col("min_dist") <= slop)
+      .orderBy("doc_id")
+  }
+
+  /** [[probePhrase]] within a REGISTERED tenant — "exact phrase
+    * among THIS tenant's documents", the RAG ACL filter: the
+    * positions slice restricts to the tenant's live grant BEFORE
+    * the adjacency joins ([[probeTopKTenant]]'s posture — id-IN
+    * literals riding the scan under the cap, hull + keyed semi-join
+    * above it), so out-of-tenant occurrence lists never join. No
+    * statistics are involved (a phrase match is set membership, not
+    * a score), so the gauge plays no part and an unknown tenant
+    * serves an empty page. */
+  def probePhraseTenant(spark: SparkSession, dir: String,
+                        phrase: Seq[String], tenant: String,
+                        pushdownCap: Int = AllowedPushdownCap): DataFrame = {
+    requirePhrase(spark, dir, phrase, "KeywordIndex.probePhraseTenant")
+    require(hasTenants(spark, dir),
+      s"KeywordIndex.probePhraseTenant: no tenant overlay at $dir — " +
+        "registerTenants first")
+    val dels = StoredIndex.readDeleteIds(spark, dir)
+    val tIds = tenantLiveIds(spark, dir, tenant)
+    val raw = spark.read.parquet(s"$dir/positions")
+      .filter(col("term").isin(phrase.distinct: _*))
+    val granted = allowedIdLiterals(tIds, pushdownCap) match {
+      case Some(l) => raw.filter(col("id").isin(l: _*))
+      case None =>
+        (if (pushdownCap > 0) allowedIdHull(tIds) else None)
+          .fold(raw)(raw.filter)
+          .join(tIds, Seq("id"), "left_semi")
+    }
+    phrasePage(phrase, StoredIndex.filterTombstones(dels, granted, "id"))
+  }
+
   /** Append a batch of NEW documents — O(batch) end-to-end: one
     * tokenize pass over the batch, two shard appends, the additive
     * stats fold, XOR meta merge, driver-side bloom union; the corpus
@@ -1424,9 +1605,11 @@ object KeywordIndex {
     val bid = identity(batch, textCol, idCol).head
     require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),
       "KeywordIndex.append: batch is empty or has non-integral ids")
-    // batch-sized materialization so the doclens/stats derivations
-    // reuse the tokenize pass instead of re-running it
-    val shard = postingsOf(batch, textCol, idCol).localCheckpoint()
+    // batch-sized materialization so the postings/doclens/stats
+    // derivations reuse the one tokenize pass instead of re-running
+    // it (positions-first split, see positionsOf)
+    val posShard = positionsOf(batch, textCol, idCol).localCheckpoint()
+    val shard = postingsFromPositions(posShard).localCheckpoint()
     val shardLens = doclensOf(shard)
     val delta = statsRowOf(shardLens) // batch Σ — the additive fold
     StoredIndex.invalidate(spark, dir) // commit marker
@@ -1435,6 +1618,13 @@ object KeywordIndex {
     // dependent (see clusterPostings)
     shard.select("term", "id", "tf", "dl")
       .write.mode("append").parquet(s"$dir/postings")
+    // a pre-positions index (older layout state) stays positions-
+    // free: appending a partial positions asset would silently serve
+    // phrase pages missing the older docs — fail-closed instead
+    // (probePhrase is loud; rebuild to gain the capability)
+    if (hasPositions(spark, dir))
+      posShard.select("term", "id", "positions")
+        .write.mode("append").parquet(s"$dir/positions")
     shardLens.select("id", "dl")
       .write.mode("append").parquet(s"$dir/doclens")
     writeStats(spark, dir, oldStats.getLong(0) + delta.getLong(0),
@@ -1492,6 +1682,13 @@ object KeywordIndex {
     val dels = StoredIndex.readDeleteIds(spark, dir)
     StoredIndex.compactAsset(spark, dir, "postings",
       df => clusterPostings(StoredIndex.filterTombstones(dels, df, "id")))
+    // the positions asset is id-keyed like the postings: same
+    // tombstone materialization, same term-range re-clustering —
+    // BEFORE the doclens compact drops `deletes/`
+    if (hasPositions(spark, dir))
+      StoredIndex.compactAsset(spark, dir, "positions",
+        df => clusterPositions(
+          StoredIndex.filterTombstones(dels, df, "id")))
     // the tenant overlay compacts BEFORE doclens drops `deletes/`:
     // its tombstone materialization reads the same list — and the
     // overlay's OWN tombstones (tdels/) materialize in the same
@@ -1522,6 +1719,9 @@ object KeywordIndex {
                    maxFiles: Int = 64): Boolean = {
     val p = StoredIndex.compactIfAccreted(spark, dir, "postings",
       maxFiles, clusterPostings)
+    val pos = hasPositions(spark, dir) &&
+      StoredIndex.compactIfAccreted(spark, dir, "positions",
+        maxFiles, clusterPositions)
     val d = StoredIndex.compactIfAccreted(spark, dir, "doclens",
       maxFiles,
       df => df.repartitionByRange(col("id")).sortWithinPartitions("id"))
@@ -1533,7 +1733,7 @@ object KeywordIndex {
     // view still needs them), so the tdels list is spent
     if (t) StoredIndex.fsOf(spark, dir)
       .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
-    p || d || t
+    p || pos || d || t
   }
 
   /** Merge independently built shard indexes into one —
@@ -1570,9 +1770,17 @@ object KeywordIndex {
     StoredIndex.invalidate(spark, outDir)
     StoredIndex.fsOf(spark, outDir)
       .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    // positions merge only when EVERY shard carries the asset — a
+    // partial positional index would silently serve phrase pages
+    // missing some shards' docs; fail-closed (the merged index
+    // simply has no positions; probePhrase is loud, rebuild to gain)
+    val allPositions = shardDirs.forall(hasPositions(spark, _))
     shardDirs.zipWithIndex.foreach { case (d, i) =>
       StoredIndex.copyAssetFiles(spark, s"$d/postings",
         s"$outDir/postings", s"s${i}_")
+      if (allPositions)
+        StoredIndex.copyAssetFiles(spark, s"$d/positions",
+          s"$outDir/positions", s"s${i}_")
       StoredIndex.copyAssetFiles(spark, s"$d/doclens",
         s"$outDir/doclens", s"s${i}_")
       StoredIndex.copyAssetFiles(spark, s"$d/deletes",
@@ -1632,6 +1840,15 @@ object KeywordIndex {
     StoredIndex.invalidate(spark, dir) // commit marker
     StoredIndex.copyAssetFiles(spark, s"$shardDir/postings",
       s"$dir/postings", "ab_")
+    // positions survive only when BOTH sides carry them (merge's
+    // fail-closed rule): a positions-free shard would leave the
+    // target's phrase pages silently missing its docs — drop the
+    // asset instead (probePhrase is loud; rebuild to regain)
+    if (hasPositions(spark, dir) && hasPositions(spark, shardDir))
+      StoredIndex.copyAssetFiles(spark, s"$shardDir/positions",
+        s"$dir/positions", "ab_")
+    else StoredIndex.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/positions"), true)
     StoredIndex.copyAssetFiles(spark, s"$shardDir/doclens",
       s"$dir/doclens", "ab_")
     StoredIndex.copyAssetFiles(spark, s"$shardDir/deletes",

@@ -5758,6 +5758,109 @@ object ExtQueries {
         .mkString("SELECT * FROM (", " UNION ALL ",
           ") ORDER BY qid, doc_id"))),
 
+    // k26: EXACT-PHRASE serving — the first retrieval shape the
+    // bag-of-words postings cannot answer, from the new positions/
+    // asset (per-(term, id) sorted occurrence lists written by the
+    // SAME one-tokenize-pass build that derives the postings from
+    // them): docs containing the CONSECUTIVE sequence "data query",
+    // as k-1 keyed id joins + an array_intersect fold of the
+    // shifted occurrence lists — no explode of the token mass, no
+    // window, corpus text never read at serve time. Lifecycle
+    // in-row: retract every 7th doc, compact (positions tombstones
+    // materialized + re-clustered) — the phrase page must track the
+    // live set. Oracle: DuckDB replays the adjacency scan over the
+    // live corpus text directly.
+    Q("k26_keyword_phrase",
+      (s, dir) => {
+        import graft.ext.KeywordIndex
+        val docs = t(s, dir, "documents")
+        val ix = KeywordIndex.dirFor(dir) + "_ph"
+        KeywordIndex.build(docs, ix)
+        KeywordIndex.remove(docs.filter(col("doc_id") % 7 === 0), ix)
+        KeywordIndex.compact(s, ix)
+        KeywordIndex.probePhrase(s, ix, Seq("data", "query"))
+      },
+      Some("""WITH ptk AS (SELECT doc_id,
+                       string_split_regex(text, '\s+') AS tk
+                     FROM documents WHERE NOT doc_id % 7 = 0),
+                  pph AS (SELECT doc_id,
+                       CAST(len(list_filter(range(1, len(tk)),
+                           i -> tk[i] = 'data' AND tk[i+1] = 'query'))
+                         AS BIGINT) AS n_matches
+                     FROM ptk)
+              SELECT doc_id, n_matches FROM pph
+              WHERE n_matches > 0 ORDER BY doc_id""")),
+
+    // k28: PROXIMITY serve — the other positional shape ("terms
+    // within k tokens of each other", the co-occurrence relevance
+    // filter): one keyed id join of the two term-pruned occurrence
+    // lists, a nested-HOF min-distance fold, slop filter — no
+    // window, no corpus text, O(occurrence pairs) per candidate.
+    // Its own dedicated positional index dir, built per run and
+    // never mutated, so the row stays independent of k26/k27 under
+    // any execution order. Oracle: the distance replay over raw
+    // text (1-based SQL positions — distances are offset-invariant).
+    Q("k28_keyword_proximity",
+      (s, dir) => {
+        import graft.ext.KeywordIndex
+        val docs = t(s, dir, "documents")
+        val ix = KeywordIndex.dirFor(dir) + "_px"
+        KeywordIndex.build(docs, ix)
+        KeywordIndex.probeProximity(s, ix, "table", "hash", slop = 3)
+      },
+      Some("""WITH qtk AS (SELECT doc_id,
+                       string_split_regex(text, '\s+') AS tk
+                     FROM documents),
+                  qpr AS (SELECT doc_id,
+                       list_filter(range(1, len(tk) + 1),
+                         i -> tk[i] = 'table') AS pa,
+                       list_filter(range(1, len(tk) + 1),
+                         i -> tk[i] = 'hash') AS pb
+                     FROM qtk),
+                  qmd AS (SELECT doc_id,
+                       CAST(list_min(flatten(list_transform(pa,
+                           p -> list_transform(pb, q -> abs(p - q)))))
+                         AS BIGINT) AS min_dist
+                     FROM qpr WHERE len(pa) > 0 AND len(pb) > 0)
+              SELECT doc_id, min_dist FROM qmd
+              WHERE min_dist <= 3 ORDER BY doc_id""")),
+
+    // k27: phrase × TENANT — "exact phrase among THIS tenant's
+    // documents", the RAG ACL filter, with a THREE-term phrase (two
+    // adjacency joins) and the round's overlay tombstones composed
+    // in: register %2, UNASSIGN the %10=1 slice (tdels path — the
+    // grant must exclude them without any overlay rewrite), then
+    // probePhraseTenant over tenant "1". The grant restricts the
+    // positions slice BEFORE the adjacency joins (id-IN literals
+    // under the cap). Oracle: the adjacency replay under the
+    // membership rule.
+    Q("k27_keyword_phrase_tenant",
+      (s, dir) => {
+        import graft.ext.KeywordIndex
+        val docs = t(s, dir, "documents")
+        val ix = KeywordIndex.dirFor(dir) + "_pht"
+        KeywordIndex.build(docs, ix)
+        KeywordIndex.registerTenants(s, ix,
+          docs.select(col("doc_id"),
+            (col("doc_id") % 2).cast("string").as("tenant")))
+        KeywordIndex.unassignTenants(s, ix,
+          docs.filter(col("doc_id") % 10 === 1).select("doc_id"))
+        KeywordIndex.probePhraseTenant(s, ix,
+          Seq("slow", "hash", "batch"), tenant = "1")
+      },
+      Some("""WITH ptk AS (SELECT doc_id,
+                       string_split_regex(text, '\s+') AS tk
+                     FROM documents
+                     WHERE doc_id % 2 = 1 AND NOT doc_id % 10 = 1),
+                  pph AS (SELECT doc_id,
+                       CAST(len(list_filter(range(1, len(tk)),
+                           i -> tk[i] = 'slow' AND tk[i+1] = 'hash'
+                             AND tk[i+2] = 'batch'))
+                         AS BIGINT) AS n_matches
+                     FROM ptk)
+              SELECT doc_id, n_matches FROM pph
+              WHERE n_matches > 0 ORDER BY doc_id""")),
+
     // k21: BATCHED hybrid serve — the last hybrid-matrix cell
     // (single k7b, filtered k14, tenant k19, now BATCH): N (terms,
     // query-vector) pairs fused per qid in ONE composed plan — the

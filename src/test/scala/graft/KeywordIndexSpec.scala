@@ -989,6 +989,111 @@ class KeywordIndexSpec extends SparkTestBase {
       "gauges must equal the overlay truth after the round-trip")
   }
 
+  test("k: phrase serving — adjacency exactness incl. overlapping " +
+      "and repeated-term phrases; append/remove/compact track the " +
+      "live set; merge unions (and a positions-free side drops the " +
+      "asset fail-closed); tenant grant + unassign compose; " +
+      "pre-positions indexes fail loudly") {
+    val pdocs = Seq(
+      (1L, "data query plan data query"), // "data query" x2
+      (2L, "query data query"),           // x1
+      (3L, "data data data"),             // overlap: "data data" x2
+      (4L, "plan scan merge"),            // no match
+      (5L, "the cat the")                 // repeated-term phrase
+    ).toDF("doc_id", "text").localCheckpoint()
+    val dir = tmp("kwph")
+    KeywordIndex.build(pdocs, dir)
+    def phr(d: String, phrase: Seq[String]): Seq[(Long, Long)] =
+      KeywordIndex.probePhrase(spark, d, phrase)
+        .as[(Long, Long)].collect().toSeq
+    assert(phr(dir, Seq("data", "query")) == Seq((1L, 2L), (2L, 1L)))
+    // OVERLAPPING occurrences both count (positions, not tf-pairs)
+    assert(phr(dir, Seq("data", "data")) == Seq((3L, 2L)))
+    // repeated-term phrase reuses the slice at different shifts
+    assert(phr(dir, Seq("the", "cat", "the")) == Seq((5L, 1L)))
+    // a single-term "phrase" degenerates to tf
+    assert(phr(dir, Seq("data")) ==
+      Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+    // proximity: min pairwise distance over the occurrence lists,
+    // slop-filtered (doc 1: data=[0,3], plan=[2] → min dist 1);
+    // same-term and slop < 1 refuse loudly
+    assert(KeywordIndex.probeProximity(spark, dir, "data", "plan",
+        slop = 1).as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+    assert(KeywordIndex.probeProximity(spark, dir, "data", "cat",
+        slop = 5).isEmpty, "no co-occurrence must serve empty")
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeProximity(spark, dir, "data", "data", 2)
+    }
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probeProximity(spark, dir, "data", "plan", 0)
+    }
+    // lifecycle: append extends, remove retracts, compact holds
+    KeywordIndex.append(
+      Seq((6L, "big data query end")).toDF("doc_id", "text"), dir)
+    assert(phr(dir, Seq("data", "query")) ==
+      Seq((1L, 2L), (2L, 1L), (6L, 1L)))
+    KeywordIndex.remove(
+      Seq((1L, "data query plan data query")).toDF("doc_id", "text"),
+      dir)
+    assert(phr(dir, Seq("data", "query")) == Seq((2L, 1L), (6L, 1L)))
+    KeywordIndex.compact(spark, dir)
+    assert(phr(dir, Seq("data", "query")) == Seq((2L, 1L), (6L, 1L)),
+      "compact must materialize positions tombstones and keep pages")
+    // guards: empty phrase; pre-positions index (asset dropped) —
+    // and an append to a positions-free index stays positions-free
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probePhrase(spark, dir, Seq.empty)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/positions"), true)
+    val ex = intercept[IllegalArgumentException] {
+      KeywordIndex.probePhrase(spark, dir, Seq("data"))
+    }
+    assert(ex.getMessage.contains("rebuild"))
+    KeywordIndex.append(
+      Seq((7L, "data query tail")).toDF("doc_id", "text"), dir)
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probePhrase(spark, dir, Seq("data", "query"))
+    }
+    // rebuild regains the asset; tenant grant composes with the
+    // overlay tombstones (unassign ends phrase visibility)
+    KeywordIndex.build(pdocs, dir)
+    KeywordIndex.registerTenants(spark, dir,
+      pdocs.select($"doc_id",
+        concat(lit("t"), $"doc_id" % 2).as("tenant")))
+    def tphr(tn: String): Seq[(Long, Long)] =
+      KeywordIndex.probePhraseTenant(spark, dir,
+        Seq("data", "query"), tn).as[(Long, Long)].collect().toSeq
+    assert(tphr("t1") == Seq((1L, 2L)))
+    assert(tphr("t0") == Seq((2L, 1L)))
+    assert(tphr("nope").isEmpty)
+    KeywordIndex.unassignTenants(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(tphr("t1").isEmpty,
+      "unassigned doc must leave the tenant's phrase page")
+    // merge: both sides positional → union; a stripped side → the
+    // merged index drops the asset (fail-closed, loud)
+    val (shA, shB) = (tmp("kwphA"), tmp("kwphB"))
+    KeywordIndex.build(pdocs.filter($"doc_id" <= 2), shA)
+    KeywordIndex.build(
+      Seq((8L, "data query again")).toDF("doc_id", "text"), shB)
+    val m1 = tmp("kwphM") + "/m1"
+    KeywordIndex.merge(spark, Seq(shA, shB), m1)
+    assert(phr(m1, Seq("data", "query")) ==
+      Seq((1L, 2L), (2L, 1L), (8L, 1L)))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$shB/positions"), true)
+    val m2 = tmp("kwphM2") + "/m2"
+    KeywordIndex.merge(spark, Seq(shA, shB), m2)
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probePhrase(spark, m2, Seq("data", "query"))
+    }
+    // absorb of a positions-free shard drops the target's asset too
+    KeywordIndex.absorb(spark, shB, shA)
+    intercept[IllegalArgumentException] {
+      KeywordIndex.probePhrase(spark, shA, Seq("data", "query"))
+    }
+  }
+
   test("k: 20 random append/remove/compact/re-append/merge/absorb/" +
       "staged-rebuild interleavings serve the in-query page") {
     val lrnd = new scala.util.Random(61)

@@ -811,6 +811,29 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
       s"above-cap fallback must keep the exact semi-join:\n$over")
   }
 
+  test("phrase serve: term IN pushed to the positions scan, keyed " +
+      "id joins + array_intersect fold only — no corpus text, no " +
+      "doclens, no window anywhere (k26 plan)") {
+    import graft.ext.KeywordIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kw_planph").toString
+    KeywordIndex.build(docs, dir)
+    KeywordIndex.compact(spark, dir)
+    val plan = executed(
+      KeywordIndex.probePhrase(spark, dir, Seq("data", "query")))
+    assert("positions[^\\n]*PushedFilters: \\[[^\\n]*In\\(term".r
+      .findFirstIn(plan).isDefined,
+      s"term IN not pushed to the positions scan in:\n$plan")
+    assert(!plan.contains("doclens"),
+      s"phrase serve reads doclens in:\n$plan")
+    assert(!plan.contains("split(") && !plan.contains("text#"),
+      s"phrase serve touches corpus text in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"phrase serve plans a window in:\n$plan")
+    assert(plan.contains("array_intersect"),
+      s"adjacency fold missing from:\n$plan")
+  }
+
   test("keyword batched tenant serve: one tenant-IN-pruned overlay " +
       "slice, union-grant id IN on the postings scan, per-qid gauge " +
       "stats keyed on qid, no doclens, no global window (k20 plan)") {
