@@ -99,9 +99,11 @@ object AnnIndex {
         .select("nid", "cid"), "nid")
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$dir/postings")
-    StoredIndex.writeIdBloom(spark, dir, idsOf(corpus, idCol))
+    // identity + id bloom in ONE corpus pass (was two full scans);
     // meta last: its presence marks a complete build
-    StoredIndex.writeMeta(identity(corpus, vecCol, idCol), version, dir)
+    StoredIndex.writeBloomAndMeta(spark, dir,
+      StoredIndex.identityAndBloomOf(corpus,
+        col(idCol), col(vecCol), col(idCol)), version)
   }
 
   /** Validate the stored index against the live corpus; build when
@@ -231,12 +233,16 @@ object AnnIndex {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebook")
-    val storedMeta = spark.read.parquet(s"$dir/meta").head
+    val storedMeta = StoredIndex.readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"AnnIndex.append: no committed meta at $dir"))
     if (checkIds)
       StoredIndex.requireNewIds(spark, dir, idsOf(batch, idCol),
         spark.read.parquet(s"$dir/postings").select(col("nid").as("id")),
         "AnnIndex.append")
-    val batchMeta = identity(batch, vecCol, idCol).head
+    // identity + batch bloom in ONE batch pass (was two)
+    val batchMeta = StoredIndex.identityAndBloomOf(batch,
+      col(idCol), col(vecCol), col(idCol))
     // an empty batch has NULL max_id/fingerprint aggregates — and
     // nothing to do; refuse before the commit marker is touched
     require(batchMeta.getLong(0) > 0L,
@@ -247,7 +253,8 @@ object AnnIndex {
         .select("nid", "cid"), "nid")
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("append").parquet(s"$dir/postings")
-    StoredIndex.mergeIdBloom(spark, dir, idsOf(batch, idCol))
+    StoredIndex.mergeIdBloomBytes(spark, dir,
+      batchMeta.getAs[Array[Byte]]("bf"))
     StoredIndex.writeMergedMeta(spark, dir, storedMeta, batchMeta)
   }
 
@@ -299,9 +306,10 @@ object AnnIndex {
         .select("nid", "cid"), "nid")
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$shardDir/postings")
-    StoredIndex.writeIdBloom(spark, shardDir, idsOf(slice, idCol))
-    StoredIndex.writeMeta(identity(slice, vecCol, idCol), version,
-      shardDir)
+    // identity + id bloom in ONE slice pass (was two)
+    StoredIndex.writeBloomAndMeta(spark, shardDir,
+      StoredIndex.identityAndBloomOf(slice,
+        col(idCol), col(vecCol), col(idCol)), version)
   }
 
   /** Order-insensitive content fingerprint of a shard's quantization

@@ -84,8 +84,10 @@ object DedupIndex {
     StoredIndex.clearDeleteIds(spark, dir) // rebuild = clean live state
     shardOf(corpus, textCol, idCol)
       .write.mode("overwrite").parquet(s"$dir/buckets")
-    StoredIndex.writeIdBloom(spark, dir, idsOf(corpus, idCol))
-    StoredIndex.writeMeta(identity(corpus, textCol, idCol), version, dir)
+    // identity + id bloom in ONE corpus pass (was two full scans)
+    StoredIndex.writeBloomAndMeta(spark, dir,
+      StoredIndex.identityAndBloomOf(corpus,
+        col(idCol).cast("long"), col(textCol), col(idCol)), version)
   }
 
   /** Validate the stored index against the live corpus; build when
@@ -188,11 +190,12 @@ object DedupIndex {
         spark.read.parquet(s"$dir/buckets")
           .select(explode(col("ids")).as("id")),
         "DedupIndex.append")
-    // raw head, NOT a named select: a legacy meta has no version
-    // column, and writeMergedMeta's old.size defense only engages if
-    // the read itself doesn't throw on the missing field
-    val oldMeta = spark.read.parquet(s"$dir/meta").head
-    val bid = identity(batch, textCol, idCol).head
+    val oldMeta = StoredIndex.readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"DedupIndex.append: no committed meta at $dir"))
+    // identity + batch bloom in ONE batch pass (was two)
+    val bid = StoredIndex.identityAndBloomOf(batch,
+      col(idCol).cast("long"), col(textCol), col(idCol))
     // guard BEFORE the commit marker: an empty batch (or ids that
     // null the long cast) must not invalidate a good index
     require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),
@@ -200,7 +203,8 @@ object DedupIndex {
     StoredIndex.invalidate(spark, dir) // commit marker
     shardOf(batch, textCol, idCol)
       .write.mode("append").parquet(s"$dir/buckets")
-    StoredIndex.mergeIdBloom(spark, dir, idsOf(batch, idCol))
+    StoredIndex.mergeIdBloomBytes(spark, dir,
+      bid.getAs[Array[Byte]]("bf"))
     StoredIndex.writeMergedMeta(spark, dir, oldMeta, bid)
   }
 

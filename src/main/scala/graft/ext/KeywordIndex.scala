@@ -172,12 +172,26 @@ object KeywordIndex {
 
   private def writeStats(spark: SparkSession, dir: String,
                          nDocs: Long, sumDl: Long): Unit =
-    spark.range(1).select(lit(nDocs).as("n_docs"),
-        lit(sumDl).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    // driver-side 1-row write (TinyParquetShim): the values are
+    // driver-known, so the former write job was pure overhead
+    org.apache.spark.sql.graftshim.TinyParquetShim.overwriteDir(
+      spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sum_dl",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      Seq(Row(nDocs, sumDl)), s"$dir/stats")
 
   private def readStatsRow(spark: SparkSession, dir: String): Row =
-    spark.read.parquet(s"$dir/stats").head
+    // driver-side 1-row read — serve plans keep reading the asset as
+    // a frame (scoring joins it broadcast); only the control-plane
+    // folds take this path
+    org.apache.spark.sql.graftshim.TinyParquetShim
+      .readRows(spark, s"$dir/stats")
+      .flatMap(_.headOption)
+      .getOrElse(throw new IllegalStateException(
+        s"KeywordIndex: no stats gauge at $dir"))
 
   /** Build (or rebuild) the index at `dir`: the ONE corpus tokenize
     * pass every probe then skips. Postings land term-range-clustered
@@ -203,8 +217,11 @@ object KeywordIndex {
       .write.mode("overwrite").parquet(s"$dir/doclens")
     val st = statsRowOf(spark.read.parquet(s"$dir/doclens"))
     writeStats(spark, dir, st.getLong(0), st.getLong(1))
-    StoredIndex.writeIdBloom(spark, dir, idsOf(corpus, idCol))
-    StoredIndex.writeMeta(identity(corpus, textCol, idCol), version, dir)
+    // identity + id bloom in ONE corpus pass (the former pair paid
+    // two full scans for the same commit metadata)
+    StoredIndex.writeBloomAndMeta(spark, dir,
+      StoredIndex.identityAndBloomOf(corpus,
+        col(idCol).cast("long"), col(textCol), col(idCol)), version)
   }
 
   /** Validate the stored index against the live corpus; build when
@@ -893,28 +910,41 @@ object KeywordIndex {
       .agg(count(lit(1L)).as("n_docs"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
 
-  /** A per-tenant delta folded into the CURRENT gauge rows, as a
-    * MATERIALIZED frame (the gauge is tenant-count-sized, so the
-    * fold is a read + union + re-aggregate; the checkpoint detaches
-    * it from the asset files it read, so callers may rewrite — or
-    * delete-first — that asset). Tenants folded to zero docs keep
+  /** A per-tenant delta folded into the CURRENT gauge rows,
+    * MATERIALIZED on the driver (the gauge is tenant-count-sized by
+    * construction, so the fold is a read + union + re-aggregate
+    * collected to ≤ tenants rows; holding the rows detaches them
+    * from the asset files the plan read, so callers may rewrite —
+    * or delete-first — that asset). Tenants folded to zero docs keep
     * their row (the tenant is still registered, currently empty). */
   private def foldedTenantGauges(spark: SparkSession, dir: String,
-                                 delta: DataFrame): DataFrame =
-    spark.read.parquet(s"$dir/tstats").unionByName(delta)
+                                 delta: DataFrame)
+      : (org.apache.spark.sql.types.StructType, Seq[Row]) = {
+    val df = spark.read.parquet(s"$dir/tstats").unionByName(delta)
       .groupBy("tenant")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl"))
-      .localCheckpoint()
+    (df.schema, df.collect().toSeq)
+  }
+
+  /** Driver-side write of the tenant-count-sized gauge asset —
+    * the per-fold Spark write job + commit protocol was pure
+    * overhead at this row count (TinyParquetShim). */
+  private def writeTstats(spark: SparkSession, dir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          rows: Seq[Row]): Unit =
+    org.apache.spark.sql.graftshim.TinyParquetShim.overwriteDir(
+      spark, schema, rows, s"$dir/tstats")
 
   /** Fold a per-tenant delta into the stored gauge asset in place —
     * the lifecycle callers whose crash window is already guarded by
     * the meta commit marker ([[remove]]'s beforeMeta hook,
     * [[absorb]]'s invalidate-first protocol). */
   private def foldTenantGauges(spark: SparkSession, dir: String,
-                               delta: DataFrame): Unit =
-    foldedTenantGauges(spark, dir, delta)
-      .write.mode("overwrite").parquet(s"$dir/tstats")
+                               delta: DataFrame): Unit = {
+    val (schema, rows) = foldedTenantGauges(spark, dir, delta)
+    writeTstats(spark, dir, schema, rows)
+  }
 
   /** The doclens slice of a batch-sized id frame — id IN literals
     * riding the (id-sorted after [[compact]]) files under the cap,
@@ -963,9 +993,9 @@ object KeywordIndex {
     // unassignment tombstones name the superseded assignment set
     StoredIndex.fsOf(spark, dir)
       .delete(new org.apache.hadoop.fs.Path(s"$dir/tdels"), true)
-    tenantGaugesOf(
-        spark.read.parquet(s"$dir/tenants").join(lens, Seq("id")))
-      .write.mode("overwrite").parquet(s"$dir/tstats")
+    val g = tenantGaugesOf(
+      spark.read.parquet(s"$dir/tenants").join(lens, Seq("id")))
+    writeTstats(spark, dir, g.schema, g.collect().toSeq)
   }
 
   /** Extend the overlay with assignments for newly-appended (or
@@ -1009,7 +1039,7 @@ object KeywordIndex {
     // fold against the PRE-append gauge, materialized; then the
     // delete-first/write-last window (see the scaladoc's crash
     // posture) around the assignment append
-    val folded = foldedTenantGauges(spark, dir, delta)
+    val (fSchema, fRows) = foldedTenantGauges(spark, dir, delta)
     // resurrect-vs-append split: a pair that was previously
     // unassigned still has its (tombstoned) physical row — dropping
     // the tombstone brings that row back; only genuinely-new pairs
@@ -1028,7 +1058,7 @@ object KeywordIndex {
     if (!newRows.isEmpty)
       newRows.select("id", "tenant")
         .write.mode("append").parquet(s"$dir/tenants")
-    folded.write.mode("overwrite").parquet(s"$dir/tstats")
+    writeTstats(spark, dir, fSchema, fRows)
   }
 
   /** End tenant membership for currently-assigned docs — the other
@@ -1071,14 +1101,14 @@ object KeywordIndex {
         cur.join(doclensSliceOf(spark, dir, dels, want), Seq("id")))
       .select(col("tenant"), (-col("n_docs")).as("n_docs"),
         (-col("sum_dl")).as("sum_dl"))
-    val folded = foldedTenantGauges(spark, dir, delta)
+    val (fSchema, fRows) = foldedTenantGauges(spark, dir, delta)
     val newDels = readTenantDels(spark, dir)
       .fold(cur.select("id", "tenant"))(
         _.select("id", "tenant").unionByName(cur.select("id", "tenant")))
     StoredIndex.fsOf(spark, dir)
       .delete(new org.apache.hadoop.fs.Path(s"$dir/tstats"), true)
     writeTenantDels(spark, dir, newDels)
-    folded.write.mode("overwrite").parquet(s"$dir/tstats")
+    writeTstats(spark, dir, fSchema, fRows)
   }
 
   /** Move currently-assigned docs to a different tenant — the
@@ -1120,7 +1150,7 @@ object KeywordIndex {
       .select(col("tenant"), (-col("n_docs")).as("n_docs"),
         (-col("sum_dl")).as("sum_dl"))
       .unionByName(tenantGaugesOf(a.join(lens, Seq("id"))))
-    val folded = foldedTenantGauges(spark, dir, delta)
+    val (fSchema, fRows) = foldedTenantGauges(spark, dir, delta)
     val td = readTenantDels(spark, dir)
     // tombstone the old pairs; resurrect returning pairs; append
     // only the genuinely-new ones (see assignTenants' split)
@@ -1138,7 +1168,7 @@ object KeywordIndex {
     if (!newRows.isEmpty)
       newRows.select("id", "tenant")
         .write.mode("append").parquet(s"$dir/tenants")
-    folded.write.mode("overwrite").parquet(s"$dir/tstats")
+    writeTstats(spark, dir, fSchema, fRows)
   }
 
   /** Subtract a retraction's per-tenant mass from the gauge asset —
@@ -1600,9 +1630,13 @@ object KeywordIndex {
       StoredIndex.requireNewIds(spark, dir, idsOf(batch, idCol),
         spark.read.parquet(s"$dir/doclens").select("id"),
         "KeywordIndex.append")
-    val oldMeta = spark.read.parquet(s"$dir/meta").head
+    val oldMeta = StoredIndex.readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"KeywordIndex.append: no committed meta at $dir"))
     val oldStats = readStatsRow(spark, dir)
-    val bid = identity(batch, textCol, idCol).head
+    // identity + batch bloom in ONE batch pass (was two)
+    val bid = StoredIndex.identityAndBloomOf(batch,
+      col(idCol).cast("long"), col(textCol), col(idCol))
     require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),
       "KeywordIndex.append: batch is empty or has non-integral ids")
     // batch-sized materialization so the postings/doclens/stats
@@ -1629,7 +1663,8 @@ object KeywordIndex {
       .write.mode("append").parquet(s"$dir/doclens")
     writeStats(spark, dir, oldStats.getLong(0) + delta.getLong(0),
       oldStats.getLong(1) + delta.getLong(1))
-    StoredIndex.mergeIdBloom(spark, dir, idsOf(batch, idCol))
+    StoredIndex.mergeIdBloomBytes(spark, dir,
+      bid.getAs[Array[Byte]]("bf"))
     StoredIndex.writeMergedMeta(spark, dir, oldMeta, bid)
   }
 
@@ -1797,11 +1832,12 @@ object KeywordIndex {
     // nothing); shards without one simply contribute untenanted docs
     val tGauges = shardDirs.filter(hasTenants(spark, _))
       .map(d => spark.read.parquet(s"$d/tstats"))
-    if (tGauges.nonEmpty)
-      tGauges.reduce(_ unionByName _).groupBy("tenant")
+    if (tGauges.nonEmpty) {
+      val g = tGauges.reduce(_ unionByName _).groupBy("tenant")
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("sum_dl")).as("sum_dl"))
-        .write.mode("overwrite").parquet(s"$outDir/tstats")
+      writeTstats(spark, outDir, g.schema, g.collect().toSeq)
+    }
     val blooms = shardDirs.map(d =>
       StoredIndex.readIdBloomAsset(spark, d))
     if (blooms.forall(_.isDefined)) // else: a pre-bloom shard — omit
@@ -1868,7 +1904,8 @@ object KeywordIndex {
       if (StoredIndex.fsOf(spark, dir)
           .exists(new org.apache.hadoop.fs.Path(s"$dir/tstats")))
         foldTenantGauges(spark, dir, shardGauges)
-      else shardGauges.write.mode("overwrite").parquet(s"$dir/tstats")
+      else writeTstats(spark, dir, shardGauges.schema,
+        shardGauges.collect().toSeq)
     }
     (StoredIndex.readIdBloomAsset(spark, dir), shardBloom) match {
       case (None, _) => () // pre-bloom target stays pre-bloom

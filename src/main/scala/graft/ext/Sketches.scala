@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Cardinality sketches with CROSS-ENGINE determinISM as a design
@@ -119,12 +119,26 @@ object Sketches {
     * serves a half-written gauge. */
   def kmvWrite(state: DataFrame, dir: String): Unit = {
     val spark = state.sparkSession
+    // gauge states are ≤ k rows (≤ bins for the histogram form) by
+    // construction: compute them with ONE action (collect — this is
+    // the same job the parquet write used to run) and land the file
+    // driver-side, skipping the per-fold write job + commit protocol
+    kmvWriteRows(spark, state.schema, state.collect().toSeq, dir)
+  }
+
+  /** [[kmvWrite]]'s swap on driver-held rows — the fold paths hold
+    * the merged state on the driver already. */
+  private[ext] def kmvWriteRows(spark: org.apache.spark.sql.SparkSession,
+                                schema: org.apache.spark.sql.types.StructType,
+                                rows: Seq[org.apache.spark.sql.Row],
+                                dir: String): Unit = {
     val fs = fsOf(spark, dir)
     val live = new org.apache.hadoop.fs.Path(dir)
     val stage = new org.apache.hadoop.fs.Path(dir + "__stage")
     val old = new org.apache.hadoop.fs.Path(dir + "__old")
     fs.delete(stage, true)
-    state.write.mode("overwrite").parquet(stage.toString)
+    org.apache.spark.sql.graftshim.TinyParquetShim.overwriteDir(
+      spark, schema, rows, stage.toString)
     fs.delete(old, true)
     if (fs.exists(live))
       require(fs.rename(live, old), s"kmvWrite: $live -> $old failed")
@@ -158,9 +172,11 @@ object Sketches {
               batch: DataFrame, key: Column, k: Int = 256): Unit = {
     require(kmvHeal(spark, dir),
       s"kmvFold: no stored gauge at $dir — seed it with kmvWrite first")
+    // no localCheckpoint: kmvWrite collects the merged state (one
+    // action) and lands it in the __stage dir, so the plan's read of
+    // the live gauge completes before any rename touches it
     kmvWrite(kmvMergedState(
-      Seq(spark.read.parquet(dir), kmvState(batch, key, k)), k)
-      .localCheckpoint(), dir)
+      Seq(spark.read.parquet(dir), kmvState(batch, key, k)), k), dir)
   }
 
   /** Merge independently-built KMV states (shard gauges) into one —
@@ -263,8 +279,7 @@ object Sketches {
         "sampleWrite first")
     kmvWrite(sampleMergedState(
         Seq(spark.read.parquet(dir),
-          sampleState(batch, keyCol, k, checkKeys)), keyCol, k)
-      .localCheckpoint(), dir)
+          sampleState(batch, keyCol, k, checkKeys)), keyCol, k), dir)
   }
 
   /** Merge independently-built sample states (shard gauges) into
@@ -308,8 +323,7 @@ object Sketches {
       s"sampleRemove: no stored gauge at $dir")
     kmvWrite(spark.read.parquet(dir)
       .join(broadcast(removed.select(col(keyCol)).distinct()),
-        Seq(keyCol), "left_anti")
-      .localCheckpoint(), dir)
+        Seq(keyCol), "left_anti"), dir)
   }
 
   /** The sampled rows of a stored gauge, (hf, key)-ordered — ≤ k
@@ -375,7 +389,7 @@ object Sketches {
     require(kmvHeal(spark, dir),
       s"histFold: no stored gauge at $dir — seed it with histWrite first")
     histWrite(histMergedState(Seq(spark.read.parquet(dir),
-      histState(batch, value, binWidth))).localCheckpoint(), dir)
+      histState(batch, value, binWidth))), dir)
   }
 
   /** Merge histogram states (shard gauges): add counts by bin. */
@@ -397,13 +411,18 @@ object Sketches {
       s"histRemove: no stored gauge at $dir")
     val gone = histState(removed, value, binWidth)
       .select(col("bin"), (-col("n")).as("n"))
-    val folded = histMergedState(
-      Seq(spark.read.parquet(dir), gone)).localCheckpoint()
-    require(folded.filter(col("n") < 0).limit(1).count() == 0L,
+    val folded = histMergedState(Seq(spark.read.parquet(dir), gone))
+    // one action (collect of the O(bins) fold) carries the negative-
+    // bin guard AND the filtered write — the former localCheckpoint +
+    // guard count + write ran three
+    val rows = folded.collect().toSeq
+    val nAt = folded.schema.fieldIndex("n")
+    require(!rows.exists(r => !r.isNullAt(nAt) && r.getLong(nAt) < 0),
       "histRemove: subtraction drives bin(s) negative — the removed " +
         "rows were never folded into this gauge (value/binWidth " +
         "mismatch or a double removal)")
-    histWrite(folded.filter(col("n") > 0), dir)
+    kmvWriteRows(spark, folded.schema,
+      rows.filter(r => !r.isNullAt(nAt) && r.getLong(nAt) > 0), dir)
   }
 
   /** The stored histogram, bin-ordered — O(bins) rows read. The
@@ -440,12 +459,33 @@ object Sketches {
                       mark: Long): Unit =
     histWrite(state.withColumn("__mark", lit(mark)), dir)
 
+  /** `schema` with the `__mark` column appended — the exact shape
+    * `withColumn("__mark", lit(mark))` produces (non-nullable long),
+    * for the driver-side write paths. */
+  private def markedSchema(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("__mark",
+        org.apache.spark.sql.types.LongType, nullable = false))
+
+  /** Driver-side read of a marked gauge's watermark — the gauge is
+    * O(bins) rows by construction, so the former max-aggregate
+    * action per fold/read was pure overhead. */
+  private def storedMark(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Long = {
+    val rows = org.apache.spark.sql.graftshim.TinyParquetShim
+      .readRows(spark, dir).getOrElse(Seq.empty)
+    require(rows.nonEmpty, s"storedMark: empty gauge at $dir")
+    val at = rows.head.fieldIndex("__mark")
+    rows.map(_.getLong(at)).max
+  }
+
   /** The stored watermark of a marked gauge — the highest batch id
     * whose fold has committed. */
   def histMark(spark: org.apache.spark.sql.SparkSession,
                dir: String): Long = {
     require(kmvHeal(spark, dir), s"histMark: no stored gauge at $dir")
-    spark.read.parquet(dir).agg(max(col("__mark"))).head.getLong(0)
+    storedMark(spark, dir)
   }
 
   /** Fold a batch into a marked gauge UNLESS its mark is at or below
@@ -457,11 +497,11 @@ object Sketches {
     require(kmvHeal(spark, dir),
       s"histFoldMarked: no stored gauge at $dir — seed it with " +
         "histWriteMarked first")
-    val stored = spark.read.parquet(dir)
-    val at = stored.agg(max(col("__mark"))).head.getLong(0)
+    val at = storedMark(spark, dir)
     if (mark <= at) return false
-    histWriteMarked(histMergedState(Seq(stored.drop("__mark"),
-        histState(batch, value, binWidth))).localCheckpoint(),
+    histWriteMarked(histMergedState(
+        Seq(spark.read.parquet(dir).drop("__mark"),
+          histState(batch, value, binWidth))),
       dir, mark)
     true
   }
@@ -477,10 +517,10 @@ object Sketches {
                     binWidth: Long = 1L): Unit = {
     require(kmvHeal(spark, dir),
       s"histAddMarked: no stored gauge at $dir")
-    val stored = spark.read.parquet(dir)
-    val at = stored.agg(max(col("__mark"))).head.getLong(0)
-    histWriteMarked(histMergedState(Seq(stored.drop("__mark"),
-        histState(rows, value, binWidth))).localCheckpoint(),
+    val at = storedMark(spark, dir)
+    histWriteMarked(histMergedState(
+        Seq(spark.read.parquet(dir).drop("__mark"),
+          histState(rows, value, binWidth))),
       dir, at)
   }
 
@@ -496,17 +536,21 @@ object Sketches {
                        binWidth: Long = 1L): Unit = {
     require(kmvHeal(spark, dir),
       s"histRemoveMarked: no stored gauge at $dir")
-    val stored = spark.read.parquet(dir)
-    val at = stored.agg(max(col("__mark"))).head.getLong(0)
+    val at = storedMark(spark, dir)
     val gone = histState(removed, value, binWidth)
       .select(col("bin"), (-col("n")).as("n"))
-    val folded = histMergedState(Seq(stored.drop("__mark"), gone))
-      .localCheckpoint()
-    require(folded.filter(col("n") < 0).limit(1).count() == 0L,
+    val folded = histMergedState(
+      Seq(spark.read.parquet(dir).drop("__mark"), gone))
+    val rows = folded.collect().toSeq
+    val nAt = folded.schema.fieldIndex("n")
+    require(!rows.exists(r => !r.isNullAt(nAt) && r.getLong(nAt) < 0),
       "histRemoveMarked: subtraction drives bin(s) negative — the " +
         "removed rows were never folded into this gauge (value/" +
         "binWidth mismatch or a double removal)")
-    histWriteMarked(folded.filter(col("n") > 0), dir, at)
+    kmvWriteRows(spark,
+      markedSchema(folded.schema),
+      rows.filter(r => !r.isNullAt(nAt) && r.getLong(nAt) > 0)
+        .map(r => Row.fromSeq(r.toSeq :+ at)), dir)
   }
 
   /** EXACT discrete quantiles from the stored gauge — for each q,

@@ -64,13 +64,13 @@ object StoredIndex {
     * Anything else a read can throw (corrupt footer mid-serve, a
     * transient FS error) propagates: silently treating it as
     * "missing" would trigger a full rebuild over an index that may
-    * be perfectly healthy. */
+    * be perfectly healthy. Driver-side read (TinyParquetShim): the
+    * meta is one row by construction, so the former per-call Spark
+    * action (plan + schedule + collect) was pure overhead — absence
+    * still maps to None, corrupt footers still propagate. */
   def readMeta(spark: SparkSession, dir: String): Option[Row] =
-    try spark.read.parquet(s"$dir/meta").limit(1).collect().headOption
-    catch {
-      case _: AnalysisException => None // path missing / not parquet
-      case _: FileNotFoundException => None
-    }
+    org.apache.spark.sql.graftshim.TinyParquetShim
+      .readRows(spark, s"$dir/meta").flatMap(_.headOption)
 
   /** Freshness check behind every `ensure`: version posture = one
     * 1-row meta read, zero corpus scans; content posture = the
@@ -93,11 +93,36 @@ object StoredIndex {
       }
     }
 
-  /** Write the commit marker — the LAST step of build. */
+  /** Write the commit marker — the LAST step of build. The identity
+    * aggregate still runs as a Spark job (it scans the corpus); only
+    * the 1-row WRITE moves driver-side (TinyParquetShim) — dropping
+    * the per-build write action + commit protocol. */
   def writeMeta(identityDf: DataFrame, version: Option[String],
-                dir: String): Unit =
-    identityDf.withColumn("version", lit(version.orNull).cast("string"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+                dir: String): Unit = {
+    val df = identityDf
+      .withColumn("version", lit(version.orNull).cast("string"))
+    org.apache.spark.sql.graftshim.TinyParquetShim.overwriteDir(
+      df.sparkSession, df.schema, df.collect().toSeq, s"$dir/meta")
+  }
+
+  /** Driver-side write of an all-literal meta row — the append/
+    * retract/fold markers are computed on the driver already, so no
+    * Spark action is needed at all. Nullability mirrors the former
+    * `lit(...)` construction: a field is optional iff its value is
+    * null (Literal.nullable), keeping the written parquet schema
+    * identical to the previous job-based write. */
+  private def writeMetaRow(spark: SparkSession, dir: String,
+                           nRows: Long, maxId: java.lang.Long,
+                           fp: java.lang.Long, version: String): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_rows", LongType, nullable = false),
+      StructField("max_id", LongType, nullable = maxId == null),
+      StructField("fingerprint", LongType, nullable = fp == null),
+      StructField("version", StringType, nullable = version == null)))
+    org.apache.spark.sql.graftshim.TinyParquetShim.overwriteDir(
+      spark, schema, Seq(Row(nRows, maxId, fp, version)), s"$dir/meta")
+  }
 
   /** Write the merged commit marker — the LAST step of append. The
     * XOR/max/sum algebra is what makes append O(batch): no corpus
@@ -113,13 +138,9 @@ object StoredIndex {
     val fp =
       if (old.isNullAt(2)) batch.getLong(2)
       else old.getLong(2) ^ batch.getLong(2)
-    spark.range(1).select(
-        lit(old.getLong(0) + batch.getLong(0)).as("n_rows"),
-        lit(maxId).as("max_id"),
-        lit(fp).as("fingerprint"),
-        lit(if (old.size < 4 || old.isNullAt(3)) null
-            else old.getString(3)).cast("string").as("version"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    writeMetaRow(spark, dir, old.getLong(0) + batch.getLong(0),
+      maxId, fp,
+      if (old.size < 4 || old.isNullAt(3)) null else old.getString(3))
   }
 
   /** Zero-scan corpus version string from file METADATA only (names,
@@ -188,14 +209,19 @@ object StoredIndex {
   /** `might_contain(bloom, xxhash64(id))` as a Column — the same
     * hash the aggregate applied, so membership is consistent. Public
     * because streaming ingest gates its already-indexed anti-join on
-    * it (negatives skip the stored-id read entirely). */
+    * it (negatives skip the stored-id read entirely). The filter
+    * rides a BROADCAST ([[graft.functions.BroadcastBloomMightContain]]),
+    * not a plan literal: the former bloom-sized `Literal(bytes)` was
+    * re-serialized into every gated job's task binary and hex-
+    * rendered into every plan description — a per-action constant
+    * this path pays on every micro-batch. */
   def mightContain(bytes: Array[Byte], id: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{
-      BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
     import org.apache.spark.sql.graftshim.ColumnShim
-    import org.apache.spark.sql.types.BinaryType
-    ColumnShim.column(new BloomFilterMightContain(
-      Literal(bytes, BinaryType),
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(
+      BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
+    ColumnShim.column(graft.functions.BroadcastBloomMightContain(bc,
       new XxHash64(Seq(ColumnShim.expression(id)))))
   }
 
@@ -203,12 +229,49 @@ object StoredIndex {
   private def bloomBytesOf(ids: DataFrame): Array[Byte] =
     ids.agg(bloomAggCol(col("id")).as("bf")).head.getAs[Array[Byte]](0)
 
+  /** Identity row AND id bloom in ONE corpus pass: (n_rows, max_id,
+    * fingerprint, bf). Build used to pay two full scans for its
+    * commit metadata — one for [[identityOf]], one for the bloom
+    * aggregate — plus the tokenize/encode pass the index itself
+    * needs; the two metadata aggregates share a single scan here
+    * (guide §1.2 step 1: fewer passes). */
+  def identityAndBloomOf(df: DataFrame, id: Column, content: Column,
+                         bloomId: Column): Row =
+    df.select(id.as("__id"), content.as("__t"),
+        bloomId.cast("long").as("__bid"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("__id")).as("max_id"),
+        expr("bit_xor(xxhash64(__id, __t))").as("fingerprint"),
+        bloomAggCol(col("__bid")).as("bf"))
+      .head
+
+  /** Write `idbloom` + `meta` from one [[identityAndBloomOf]] row —
+    * the build-tail pair, same asset order (bloom BEFORE meta, the
+    * commit marker last). */
+  def writeBloomAndMeta(spark: SparkSession, dir: String, ib: Row,
+                        version: Option[String]): Unit = {
+    writeBloomBytes(spark, dir, ib.getAs[Array[Byte]]("bf"))
+    writeMetaRow(spark, dir, ib.getLong(0),
+      if (ib.isNullAt(1)) null else Long.box(ib.getLong(1)),
+      if (ib.isNullAt(2)) null else Long.box(ib.getLong(2)),
+      version.orNull)
+  }
+
   /** Write the bloom asset (1 binary row; `bytes` may be null — the
-    * provably-empty-corpus filter). */
+    * provably-empty-corpus filter). The bytes are on the driver
+    * already, so the write is driver-side (TinyParquetShim) — the
+    * former 1-row write job also embedded the filter as a plan
+    * literal, paying a bloom-sized task binary and a bloom-sized hex
+    * render of the plan description per call. */
   def writeBloomBytes(spark: SparkSession, dir: String,
-                      bytes: Array[Byte]): Unit =
-    spark.range(1).select(lit(bytes).cast("binary").as("bf"))
-      .write.mode("overwrite").parquet(s"$dir/idbloom")
+                      bytes: Array[Byte]): Unit = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.graftshim.TinyParquetShim.overwriteDir(
+      spark,
+      StructType(Seq(
+        StructField("bf", BinaryType, nullable = bytes == null))),
+      Seq(Row(bytes)), s"$dir/idbloom")
+  }
 
   /** Persist the id bloom (1 binary row) from a long `id` column.
     * Written BEFORE meta in build/append, so a committed index
@@ -226,12 +289,10 @@ object StoredIndex {
     * live filter. */
   def readIdBloomAsset(spark: SparkSession, dir: String)
       : Option[Option[Array[Byte]]] =
-    try Some(Option(spark.read.parquet(s"$dir/idbloom")
-      .head.getAs[Array[Byte]]("bf")))
-    catch {
-      case _: AnalysisException => None
-      case _: FileNotFoundException => None
-    }
+    org.apache.spark.sql.graftshim.TinyParquetShim
+      .readRows(spark, s"$dir/idbloom")
+      .flatMap(_.headOption)
+      .map(r => Option(r.getAs[Array[Byte]]("bf")))
 
   /** Stored bloom bytes, if the asset exists (pre-bloom indexes and
     * empty-corpus builds return None → callers fall back to the
@@ -254,8 +315,14 @@ object StoredIndex {
     *    the index silently. Leave the asset absent; the guards keep
     *    falling back to the exact check. */
   def mergeIdBloom(spark: SparkSession, dir: String,
-                   batchIds: DataFrame): Unit = {
-    val batchBytes = bloomBytesOf(batchIds)
+                   batchIds: DataFrame): Unit =
+    mergeIdBloomBytes(spark, dir, bloomBytesOf(batchIds))
+
+  /** [[mergeIdBloom]] on already-aggregated batch bloom bytes — the
+    * appends fuse the bloom aggregate into their identity scan
+    * ([[identityAndBloomOf]]), so no second batch pass runs here. */
+  def mergeIdBloomBytes(spark: SparkSession, dir: String,
+                        batchBytes: Array[Byte]): Unit = {
     readIdBloomAsset(spark, dir) match {
       case None => () // pre-bloom index: see scaladoc
       case Some(prior) =>
@@ -326,14 +393,19 @@ object StoredIndex {
     * next compaction materializes the removal (the LSM split:
     * retraction is O(batch), the physical rewrite is amortized). */
   def readDeleteIds(spark: SparkSession, dir: String)
-      : Option[DataFrame] =
-    try {
-      val d = spark.read.parquet(s"$dir/deletes").select("id")
-      Some(d)
-    } catch {
-      case _: AnalysisException => None
-      case _: FileNotFoundException => None
-    }
+      : Option[DataFrame] = {
+    // existence probe first: the common no-tombstones case used to
+    // pay a DataSource resolution + thrown-and-caught analysis
+    // exception (with a logged stack trace) on EVERY probe/health/
+    // live-ids call — one FS metadata op instead
+    if (!fsOf(spark, dir).exists(new Path(s"$dir/deletes"))) None
+    else
+      try Some(spark.read.parquet(s"$dir/deletes").select("id"))
+      catch {
+        case _: AnalysisException => None
+        case _: FileNotFoundException => None
+      }
+  }
 
   /** Append a retraction batch to the tombstone asset (inside the
     * caller's commit-marker window). */
@@ -378,7 +450,9 @@ object StoredIndex {
   def removeIds(spark: SparkSession, dir: String, ids: DataFrame,
                 removedMeta: Row, liveIds: DataFrame,
                 what: String, beforeMeta: () => Unit = () => ()): Unit = {
-    val storedMeta = spark.read.parquet(s"$dir/meta").head
+    val storedMeta = readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$what: no committed meta at $dir"))
     require(removedMeta.getLong(0) > 0L,
       s"$what: retraction batch is empty — nothing to remove at $dir")
     require(removedMeta.getLong(0) == ids.count(),
@@ -446,13 +520,8 @@ object StoredIndex {
     // validates fresh
     val fp: java.lang.Long =
       if (n == 0L) null else Long.box(old.getLong(2) ^ removed.getLong(2))
-    spark.range(1).select(
-        lit(n).as("n_rows"),
-        lit(liveMaxId).cast("long").as("max_id"),
-        lit(fp).cast("long").as("fingerprint"),
-        lit(if (old.size < 4 || old.isNullAt(3)) null
-            else old.getString(3)).cast("string").as("version"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    writeMetaRow(spark, dir, n, liveMaxId, fp,
+      if (old.size < 4 || old.isNullAt(3)) null else old.getString(3))
   }
 
   /** Parquet part-file count of a stored asset (flat dirs by
@@ -547,7 +616,13 @@ object StoredIndex {
                    liveIdsOf: Option[DataFrame => DataFrame] = None)
       : Unit = {
     val fs = fsOf(spark, dir)
-    val meta = spark.read.parquet(s"$dir/meta").localCheckpoint()
+    // meta is 1 row: hold it on the driver across the swap instead
+    // of localCheckpoint-ing a frame (one job) and re-writing it
+    // through another (TinyParquetShim on both sides)
+    val meta = org.apache.spark.sql.graftshim.TinyParquetShim
+      .readRows(spark, s"$dir/meta")
+      .getOrElse(throw new IllegalStateException(
+        s"compact: no committed meta at $dir"))
     val staged = new Path(s"$dir/${asset}_compact")
     rewrite(spark.read.parquet(s"$dir/$asset"))
       .write.mode("overwrite").parquet(staged.toString)
@@ -567,7 +642,8 @@ object StoredIndex {
     // failing index, never a half-applied state
     dropAssets.foreach(a => fs.delete(new Path(s"$dir/$a"), true))
     freshBloom.foreach(b => writeBloomBytes(spark, dir, b))
-    meta.write.mode("overwrite").parquet(s"$dir/meta")
+    org.apache.spark.sql.graftshim.TinyParquetShim.overwriteDir(
+      spark, meta.head.schema, meta, s"$dir/meta")
   }
 
   // -------------------------------------------- staged rebuild/swap
@@ -690,13 +766,8 @@ object StoredIndex {
                       metas: Seq[Row], version: Option[String]): Unit = {
     val maxes = metas.filter(!_.isNullAt(1)).map(_.getLong(1))
     val fps = metas.filter(!_.isNullAt(2)).map(_.getLong(2))
-    spark.range(1).select(
-        lit(metas.map(_.getLong(0)).sum).as("n_rows"),
-        maxes.reduceOption((a, b) => math.max(a, b)).map(lit(_))
-          .getOrElse(lit(null)).cast("long").as("max_id"),
-        fps.reduceOption(_ ^ _).map(lit(_)).getOrElse(lit(null))
-          .cast("long").as("fingerprint"),
-        lit(version.orNull).cast("string").as("version"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    writeMetaRow(spark, dir, metas.map(_.getLong(0)).sum,
+      maxes.reduceOption((a, b) => math.max(a, b)).map(Long.box).orNull,
+      fps.reduceOption(_ ^ _).map(Long.box).orNull, version.orNull)
   }
 }

@@ -29,6 +29,49 @@ import org.apache.spark.unsafe.types.UTF8String
   * operation order), so oracle comparisons are unaffected.
   */
 
+/** might-contain over a BROADCAST bloom filter — the control-plane
+  * id-gate predicate ([[graft.ext.StoredIndex.mightContain]]) without
+  * the former 4 MiB `Literal(bytes)`: a bloom-sized literal rides
+  * EVERY job's serialized task binary (the "Broadcasting large task
+  * binary" warning) and is hex-rendered into every plan description
+  * the SQL listener builds — per-action costs paid on each gated
+  * batch. The broadcast handle is bytes-small in the task binary;
+  * the filter ships once per executor through the broadcast store
+  * and deserializes once (vs per BloomFilterMightContain eval
+  * partition). Membership semantics are bit-identical: the child is
+  * the same `xxhash64(id)` the BloomFilterAggregate inserted, and
+  * `mightContainLong` is the same probe the literal form ran. */
+case class BroadcastBloomMightContain(
+    bloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter],
+    child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.value.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
+          $ref.value()).mightContainLong($v);""")
+  }
+
+  // the broadcast id, not the filter bytes, names the expression in
+  // plan strings — keep it short and stable-ish
+  override def toString: String =
+    s"bc_bloom_might_contain($child)"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BroadcastBloomMightContain =
+    copy(child = newChild)
+}
+
 /** cosine(a, b) over two array<double> columns, fused single pass,
   * codegen'd. Float arrays are implicitly cast (embeddings are usually
   * float32 on disk). Null if either input or any element is null. */

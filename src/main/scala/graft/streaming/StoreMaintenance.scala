@@ -57,6 +57,25 @@ private[streaming] object StoreMaintenance {
       .orderBy("batch")
   }
 
+  /** The highest landed batch id (−1 when the store is absent or
+    * empty) — derived from the `batch=N` partition-dir listing,
+    * driver-side: the ledger's `max(batch)` without a Spark job
+    * (every landed batch has its dir; empty batches are never
+    * written, so listing-max ≡ ledger-max). Heals first, like every
+    * reader entry point here. */
+  def maxLandedBatch(spark: SparkSession, root: String): Long = {
+    heal(spark, root)
+    val fs = fsOf(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return -1L
+    val ids = fs.listStatus(rootPath).toSeq.collect {
+      case st if st.isDirectory &&
+          st.getPath.getName.startsWith("batch=") =>
+        st.getPath.getName.stripPrefix("batch=").toLong
+    }
+    if (ids.isEmpty) -1L else ids.max
+  }
+
   /** The store as of micro-batch `maxBatch` (inclusive): every
     * accepted row from batch dirs <= maxBatch, with the partition
     * column dropped — bit-identical no matter how many batches land

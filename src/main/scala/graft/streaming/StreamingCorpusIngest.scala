@@ -136,7 +136,7 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     val corpusPath = new org.apache.hadoop.fs.Path(s"$root/corpus")
     if (!fs.exists(corpusPath)) return // virgin: nothing accepted yet
     val from = readMark()
-    val to = text.batchLedger().agg(max(col("batch"))).head.getLong(0)
+    val to = text.maxLandedBatch()
     if (to <= from) return
     val delta = text.corpusDelta(from, to).select("doc_id")
       .localCheckpoint()
@@ -184,7 +184,7 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     import graft.ext.{KeywordIndex, StoredIndex}
     val corpusPath = new org.apache.hadoop.fs.Path(s"$root/corpus")
     if (!fs.exists(corpusPath)) return // virgin: nothing accepted yet
-    val to = text.batchLedger().agg(max(col("batch"))).head.getLong(0)
+    val to = text.maxLandedBatch()
     val metaP = new org.apache.hadoop.fs.Path(s"$keywordDir/meta")
     if (!fs.exists(metaP)) {
       // virgin index — or a crash mid-append left assets without
@@ -229,7 +229,7 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     import graft.ext.{KeywordIndex, StoredIndex}
     val corpusPath = new org.apache.hadoop.fs.Path(s"$root/corpus")
     if (!fs.exists(corpusPath)) return
-    val to = text.batchLedger().agg(max(col("batch"))).head.getLong(0)
+    val to = text.maxLandedBatch()
     val metaP = new org.apache.hadoop.fs.Path(s"$keywordDir/meta")
     if (!fs.exists(metaP)) {
       KeywordIndex.build(text.corpus(), keywordDir)
@@ -648,16 +648,24 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
 
   private def writeMark(to: Long): Unit = writeMarkAt(syncMarkDir, to)
 
-  private def readMarkAt(dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(p)) -2L
-    else spark.read.parquet(dir).head.getLong(0)
-  }
+  // 1-row mark assets: driver-side parquet I/O (TinyParquetShim) —
+  // the former per-sync read job + write job were pure overhead;
+  // the stage-then-rename swap posture is unchanged
+  private def readMarkAt(dir: String): Long =
+    org.apache.spark.sql.graftshim.TinyParquetShim
+      .readRows(spark, dir)
+      .flatMap(_.headOption)
+      .map(_.getLong(0))
+      .getOrElse(-2L)
 
   private def writeMarkAt(dir: String, to: Long): Unit = {
     val stage = dir + "_stage"
-    spark.range(1).select(lit(to).as("batch"))
-      .coalesce(1).write.mode("overwrite").parquet(stage)
+    org.apache.spark.sql.graftshim.TinyParquetShim.overwriteDir(
+      spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      Seq(org.apache.spark.sql.Row(to)), stage)
     val markPath = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(markPath)) fs.delete(markPath, true)
     fs.rename(new org.apache.hadoop.fs.Path(stage), markPath)

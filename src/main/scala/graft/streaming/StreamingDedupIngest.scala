@@ -144,6 +144,14 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
   def batchLedger(): DataFrame =
     StoreMaintenance.batches(spark, corpusDir)
 
+  /** The highest landed batch id (−1 when nothing landed) — the
+    * ledger's `max(batch)` from the partition-dir listing alone,
+    * driver-side, no Spark job ([[StoreMaintenance.maxLandedBatch]]).
+    * What the coordinator sync marks and the hist-gauge watermark
+    * seed actually need from the ledger. */
+  def maxLandedBatch(): Long =
+    StoreMaintenance.maxLandedBatch(spark, corpusDir)
+
   /** Bootstrap a VIRGIN ingest from an existing batch corpus: the
     * seed lands as partition `batch=-1` (below any micro-batch id,
     * so as-of/delta reads order it before every streamed drop) and
@@ -165,9 +173,10 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     val fresh = dropRetracted(df.dropDuplicates("doc_id"))
       .localCheckpoint()
     writePartition(fresh, corpusDir, -1L)
-    foldAcceptedKmv(fresh)
-    foldAcceptedSample(fresh)
-    foldAcceptedHist(fresh, -1L)
+    foldInParallel(
+      () => foldAcceptedKmv(fresh),
+      () => foldAcceptedSample(fresh),
+      () => foldAcceptedHist(fresh, -1L))
     DedupIndex.build(corpus(), indexDir)
   }
 
@@ -203,6 +212,25 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
   private def fs =
     new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+
+  /** Run independent control-plane mutations (the three gauge folds
+    * — distinct stores, no shared state) concurrently from driver
+    * threads, so their small jobs overlap instead of serializing
+    * (guide §2.6: actions are only sequential because the driver
+    * calls them sequentially). Exceptions propagate — the first
+    * failure rethrows after all threads finish, preserving the
+    * all-folds-before-index-append crash ordering. */
+  private def foldInParallel(fns: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = fns.map { f =>
+      val t = new Thread(() => try f() catch {
+        case e: Throwable => errs.add(e)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 
   /** Durable KMV distinct-count gauge beside the corpus store — the
     * stored [[graft.ext.Sketches]] state folded per accepted batch
@@ -316,13 +344,10 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     * heal: one corpus pass, watermarked at the ledger's max landed
     * batch (the corpus already holds anything the caller just
     * wrote, so the seed covers it). */
-  private def bootstrapHist(): Unit = {
-    val mark = batchLedger()
-      .agg(coalesce(max(col("batch")), lit(-1L))).head.getLong(0)
+  private def bootstrapHist(): Unit =
     graft.ext.Sketches.histWriteMarked(
       graft.ext.Sketches.histState(corpus(), histValue, histBinWidth),
-      histDir, mark)
-  }
+      histDir, maxLandedBatch())
 
   /** Re-derive the histogram gauge from the live corpus — O(corpus),
     * control-plane: the documented heal for [[readmit]]'s fold
@@ -647,9 +672,10 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         rejected.foreach(r => writePartition(r, quarantineDir, batchId))
         if (!admitted.isEmpty) {
           writePartition(admitted, corpusDir, batchId)
-          foldAcceptedKmv(admitted)
-          foldAcceptedSample(admitted)
-          foldAcceptedHist(admitted, batchId)
+          foldInParallel(
+            () => foldAcceptedKmv(admitted),
+            () => foldAcceptedSample(admitted),
+            () => foldAcceptedHist(admitted, batchId))
           DedupIndex.build(corpus(), indexDir)
         }
       }
@@ -707,9 +733,10 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         // a crash INSIDE append leaves no meta, and the next run
         // rebuilds from the corpus store (see ingestBatch)
         writePartition(clean, corpusDir, batchId)
-        foldAcceptedKmv(clean)
-        foldAcceptedSample(clean)
-        foldAcceptedHist(clean, batchId)
+        foldInParallel(
+          () => foldAcceptedKmv(clean),
+          () => foldAcceptedSample(clean),
+          () => foldAcceptedHist(clean, batchId))
         DedupIndex.append(clean, indexDir, checkIds = false)
         // self-maintenance: a long append chain accretes shard
         // files; compact once the count crosses the dial. A crash
