@@ -94,9 +94,9 @@ object AnnIndex {
       vecCol = vecCol, idCol = idCol).localCheckpoint()
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    Similarity.pqEncode(corpus, cb, m, dim, vecCol, idCol)
-      .join(Similarity.ivfAssign(corpus, cents, vecCol, idCol)
-        .select("nid", "cid"), "nid")
+    // codes + assignment in ONE scan (was two scans + an nid join
+    // shuffle — Similarity.pqEncodeAssign)
+    Similarity.pqEncodeAssign(corpus, cents, cb, m, dim, vecCol, idCol)
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$dir/postings")
     // identity + id bloom in ONE corpus pass (was two full scans);
@@ -248,9 +248,9 @@ object AnnIndex {
     require(batchMeta.getLong(0) > 0L,
       s"append batch is empty — nothing to index at $dir")
     StoredIndex.invalidate(spark, dir) // commit marker (see build)
-    Similarity.pqEncode(batch, cb, m, dim, vecCol, idCol)
-      .join(Similarity.ivfAssign(batch, cents, vecCol, idCol)
-        .select("nid", "cid"), "nid")
+    // codes + assignment in ONE scan (was two scans + an nid join
+    // shuffle — Similarity.pqEncodeAssign)
+    Similarity.pqEncodeAssign(batch, cents, cb, m, dim, vecCol, idCol)
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("append").parquet(s"$dir/postings")
     StoredIndex.mergeIdBloomBytes(spark, dir,
@@ -301,9 +301,9 @@ object AnnIndex {
         "centroids/codebook assets — build it first")
     val cents = spark.read.parquet(s"$shardDir/centroids")
     val cb = spark.read.parquet(s"$shardDir/codebook")
-    Similarity.pqEncode(slice, cb, m, dim, vecCol, idCol)
-      .join(Similarity.ivfAssign(slice, cents, vecCol, idCol)
-        .select("nid", "cid"), "nid")
+    // codes + assignment in ONE scan (was two scans + an nid join
+    // shuffle — Similarity.pqEncodeAssign)
+    Similarity.pqEncodeAssign(slice, cents, cb, m, dim, vecCol, idCol)
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$shardDir/postings")
     // identity + id bloom in ONE slice pass (was two)
@@ -793,13 +793,20 @@ object AnnIndex {
     * per-tenant semi-join agree). */
   private def tenantAssignOf(assign: DataFrame, tenantCol: String,
                              idCol: String, what: String): DataFrame = {
+    // one materialization + ONE guard aggregate (was two jobs over
+    // the caller's full lineage) — KeywordIndex.tenantAssignOf's
+    // fused form, same reasoning
     val a = assign.select(col(idCol).cast("long").as("id"),
       col(tenantCol).cast("string").as("tenant"))
-    require(a.filter(col("tenant").isNull || col("id").isNull)
-      .limit(1).count() == 0L,
+      .localCheckpoint()
+    val g = a.agg(
+      count(when(col("tenant").isNull || col("id").isNull, 1L))
+        .as("n_bad"),
+      count(lit(1L)).as("n"),
+      countDistinct(col("id")).as("n_ids")).head
+    require(g.getLong(0) == 0L,
       s"$what: assignment rows must carry non-null (id, tenant)")
-    require(a.groupBy("id").count().filter(col("count") > 1)
-      .limit(1).count() == 0L,
+    require(g.getLong(2) == g.getLong(1),
       s"$what: one tenant per id — an id in two tenants would make " +
         "the per-tenant id lists overlapping sets")
     a
@@ -844,7 +851,7 @@ object AnnIndex {
       s"AnnIndex.assignTenants: no tenant overlay at $dir — " +
         "registerTenants first")
     val a = tenantAssignOf(assign, tenantCol, idCol,
-      "AnnIndex.assignTenants").localCheckpoint()
+      "AnnIndex.assignTenants")
     require(a.join(liveIndexedIds(spark, dir), Seq("id"), "left_anti")
       .limit(1).count() == 0L,
       "AnnIndex.assignTenants: assignment names id(s) not live " +
@@ -919,15 +926,20 @@ object AnnIndex {
       s"AnnIndex.reassignTenants: no tenant overlay at $dir — " +
         "registerTenants first")
     val a = tenantAssignOf(assign, tenantCol, idCol,
-      "AnnIndex.reassignTenants").localCheckpoint()
+      "AnnIndex.reassignTenants")
     val cur = assignmentSliceFor(spark, dir, a.select("id"))
       .localCheckpoint()
-    require(a.join(cur, Seq("id"), "left_anti")
-      .limit(1).count() == 0L,
+    // both guards in ONE pass over a ⟕ cur (cur is id-unique —
+    // KeywordIndex.reassignTenants' fused form, was two jobs)
+    val chk = a.join(cur.withColumnRenamed("tenant", "__cur"),
+        Seq("id"), "left")
+      .agg(count(when(col("__cur").isNull, 1L)).as("n_unassigned"),
+        count(when(col("tenant") === col("__cur"), 1L)).as("n_noop"))
+      .head
+    require(chk.getLong(0) == 0L,
       "AnnIndex.reassignTenants: id(s) not currently assigned — " +
         "assignTenants adds NEW assignments; reassign only moves")
-    require(a.join(cur, Seq("id", "tenant"), "left_semi")
-      .limit(1).count() == 0L,
+    require(chk.getLong(1) == 0L,
       "AnnIndex.reassignTenants: row(s) name the id's CURRENT " +
         "tenant — a no-op move; drop those rows")
     val td = readTenantDels(spark, dir)

@@ -890,13 +890,24 @@ object KeywordIndex {
     * row per id, no null tenants. */
   private def tenantAssignOf(assign: DataFrame, tenantCol: String,
                              idCol: String, what: String): DataFrame = {
+    // materialized once: the guard aggregate, the live-ids guard,
+    // the clusterTenants range-sample + shuffle, and the gauge
+    // derivation all consume `a` — unchecked, each re-evaluated the
+    // caller's lineage (a registration-scale frame)
     val a = assign.select(col(idCol).cast("long").as("id"),
       col(tenantCol).cast("string").as("tenant"))
-    require(a.filter(col("tenant").isNull || col("id").isNull)
-      .limit(1).count() == 0L,
+      .localCheckpoint()
+    // both guards in ONE aggregate pass (was two jobs: a null filter
+    // and a duplicate-id groupBy): count_distinct ignores null ids,
+    // but the null guard fires first from the same row
+    val g = a.agg(
+      count(when(col("tenant").isNull || col("id").isNull, 1L))
+        .as("n_bad"),
+      count(lit(1L)).as("n"),
+      countDistinct(col("id")).as("n_ids")).head
+    require(g.getLong(0) == 0L,
       s"$what: assignment rows must carry non-null (id, tenant)")
-    require(a.groupBy("id").count().filter(col("count") > 1)
-      .limit(1).count() == 0L,
+    require(g.getLong(2) == g.getLong(1),
       s"$what: one tenant per id — duplicate assignment ids would " +
         "double-count the per-tenant gauges")
     a
@@ -1021,7 +1032,7 @@ object KeywordIndex {
       s"KeywordIndex.assignTenants: no tenant overlay at $dir — " +
         "registerTenants first")
     val a = tenantAssignOf(assign, tenantCol, idCol,
-      "KeywordIndex.assignTenants").localCheckpoint()
+      "KeywordIndex.assignTenants")
     require(a.join(liveIndexedIds(spark, dir), Seq("id"), "left_anti")
       .limit(1).count() == 0L,
       "KeywordIndex.assignTenants: assignment names id(s) not live " +
@@ -1132,16 +1143,22 @@ object KeywordIndex {
       s"KeywordIndex.reassignTenants: no tenant overlay at $dir — " +
         "registerTenants first")
     val a = tenantAssignOf(assign, tenantCol, idCol,
-      "KeywordIndex.reassignTenants").localCheckpoint()
+      "KeywordIndex.reassignTenants")
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val cur = assignmentSliceFor(spark, dir, dels, a.select("id"))
       .localCheckpoint()
-    require(a.join(cur, Seq("id"), "left_anti")
-      .limit(1).count() == 0L,
+    // both guards in ONE pass over a ⟕ cur (cur is id-unique, so
+    // no-match ≡ the left_anti verdict and tenant-equal ≡ the
+    // (id, tenant) left_semi verdict — was two jobs)
+    val chk = a.join(cur.withColumnRenamed("tenant", "__cur"),
+        Seq("id"), "left")
+      .agg(count(when(col("__cur").isNull, 1L)).as("n_unassigned"),
+        count(when(col("tenant") === col("__cur"), 1L)).as("n_noop"))
+      .head
+    require(chk.getLong(0) == 0L,
       "KeywordIndex.reassignTenants: id(s) not currently assigned — " +
         "assignTenants adds NEW assignments; reassign only moves")
-    require(a.join(cur, Seq("id", "tenant"), "left_semi")
-      .limit(1).count() == 0L,
+    require(chk.getLong(1) == 0L,
       "KeywordIndex.reassignTenants: row(s) name the id's CURRENT " +
         "tenant — a no-op move; drop those rows")
     val lens = doclensSliceOf(spark, dir, dels, a.select("id"))

@@ -580,6 +580,39 @@ object Similarity {
             element_at(col("cb"), i + 1))): _*).as("codes"))
   }
 
+  /** [[pqEncode]]'s codes AND [[ivfAssign]]'s centroid assignment in
+    * ONE corpus pass — the (nid, codes, cid) posting rows an IVFADC
+    * build derives. The former build shape,
+    * `pqEncode(corpus) ⨝_{nid} ivfAssign(corpus)`, scanned the
+    * corpus twice and paid a corpus-sized equi-join shuffle on nid
+    * just to glue two per-row projections back together (guide §2.4:
+    * a shuffle the operation never fundamentally required); both are
+    * row-local functions of the embedding, so one projection over
+    * one scan with the same two broadcast asset rows emits identical
+    * rows — codes over the L2-normalized vector, cid over the raw
+    * cast vector, exactly as the two halves computed them. */
+  def pqEncodeAssign(corpus: DataFrame, cents: DataFrame,
+                     codebook: DataFrame, m: Int = 4, dim: Int = 64,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val sub = dim / m
+    val centArr = cents.agg(
+      collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
+    corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec"),
+        graft.functions.GraftFunctions.l2_normalize(
+          col(vecCol).cast("array<double>")).as("vn"))
+      .join(broadcast(codebook))
+      .join(broadcast(centArr))
+      .select(col("nid"),
+        array((0 until m).map(i =>
+          graft.functions.GraftFunctions.argmax_cosine(
+            slice(col("vn"), i * sub + 1, sub),
+            element_at(col("cb"), i + 1))): _*).as("codes"),
+        graft.functions.GraftFunctions.argmax_cosine(
+          col("nvec"), col("__cents")).as("cid"))
+  }
+
   /** PQ approximate cosine top-k via asymmetric distance computation
     * (ADC): per query, ONE pass over the codebook builds a lookup
     * table lut[m][cid] = dot(query subvector, codeword) — m·K dots
