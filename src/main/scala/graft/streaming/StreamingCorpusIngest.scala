@@ -103,14 +103,39 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
+  /** Run independent per-family mutations concurrently from driver
+    * threads (guide §2.6: actions are only sequential because the
+    * driver calls them sequentially) — the coordinator's families
+    * live in disjoint stores, so e.g. the vector sync and the
+    * keyword sync of one admission cut can overlap instead of
+    * serializing their small jobs. Exceptions propagate — the first
+    * failure rethrows after all threads finish, so the crash window
+    * a caller observes is the union of the halves' own crash-safe
+    * (idempotent, re-run-converged) windows, exactly as sequential
+    * execution: neither half ever depended on the other having run. */
+  private def inParallel(fns: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = fns.map { f =>
+      val t = new Thread(() => try f() catch {
+        case e: Throwable => errs.add(e)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Bootstrap a virgin joint ingest: seed the text side (batch -1),
     * then admit the seed's vectors through the normal sync path —
     * the seeded index state is exactly what the streamed path would
     * have produced. */
   def seed(docs: DataFrame, embeddings: DataFrame): Unit = {
     text.seed(docs)
-    syncVectors(embeddings)
-    if (keywordServing) syncKeywords()
+    // the two admission halves read the same text cut and write
+    // disjoint stores — overlap them (guide §2.6)
+    if (keywordServing)
+      inParallel(() => syncVectors(embeddings), () => syncKeywords())
+    else syncVectors(embeddings)
   }
 
   /** Ingest everything staged through the text gate, then admit the
@@ -119,8 +144,10 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
   def ingestAvailable(stagingDir: String, checkpointDir: String,
                       embeddings: DataFrame): Unit = {
     text.ingestAvailable(stagingDir, checkpointDir)
-    syncVectors(embeddings)
-    if (keywordServing) syncKeywords()
+    // disjoint stores, same text cut — overlap (guide §2.6)
+    if (keywordServing)
+      inParallel(() => syncVectors(embeddings), () => syncKeywords())
+    else syncVectors(embeddings)
   }
 
   /** Admit vectors for every document accepted since the last sync —
@@ -505,9 +532,16 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
           .localCheckpoint())
       } else None
     text.retract(want)
-    kwRows.filter(!_.isEmpty).foreach(rows =>
-      graft.ext.KeywordIndex.remove(rows, keywordDir))
-    vectors.retract(want.select(col("doc_id").as("vec_id")))
+    // downstream of the text purge, the lexical un-mix and the
+    // vector takedown touch disjoint stores and were never ordered
+    // relative to EACH OTHER (only text-first mattered) — overlap
+    // them (guide §2.6); each half stays idempotent, so any crash
+    // window still converges via re-run / repairKeywords /
+    // repairAlignment exactly as before
+    inParallel(
+      () => kwRows.filter(!_.isEmpty).foreach(rows =>
+        graft.ext.KeywordIndex.remove(rows, keywordDir)),
+      () => vectors.retract(want.select(col("doc_id").as("vec_id"))))
   }
 
   /** Joint predicate takedown: resolve against the text stores
