@@ -17,8 +17,11 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // PROFILE_AQE=false isolates AQE's per-action planning share
+    // (the bench itself always runs AQE on)
     val spark = LocalSpark.session("graft-profile",
-      extraConf = Map("spark.sql.adaptive.enabled" -> "true"))
+      extraConf = Map("spark.sql.adaptive.enabled" ->
+        sys.env.getOrElse("PROFILE_AQE", "true")))
     spark.range(1000000).selectExpr("sum(id)").collect() // codegen warmup
 
     val jobStart = mutable.Map[Int, (Long, String)]()
@@ -30,10 +33,13 @@ object ProfileQuery {
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobStart.synchronized {
-          jobStart(e.jobId) = (System.nanoTime(),
-            Option(e.properties)
-              .flatMap(p => Option(p.getProperty("callSite.short")))
-              .getOrElse("?"))
+          // callSite.short is absent on SQL-execution jobs; the last
+          // stage's name carries the action's call site instead
+          val site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .orElse(e.stageInfos.lastOption.map(_.name))
+            .getOrElse("?")
+          jobStart(e.jobId) = (System.nanoTime(), site)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobStart.synchronized {

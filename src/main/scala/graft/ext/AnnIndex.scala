@@ -88,22 +88,29 @@ object AnnIndex {
     dropTenantOverlay(spark, dir) // assignments name the PREVIOUS
     // generation's ids — re-register after an in-place rebuild
     // ([[rebuildStaged]] instead CARRIES survivors; see its scaladoc)
+    // the commit-metadata aggregate is independent of the training/
+    // encode chain — overlap it with the whole build (§2.6); joined
+    // before the meta write, so crash semantics are unchanged
+    val ib = StoredIndex.async(StoredIndex.identityAndBloomOf(corpus,
+      col(idCol), col(vecCol), col(idCol)))
     val cents = Similarity.centroids(corpus, stride, vecCol, idCol,
       maxCentroids).localCheckpoint()
     val cb = Similarity.pqCodebook(corpus, stride, m, dim,
       vecCol = vecCol, idCol = idCol).localCheckpoint()
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    // codes + assignment in ONE scan (was two scans + an nid join
-    // shuffle — Similarity.pqEncodeAssign)
-    Similarity.pqEncodeAssign(corpus, cents, cb, m, dim, vecCol, idCol)
-      .repartition(col("cid")).sortWithinPartitions("cid")
-      .write.mode("overwrite").parquet(s"$dir/postings")
+    // three independent asset derivations off the checkpointed
+    // training frames — unordered between the markers, so overlapped
+    StoredIndex.inParallel(
+      () => cents.write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => cb.write.mode("overwrite").parquet(s"$dir/codebook"),
+      // codes + assignment in ONE scan (was two scans + an nid join
+      // shuffle — Similarity.pqEncodeAssign)
+      () => Similarity.pqEncodeAssign(corpus, cents, cb, m, dim,
+          vecCol, idCol)
+        .repartition(col("cid")).sortWithinPartitions("cid")
+        .write.mode("overwrite").parquet(s"$dir/postings"))
     // identity + id bloom in ONE corpus pass (was two full scans);
     // meta last: its presence marks a complete build
-    StoredIndex.writeBloomAndMeta(spark, dir,
-      StoredIndex.identityAndBloomOf(corpus,
-        col(idCol), col(vecCol), col(idCol)), version)
+    StoredIndex.writeBloomAndMeta(spark, dir, ib(), version)
   }
 
   /** Validate the stored index against the live corpus; build when
@@ -236,13 +243,16 @@ object AnnIndex {
     val storedMeta = StoredIndex.readMeta(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"AnnIndex.append: no committed meta at $dir"))
+    // identity + batch bloom in ONE batch pass (was two) — started
+    // async so it overlaps the id guard's probe (§2.6); joined
+    // before the empty-batch refusal, which must precede the marker
+    val batchMetaF = StoredIndex.async(StoredIndex.identityAndBloomOf(
+      batch, col(idCol), col(vecCol), col(idCol)))
     if (checkIds)
       StoredIndex.requireNewIds(spark, dir, idsOf(batch, idCol),
         spark.read.parquet(s"$dir/postings").select(col("nid").as("id")),
         "AnnIndex.append")
-    // identity + batch bloom in ONE batch pass (was two)
-    val batchMeta = StoredIndex.identityAndBloomOf(batch,
-      col(idCol), col(vecCol), col(idCol))
+    val batchMeta = batchMetaF()
     // an empty batch has NULL max_id/fingerprint aggregates — and
     // nothing to do; refuse before the commit marker is touched
     require(batchMeta.getLong(0) > 0L,
@@ -301,15 +311,16 @@ object AnnIndex {
         "centroids/codebook assets — build it first")
     val cents = spark.read.parquet(s"$shardDir/centroids")
     val cb = spark.read.parquet(s"$shardDir/codebook")
+    // identity + id bloom in ONE slice pass (was two), overlapped
+    // with the encode+write (§2.6); joined before the meta marker
+    val ib = StoredIndex.async(StoredIndex.identityAndBloomOf(slice,
+      col(idCol), col(vecCol), col(idCol)))
     // codes + assignment in ONE scan (was two scans + an nid join
     // shuffle — Similarity.pqEncodeAssign)
     Similarity.pqEncodeAssign(slice, cents, cb, m, dim, vecCol, idCol)
       .repartition(col("cid")).sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$shardDir/postings")
-    // identity + id bloom in ONE slice pass (was two)
-    StoredIndex.writeBloomAndMeta(spark, shardDir,
-      StoredIndex.identityAndBloomOf(slice,
-        col(idCol), col(vecCol), col(idCol)), version)
+    StoredIndex.writeBloomAndMeta(spark, shardDir, ib(), version)
   }
 
   /** Order-insensitive content fingerprint of a shard's quantization

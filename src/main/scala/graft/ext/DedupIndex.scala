@@ -82,12 +82,13 @@ object DedupIndex {
     val spark = corpus.sparkSession
     StoredIndex.invalidate(spark, dir) // commit marker
     StoredIndex.clearDeleteIds(spark, dir) // rebuild = clean live state
+    // identity + id bloom in ONE corpus pass (was two full scans),
+    // overlapped with the banding pass (§2.6); joined before meta
+    val ib = StoredIndex.async(StoredIndex.identityAndBloomOf(corpus,
+      col(idCol).cast("long"), col(textCol), col(idCol)))
     shardOf(corpus, textCol, idCol)
       .write.mode("overwrite").parquet(s"$dir/buckets")
-    // identity + id bloom in ONE corpus pass (was two full scans)
-    StoredIndex.writeBloomAndMeta(spark, dir,
-      StoredIndex.identityAndBloomOf(corpus,
-        col(idCol).cast("long"), col(textCol), col(idCol)), version)
+    StoredIndex.writeBloomAndMeta(spark, dir, ib(), version)
   }
 
   /** Validate the stored index against the live corpus; build when
@@ -185,6 +186,11 @@ object DedupIndex {
              textCol: String = "text", idCol: String = "doc_id",
              checkIds: Boolean = true): Unit = {
     val spark = batch.sparkSession
+    // identity + batch bloom in ONE batch pass (was two), started
+    // async so it overlaps the id guard's probe (§2.6); joined
+    // before the empty-batch refusal, which must precede the marker
+    val bidF = StoredIndex.async(StoredIndex.identityAndBloomOf(batch,
+      col(idCol).cast("long"), col(textCol), col(idCol)))
     if (checkIds)
       StoredIndex.requireNewIds(spark, dir, idsOf(batch, idCol),
         spark.read.parquet(s"$dir/buckets")
@@ -193,9 +199,7 @@ object DedupIndex {
     val oldMeta = StoredIndex.readMeta(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"DedupIndex.append: no committed meta at $dir"))
-    // identity + batch bloom in ONE batch pass (was two)
-    val bid = StoredIndex.identityAndBloomOf(batch,
-      col(idCol).cast("long"), col(textCol), col(idCol))
+    val bid = bidF()
     // guard BEFORE the commit marker: an empty batch (or ids that
     // null the long cast) must not invalidate a good index
     require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),

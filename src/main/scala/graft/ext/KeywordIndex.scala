@@ -205,6 +205,12 @@ object KeywordIndex {
     StoredIndex.invalidate(spark, dir) // commit marker
     StoredIndex.clearDeleteIds(spark, dir) // rebuild = clean live state
     dropTenantOverlay(spark, dir) // assignments name the OLD generation
+    // identity + id bloom in ONE corpus pass (the former pair paid
+    // two full scans for the same commit metadata), overlapped with
+    // the whole positions→postings→doclens chain (§2.6); joined
+    // before the meta marker, so crash semantics are unchanged
+    val ib = StoredIndex.async(StoredIndex.identityAndBloomOf(corpus,
+      col(idCol).cast("long"), col(textCol), col(idCol)))
     // ONE tokenize pass: positions land first, postings derive from
     // the written asset (tf = size, dl = Σtf) — keys-only re-read
     clusterPositions(positionsOf(corpus, textCol, idCol))
@@ -217,11 +223,7 @@ object KeywordIndex {
       .write.mode("overwrite").parquet(s"$dir/doclens")
     val st = statsRowOf(spark.read.parquet(s"$dir/doclens"))
     writeStats(spark, dir, st.getLong(0), st.getLong(1))
-    // identity + id bloom in ONE corpus pass (the former pair paid
-    // two full scans for the same commit metadata)
-    StoredIndex.writeBloomAndMeta(spark, dir,
-      StoredIndex.identityAndBloomOf(corpus,
-        col(idCol).cast("long"), col(textCol), col(idCol)), version)
+    StoredIndex.writeBloomAndMeta(spark, dir, ib(), version)
   }
 
   /** Validate the stored index against the live corpus; build when
@@ -1651,11 +1653,11 @@ object KeywordIndex {
       throw new IllegalStateException(
         s"KeywordIndex.append: no committed meta at $dir"))
     val oldStats = readStatsRow(spark, dir)
-    // identity + batch bloom in ONE batch pass (was two)
-    val bid = StoredIndex.identityAndBloomOf(batch,
-      col(idCol).cast("long"), col(textCol), col(idCol))
-    require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),
-      "KeywordIndex.append: batch is empty or has non-integral ids")
+    // identity + batch bloom in ONE batch pass (was two), started
+    // async so it overlaps the tokenize checkpoints (§2.6); joined
+    // before the empty-batch refusal, which must precede the marker
+    val bidF = StoredIndex.async(StoredIndex.identityAndBloomOf(batch,
+      col(idCol).cast("long"), col(textCol), col(idCol)))
     // batch-sized materialization so the postings/doclens/stats
     // derivations reuse the one tokenize pass instead of re-running
     // it (positions-first split, see positionsOf)
@@ -1663,21 +1665,27 @@ object KeywordIndex {
     val shard = postingsFromPositions(posShard).localCheckpoint()
     val shardLens = doclensOf(shard)
     val delta = statsRowOf(shardLens) // batch Σ — the additive fold
+    val bid = bidF()
+    require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),
+      "KeywordIndex.append: batch is empty or has non-integral ids")
     StoredIndex.invalidate(spark, dir) // commit marker
-    // same pinned order as clusterPostings — every part file in the
-    // asset must agree or the merged read schema goes listing-order-
-    // dependent (see clusterPostings)
-    shard.select("term", "id", "tf", "dl")
-      .write.mode("append").parquet(s"$dir/postings")
-    // a pre-positions index (older layout state) stays positions-
-    // free: appending a partial positions asset would silently serve
-    // phrase pages missing the older docs — fail-closed instead
-    // (probePhrase is loud; rebuild to gain the capability)
-    if (hasPositions(spark, dir))
-      posShard.select("term", "id", "positions")
-        .write.mode("append").parquet(s"$dir/positions")
-    shardLens.select("id", "dl")
-      .write.mode("append").parquet(s"$dir/doclens")
+    // the three asset appends derive from the checkpointed shards
+    // and are unordered between the markers — overlapped (§2.6)
+    StoredIndex.inParallel(
+      // same pinned order as clusterPostings — every part file in
+      // the asset must agree or the merged read schema goes listing-
+      // order-dependent (see clusterPostings)
+      () => shard.select("term", "id", "tf", "dl")
+        .write.mode("append").parquet(s"$dir/postings"),
+      // a pre-positions index (older layout state) stays positions-
+      // free: appending a partial positions asset would silently
+      // serve phrase pages missing the older docs — fail-closed
+      // instead (probePhrase is loud; rebuild to gain the capability)
+      () => if (hasPositions(spark, dir))
+        posShard.select("term", "id", "positions")
+          .write.mode("append").parquet(s"$dir/positions"),
+      () => shardLens.select("id", "dl")
+        .write.mode("append").parquet(s"$dir/doclens"))
     writeStats(spark, dir, oldStats.getLong(0) + delta.getLong(0),
       oldStats.getLong(1) + delta.getLong(1))
     StoredIndex.mergeIdBloomBytes(spark, dir,
@@ -1702,17 +1710,24 @@ object KeywordIndex {
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = removed.sparkSession
     val oldStats = readStatsRow(spark, dir)
-    val gone = removed.agg(count(lit(1L)).as("n_docs"),
-      coalesce(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")),
-        lit(0L)).as("sum_dl")).head
+    // identity fingerprint + stats delta in ONE batch pass (was two
+    // aggregates over the same frame); field order 0..2 matches
+    // identityOf — writeRemovedMeta reads those positions
+    val gone = removed
+      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("__id")).as("max_id"),
+        expr("bit_xor(xxhash64(__id, __t))").as("fingerprint"),
+        coalesce(sum(size(TextAnalysis.tokens(col("__t"))).cast("long")),
+          lit(0L)).as("sum_dl")).head
     StoredIndex.removeIds(spark, dir,
       idsOf(removed, idCol).distinct().localCheckpoint(),
-      identity(removed, textCol, idCol).head,
+      gone,
       liveIndexedIds(spark, dir), "KeywordIndex.remove",
       beforeMeta = () => {
         writeStats(spark, dir,
           oldStats.getLong(0) - gone.getLong(0),
-          oldStats.getLong(1) - gone.getLong(1))
+          oldStats.getLong(1) - gone.getLong(3))
         foldTenantRemoval(spark, dir, removed, textCol, idCol)
       })
   }

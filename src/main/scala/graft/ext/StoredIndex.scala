@@ -59,6 +59,38 @@ object StoredIndex {
   def invalidate(spark: SparkSession, dir: String): Unit =
     fsOf(spark, dir).delete(new Path(s"$dir/meta"), true)
 
+  /** Start `f` on a driver thread and return its join handle — the
+    * §2.6 overlap for a lifecycle's INDEPENDENT actions (e.g. a
+    * build's commit-metadata aggregate riding beside its asset
+    * writes): Spark schedules concurrent jobs FIFO, so the second
+    * job's tasks back-fill executors the first job's tail frees.
+    * The handle rethrows the original failure (unwrapped), and every
+    * caller joins BEFORE its commit marker lands — a crash or error
+    * anywhere leaves the same invalidated-index state as the former
+    * sequential order. */
+  def async[T](f: => T): () => T = {
+    val task = new java.util.concurrent.FutureTask[T](() => f)
+    val t = new Thread(task)
+    t.setDaemon(true)
+    t.start()
+    () => try task.get() catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause
+    }
+  }
+
+  /** Run independent mutation steps concurrently and join them all —
+    * [[async]]'s void form for unordered asset writes between a
+    * mutation's invalidate-first and meta-last markers. The first
+    * failure rethrows after every step finishes, so no step is ever
+    * abandoned mid-write by a sibling's error. */
+  def inParallel(fns: (() => Unit)*): Unit = {
+    val joins = fns.map(f => async(f()))
+    val errs = joins.flatMap(j =>
+      try { j(); None } catch { case e: Throwable => Some(e) })
+    errs.headOption.foreach(throw _)
+  }
+
   /** Meta head if the index is present: None iff the meta is MISSING
     * (no path, or no readable-parquet rows) — the rebuildable case.
     * Anything else a read can throw (corrupt footer mid-serve, a
@@ -455,22 +487,30 @@ object StoredIndex {
         s"$what: no committed meta at $dir"))
     require(removedMeta.getLong(0) > 0L,
       s"$what: retraction batch is empty — nothing to remove at $dir")
-    require(removedMeta.getLong(0) == ids.count(),
+    val nIds = ids.count()
+    require(removedMeta.getLong(0) == nIds,
       s"$what: retraction batch must carry exactly one row per id " +
         "(duplicate ids would over-subtract the meta)")
-    val live = liveIds.localCheckpoint()
-    val notLive = ids.join(live, Seq("id"), "left_anti")
-      .limit(1).count()
-    require(notLive == 0L,
+    // ONE broadcast-left pass over the live id set answers both the
+    // all-live guard (matched count vs the batch size — live ids are
+    // unique by construction in every family, so matches never
+    // multiply) and the post-retraction max_id (max over the
+    // unmatched rows) — previously a checkpoint job plus two
+    // separate live scans (an anti-join probe and the max aggregate)
+    val g = liveIds
+      .join(broadcast(ids.select(col("id"), lit(1L).as("__d"))),
+        Seq("id"), "left")
+      .agg(count(col("__d")).as("n_matched"),
+        max(when(col("__d").isNull, col("id"))).as("live_max")).head
+    require(g.getLong(0) == nIds,
       s"$what: retraction batch names id(s) not live in the index " +
         s"at $dir — already retracted, or never indexed; XORing " +
         "them out would corrupt the fingerprint")
     invalidate(spark, dir) // commit marker
     appendDeleteIds(spark, dir, ids)
     beforeMeta()
-    val liveMax = live.join(broadcast(ids), Seq("id"), "left_anti")
-      .agg(max(col("id"))).head.getAs[java.lang.Long](0)
-    writeRemovedMeta(spark, dir, storedMeta, removedMeta, liveMax)
+    writeRemovedMeta(spark, dir, storedMeta, removedMeta,
+      if (g.isNullAt(1)) null else java.lang.Long.valueOf(g.getLong(1)))
   }
 
   /** The bloom-gated already-indexed row filter both streaming

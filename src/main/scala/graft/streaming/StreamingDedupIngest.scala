@@ -713,17 +713,22 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
       val (admitted, rejected) = admissionSplit(newOnly)
       // the d15 gate: batch-banded probe against the stored buckets,
       // exact-Jaccard verify against the corpus store
+      // materialized ONCE: both the clean anti-join and the
+      // quarantine semi-join consume the probe's verdict —
+      // unchecked, the quarantine write re-ran the whole banded
+      // probe + exact-verify as a second action (guide §1.2 step 1)
       val dupIds =
-        if (admitted.isEmpty)
+        (if (admitted.isEmpty)
           spark.range(0).select(col("id").as("doc_id"))
         else DedupIndex.probe(admitted, indexDir, corpus(), threshold)
-          .select(col("batch_id").as("doc_id")).distinct()
+          .select(col("batch_id").as("doc_id")).distinct())
+        .localCheckpoint()
       val clean = admitted.join(dupIds, Seq("doc_id"), "left_anti")
         .localCheckpoint()
       // ONE quarantine write per batch (the partition is overwrite-
       // keyed on batchId): near-dups ∪ admission rejects
       val dupRows = admitted.join(dupIds, Seq("doc_id"), "left_semi")
-      writePartition(
+      val doQuarantine = () => writePartition(
         rejected.fold(dupRows)(r => dupRows.unionByName(r)),
         quarantineDir, batchId)
       if (!clean.isEmpty) {
@@ -731,8 +736,12 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         // valid index missing this batch — the replay re-gates and
         // re-appends (its corpus partition rewrite is idempotent);
         // a crash INSIDE append leaves no meta, and the next run
-        // rebuilds from the corpus store (see ingestBatch)
-        writePartition(clean, corpusDir, batchId)
+        // rebuilds from the corpus store (see ingestBatch). The
+        // quarantine store is independent of that ordering (its
+        // partition rewrite is idempotent too) — overlapped (§2.6)
+        foldInParallel(
+          doQuarantine,
+          () => writePartition(clean, corpusDir, batchId))
         foldInParallel(
           () => foldAcceptedKmv(clean),
           () => foldAcceptedSample(clean),
@@ -744,7 +753,7 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         // rebuilds from the durable corpus store — the same recovery
         // path as a crashed append.
         DedupIndex.maybeCompact(spark, indexDir, compactAfterFiles)
-      }
+      } else doQuarantine() // all near-dups/rejects: quarantine only
     }
   }
 }
