@@ -70,13 +70,33 @@ object StoredIndex {
     * sequential order. */
   def async[T](f: => T): () => T = {
     val task = new java.util.concurrent.FutureTask[T](() => f)
-    val t = new Thread(task)
-    t.setDaemon(true)
-    t.start()
+    overlapPool.execute(task)
     () => try task.get() catch {
       case e: java.util.concurrent.ExecutionException =>
         throw e.getCause
     }
+  }
+
+  /** The shared, bounded driver-overlap pool behind [[async]] /
+    * [[inParallel]] (and the streaming folds that route here): the
+    * guide (§2.6) wants 2-3 concurrent jobs in flight — the former
+    * thread-per-call helpers could stack ~6-8 concurrent actions
+    * from one coordinator mutation (each half spawning its own
+    * overlapped folds) with no cap and a fresh thread per action.
+    * Capped at 6 live threads; overflow runs on the SUBMITTING
+    * thread (CallerRuns), so nested use degrades to the former
+    * sequential order instead of deadlocking on an exhausted pool. */
+  private val overlapPool: java.util.concurrent.ThreadPoolExecutor = {
+    val p = new java.util.concurrent.ThreadPoolExecutor(
+      0, 6, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-overlap")
+        t.setDaemon(true)
+        t
+      },
+      new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy())
+    p
   }
 
   /** Run independent mutation steps concurrently and join them all —
@@ -250,11 +270,51 @@ object StoredIndex {
   def mightContain(bytes: Array[Byte], id: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64
     import org.apache.spark.sql.graftshim.ColumnShim
-    val spark = org.apache.spark.sql.SparkSession.active
-    val bc = spark.sparkContext.broadcast(
-      BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
-    ColumnShim.column(graft.functions.BroadcastBloomMightContain(bc,
+    ColumnShim.column(graft.functions.BroadcastBloomMightContain(
+      bloomBroadcastOf(bytes),
       new XxHash64(Seq(ColumnShim.expression(id)))))
+  }
+
+  /** One broadcast per bloom-bytes identity, LRU-bounded — the
+    * former broadcast-per-call leaked a ~4 MiB driver/blockmanager
+    * entry per gated micro-batch on a long-running ingest (nothing
+    * ever unpersisted them). The asset is immutable between merges,
+    * so repeated gates over the same bytes share ONE broadcast;
+    * a merge changes the bytes → new digest → new entry, and the
+    * stale entry ages out of the LRU with an async unpersist.
+    * Keyed per SparkContext (test suites restart sessions), digest
+    * is MD5 — content-strong, because a collision here would serve
+    * the WRONG filter and its false negatives would corrupt appends. */
+  private val bloomBcCache = new java.util.LinkedHashMap[
+      String, org.apache.spark.broadcast.Broadcast[BloomFilter]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String,
+          org.apache.spark.broadcast.Broadcast[BloomFilter]]): Boolean = {
+      val evict = size() > 8
+      if (evict) try e.getValue.unpersist(false) catch {
+        case _: Throwable => () // owning context may be gone
+      }
+      evict
+    }
+  }
+
+  private def bloomBroadcastOf(bytes: Array[Byte])
+      : org.apache.spark.broadcast.Broadcast[BloomFilter] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = sc.applicationId + ":" + sc.startTime + ":" +
+      md.digest(bytes).map("%02x".format(_)).mkString
+    bloomBcCache.synchronized {
+      val hit = bloomBcCache.get(key)
+      if (hit != null) hit
+      else {
+        val bc = sc.broadcast(
+          BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
+        bloomBcCache.put(key, bc)
+        bc
+      }
+    }
   }
 
   /** Serialized bloom of an `id`-column frame (null when empty). */

@@ -112,18 +112,12 @@ final class StreamingCorpusIngest(spark: SparkSession, root: String,
     * failure rethrows after all threads finish, so the crash window
     * a caller observes is the union of the halves' own crash-safe
     * (idempotent, re-run-converged) windows, exactly as sequential
-    * execution: neither half ever depended on the other having run. */
-  private def inParallel(fns: (() => Unit)*): Unit = {
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = fns.map { f =>
-      val t = new Thread(() => try f() catch {
-        case e: Throwable => errs.add(e)
-      })
-      t.start(); t
-    }
-    threads.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
-  }
+    * execution: neither half ever depended on the other having run.
+    * Runs on [[graft.ext.StoredIndex]]'s shared bounded pool, so one
+    * coordinator mutation whose halves spawn their own overlapped
+    * folds cannot stack unbounded concurrent actions. */
+  private def inParallel(fns: (() => Unit)*): Unit =
+    graft.ext.StoredIndex.inParallel(fns: _*)
 
   /** Bootstrap a virgin joint ingest: seed the text side (batch -1),
     * then admit the seed's vectors through the normal sync path —

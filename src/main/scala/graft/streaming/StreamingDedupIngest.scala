@@ -219,18 +219,11 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
     * (guide §2.6: actions are only sequential because the driver
     * calls them sequentially). Exceptions propagate — the first
     * failure rethrows after all threads finish, preserving the
-    * all-folds-before-index-append crash ordering. */
-  private def foldInParallel(fns: (() => Unit)*): Unit = {
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = fns.map { f =>
-      val t = new Thread(() => try f() catch {
-        case e: Throwable => errs.add(e)
-      })
-      t.start(); t
-    }
-    threads.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
-  }
+    * all-folds-before-index-append crash ordering. Runs on
+    * [[StoredIndex]]'s shared bounded pool (guide §2.6: 2-3 jobs in
+    * flight is plenty; the former thread-per-fold had no cap). */
+  private def foldInParallel(fns: (() => Unit)*): Unit =
+    StoredIndex.inParallel(fns: _*)
 
   /** Durable KMV distinct-count gauge beside the corpus store — the
     * stored [[graft.ext.Sketches]] state folded per accepted batch
