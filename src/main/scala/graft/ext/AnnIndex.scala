@@ -771,11 +771,11 @@ object AnnIndex {
 
   private def filterTenantDels(spark: SparkSession, dir: String,
                                rows: DataFrame): DataFrame =
-    readTenantDels(spark, dir) match {
+    StoredIndex.readPairAsset(spark, s"$dir/tdels") match {
       case None => rows
-      case Some(td) => rows.join(
-        broadcast(td.select("id", "tenant")), Seq("id", "tenant"),
-        "left_anti")
+      case Some(Left(pairs)) => StoredIndex.antiPairFilter(pairs, rows)
+      case Some(Right(td)) => rows.join(
+        broadcast(td), Seq("id", "tenant"), "left_anti")
     }
 
   private def writeTenantDels(spark: SparkSession, dir: String,

@@ -102,40 +102,41 @@ object KeywordIndex {
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term", "id").agg(count(lit(1L)).as("tf"))
 
-  /** One postings shard: (term, id, tf, dl) — [[termFreqsOf]] plus
-    * the per-document length denormalized onto every row (an
-    * id-partitioned window sum — one build-side shuffle that removes
-    * the per-QUERY doclens join forever). */
-  private def postingsOf(df: DataFrame, textCol: String,
-                         idCol: String): DataFrame =
-    termFreqsOf(df, textCol, idCol)
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("id"))))
-
-  /** One POSITIONS shard: (term, id, positions) — one row per
-    * distinct term per document, `positions` the SORTED 0-based
-    * token offsets of every occurrence. The phrase-serving asset
-    * ([[probePhrase]]), derived from the same one-tokenize-pass
-    * discipline as the postings: build/append compute THIS shard
-    * first and derive the postings from it (tf = size(positions),
-    * dl = Σtf window), so adding positions did not add a second
-    * corpus text scan. Row count equals the postings'; the payload
-    * is the per-(term, id) occurrence list — the standard positional
-    * inverted-index cost, term-range-clustered so a phrase's
-    * `term IN (…)` prunes row groups exactly like a probe's. */
-  private def positionsOf(df: DataFrame, textCol: String,
-                          idCol: String): DataFrame =
+  /** The ONE-tokenize-pass shard behind build/append: (term, id,
+    * positions, dl), one row per distinct term per document —
+    * `positions` the SORTED 0-based token offsets (the phrase-serving
+    * asset, [[probePhrase]]), `dl` = size(tokens(text)), equal to the
+    * per-doc Σtf by construction (every token lands in exactly one
+    * (term, id) group), i.e. the same value the former id-partitioned
+    * window sum re-derived from the written asset. Carrying dl as
+    * `first(dl)` through the existing (term, id) aggregate removes
+    * that window's full id-keyed shuffle AND the write-then-read-back
+    * chain from every build/append (guide §2.4: remove shuffles
+    * outright): all four derived assets (positions, postings,
+    * doclens, stats) project/reduce from this one materialized
+    * frame. The token array is projected ONCE (`__tk`) so dl and the
+    * posexplode share a single tokenize; `first` is deterministic
+    * here because dl is constant within a (term, id) group. */
+  private def positionsWithDlOf(df: DataFrame, textCol: String,
+                                idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-        posexplode(TextAnalysis.tokens(col(textCol)))
-          .as(Seq("pos", "term")))
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), size(col("__tk")).cast("long").as("dl"),
+        posexplode(col("__tk")).as(Seq("pos", "term")))
       .groupBy("term", "id")
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        first(col("dl")).as("dl"))
 
-  /** Postings rows derived from a positions shard — the one-pass
-    * split: tf is the occurrence count, dl the per-doc Σtf. */
-  private def postingsFromPositions(posShard: DataFrame): DataFrame =
+  /** Postings projection of a [[positionsWithDlOf]] shard — row-local
+    * (tf = occurrence count, dl carried), no window, no shuffle. */
+  private def postingsOfWithDl(posShard: DataFrame): DataFrame =
     posShard.select(col("term"), col("id"),
-        size(col("positions")).cast("long").as("tf"))
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("id"))))
+      size(col("positions")).cast("long").as("tf"), col("dl"))
+
+  /** Doclens reduction of a [[positionsWithDlOf]] shard — one row
+    * per doc; max ≡ first ≡ Σtf (dl is constant per id). */
+  private def doclensOfWithDl(posShard: DataFrame): DataFrame =
+    posShard.groupBy("id").agg(max(col("dl")).as("dl"))
 
   private def clusterPositions(df: DataFrame): DataFrame =
     // pinned schema order at every write site (see clusterPostings)
@@ -207,21 +208,27 @@ object KeywordIndex {
     dropTenantOverlay(spark, dir) // assignments name the OLD generation
     // identity + id bloom in ONE corpus pass (the former pair paid
     // two full scans for the same commit metadata), overlapped with
-    // the whole positions→postings→doclens chain (§2.6); joined
-    // before the meta marker, so crash semantics are unchanged
+    // the tokenize checkpoint (§2.6); joined before the meta marker,
+    // so crash semantics are unchanged
     val ib = StoredIndex.async(StoredIndex.identityAndBloomOf(corpus,
       col(idCol).cast("long"), col(textCol), col(idCol)))
-    // ONE tokenize pass: positions land first, postings derive from
-    // the written asset (tf = size, dl = Σtf) — keys-only re-read
-    clusterPositions(positionsOf(corpus, textCol, idCol))
-      .write.mode("overwrite").parquet(s"$dir/positions")
-    clusterPostings(
-        postingsFromPositions(spark.read.parquet(s"$dir/positions")))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    doclensOf(spark.read.parquet(s"$dir/postings"))
-      .select("id", "dl")
-      .write.mode("overwrite").parquet(s"$dir/doclens")
-    val st = statsRowOf(spark.read.parquet(s"$dir/doclens"))
+    // ONE tokenize pass, materialized once, dl carried through the
+    // aggregate ([[positionsWithDlOf]]): positions/postings/doclens/
+    // stats all derive from it — the former chain re-read each
+    // written asset to derive the next AND paid an id-keyed window
+    // shuffle for dl, plus the range clusterings' sampling passes
+    // re-executed the unmaterialized aggregate. The three asset
+    // writes are unordered between the markers — overlapped (§2.6).
+    val pos = positionsWithDlOf(corpus, textCol, idCol).localCheckpoint()
+    val lens = doclensOfWithDl(pos)
+    StoredIndex.inParallel(
+      () => clusterPositions(pos)
+        .write.mode("overwrite").parquet(s"$dir/positions"),
+      () => clusterPostings(postingsOfWithDl(pos))
+        .write.mode("overwrite").parquet(s"$dir/postings"),
+      () => lens.select("id", "dl")
+        .write.mode("overwrite").parquet(s"$dir/doclens"))
+    val st = statsRowOf(lens)
     writeStats(spark, dir, st.getLong(0), st.getLong(1))
     StoredIndex.writeBloomAndMeta(spark, dir, ib(), version)
   }
@@ -293,7 +300,7 @@ object KeywordIndex {
     * `id IN (…)` predicate BENEATH the tombstone join so it reaches
     * the same scan. */
   private def sliceOf(spark: SparkSession, dir: String,
-                      dels: Option[DataFrame], terms: Seq[String],
+                      dels: Option[StoredIndex.Tombstones], terms: Seq[String],
                       idLits: Option[Seq[Long]] = None): DataFrame =
     sliceOfPred(spark, dir, dels, terms,
       idLits.map(l => col("id").isin(l: _*)))
@@ -302,7 +309,7 @@ object KeywordIndex {
     * tombstone join — the literal IN and the above-cap range hull
     * both ride the scan through here. */
   private def sliceOfPred(spark: SparkSession, dir: String,
-                          dels: Option[DataFrame], terms: Seq[String],
+                          dels: Option[StoredIndex.Tombstones], terms: Seq[String],
                           idPred: Option[org.apache.spark.sql.Column])
       : DataFrame = {
     val scan = spark.read.parquet(s"$dir/postings")
@@ -371,10 +378,50 @@ object KeywordIndex {
     * a 500-aggregate plan, so batch-expansion callers should split
     * such queries and fuse pages (e.g. [[Relevance.rrfFuse]]) rather
     * than widen one plan unboundedly. */
-  private def scoredCandidates(slice: DataFrame, stats: DataFrame,
+  private def scoredCandidates(slice: DataFrame,
+                               stats: Either[(Long, Long), DataFrame],
                                terms: Seq[String], k1: Double,
                                b: Double): DataFrame =
     scoredCandidates(slice, slice, stats, terms, k1, b)
+
+  /** Attach the corpus statistics to a scored-candidate frame: as
+    * LITERAL columns when the 1-row gauge was read driver-side
+    * (Left — the values are deterministic longs, so the downstream
+    * score tree is bit-identical while the plan loses a broadcast
+    * exchange and its build sub-job), as the former broadcast join
+    * when the statistics are a genuine per-query aggregate (Right —
+    * the scoped-stats filtered serve). */
+  private def attachStats(df: DataFrame,
+                          stats: Either[(Long, Long), DataFrame])
+      : DataFrame = stats match {
+    case Left((n, s)) =>
+      df.withColumn("n_docs", lit(n)).withColumn("sum_dl", lit(s))
+    case Right(st) => df.join(broadcast(st))
+  }
+
+  /** The stored 1-row stats gauge as a [[attachStats]] source —
+    * driver literals in the serving case (loud when the asset is
+    * absent, like the former read's analysis error). The n_docs = 0
+    * edge (a fully-retracted index) keeps the JOIN form over a 1-row
+    * LocalRelation instead: literal statistics would constant-fold
+    * the avgdl division into a PLAN-time 0/0 (ANSI error), where the
+    * former 1-row join only ever divided at runtime — over candidate
+    * rows that cannot exist when nothing is live. The LocalRelation
+    * broadcast builds without a job, so the edge costs nothing. */
+  private def statsSource(spark: SparkSession, dir: String)
+      : Either[(Long, Long), DataFrame] = {
+    val st = readStatsRow(spark, dir)
+    if (st.getLong(0) > 0L) Left((st.getLong(0), st.getLong(1)))
+    else Right(localStatsFrame(spark, Seq((st.getLong(0), st.getLong(1)))))
+  }
+
+  /** A driver-rows (n_docs, sum_dl) frame — a LocalRelation, so a
+    * broadcast join against it collects without a Spark job. */
+  private def localStatsFrame(spark: SparkSession,
+                              rows: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("n_docs", "sum_dl")
+  }
 
   /** Single-query term count above which [[scoredCandidates]] routes
     * through the ordered-HOF fold scorer instead of the pivoted
@@ -395,7 +442,8 @@ object KeywordIndex {
     * [[WideTermThreshold]] route to the fold scorer; the plans
     * differ, the scores do not. */
   private def scoredCandidates(candSlice: DataFrame, dfSlice: DataFrame,
-                               stats: DataFrame, terms: Seq[String],
+                               stats: Either[(Long, Long), DataFrame],
+                               terms: Seq[String],
                                k1: Double, b: Double): DataFrame = {
     if (terms.size > WideTermThreshold)
       return scoredCandidatesFold(candSlice, dfSlice, stats, terms,
@@ -416,7 +464,7 @@ object KeywordIndex {
         coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0L))
           .as(s"tf_$i")
       }: _*)
-    tfs.join(broadcast(stats)).join(broadcast(dfs))
+    attachStats(tfs, stats).join(broadcast(dfs))
       .withColumn("score", Relevance.bm25Score(terms.size, k1, b))
   }
 
@@ -430,7 +478,8 @@ object KeywordIndex {
     * (absent terms contribute exactly 0.0 in both). Emits the same
     * (id, dl, score, …) shape [[rankedPage]] consumes. */
   private def scoredCandidatesFold(candSlice: DataFrame,
-                                   dfSlice: DataFrame, stats: DataFrame,
+                                   dfSlice: DataFrame,
+                                   stats: Either[(Long, Long), DataFrame],
                                    terms: Seq[String], k1: Double,
                                    b: Double): DataFrame = {
     val sp = candSlice.sparkSession
@@ -447,7 +496,7 @@ object KeywordIndex {
       .agg(max(col("dl")).as("dl"),
         sort_array(collect_list(struct(
           col("tidx"), col("tf"), col("df")))).as("__ts"))
-      .join(broadcast(stats))
+      .transform(df => attachStats(df, stats))
       .withColumn("score", graft.ops.Ops.roundDet(
         aggregate(col("__ts"), lit(0.0), (acc, x) =>
           acc + Relevance.bm25TermScore(
@@ -515,7 +564,7 @@ object KeywordIndex {
     val dels = StoredIndex.readDeleteIds(spark, dir)
     val cand = scoredCandidates(
       sliceOf(spark, dir, dels, terms),
-      spark.read.parquet(s"$dir/stats"), terms, k1, b)
+      statsSource(spark, dir), terms, k1, b)
     rankedPage(cand,
       StoredIndex.filterTombstones(dels,
         spark.read.parquet(s"$dir/doclens"), "id"),
@@ -647,7 +696,7 @@ object KeywordIndex {
       .agg(max(col("dl")).as("dl"),
         sort_array(collect_list(struct(
           col("tidx"), col("tf"), col("df")))).as("__ts"))
-      .join(broadcast(spark.read.parquet(s"$dir/stats")))
+      .transform(df => attachStats(df, statsSource(spark, dir)))
       .withColumn("score", graft.ops.Ops.roundDet(
         aggregate(col("__ts"), lit(0.0), (acc, x) =>
           acc + Relevance.bm25TermScore(
@@ -766,12 +815,12 @@ object KeywordIndex {
     val cand =
       if (scopedStats)
         scoredCandidates(allowedSlice,
-          lens.agg(count(lit(1L)).as("n_docs"),
+          Right(lens.agg(count(lit(1L)).as("n_docs"),
             coalesce(sum(col("dl").cast("long")), lit(0L))
-              .as("sum_dl")),
+              .as("sum_dl"))),
           terms, k1, b)
       else scoredCandidates(allowedSlice, slice,
-        spark.read.parquet(s"$dir/stats"), terms, k1, b)
+        statsSource(spark, dir), terms, k1, b)
     rankedPage(cand, lens, topN, zeroFill)
   }
 
@@ -844,15 +893,17 @@ object KeywordIndex {
   }
 
   /** Drop overlay-tombstoned assignment rows from a (id, tenant)
-    * frame — a broadcast anti-join on the pair, a no-op (and an
+    * frame — a literal per-tenant NOT-IN predicate when the
+    * control-plane-sized list is driver-held (no broadcast-build
+    * job), the pair anti-join above the caps, a no-op (and an
     * unchanged plan) when no unassignment is pending. */
   private def filterTenantDels(spark: SparkSession, dir: String,
                                rows: DataFrame): DataFrame =
-    readTenantDels(spark, dir) match {
+    StoredIndex.readPairAsset(spark, s"$dir/tdels") match {
       case None => rows
-      case Some(td) => rows.join(
-        broadcast(td.select("id", "tenant")), Seq("id", "tenant"),
-        "left_anti")
+      case Some(Left(pairs)) => StoredIndex.antiPairFilter(pairs, rows)
+      case Some(Right(td)) => rows.join(
+        broadcast(td), Seq("id", "tenant"), "left_anti")
     }
 
   /** Persist the overlay tombstone list whole — control-plane-sized,
@@ -876,7 +927,7 @@ object KeywordIndex {
     * an id is CURRENTLY assigned, the read unassign/reassign guard
     * and subtract on. */
   private def assignmentSliceFor(spark: SparkSession, dir: String,
-                                 dels: Option[DataFrame],
+                                 dels: Option[StoredIndex.Tombstones],
                                  ids: DataFrame): DataFrame = {
     val raw = spark.read.parquet(s"$dir/tenants")
     val slice = allowedIdLiterals(ids, AllowedPushdownCap) match {
@@ -963,7 +1014,7 @@ object KeywordIndex {
     * riding the (id-sorted after [[compact]]) files under the cap,
     * broadcast semi-join above it. */
   private def doclensSliceOf(spark: SparkSession, dir: String,
-                             dels: Option[DataFrame],
+                             dels: Option[StoredIndex.Tombstones],
                              ids: DataFrame): DataFrame = {
     val raw = spark.read.parquet(s"$dir/doclens")
     StoredIndex.filterTombstones(dels,
@@ -1312,11 +1363,38 @@ object KeywordIndex {
           if (pushdownCap > 0) allowedIdHull(tIds) else None)
         .join(tIds, Seq("id"), "left_semi")
     }
-    val stats = spark.read.parquet(s"$dir/tstats")
-      .filter(col("tenant") === lit(tenant))
-      .select("n_docs", "sum_dl")
+    val stats = readTstatsRows(spark, dir, what)
+      .find(_.getAs[String]("tenant") == tenant) match {
+      // the serving case: the tenant's gauge row as literals
+      case Some(g) if g.getAs[Long]("n_docs") > 0L =>
+        Left((g.getAs[Long]("n_docs"), g.getAs[Long]("sum_dl")))
+      // registered-but-empty tenant: keep the 1-row JOIN form —
+      // literal (0, _) statistics would constant-fold a plan-time
+      // 0/0 (see statsSource); no candidates exist, so the runtime
+      // division never runs, exactly as the former gauge-slice join
+      case Some(g) => Right(localStatsFrame(spark,
+        Seq((g.getAs[Long]("n_docs"), g.getAs[Long]("sum_dl")))))
+      // unknown tenant: no gauge row — the empty join side serves
+      // the empty page, exactly as the former 0-row slice did
+      case None => Right(localStatsFrame(spark, Nil))
+    }
     scoredCandidates(candSlice, stats, terms, k1, b)
   }
+
+  /** Driver-side read of the tenant-count-sized gauge rows — LOUD
+    * when the asset is absent (the family's crash posture: a
+    * mutation that died inside its delete-first/write-last window
+    * leaves the gauge gone and every scoped serve failing here;
+    * re-register to heal), exactly as the former read's analysis
+    * error. */
+  private def readTstatsRows(spark: SparkSession, dir: String,
+                             what: String): Seq[Row] =
+    org.apache.spark.sql.graftshim.TinyParquetShim
+      .readRows(spark, s"$dir/tstats")
+      .getOrElse(throw new IllegalStateException(
+        s"KeywordIndex.$what: no tenant gauge at $dir/tstats — a " +
+          "crashed overlay mutation leaves the gauge absent; " +
+          "re-register the overlay (registerTenants) to heal"))
 
   /** Threshold serve within a REGISTERED tenant — [[probeRange]]'s
     * semantics under the tenant's SCOPED statistics (df/N/Σdl from
@@ -1455,11 +1533,18 @@ object KeywordIndex {
     // are unique per (term, id), so this is probeTopKTenant's
     // conditional df count, batched)
     val qdf = cand.groupBy("qid", "term").agg(count(lit(1L)).as("df"))
-    // per-qid statistics from the gauge rows — query-count-sized
-    val qStats = spark.read.parquet(s"$dir/tstats")
-      .filter(col("tenant").isin(tenantsNamed: _*))
-      .join(broadcast(qTen), Seq("tenant"))
-      .select("qid", "n_docs", "sum_dl")
+    // per-qid statistics from the gauge rows — query-count-sized,
+    // resolved DRIVER-SIDE (the gauge is ≤ tenants rows and already
+    // in hand from TinyParquetShim): a LocalRelation joined by qid
+    // instead of a parquet scan + tenant filter + keyed join, so the
+    // broadcast builds without a job. A qid naming an unregistered
+    // tenant gets no row — its page serves empty, as before.
+    val gaugeByTenant = readTstatsRows(spark, dir, what)
+      .map(g => g.getAs[String]("tenant") ->
+        (g.getAs[Long]("n_docs"), g.getAs[Long]("sum_dl"))).toMap
+    val qStats = queries.flatMap { case (q, _, tn) =>
+      gaugeByTenant.get(tn).map(g => (q, g._1, g._2))
+    }.toDF("qid", "n_docs", "sum_dl")
     val nD = col("n_docs").cast("double")
     val dlNorm = Relevance.bm25DlNorm(b)
     val scored = cand
@@ -1497,7 +1582,7 @@ object KeywordIndex {
         "scan, not a probe")
     val dels = StoredIndex.readDeleteIds(spark, dir)
     scoredCandidates(sliceOf(spark, dir, dels, terms),
-        spark.read.parquet(s"$dir/stats"), terms, k1, b)
+        statsSource(spark, dir), terms, k1, b)
       .filter(col("score") >= minScore)
       .select(col("id").as("doc_id"), col("score"))
       .orderBy("doc_id")
@@ -1546,7 +1631,7 @@ object KeywordIndex {
     * bag-of-words postings cannot answer: every live document
     * containing the CONSECUTIVE token sequence `phrase`, with its
     * occurrence count, doc_id-ordered. Serves from the `positions/`
-    * asset ([[positionsOf]] — per-(term, id) sorted occurrence
+    * asset ([[positionsWithDlOf]] — per-(term, id) sorted occurrence
     * lists written by the same one-tokenize-pass build as the
     * postings): the plan is a `term IN (…)` row-group-pruned
     * positions slice, k-1 keyed id joins, and an array-intersect
@@ -1660,10 +1745,13 @@ object KeywordIndex {
       col(idCol).cast("long"), col(textCol), col(idCol)))
     // batch-sized materialization so the postings/doclens/stats
     // derivations reuse the one tokenize pass instead of re-running
-    // it (positions-first split, see positionsOf)
-    val posShard = positionsOf(batch, textCol, idCol).localCheckpoint()
-    val shard = postingsFromPositions(posShard).localCheckpoint()
-    val shardLens = doclensOf(shard)
+    // it; dl rides the aggregate ([[positionsWithDlOf]]), so the
+    // postings projection is row-local — the former second
+    // checkpoint and its id-keyed window shuffle are gone
+    val posShard = positionsWithDlOf(batch, textCol, idCol)
+      .localCheckpoint()
+    val shard = postingsOfWithDl(posShard)
+    val shardLens = doclensOfWithDl(posShard)
     val delta = statsRowOf(shardLens) // batch Σ — the additive fold
     val bid = bidF()
     require(bid.getLong(0) > 0L && !bid.isNullAt(1) && !bid.isNullAt(2),

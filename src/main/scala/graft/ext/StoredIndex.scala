@@ -479,25 +479,127 @@ object StoredIndex {
     * half-swapped asset dir. */
   // ----------------------------------------------------- tombstones
 
+  /** A tombstone id set read ONCE per operation, in whichever form
+    * is cheaper to apply: `litIds` carries the ids as driver values
+    * when the asset is small (the overwhelmingly common case — a
+    * retraction names few ids), so every downstream filter becomes a
+    * literal NOT-IN predicate instead of a broadcast anti-join; above
+    * the caps `litIds` is None and `frame` supplies the DataFrame
+    * for the former join shape. The profile motivation (guide §1.2
+    * step 1): every broadcast join costs a separate broadcast-build
+    * sub-job (~150-440 ms of scheduling/plan overhead at control-
+    * plane sizes), and the lifecycle/serve rows were paying dozens
+    * of them per call for tombstone sets of 2-200 ids. */
+  final case class Tombstones(litIds: Option[Seq[Long]],
+                              frame: () => DataFrame)
+
+  /** Bytes cap for reading an id asset driver-side (snappy parquet
+    * of longs ≈ a few bytes/row, so this is ~10k ids of slack) and
+    * the literal-count cap above which the predicate would stop
+    * being worth inlining into plans. Above either, the DataFrame
+    * join path applies — the 100 TB posture is unchanged. */
+  private val TombstoneLitBytes = 256L * 1024
+  private val TombstoneLitIds = 4096
+
   /** Tombstoned ids (`deletes/` asset), if any — [[AnnIndex.remove]]
     * / [[DedupIndex.remove]] append retraction ids here instead of
-    * rewriting the searchable asset; probes anti-join them and the
+    * rewriting the searchable asset; probes filter them out and the
     * next compaction materializes the removal (the LSM split:
     * retraction is O(batch), the physical rewrite is amortized). */
   def readDeleteIds(spark: SparkSession, dir: String)
-      : Option[DataFrame] = {
+      : Option[Tombstones] = {
     // existence probe first: the common no-tombstones case used to
     // pay a DataSource resolution + thrown-and-caught analysis
     // exception (with a logged stack trace) on EVERY probe/health/
     // live-ids call — one FS metadata op instead
-    if (!fsOf(spark, dir).exists(new Path(s"$dir/deletes"))) None
-    else
-      try Some(spark.read.parquet(s"$dir/deletes").select("id"))
-      catch {
-        case _: AnalysisException => None
-        case _: FileNotFoundException => None
-      }
+    readIdAsset(spark, s"$dir/deletes", "id")
   }
+
+  /** Shared driver-literal-or-frame read of a flat long-id asset
+    * (tombstones, takedown ledgers): None iff missing/empty. */
+  def readIdAsset(spark: SparkSession, path: String,
+                  idCol: String): Option[Tombstones] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+        !n.startsWith("_")
+    }
+    if (files.isEmpty) return None
+    val frame = () => spark.read.parquet(path).select(idCol)
+    val lits =
+      if (files.map(_.getLen).sum > TombstoneLitBytes) None
+      else org.apache.spark.sql.graftshim.TinyParquetShim
+        .readRows(spark, path)
+        .filter(_.forall(r => !r.isNullAt(r.fieldIndex(idCol))))
+        .map(_.map(_.getAs[Long](idCol)).sorted)
+        .filter(_.size <= TombstoneLitIds)
+    Some(Tombstones(lits, frame))
+  }
+
+  /** The anti filter of a [[Tombstones]] set over `df` — a literal
+    * NOT-IN when the ids are driver-held (no broadcast-build job, no
+    * join stage; the coalesce keeps a null `idCol` row exactly as
+    * the anti-join did), the broadcast anti-join above the caps. An
+    * empty literal set keeps every row, like an empty join side. */
+  def antiIdFilter(ts: Tombstones, df: DataFrame,
+                   idCol: String): DataFrame = ts.litIds match {
+    case Some(ids) if ids.isEmpty => df
+    case Some(ids) =>
+      df.filter(!coalesce(col(idCol).isin(ids: _*), lit(false)))
+    case None => df.join(
+      broadcast(ts.frame().toDF(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** Driver-literal-or-frame read of a flat (id, tenant) PAIR asset
+    * (the families' overlay tombstones): Left(pairs) under the caps,
+    * Right(frame) above, None when absent/empty — [[readIdAsset]]'s
+    * two-column sibling. */
+  def readPairAsset(spark: SparkSession, path: String)
+      : Option[Either[Seq[(Long, String)], DataFrame]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+        !n.startsWith("_")
+    }
+    if (files.isEmpty) return None
+    val lits =
+      if (files.map(_.getLen).sum > TombstoneLitBytes) None
+      else org.apache.spark.sql.graftshim.TinyParquetShim
+        .readRows(spark, path)
+        .filter(_.forall(r => !r.isNullAt(r.fieldIndex("id")) &&
+          !r.isNullAt(r.fieldIndex("tenant"))))
+        .map(_.map(r =>
+          (r.getAs[Long]("id"), r.getAs[String]("tenant"))).sorted)
+        .filter(ps => ps.size <= TombstoneLitIds &&
+          ps.map(_._2).distinct.size <= 64)
+    lits match {
+      case Some(ps) => Some(Left(ps))
+      case None => Some(Right(
+        spark.read.parquet(path).select("id", "tenant")))
+    }
+  }
+
+  /** Anti filter of a literal (id, tenant) pair set — per-tenant
+    * id-IN terms OR'd and negated, with the same null-row-keeping
+    * coalesce as [[antiIdFilter]]: a row drops iff its exact pair is
+    * tombstoned, matching the former pair anti-join bit for bit. */
+  def antiPairFilter(pairs: Seq[(Long, String)],
+                     df: DataFrame): DataFrame =
+    if (pairs.isEmpty) df
+    else {
+      val hit = pairs.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (t, ps) =>
+          col("tenant") === lit(t) &&
+            coalesce(col("id").isin(ps.map(_._1).sorted: _*), lit(false))
+        }.reduce(_ || _)
+      df.filter(!coalesce(hit, lit(false)))
+    }
 
   /** Append a retraction batch to the tombstone asset (inside the
     * caller's commit-marker window). */
@@ -515,17 +617,15 @@ object StoredIndex {
                        idCol: String): DataFrame =
     filterTombstones(readDeleteIds(spark, dir), df, idCol)
 
-  /** [[filterTombstones]] over an already-read tombstone frame —
+  /** [[filterTombstones]] over an already-read tombstone set —
     * call sites that needed [[readDeleteIds]] anyway (to branch on
     * pending deletions) pass it through instead of paying a second
     * listing + schema inference of the deletes asset. */
-  def filterTombstones(deletes: Option[DataFrame], df: DataFrame,
+  def filterTombstones(deletes: Option[Tombstones], df: DataFrame,
                        idCol: String): DataFrame =
     deletes match {
       case None => df
-      case Some(d) => df.join(
-        broadcast(d.withColumnRenamed("id", idCol)),
-        Seq(idCol), "left_anti")
+      case Some(t) => antiIdFilter(t, df, idCol)
     }
 
   /** The shared retraction protocol — [[AnnIndex.remove]] and
@@ -654,11 +754,16 @@ object StoredIndex {
       lit(value).cast("double").as("value"))
 
   /** Tombstone-count health row shared by both families: the
-    * retraction-sized deletes asset, 0 when none is pending. */
+    * retraction-sized deletes asset, 0 when none is pending — a
+    * driver-known constant when the set was read as literals (one
+    * fewer aggregate subtree in the health plan). */
   def tombstoneMetricRow(spark: SparkSession, dir: String): DataFrame =
     readDeleteIds(spark, dir) match {
-      case Some(d) => metricRow("n_tombstoned", d, count(lit(1L)))
-      case None    => litMetricRow(spark, "n_tombstoned", 0d)
+      case Some(Tombstones(Some(ids), _)) =>
+        litMetricRow(spark, "n_tombstoned", ids.size.toDouble)
+      case Some(t) =>
+        metricRow("n_tombstoned", t.frame(), count(lit(1L)))
+      case None => litMetricRow(spark, "n_tombstoned", 0d)
     }
 
   /** Compact when the asset has accreted past `maxFiles` part files

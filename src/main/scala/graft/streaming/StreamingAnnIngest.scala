@@ -227,9 +227,8 @@ final class StreamingAnnIngest(spark: SparkSession, indexDir: String,
     import graft.ext.StoredIndex
     val dir = requireStore("health")
     val retracted = retractedDir
-      .flatMap(d => Takedown.ledgeredIds(spark, d, "vec_id"))
-      .map(r => StoredIndex.metricRow("retracted_ids", r,
-        count(lit(1L))))
+      .map(d => Takedown.ledgerCountRow(spark, d, "vec_id",
+        "retracted_ids"))
       .getOrElse(StoredIndex.litMetricRow(spark, "retracted_ids", 0d))
     AnnIndex.health(spark, indexDir)
       .unionByName(StoredIndex.metricRow("store_rows",

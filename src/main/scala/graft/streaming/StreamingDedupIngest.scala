@@ -563,10 +563,8 @@ final class StreamingDedupIngest(spark: SparkSession, indexDir: String,
         StoredIndex.metricRow("store_quarantine_rows",
           spark.read.parquet(quarantineDir), count(lit(1L)))
       else StoredIndex.litMetricRow(spark, "store_quarantine_rows", 0d)
-    val retracted = Takedown.ledgeredIds(spark, retractedDir, "doc_id")
-      .map(r => StoredIndex.metricRow("retracted_ids", r,
-        count(lit(1L))))
-      .getOrElse(StoredIndex.litMetricRow(spark, "retracted_ids", 0d))
+    val retracted = Takedown.ledgerCountRow(spark, retractedDir,
+      "doc_id", "retracted_ids")
     // distinct ids ever accepted, from the stored KMV gauge — ≤ k
     // rows read, the corpus never re-scanned (monotone: a takedown
     // doesn't subtract — sketches are insert-only; live mass is

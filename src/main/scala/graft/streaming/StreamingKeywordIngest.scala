@@ -203,9 +203,8 @@ final class StreamingKeywordIngest(spark: SparkSession, indexDir: String,
     import graft.ext.StoredIndex
     requireStore("health")
     val retracted = retractedDir
-      .flatMap(d => Takedown.ledgeredIds(spark, d, "doc_id"))
-      .map(r => StoredIndex.metricRow("retracted_ids", r,
-        count(lit(1L))))
+      .map(d => Takedown.ledgerCountRow(spark, d, "doc_id",
+        "retracted_ids"))
       .getOrElse(StoredIndex.litMetricRow(spark, "retracted_ids", 0d))
     // distinct ids ever accepted, from the stored KMV gauge (see
     // kmvDir); pre-gauge stores bootstrap from the live store

@@ -40,6 +40,20 @@ private[streaming] object Takedown {
       .select(col(idCol)).distinct())
   }
 
+  /** [[ledgeredIds]] in [[graft.ext.StoredIndex.Tombstones]] form:
+    * driver literals when the ledger is small (the compliance-scale
+    * common case), the distinct frame above the caps — so the
+    * per-micro-batch sticky filter and the intent diff stop paying a
+    * broadcast-build job each. Ids are unique by construction (only
+    * not-yet-ledgered ids ever append), but the literal read
+    * dedupes defensively to mirror the frame's `.distinct()`. */
+  def ledgerSet(spark: SparkSession, ledgerDir: String,
+                idCol: String): Option[graft.ext.StoredIndex.Tombstones] =
+    graft.ext.StoredIndex.readIdAsset(spark, ledgerDir, idCol)
+      .map(t => t.copy(
+        litIds = t.litIds.map(_.distinct),
+        frame = () => t.frame().distinct()))
+
   /** The per-micro-batch sticky filter: drop every ledgered id from
     * an incoming batch. Once an id is recorded, no replayed
     * micro-batch or future drop can re-admit it — including after a
@@ -49,10 +63,24 @@ private[streaming] object Takedown {
     * re-delivery). */
   def dropLedgered(spark: SparkSession, ledgerDir: String,
                    df: DataFrame, idCol: String): DataFrame =
-    ledgeredIds(spark, ledgerDir, idCol) match {
+    ledgerSet(spark, ledgerDir, idCol) match {
       case None => df
-      case Some(r) => df.join(broadcast(r), Seq(idCol), "left_anti")
+      case Some(t) => graft.ext.StoredIndex.antiIdFilter(t, df, idCol)
     }
+
+  /** `(metric, value)` health row of the ledger's size — a
+    * driver-known constant when the ledger reads as literals (no
+    * aggregate subtree in the health plan), 0 when never written. */
+  def ledgerCountRow(spark: SparkSession, ledgerDir: String,
+                     idCol: String, name: String): DataFrame = {
+    import graft.ext.StoredIndex.{litMetricRow, metricRow}
+    ledgerSet(spark, ledgerDir, idCol) match {
+      case Some(graft.ext.StoredIndex.Tombstones(Some(ids), _)) =>
+        litMetricRow(spark, name, ids.size.toDouble)
+      case Some(t) => metricRow(name, t.frame(), count(lit(1L)))
+      case None => litMetricRow(spark, name, 0d)
+    }
+  }
 
   /** Resolve a PREDICATE takedown to its id set — how a compliance
     * request actually arrives ("everything from domain X", "all rows
@@ -169,10 +197,10 @@ private[streaming] object Takedown {
     // ledgered append, so idempotent takedown replays leave the
     // ledger untouched — it grows with distinct retractions (the
     // compliance history), never with retries
-    val newIntent = ledgeredIds(spark, ledgerDir, idCol) match {
+    val newIntent = ledgerSet(spark, ledgerDir, idCol) match {
       case None => want
-      case Some(r) => want.join(r, Seq(idCol), "left_anti")
-        .localCheckpoint()
+      case Some(t) => graft.ext.StoredIndex
+        .antiIdFilter(t, want, idCol).localCheckpoint()
     }
     if (!newIntent.isEmpty)
       newIntent.write.mode("append").parquet(ledgerDir)

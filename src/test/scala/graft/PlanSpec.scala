@@ -730,9 +730,11 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert("tenants[^\\n]*PushedFilters: \\[[^\\n]*EqualTo\\(tenant".r
       .findFirstIn(plan).isDefined,
       s"tenant= not pushed to the overlay scan in:\n$plan")
-    assert("tstats[^\\n]*PushedFilters: \\[[^\\n]*EqualTo\\(tenant".r
-      .findFirstIn(plan).isDefined,
-      s"tenant= not pushed to the gauge scan in:\n$plan")
+    // the tenant's ONE gauge row enters the plan as driver-read
+    // LITERAL statistics (r15: no tstats scan, no broadcast-build
+    // sub-job) — the plan must not touch the gauge asset at all
+    assert(!plan.contains("tstats"),
+      s"tenant serve still scans the gauge asset in:\n$plan")
     assert("postings[^\\n]*PushedFilters: \\[[^\\n]*In\\(id".r
       .findFirstIn(plan).isDefined,
       s"id IN not pushed to the candidate postings scan in:\n$plan")
@@ -860,10 +862,11 @@ Location: InMemoryFileIndex [file:/tmp/other/lineitem.parquet]"""
     assert("tenants[^\\n]*PushedFilters: \\[[^\\n]*In\\(tenant".r
       .findFirstIn(plan).isDefined,
       s"tenant IN not pushed to the overlay scan in:\n$plan")
-    assert(!plan.contains("tstats") ||
-      "tstats[^\\n]*PushedFilters: \\[[^\\n]*In\\(tenant".r
-        .findFirstIn(plan).isDefined,
-      s"tenant IN not pushed to the gauge scan in:\n$plan")
+    // per-qid gauge statistics resolve DRIVER-side (r15): the plan
+    // must not scan the gauge asset — the qid-keyed stats join reads
+    // a LocalRelation, whose broadcast builds without a job
+    assert(!plan.contains("tstats"),
+      s"batched tenant serve still scans the gauge asset in:\n$plan")
     assert(!graft.plans.PlanGuard.findings(served)
       .exists(_.rule == "global-window"),
       "batched tenant serve plans a global window")
